@@ -1,0 +1,140 @@
+"""PageRankDelta — G3 of SURVEY.md §2.6
+(/root/reference/src/algos.rs:169-295), semantics preserved verbatim,
+including its quirks (do NOT "fix" them — SURVEY.md §7.8):
+
+- round 1 (algos.rs:194-205): ``delta = gathered*0.85 + 0.15``;
+  ``page_rank += delta``; ``delta -= 1/n``; frontier keeps v iff
+  ``|delta| > page_rank[v] + 0.01`` (``+``, not ``×``).
+- later rounds (algos.rs:207-222): ``delta = gathered*0.85`` (no +0.15);
+  page_rank updated and v kept iff ``|rank| > rank*0.01`` (true for every
+  rank > 0, so the frontier is all touched nodes).
+- stop when ``error < 1e-7`` where error is the SIGNED sum of deltas
+  (algos.rs:263-265, 285), or the iteration budget runs out.
+- unnormalized teleport (no 1/n scaling — TODO at algos.rs:197), no
+  dangling-node redistribution (dangling vertices emit nothing).
+
+Gather: ``neighbors_rank[t] += deltas[s] / out_degree(s)`` over frontier
+sources (algos.rs:225-231) — reduce = sum, ``has_output_frontier = False``
+(``has_no_result``, algos.rs:237-239).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ligrust_ray.stages.kernels import EdgeKernel, VertexKernel
+from ligrust_ray.state import checkpoint as ckpt
+
+DAMPING = 0.85
+TOLERANCE = 1e-7
+DELTA_THRESHOLD = 1e-2
+ALPHA = 1.0 - DAMPING
+
+STATE = ["deltas", "page_rank", "nbr"]
+
+
+class PREdge(EdgeKernel):
+    reduce = "sum"
+    value_dtype = np.float64
+    has_output_frontier = False
+
+    def source_values(self, state, out_deg):
+        d = state["deltas"]
+        out = np.zeros_like(d)
+        np.divide(d, out_deg, out=out, where=out_deg > 0)
+        return out
+
+    def apply(self, state, agg, touched, shard):
+        # nbr was reset to 0 by the previous round's filter; agg is this
+        # round's full gather (zeros where untouched)
+        state["nbr"] = agg.astype(np.float64, copy=False)
+        return None, {}
+
+
+class PRFirstRound(VertexKernel):
+    def __init__(self, one_over_n: float):
+        self.one_over_n = one_over_n
+
+    def update(self, state, mask, shard):
+        delta = state["nbr"] * DAMPING + ALPHA
+        state["nbr"] = np.zeros_like(delta)
+        state["page_rank"] = state["page_rank"] + delta
+        current = state["page_rank"]
+        delta = delta - self.one_over_n
+        state["deltas"] = delta
+        keep = np.abs(delta) > (current + DELTA_THRESHOLD)
+        return keep, {"sum_of_delta": float(delta.sum())}
+
+
+class PRLater(VertexKernel):
+    def update(self, state, mask, shard):
+        delta = state["nbr"] * DAMPING
+        state["nbr"] = np.zeros_like(delta)
+        state["deltas"] = delta
+        current = state["page_rank"]
+        upd = np.abs(current) > current * DELTA_THRESHOLD
+        pr = current.copy()
+        pr[upd] += delta[upd]
+        state["page_rank"] = pr
+        return upd, {"sum_of_delta": float(delta.sum())}
+
+
+def page_rank_delta(graph, max_iterations: int = 100,
+                    checkpoint_dir: str | None = None,
+                    checkpoint_every: int = 1, resume: bool = True) -> dict:
+    t0 = time.perf_counter()
+    n = graph.n
+    one_over_n = 1.0 / n
+    edge_kernel = PREdge()
+    iteration = 0
+    man = ckpt.latest_checkpoint(checkpoint_dir, "pagerank") if (
+        checkpoint_dir and resume) else None
+    graph.init_algo({
+        "deltas": (np.float64, one_over_n),
+        "page_rank": (np.float64, 0.0),
+        "nbr": (np.float64, 0.0),
+    })
+    graph.edges_scanned = 0
+    if man is not None:
+        ckpt.restore_checkpoint(graph, man)
+        iteration = man["iteration"]
+        pending_error = man["loop_state"]["pending_error"]
+        max_iterations = man["loop_state"]["remaining_iterations"]
+    else:
+        graph.set_frontier("all")
+        graph.edge_map(edge_kernel)                       # round-1 edgeMap (full)
+        s = graph.vertex_filter(PRFirstRound(one_over_n), over="all")
+        pending_error = s["sum_of_delta"]
+        iteration = 1
+        if checkpoint_dir and checkpoint_every:
+            ckpt.write_checkpoint(
+                graph, checkpoint_dir, "pagerank", iteration, STATE,
+                {"frontier_size": graph.frontier_count,
+                 "edges_scanned": graph.edges_scanned, "error": pending_error,
+                 "wall_s": time.perf_counter() - t0},
+                {"pending_error": pending_error,
+                 "remaining_iterations": max_iterations})
+
+    later = PRLater()
+    while True:
+        error = pending_error                             # sum_of_delta.swap(0)
+        max_iterations -= 1
+        if error < TOLERANCE or max_iterations == 0:
+            break
+        graph.edge_map(edge_kernel)
+        s = graph.vertex_filter(later, over="all")
+        pending_error = s["sum_of_delta"]
+        iteration += 1
+        if checkpoint_dir and checkpoint_every and iteration % checkpoint_every == 0:
+            ckpt.write_checkpoint(
+                graph, checkpoint_dir, "pagerank", iteration, STATE,
+                {"frontier_size": graph.frontier_count,
+                 "edges_scanned": graph.edges_scanned, "error": pending_error,
+                 "wall_s": time.perf_counter() - t0},
+                {"pending_error": pending_error,
+                 "remaining_iterations": max_iterations})
+    return {"iterations": iteration, "edges_scanned": graph.edges_scanned,
+            "error": error, "wall_s": time.perf_counter() - t0,
+            "state_names": ["page_rank"]}

@@ -1,0 +1,52 @@
+"""Kernel specs — the UDF surface of the engine.
+
+The reference's ``RelationshipMapper`` (/root/reference/src/ligra.rs:34-56)
+is an atomic ``update(source, target) -> bool`` + ``check(target)``; its
+shared-memory CAS updates become, under BSP message exchange, an
+associative reduce plus a vectorised apply:
+
+- ``source_values(state, out_deg)``: per-source message value (the payload
+  of ``update``'s read side) — e.g. ``deltas/out_degree`` for PageRank
+  (algos.rs:225-231), ``ids`` for CC, the node id itself for BFS.
+- ``reduce``: ``"sum" | "min" | "mode"`` — replaces ``fetch_add`` /
+  CAS-write-min / CAS-claim. ``mode`` (label frequency argmax) is pull-only:
+  it is not associative over partial frontiers.
+- ``target_active(state)``: the ``check(target)`` pre-filter
+  (ligra.rs:41-43); None = always true.
+- ``apply(state, agg, touched, shard)``: the write side; returns
+  (changed_mask_or_None, scalars). ``changed_mask`` is the next frontier —
+  the set of targets for which the reference's ``update`` returned true
+  (ligra.rs:224-241); the broken sparse-output path K2b (ligra.rs:144-201)
+  is NOT replicated, per SURVEY.md §2.2.
+
+``VertexKernel.update(state, mask, shard)`` is the NodeMapper analog
+(ligra.rs:244-250): vectorised over the subset, returns (keep_mask_or_None,
+scalars) — keep_mask drives node_filter (ligra.rs:268-306).
+
+Kernels are small picklable objects shipped to shard actors per super-step;
+all heavy state stays in the actors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class EdgeKernel:
+    reduce: str = "sum"
+    value_dtype = np.float64
+    has_output_frontier: bool = True  # = !has_no_result (ligra.rs:53-55)
+
+    def source_values(self, state: dict, out_deg: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def target_active(self, state: dict):
+        return None
+
+    def apply(self, state: dict, agg: np.ndarray, touched: np.ndarray, shard):
+        raise NotImplementedError
+
+
+class VertexKernel:
+    def update(self, state: dict, mask: np.ndarray, shard):
+        raise NotImplementedError

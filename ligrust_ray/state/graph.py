@@ -1,0 +1,439 @@
+"""Partitioned graph state: CSR shard actors + the DistGraph handle.
+
+The reference pins the whole CSR in shared memory (mmap,
+/root/reference/src/graph.rs:383-417) and runs rayon kernels over it with
+per-vertex state in atomic arrays. Our distributed analog:
+
+- ``CsrShard`` — one Ray actor per contiguous vertex range, holding that
+  range's out-CSR and in-CSR as NumPy views over Arrow parquet buffers
+  (loaded ONCE in ``__init__`` — the "load once, query many" mmap analog)
+  plus the range's vertex-state arrays. This is the one place we drop below
+  the Dataset API: iterative frontier kernels mutate a shared per-vertex
+  index thousands of times, which ``map_batches`` cannot express without
+  re-shipping state every wave.
+- ``DistGraph`` — the driver-side handle: actor list, partition bounds,
+  frontier bookkeeping, and the edge_map/vertex_map/vertex_filter
+  primitives (see stages/kernels.py for kernel specs and semantics).
+
+Scale notes:
+- All exchanges are object-store refs; the driver never materialises
+  per-vertex data (message payloads travel actor->actor via
+  ``num_returns``-split refs; state views travel as per-partition slices).
+- Pull-mode reads are partition-aligned: each shard precomputes, at load
+  time, which source partitions its in-lists reference and a compact
+  index into the concatenation of just those ranges, so a shard fetches
+  only the state slices it needs (NOT a full-graph broadcast).
+- Hub skew: id assignment hashes urls into buckets (pipelines/build.py), so
+  hub pages land in uniformly-random ranges; within a shard, gathers are
+  vectorised segment reductions, so a single hub's in-list costs O(degree)
+  sequential bandwidth, not a serialization point.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+INT_SENTINEL = np.iinfo(np.int64).max
+
+
+def _multi_range(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate [s, s+l) ranges, vectorised."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    rep = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    return rep + np.arange(total, dtype=np.int64)
+
+
+def _load_csr_part(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """part parquet -> (indptr[len+1] local, flat neighbor ids global)."""
+    t = pq.read_table(path, columns=["neighbors", "degree"])
+    col = t.column("neighbors").combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    deg = t.column("degree").to_numpy().astype(np.int64, copy=False)
+    indptr = np.zeros(len(deg) + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    return indptr, flat
+
+
+def _segment_reduce(reduce: str, indptr: np.ndarray, w: np.ndarray,
+                    contrib_mask: np.ndarray, value_dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Per-target reduction over in-list segments.
+
+    ``w``: per-edge value; ``contrib_mask``: per-edge "source in frontier".
+    Returns (agg[nloc], touched[nloc]). Deterministic: accumulation follows
+    flat (source-ascending) order, mirroring the oracle.
+    """
+    nloc = len(indptr) - 1
+    deg = np.diff(indptr)
+    tgt_idx = np.repeat(np.arange(nloc, dtype=np.int64), deg)
+    touched = np.bincount(tgt_idx, weights=contrib_mask.astype(np.float64),
+                          minlength=nloc) > 0
+    if reduce == "sum":
+        w = np.where(contrib_mask, w, 0.0)
+        agg = np.bincount(tgt_idx, weights=w, minlength=nloc)
+    elif reduce == "min":
+        w = np.where(contrib_mask, w, INT_SENTINEL)
+        agg = np.full(nloc, INT_SENTINEL, dtype=np.int64)
+        ne = deg > 0
+        if w.size:
+            agg[ne] = np.minimum.reduceat(w, indptr[:-1][ne])
+        touched = agg < INT_SENTINEL
+    elif reduce == "mode":
+        # most frequent value with smallest-value tiebreak, per target
+        keep = contrib_mask
+        t_i, lab = tgt_idx[keep], w[keep].astype(np.int64)
+        agg = np.full(nloc, INT_SENTINEL, dtype=np.int64)
+        touched = np.zeros(nloc, dtype=bool)
+        if t_i.size:
+            order = np.lexsort((lab, t_i))
+            t_s, l_s = t_i[order], lab[order]
+            new_run = np.empty(t_s.size, dtype=bool)
+            new_run[0] = True
+            new_run[1:] = (t_s[1:] != t_s[:-1]) | (l_s[1:] != l_s[:-1])
+            run_start = np.flatnonzero(new_run)
+            run_t = t_s[run_start]
+            run_l = l_s[run_start]
+            run_cnt = np.diff(np.append(run_start, t_s.size))
+            # winner per target: order runs by (t, -count, label); first wins
+            wo = np.lexsort((run_l, -run_cnt, run_t))
+            uniq_t, first = np.unique(run_t[wo], return_index=True)
+            agg[uniq_t] = run_l[wo][first]
+            touched[uniq_t] = True
+    else:  # pragma: no cover
+        raise ValueError(f"unknown reduce {reduce}")
+    return agg, touched
+
+
+def _combine_by_key(reduce: str, keys: np.ndarray, vals: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Partial combiner for push messages: (dst, val) -> unique dst + agg."""
+    if keys.size == 0:
+        return keys, vals
+    order = np.argsort(keys, kind="stable")
+    k, v = keys[order], vals[order]
+    run = np.empty(k.size, dtype=bool)
+    run[0] = True
+    run[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(run)
+    uk = k[starts]
+    if reduce == "sum":
+        # deterministic: np.add.reduceat sums each run in order
+        uv = np.add.reduceat(v, starts)
+    elif reduce == "min":
+        uv = np.minimum.reduceat(v, starts)
+    else:
+        raise ValueError(f"reduce {reduce} cannot be pushed (not associative "
+                         "over partial frontiers); use dense/pull mode")
+    return uk, uv
+
+
+@ray.remote
+class CsrShard:
+    """One vertex-range partition: CSR (both directions) + vertex state."""
+
+    def __init__(self, part: int, bounds: list[int], graph_dir: str):
+        self.part = part
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.lo = int(bounds[part])
+        self.hi = int(bounds[part + 1])
+        self.nloc = self.hi - self.lo
+        self.nparts = len(bounds) - 1
+        self.out_indptr, self.out_flat = _load_csr_part(
+            os.path.join(graph_dir, "out", f"part-{part:05d}.parquet"))
+        self.in_indptr, self.in_flat = _load_csr_part(
+            os.path.join(graph_dir, "in", f"part-{part:05d}.parquet"))
+        self.out_deg = np.diff(self.out_indptr)
+        # --- partition-aligned pull index: which source parts feed us, and a
+        # compact index of each in-edge into the concat of just those ranges.
+        src_part = np.searchsorted(self.bounds, self.in_flat, side="right") - 1
+        self.needed_parts = np.unique(src_part).astype(np.int64)
+        sizes = np.diff(self.bounds)[self.needed_parts]
+        compact_off = np.zeros(self.nparts, dtype=np.int64)
+        compact_off[self.needed_parts] = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        self.in_flat_compact = (self.in_flat - self.bounds[src_part]
+                                + compact_off[src_part])
+        self.compact_size = int(sizes.sum())
+        self.state: dict[str, np.ndarray] = {}
+        self.frontier = np.zeros(self.nloc, dtype=bool)
+
+    # ---- lifecycle -------------------------------------------------------
+    def ping(self) -> int:
+        return self.part
+
+    def meta(self) -> dict:
+        return {"part": self.part, "lo": self.lo, "hi": self.hi,
+                "m_out": int(self.out_flat.size), "m_in": int(self.in_flat.size),
+                "needed_parts": self.needed_parts.tolist()}
+
+    def init_state(self, spec: dict) -> None:
+        """spec: name -> (dtype, fill) | ("arange",) | callable(lo, hi)."""
+        for name, s in spec.items():
+            if callable(s):
+                self.state[name] = np.asarray(s(self.lo, self.hi))
+            elif s == ("arange",):
+                self.state[name] = np.arange(self.lo, self.hi, dtype=np.int64)
+            else:
+                dtype, fill = s
+                self.state[name] = np.full(self.nloc, fill, dtype=dtype)
+
+    def set_frontier(self, kind: str, ids: np.ndarray | None = None) -> dict:
+        if kind == "all":
+            self.frontier = np.ones(self.nloc, dtype=bool)
+        elif kind == "none":
+            self.frontier = np.zeros(self.nloc, dtype=bool)
+        else:  # "ids" (global ids, already range-filtered by caller)
+            self.frontier = np.zeros(self.nloc, dtype=bool)
+            if ids is not None and len(ids):
+                self.frontier[np.asarray(ids, dtype=np.int64) - self.lo] = True
+        return self._frontier_summary()
+
+    def _frontier_summary(self) -> dict:
+        return {"part": self.part,
+                "frontier_count": int(self.frontier.sum()),
+                "frontier_degree_sum": int(self.out_deg[self.frontier].sum())}
+
+    # ---- views (pull-mode source state exchange) -------------------------
+    def make_view(self, kernel) -> tuple[np.ndarray, np.ndarray]:
+        """(frontier slice, per-source message values slice) for this range."""
+        vals = kernel.source_values(self.state, self.out_deg)
+        return self.frontier, vals
+
+    # ---- dense / pull edge map ------------------------------------------
+    def pull(self, kernel, view_refs: list) -> dict:
+        """Gather over this range's in-CSR. ``view_refs[p]`` is the ObjectRef
+        of partition p's ``make_view`` result; only ``needed_parts`` are
+        fetched (partition-aligned, not a full broadcast)."""
+        fr_parts = ray.get([view_refs[p] for p in self.needed_parts])
+        if self.compact_size:
+            frontier_c = np.concatenate([f for f, _ in fr_parts]) \
+                if fr_parts else np.zeros(0, dtype=bool)
+            values_c = np.concatenate([v for _, v in fr_parts]) \
+                if fr_parts else np.zeros(0)
+        else:
+            frontier_c = np.zeros(0, dtype=bool)
+            values_c = np.zeros(0)
+        idx = self.in_flat_compact
+        contrib = frontier_c[idx] if idx.size else np.zeros(0, dtype=bool)
+        w = values_c[idx] if idx.size else np.zeros(0, dtype=values_c.dtype)
+        active = kernel.target_active(self.state)
+        agg, touched = _segment_reduce(kernel.reduce, self.in_indptr, w, contrib,
+                                       kernel.value_dtype)
+        if active is not None:
+            touched = touched & active
+        changed, scalars = kernel.apply(self.state, agg, touched, self)
+        if kernel.has_output_frontier:
+            self.frontier = changed
+        s = self._frontier_summary()
+        s["edges_scanned"] = int(self.in_flat.size)
+        s["scalars"] = scalars
+        return s
+
+    # ---- sparse / push edge map -----------------------------------------
+    def push(self, kernel):
+        """Scatter from this range's frontier along out-CSR. Returns
+        ``nparts`` message blobs (one per target partition; None if empty)
+        followed by an edges_scanned count — call with
+        ``num_returns=nparts+1`` so each blob routes to its target shard
+        without driver materialisation."""
+        f_idx = np.flatnonzero(self.frontier)
+        vals_src = kernel.source_values(self.state, self.out_deg)
+        starts = self.out_indptr[f_idx]
+        lens = self.out_deg[f_idx]
+        edge_idx = _multi_range(starts, lens)
+        dst = self.out_flat[edge_idx]
+        vals = np.repeat(vals_src[f_idx], lens)
+        uk, uv = _combine_by_key(kernel.reduce, dst, vals)
+        part_of = np.searchsorted(self.bounds, uk, side="right") - 1
+        cut = np.searchsorted(part_of, np.arange(self.nparts + 1))
+        out = []
+        for p in range(self.nparts):
+            a, b = cut[p], cut[p + 1]
+            out.append((uk[a:b], uv[a:b]) if b > a else None)
+        out.append(int(lens.sum()))
+        return tuple(out)
+
+    def apply_messages(self, kernel, msg_refs: list) -> dict:
+        """Final combine of per-source-partition pre-combined messages,
+        then kernel.apply. Deterministic: messages concatenated in source-
+        partition order; within a partition dsts are sorted."""
+        msgs = ray.get(msg_refs)
+        ks = [m[0] for m in msgs if m is not None]
+        vs = [m[1] for m in msgs if m is not None]
+        if ks:
+            keys = np.concatenate(ks)
+            vals = np.concatenate(vs)
+            uk, uv = _combine_by_key(kernel.reduce, keys, vals)
+        else:
+            uk = np.zeros(0, dtype=np.int64)
+            uv = np.zeros(0)
+        nloc = self.nloc
+        touched = np.zeros(nloc, dtype=bool)
+        if kernel.reduce == "sum":
+            agg = np.zeros(nloc, dtype=np.float64)
+        else:
+            agg = np.full(nloc, INT_SENTINEL, dtype=np.int64)
+        if uk.size:
+            loc = uk - self.lo
+            agg[loc] = uv
+            touched[loc] = True
+        active = kernel.target_active(self.state)
+        if active is not None:
+            touched = touched & active
+        changed, scalars = kernel.apply(self.state, agg, touched, self)
+        if kernel.has_output_frontier:
+            self.frontier = changed
+        s = self._frontier_summary()
+        s["edges_scanned"] = 0
+        s["scalars"] = scalars
+        return s
+
+    # ---- vertex ops ------------------------------------------------------
+    def vertex_op(self, kernel, over: str, set_frontier: bool) -> dict:
+        mask = np.ones(self.nloc, dtype=bool) if over == "all" else self.frontier
+        keep, scalars = kernel.update(self.state, mask, self)
+        if set_frontier:
+            self.frontier = keep if keep is not None else mask.copy()
+        s = self._frontier_summary()
+        s["scalars"] = scalars
+        return s
+
+    # ---- results / checkpoint -------------------------------------------
+    def get_state(self, names: list[str]) -> dict:
+        return {n: self.state[n] for n in names}
+
+    def get_frontier_ids(self) -> np.ndarray:
+        return np.flatnonzero(self.frontier) + self.lo
+
+    def state_table(self, names: list[str]) -> pa.Table:
+        cols = {"node_id": pa.array(np.arange(self.lo, self.hi, dtype=np.int64))}
+        for n in names:
+            cols[n] = pa.array(self.state[n])
+        return pa.table(cols)
+
+    def checkpoint(self, ckpt_dir: str, names: list[str]) -> dict:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        cols = {"node_id": pa.array(np.arange(self.lo, self.hi, dtype=np.int64)),
+                "frontier": pa.array(self.frontier)}
+        for n in names:
+            cols[n] = pa.array(self.state[n])
+        final = os.path.join(ckpt_dir, f"part-{self.part:05d}.parquet")
+        tmp = final + f".tmp{self.part}"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, final)
+        return {"part": self.part, "rows": self.nloc, "file": final}
+
+    def restore(self, ckpt_dir: str, names: list[str]) -> dict:
+        t = pq.read_table(os.path.join(ckpt_dir, f"part-{self.part:05d}.parquet"))
+        for n in names:
+            self.state[n] = t.column(n).to_numpy().copy()
+        self.frontier = t.column("frontier").to_numpy().copy()
+        return self._frontier_summary()
+
+
+class DistGraph:
+    """Driver-side handle over the shard actors (the Graph trait analog,
+    /root/reference/src/graph.rs:18-34)."""
+
+    def __init__(self, graph_dir: str, manifest: dict, actors: list):
+        self.graph_dir = graph_dir
+        self.manifest = manifest
+        self.n = int(manifest["n"])
+        self.m = int(manifest["m"])
+        self.bounds = np.asarray(manifest["bounds"], dtype=np.int64)
+        self.nparts = int(manifest["num_partitions"])
+        self.actors = actors
+        self.frontier_count = 0
+        self.frontier_degree_sum = 0
+        self.edges_scanned = 0
+
+    # threshold() of graph.rs:31-33 — the Ligra dense/sparse switch constant
+    @property
+    def threshold(self) -> int:
+        return self.m // 20
+
+    @classmethod
+    def load(cls, graph_dir: str, actor_num_cpus: float = 0) -> "DistGraph":
+        import json
+
+        with open(os.path.join(graph_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        nparts = int(manifest["num_partitions"])
+        actors = [
+            CsrShard.options(num_cpus=actor_num_cpus).remote(
+                p, manifest["bounds"], graph_dir)
+            for p in range(nparts)
+        ]
+        ray.get([a.ping.remote() for a in actors])  # surface load errors early
+        return cls(graph_dir, manifest, actors)
+
+    def _absorb(self, summaries: list[dict]) -> dict:
+        self.frontier_count = sum(s["frontier_count"] for s in summaries)
+        self.frontier_degree_sum = sum(s["frontier_degree_sum"] for s in summaries)
+        self.edges_scanned += sum(s.get("edges_scanned", 0) for s in summaries)
+        merged: dict = {}
+        for s in summaries:
+            for k, v in (s.get("scalars") or {}).items():
+                merged[k] = merged.get(k, 0) + v
+        return merged
+
+    # ---- primitives ------------------------------------------------------
+    def init_algo(self, spec: dict) -> None:
+        ray.get([a.init_state.remote(spec) for a in self.actors])
+
+    def set_frontier(self, kind: str, ids: np.ndarray | None = None) -> None:
+        if kind in ("all", "none"):
+            s = ray.get([a.set_frontier.remote(kind) for a in self.actors])
+        else:
+            ids = np.asarray(ids, dtype=np.int64)
+            part = np.searchsorted(self.bounds, ids, side="right") - 1
+            s = ray.get([
+                a.set_frontier.remote("ids", ids[part == p])
+                for p, a in enumerate(self.actors)
+            ])
+        self._absorb(s)
+
+    def edge_map(self, kernel) -> dict:
+        """relationship_map (/root/reference/src/ligra.rs:58-88): dense pull
+        when Σ out_degree(frontier) > m/20, else sparse push."""
+        if self.frontier_degree_sum > self.threshold:
+            views = [a.make_view.remote(kernel) for a in self.actors]
+            summaries = ray.get([a.pull.remote(kernel, views) for a in self.actors])
+        else:
+            per_actor = [
+                a.push.options(num_returns=self.nparts + 1).remote(kernel)
+                for a in self.actors
+            ]
+            self.edges_scanned += sum(ray.get([r[-1] for r in per_actor]))
+            summaries = ray.get([
+                a.apply_messages.remote(kernel, [per_actor[src][p]
+                                                 for src in range(self.nparts)])
+                for p, a in enumerate(self.actors)
+            ])
+        return self._absorb(summaries)
+
+    def vertex_map(self, kernel, over: str = "frontier") -> dict:
+        return self._absorb(ray.get([
+            a.vertex_op.remote(kernel, over, False) for a in self.actors]))
+
+    def vertex_filter(self, kernel, over: str = "frontier") -> dict:
+        return self._absorb(ray.get([
+            a.vertex_op.remote(kernel, over, True) for a in self.actors]))
+
+    # ---- results ---------------------------------------------------------
+    def collect_state(self, names: list[str]) -> dict:
+        """Assemble full per-vertex arrays on the driver — results/tests at
+        sandbox scale; use ``result_dataset`` for big outputs."""
+        parts = ray.get([a.get_state.remote(names) for a in self.actors])
+        return {n: np.concatenate([p[n] for p in parts]) for n in names}
+
+    def result_dataset(self, names: list[str]):
+        import ray.data
+
+        refs = [a.state_table.remote(names) for a in self.actors]
+        return ray.data.from_arrow_refs(refs)

@@ -1,0 +1,159 @@
+"""Pure-NumPy golden oracle implementing the reference semantics verbatim
+(SURVEY.md §5.2: the Rust reference cannot be compiled in this sandbox, so
+conformance golden data comes from this module; semantics cited per
+function). All functions take a flat edge list (src, dst) over dense ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DAMPING = 0.85
+TOLERANCE = 1e-7
+DELTA_THRESHOLD = 1e-2
+ALPHA = 1.0 - DAMPING
+
+
+def out_degrees(n: int, src: np.ndarray) -> np.ndarray:
+    return np.bincount(src, minlength=n).astype(np.int64)
+
+
+def cc_oracle(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """/root/reference/src/algos.rs:48-122 — min-label propagation along
+    OUT-edges to fixed point (directed reachability minimum)."""
+    ids = np.arange(n, dtype=np.int64)
+    while True:
+        new = ids.copy()
+        if len(src):
+            np.minimum.at(new, dst, ids[src])
+        if np.array_equal(new, ids):
+            return ids
+        ids = new
+
+
+def bfs_oracle(n: int, src: np.ndarray, dst: np.ndarray, root: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """/root/reference/src/algos.rs:124-167 — level-synchronous BFS along
+    out-edges; parent = min same-level in-neighbor (deterministic refinement
+    of the reference's CAS race, SURVEY.md §5.3)."""
+    parent = np.full(n, -1, dtype=np.int64)
+    level = np.full(n, -1, dtype=np.int64)
+    parent[root] = root
+    level[root] = 0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[root] = True
+    k = 0
+    sent = np.iinfo(np.int64).max
+    while frontier.any():
+        k += 1
+        cand = frontier[src] & (parent[dst] == -1) if len(src) else np.zeros(0, bool)
+        claim = np.full(n, sent, dtype=np.int64)
+        if cand.any():
+            np.minimum.at(claim, dst[cand], src[cand])
+        newly = claim < sent
+        parent[newly] = claim[newly]
+        level[newly] = k
+        frontier = newly
+    return parent, level
+
+
+def page_rank_delta_oracle(n: int, src: np.ndarray, dst: np.ndarray,
+                           max_iterations: int = 100
+                           ) -> tuple[np.ndarray, int, float]:
+    """/root/reference/src/algos.rs:169-295 semantics verbatim (see
+    ligrust_ray/algos/pagerank.py for the rule-by-rule citation).
+    Returns (page_rank, iterations_run, last_error)."""
+    outdeg = out_degrees(n, src)
+    deltas = np.full(n, 1.0 / n)
+    page_rank = np.zeros(n)
+    one_over_n = 1.0 / n
+
+    def gather(frontier: np.ndarray) -> np.ndarray:
+        if not len(src):
+            return np.zeros(n)
+        w = np.where(frontier[src], deltas[src] / outdeg[src], 0.0)
+        return np.bincount(dst, weights=w, minlength=n)
+
+    frontier = np.ones(n, dtype=bool)
+    nbr = gather(frontier)                       # round-1 edgeMap (full)
+    delta = nbr * DAMPING + ALPHA                # FirstRound (algos.rs:194-205)
+    page_rank = page_rank + delta
+    current = page_rank
+    delta = delta - one_over_n
+    deltas = delta
+    pending_error = float(delta.sum())
+    frontier = np.abs(delta) > (current + DELTA_THRESHOLD)
+    iteration = 1
+    while True:
+        error = pending_error
+        max_iterations -= 1
+        if error < TOLERANCE or max_iterations == 0:
+            break
+        nbr = gather(frontier)
+        delta = nbr * DAMPING                    # later rounds (algos.rs:207-222)
+        deltas = delta
+        pending_error = float(delta.sum())
+        current = page_rank
+        upd = np.abs(current) > current * DELTA_THRESHOLD
+        page_rank = page_rank.copy()
+        page_rank[upd] += delta[upd]
+        frontier = upd
+        iteration += 1
+    return page_rank, iteration, error
+
+
+def label_prop_oracle(n: int, src: np.ndarray, dst: np.ndarray,
+                      max_iterations: int = 20) -> np.ndarray:
+    """ligrust_ray/algos/labelprop.py semantics: per round every vertex with
+    in-neighbors takes the most frequent in-neighbor label (multiplicity
+    counts; smallest label wins ties)."""
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_iterations):
+        new = labels.copy()
+        if len(src):
+            lab = labels[src]
+            order = np.lexsort((lab, dst))
+            d_s, l_s = dst[order], lab[order]
+            run = np.empty(d_s.size, dtype=bool)
+            run[0] = True
+            run[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+            starts = np.flatnonzero(run)
+            run_d, run_l = d_s[starts], l_s[starts]
+            run_c = np.diff(np.append(starts, d_s.size))
+            wo = np.lexsort((run_l, -run_c, run_d))
+            uniq, first = np.unique(run_d[wo], return_index=True)
+            new[uniq] = run_l[wo][first]
+        if np.array_equal(new, labels):
+            return new
+        labels = new
+    return labels
+
+
+def triangles_oracle(src: np.ndarray, dst: np.ndarray) -> int:
+    """Triangle count on the undirected simplification (dedup, drop self
+    loops): number of vertex triangles."""
+    edges = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            edges.add((min(s, d), max(s, d)))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for a, b in edges:
+        count += len(adj[a] & adj[b])
+    return count // 3
+
+
+def random_digraph(n: int, avg_deg: float, seed: int,
+                   zipf: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    if zipf:
+        deg = np.minimum(rng.zipf(1.3, size=n), n - 1)
+    else:
+        deg = rng.poisson(avg_deg, size=n)
+    m = int(deg.sum())
+    src = np.repeat(np.arange(n, dtype=np.int64), deg)
+    dst = rng.integers(0, n, size=m).astype(np.int64)
+    return src, dst

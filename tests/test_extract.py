@@ -1,0 +1,54 @@
+import numpy as np
+
+from ligrust_ray.functions.extract import ExtractLinks, extract_page
+from ligrust_ray.sources.synth import generate_pages, generate_pages_slice, _resolve
+
+
+def test_extract_deterministic_and_self_consistent():
+    t = generate_pages(120, seed=42)
+    for i in range(0, 120, 17):
+        html = t.column("html")[i].as_py()
+        text1, links1 = extract_page(html, base_url=t.column("url")[i].as_py())
+        text2, links2 = extract_page(html, base_url=t.column("url")[i].as_py())
+        assert text1 == text2  # byte-identical per url (input_hint invariant)
+        assert links1 == links2
+        assert text1 == t.column("text")[i].as_py()  # corpus self-consistency
+
+
+def test_extract_strips_script_and_keeps_duplicates():
+    html = (b'<html><head><script>x</script></head><body><p>hello  world</p>'
+            b'<a href="/a">x</a><a href="/a">y</a><a href="http://z/b">z</a>'
+            b"</body></html>")
+    text, links = extract_page(html, base_url="http://base.example/p/1")
+    assert "x" not in text.split("hello")[0]
+    assert text.startswith("hello world")
+    assert links == ["http://base.example/a", "http://base.example/a", "http://z/b"]
+
+
+def test_extract_malformed_html_no_crash():
+    text, links = extract_page(b"<html><p>ok<a href=", base_url="http://b/")
+    assert "ok" in text
+
+
+def test_synth_chunk_equivalence():
+    import pyarrow as pa
+
+    urls, hubs = _resolve(90, 7, None, None)
+    whole = generate_pages_slice(0, 90, urls, hubs, 7, 200, 1000, 0.02, 0.01)
+    parts = [generate_pages_slice(lo, min(lo + 30, 90), urls, hubs, 7, 200, 1000,
+                                  0.02, 0.01) for lo in range(0, 90, 30)]
+    assert pa.concat_tables(parts).equals(whole)
+
+
+def test_extract_links_batchfn():
+    t = generate_pages(50, seed=3)
+    out = ExtractLinks()(t)
+    # row-by-row equivalence against the pure function
+    exp_src, exp_dst = [], []
+    for i in range(50):
+        u = t.column("url")[i].as_py()
+        _, links = extract_page(t.column("html")[i].as_py(), base_url=u)
+        exp_src += [u] * len(links)
+        exp_dst += links
+    assert out.column("src_url").to_pylist() == exp_src
+    assert out.column("dst_url").to_pylist() == exp_dst
