@@ -1,0 +1,101 @@
+"""Graph-build pipeline correctness: extraction -> ids -> edges -> CSR."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import oracle
+from ligrust_ray.functions.extract import ExtractLinks
+from ligrust_ray.pipelines import build as B
+from ligrust_ray.sources.synth import generate_pages
+from ligrust_ray.sources.adjacency_text import (
+    adjacency_text_to_edges, edges_to_csr, read_adjacency_text,
+    write_adjacency_text)
+
+
+def _read_csr_edges(graph_dir, direction, nparts):
+    """CSR parquet -> (key, other) edge array, plus per-list sortedness."""
+    ks, vs, sorted_ok = [], [], True
+    for p in range(nparts):
+        t = pq.read_table(f"{graph_dir}/{direction}/part-{p:05d}.parquet")
+        nid = t.column("node_id").to_numpy()
+        col = t.column("neighbors").combine_chunks()
+        off = col.offsets.to_numpy()
+        val = col.values.to_numpy() if len(col.values) else np.zeros(0, np.int64)
+        deg = np.diff(off)
+        for i in range(len(nid)):
+            seg = val[off[i]:off[i + 1]]
+            if np.any(np.diff(seg) < 0):
+                sorted_ok = False
+        ks.append(np.repeat(nid, deg))
+        vs.append(val)
+    return np.concatenate(ks), np.concatenate(vs), sorted_ok
+
+
+def test_build_from_pages_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    pages = generate_pages(200, seed=11)
+    gd = str(tmp_path / "g")
+    man = B.build_graph_from_pages(ray.data.from_arrow(pages), gd,
+                                   num_partitions=4)
+    # expected edges: direct extraction + (bucket, url) id order
+    eu = ExtractLinks()(pages)
+    src_u = eu.column("src_url").to_pylist()
+    dst_u = eu.column("dst_url").to_pylist()
+    universe = sorted(set(pages.column("url").to_pylist()) | set(dst_u),
+                      key=lambda u: (B._crc_bucket([u], 64)[0], u))
+    ids = {u: i for i, u in enumerate(universe)}
+    assert man["n"] == len(universe)
+    assert man["m"] == len(src_u)
+    exp = np.array(sorted((ids[a], ids[b]) for a, b in zip(src_u, dst_u)))
+    out_k, out_v, out_sorted = _read_csr_edges(gd, "out", 4)
+    got = np.stack([out_k, out_v], axis=1)
+    got = got[np.lexsort((got[:, 1], got[:, 0]))]
+    np.testing.assert_array_equal(got, exp)
+    assert out_sorted
+    # in-CSR: same multiset transposed, lists sorted by source (graph.rs:280)
+    in_k, in_v, in_sorted = _read_csr_edges(gd, "in", 4)
+    got_in = np.stack([in_v, in_k], axis=1)
+    got_in = got_in[np.lexsort((got_in[:, 1], got_in[:, 0]))]
+    np.testing.assert_array_equal(got_in, exp)
+    assert in_sorted
+    # url_map persisted
+    um = pq.read_table(f"{gd}/url_map")
+    assert um.num_rows == len(universe)
+
+
+def test_build_from_edges_gap_partitions(ray_session, tmp_path):
+    # nodes 50..59 have no edges at all; their partition must still exist
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 0], dtype=np.int64)
+    gd = str(tmp_path / "g")
+    man = B.build_graph_from_edges(pa.table({"src": src, "dst": dst}), gd,
+                                   n=60, num_partitions=6)
+    assert man["n"] == 60 and man["m"] == 3
+    for p in range(6):
+        t = pq.read_table(f"{gd}/out/part-{p:05d}.parquet")
+        assert t.num_rows == 10  # all ranges fully materialised (gap filling)
+
+
+def test_adjacency_text_parity(tmp_path):
+    # the reference fixture: n=4, m=2, offsets [0,1,1,2], targets [1,3]
+    p = tmp_path / "g.input"
+    write_adjacency_text(str(p), np.array([0, 1, 1, 2]), np.array([1, 3]))
+    n, m, off, tgt = read_adjacency_text(str(p))
+    assert (n, m) == (4, 2)
+    np.testing.assert_array_equal(off, [0, 1, 1, 2])
+    np.testing.assert_array_equal(tgt, [1, 3])
+    e = adjacency_text_to_edges(str(p))
+    assert list(zip(e["src"].to_pylist(), e["dst"].to_pylist())) == [(0, 1), (2, 3)]
+    # CSR helper round-trip incl. zero-degree gap nodes
+    indptr, flat = edges_to_csr(4, e["src"].to_numpy(), e["dst"].to_numpy())
+    np.testing.assert_array_equal(indptr, [0, 1, 1, 2, 2])
+    np.testing.assert_array_equal(flat, [1, 3])
+
+
+def test_reference_fixture_file():
+    e = adjacency_text_to_edges("/root/reference/test-graph.input")
+    assert list(zip(e["src"].to_pylist(), e["dst"].to_pylist())) == [(0, 1), (2, 3)]

@@ -1,0 +1,97 @@
+"""Resume semantics (SURVEY.md §5.2 #5 / FIXTURES.md F6): interrupt after
+iteration k, resume from checkpoint, final outputs equal an uninterrupted
+run (bitwise for integer algorithms)."""
+
+import numpy as np
+import pyarrow as pa
+
+import oracle
+from ligrust_ray.algos.cc import cc
+from ligrust_ray.algos.pagerank import page_rank_delta
+from ligrust_ray.pipelines.build import build_graph_from_edges
+from ligrust_ray.state import checkpoint as ckpt
+from ligrust_ray.state.graph import DistGraph
+
+
+def _graph(tmp, src, dst, n, sub):
+    d = str(tmp / sub)
+    build_graph_from_edges(pa.table({"src": src, "dst": dst}), d, n=n,
+                           num_partitions=3)
+    return DistGraph.load(d)
+
+
+class _Bomb(Exception):
+    pass
+
+
+def test_cc_resume_bitwise(ray_session, tmp_path):
+    src, dst = oracle.random_digraph(200, 4.0, seed=5)
+    g1 = _graph(tmp_path, src, dst, 200, "a")
+    cc(g1)
+    want = g1.collect_state(["ids"])["ids"]
+
+    g2 = _graph(tmp_path, src, dst, 200, "b")
+    cdir = str(tmp_path / "ck")
+    # interrupted run: stop after 2 iterations by wrapping edge_map
+    real_edge_map = g2.edge_map
+    calls = {"k": 0}
+
+    def bomb(kernel):
+        if calls["k"] == 2:
+            raise _Bomb()
+        calls["k"] += 1
+        return real_edge_map(kernel)
+
+    g2.edge_map = bomb
+    try:
+        cc(g2, checkpoint_dir=cdir)
+    except _Bomb:
+        pass
+    man = ckpt.latest_checkpoint(cdir, "cc")
+    assert man is not None and man["iteration"] == 2
+    assert man["metrics"]["frontier_size"] >= 0
+
+    # fresh actors (simulates a new driver process), resume from checkpoint
+    g3 = _graph(tmp_path, src, dst, 200, "c")
+    res = cc(g3, checkpoint_dir=cdir, resume=True)
+    got = g3.collect_state(["ids"])["ids"]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pagerank_resume_matches(ray_session, tmp_path):
+    src, dst = oracle.random_digraph(150, 5.0, seed=6)
+    g1 = _graph(tmp_path, src, dst, 150, "a")
+    r1 = page_rank_delta(g1, max_iterations=30)
+    want = g1.collect_state(["page_rank"])["page_rank"]
+
+    cdir = str(tmp_path / "ck")
+    g2 = _graph(tmp_path, src, dst, 150, "b")
+    real = g2.edge_map
+    calls = {"k": 0}
+
+    def bomb(kernel):
+        if calls["k"] == 3:
+            raise _Bomb()
+        calls["k"] += 1
+        return real(kernel)
+
+    g2.edge_map = bomb
+    try:
+        page_rank_delta(g2, max_iterations=30, checkpoint_dir=cdir)
+    except _Bomb:
+        pass
+    g3 = _graph(tmp_path, src, dst, 150, "c")
+    r3 = page_rank_delta(g3, max_iterations=30, checkpoint_dir=cdir, resume=True)
+    got = g3.collect_state(["page_rank"])["page_rank"]
+    np.testing.assert_array_equal(got, want)  # float BITWISE: same op order
+    assert r3["iterations"] == r1["iterations"]
+
+
+def test_result_dataset(ray_session, tmp_path):
+    src, dst = oracle.random_digraph(50, 3.0, seed=7)
+    g = _graph(tmp_path, src, dst, 50, "a")
+    cc(g)
+    ds = g.result_dataset(["ids"])
+    pdf = ds.to_pandas().sort_values("node_id")
+    np.testing.assert_array_equal(pdf["ids"].to_numpy(),
+                                  oracle.cc_oracle(50, src, dst))
