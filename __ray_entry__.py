@@ -1,44 +1,116 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
-"""
+``queries()`` covers the operator inventory of SURVEY.md §2 (graph build,
+degree/aggregate ops, the four iterative algorithms, triangle count) plus
+the training-data ops (dedup family, ANN, text analysis, multimodal
+plumbing). Each SQL-expressible query has a DuckDB oracle in
+``oracle_sql()`` with IDENTICAL column names; iterative/model-ish ops are
+rows-only here and exactness-tested against the NumPy oracle in pytest
+(tests/oracle.py)."""
 
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
 
+# SQL fragment shared by the events-graph queries (FIXTURES.md F7)
+_EDGES_CTE = ("SELECT user_id AS src, "
+              "CAST(FLOOR(value * 100) AS BIGINT) % 150 AS dst FROM events")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthesize a small
+    Common-Crawl-style pages corpus, extract links, build the partitioned
+    CSR, run PageRankDelta, and return per-node ranks joined back to the
+    events-graph analytics path. Returns a pyarrow Table."""
+    from ligrust_ray.pipelines import queries as Q
+
+    return Q.q_pages_pagerank("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ligrust_ray.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph build + per-edge/degree ops (SQL-checked)
+        "events_edges": Q.q_events_edges,
+        "events_out_degree": Q.q_events_out_degree,
+        "events_degree_histogram": Q.q_events_degree_histogram,
+        "events_mutual_edges": Q.q_events_mutual_edges,
+        "events_triangles": Q.q_events_triangles,
+        # iterative graph algorithms (rows-only; exactness in pytest oracle)
+        "pagerank_events": Q.q_pagerank_events,
+        "cc_events": Q.q_cc_events,
+        "bfs_events": Q.q_bfs_events,
+        "labelprop_events": Q.q_labelprop_events,
+        "pages_pagerank": Q.q_pages_pagerank,
+        # documents: text analysis + dedup family
+        "docs_exact_dedup": Q.q_docs_exact_dedup,
+        "docs_token_count": Q.q_docs_token_count,
+        "docs_stats": Q.q_docs_stats,
+        "docs_quality": Q.q_docs_quality,
+        "docs_langid": Q.q_docs_langid,
+        "docs_fingerprint": Q.q_docs_fingerprint,
+        "docs_minhash_dedup": Q.q_docs_minhash_dedup,
+        "docs_simhash": Q.q_docs_simhash,
+        "docs_ngram_dupes": Q.q_docs_ngram_dupes,
+        # embeddings: similarity search + near-dup
+        "emb_knn": Q.q_emb_knn,
+        "emb_knn_ivf": Q.q_emb_knn_ivf,
+        "emb_near_dup": Q.q_emb_near_dup,
+        # multimodal plumbing (deterministic stub decode)
+        "media_decode": Q.q_media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "events_edges": _EDGES_CTE,
+        "events_out_degree": (
+            f"WITH e AS ({_EDGES_CTE}) "
+            "SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src"),
+        "events_degree_histogram": (
+            f"WITH e AS ({_EDGES_CTE}), "
+            "d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src) "
+            "SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY degree"),
+        "events_mutual_edges": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})) "
+            "SELECT COUNT(*) AS n_mutual FROM e a "
+            "JOIN e b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst"),
+        "events_triangles": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e) "
+            "SELECT COUNT(*) AS n_triangles FROM u e1 "
+            "JOIN u e2 ON e1.b = e2.a "
+            "JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b"),
+        "docs_exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"),
+        "docs_token_count": (
+            "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), "
+            "'\\s+')) AS BIGINT) AS n_tokens FROM documents"),
+        "docs_stats": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, "
+            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+            "AS n_tokens, "
+            "CAST(length(regexp_replace(text, '[^.,!?]', '', 'g')) AS BIGINT) "
+            "AS n_punct FROM documents"),
+        "emb_knn": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "FROM s) WHERE rank <= 10"),
+        "emb_near_dup": (
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
+    }

@@ -1,0 +1,203 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N}
+
+``--scaling``: runs PageRank-to-convergence on the SAME synthetic pages
+graph at two parallelism levels in fresh subprocesses (num_cpus=8 then 32 —
+the sandbox stand-in for N vs 4N Ray nodes, BASELINE.md §3), with the
+partition count FIXED across both, and reports both throughputs plus the
+scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "60000"))
+PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "32"))
+
+
+def _init(num_cpus: int):
+    import ray
+    import ray.data
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _pages_graph_dir(n_pages: int) -> str:
+    """Synthesize the bench corpus + build the CSR once; cached on disk."""
+    from ligrust_ray.pipelines.build import build_graph_from_pages
+    from ligrust_ray.sources.synth import write_pages_corpus
+
+    corpus = f"/tmp/ligr_bench/pages_{n_pages}"
+    gdir = f"/tmp/ligr_bench/graph_{n_pages}_p{PARTITIONS}"
+    write_pages_corpus(corpus, n_pages, seed=42)
+    if not os.path.exists(os.path.join(gdir, "manifest.json")):
+        build_graph_from_pages(corpus, gdir, num_partitions=PARTITIONS)
+    return gdir
+
+
+def run_headline(num_cpus: int) -> dict:
+    """Build + the four algorithms + triangles on the bench pages graph,
+    plus doc ops over $GRAFT_SF_DIR tables."""
+    import ray
+
+    from ligrust_ray.algos.bfs import bfs
+    from ligrust_ray.algos.cc import cc
+    from ligrust_ray.algos.labelprop import label_propagation
+    from ligrust_ray.algos.pagerank import page_rank_delta
+    from ligrust_ray.state.graph import DistGraph
+
+    q: dict[str, float] = {}
+    t0 = time.perf_counter()
+    gdir = _pages_graph_dir(BENCH_PAGES)
+    q["build_graph"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    g = DistGraph.load(gdir)
+    q["load_graph"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pr = page_rank_delta(g, max_iterations=100)
+    q["pagerank"] = time.perf_counter() - t0
+    pr_iters, pr_edges = pr["iterations"], pr["edges_scanned"]
+
+    t0 = time.perf_counter()
+    cc(g)
+    q["cc"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    bfs(g, 0)
+    q["bfs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    label_propagation(g, max_iterations=10)
+    q["labelprop"] = time.perf_counter() - t0
+
+    import ray.data
+
+    from ligrust_ray.algos.triangles import triangle_count
+    from ligrust_ray.dataops import dedup, textstats
+    from ligrust_ray.pipelines import queries as Q
+
+    t0 = time.perf_counter()
+    triangle_count(Q.events_edges_ds(SF_DIR), n=Q.N_EVENT_NODES)
+    q["triangles_events"] = time.perf_counter() - t0
+
+    docs = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.perf_counter()
+    docs.map_batches(textstats.doc_stats_batch,
+                     batch_format="pyarrow").materialize()
+    q["docs_stats"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.exact_dedup(docs).materialize()
+    q["docs_exact_dedup"] = time.perf_counter() - t0
+
+    return {
+        "queries": q,
+        "pagerank_iters": pr_iters,
+        "pagerank_edges_scanned": pr_edges,
+        "pagerank_iters_per_sec": pr_iters / q["pagerank"],
+        "pagerank_edges_per_sec": pr_edges / q["pagerank"],
+        "graph_n": g.n,
+        "graph_m": g.m,
+    }
+
+
+def _scaling_child(num_cpus: int) -> None:
+    _init(num_cpus)
+    from ligrust_ray.algos.pagerank import page_rank_delta
+    from ligrust_ray.state.graph import DistGraph
+
+    gdir = _pages_graph_dir(BENCH_PAGES)
+    g = DistGraph.load(gdir)
+    page_rank_delta(g, max_iterations=3)          # warm actors/object store
+    t0 = time.perf_counter()
+    pr = page_rank_delta(g, max_iterations=100)
+    wall = time.perf_counter() - t0
+    print("SCALING_RESULT " + json.dumps({
+        "num_cpus": num_cpus, "wall_s": wall,
+        "iterations": pr["iterations"],
+        "edges_scanned": pr["edges_scanned"],
+        "iters_per_sec": pr["iterations"] / wall,
+        "edges_per_sec": pr["edges_scanned"] / wall,
+        "partitions": PARTITIONS, "n": g.n, "m": g.m,
+    }))
+    import ray
+
+    ray.shutdown()
+
+
+def run_scaling() -> dict:
+    # ensure corpus+graph exist before the measured children run
+    _init(NUM_CPUS)
+    _pages_graph_dir(BENCH_PAGES)
+    import ray
+
+    ray.shutdown()
+    results = {}
+    for ncpu in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child",
+             str(ncpu)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in out.stdout.splitlines():
+            if line.startswith("SCALING_RESULT "):
+                results[ncpu] = json.loads(line[len("SCALING_RESULT "):])
+    eff = (results[32]["edges_per_sec"] / results[8]["edges_per_sec"]) / (32 / 8)
+    return {"runs": results, "scaling_efficiency": eff}
+
+
+def main() -> int:
+    if "--scaling-child" in sys.argv:
+        _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+        return 0
+    if "--scaling" in sys.argv:
+        res = run_scaling()
+        print(json.dumps({
+            "metric": "pagerank_scaling_efficiency_8_to_32_cpus",
+            "value": res["scaling_efficiency"], "unit": "ratio",
+            "runs": res["runs"], "sf": SF_DIR, "partitions": PARTITIONS,
+        }))
+        return 0
+    _init(NUM_CPUS)
+    t0 = time.perf_counter()
+    r = run_headline(NUM_CPUS)
+    total = time.perf_counter() - t0
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "headline_pipelines_total_sec",
+        "value": total, "unit": "sec",
+        "queries": r["queries"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": NUM_CPUS,
+        "pagerank_iters_per_sec": r["pagerank_iters_per_sec"],
+        "pagerank_edges_per_sec": r["pagerank_edges_per_sec"],
+        "graph_n": r["graph_n"], "graph_m": r["graph_m"],
+    }))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

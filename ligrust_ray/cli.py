@@ -1,0 +1,143 @@
+"""CLI driver — the analog of the reference's clap interface
+(/root/reference/src/cli.rs): ``parse/cc/bfs/prd`` become
+``build/cc/bfs/pagerank`` plus the new ``lp``/``triangles``. Designed to be
+launched with ``ray job submit -- python -m ligrust_ray.cli <cmd> ...`` on a
+cluster; standalone it initialises a local session itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ligrust_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="pages parquet -> CSR graph dir")
+    b.add_argument("input", help="pages parquet path/dir, or text graph "
+                                 "(AdjacencyGraph format) with --format=adjacency")
+    b.add_argument("-o", "--output", required=True)
+    b.add_argument("-p", "--partitions", type=int, default=32)
+    b.add_argument("--format", choices=["pages", "adjacency", "edges"],
+                   default="pages")
+
+    s = sub.add_parser("synth", help="generate the synthetic pages corpus")
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("-n", "--pages", type=int, default=10000)
+    s.add_argument("--seed", type=int, default=42)
+
+    for name in ("cc", "bfs", "pagerank", "lp"):
+        a = sub.add_parser(name)
+        a.add_argument("graph", help="graph dir from `build`")
+        a.add_argument("--checkpoint-dir", default=None)
+        a.add_argument("--checkpoint-every", type=int, default=1)
+        a.add_argument("--no-resume", action="store_true")
+        a.add_argument("-o", "--output", default=None,
+                       help="write result parquet here")
+        if name == "bfs":
+            a.add_argument("-s", "--source", type=int, default=0)
+        if name in ("pagerank", "lp"):
+            a.add_argument("-i", "--max-iterations", type=int,
+                           default=100 if name == "pagerank" else 20)
+
+    t = sub.add_parser("triangles")
+    t.add_argument("edges", help="edge parquet (src,dst) path/dir")
+    t.add_argument("--per-node", action="store_true")
+    t.add_argument("-o", "--output", default=None)
+
+    args = p.parse_args(argv)
+    _ray_up(args.num_cpus)
+    import ray
+    import ray.data
+
+    if args.cmd == "synth":
+        from ligrust_ray.sources.synth import write_pages_corpus
+
+        write_pages_corpus(args.output, args.pages, seed=args.seed)
+        print(json.dumps({"written": args.output, "pages": args.pages}))
+        return 0
+
+    if args.cmd == "build":
+        from ligrust_ray.pipelines.build import (build_graph_from_edges,
+                                                 build_graph_from_pages)
+
+        if args.format == "pages":
+            man = build_graph_from_pages(args.input, args.output,
+                                         num_partitions=args.partitions)
+        elif args.format == "adjacency":
+            from ligrust_ray.sources.adjacency_text import (
+                adjacency_text_to_edges, read_adjacency_text)
+
+            e = adjacency_text_to_edges(args.input)
+            n = read_adjacency_text(args.input)[0]
+            man = build_graph_from_edges(e, args.output, n=n,
+                                         num_partitions=args.partitions)
+        else:
+            man = build_graph_from_edges(ray.data.read_parquet(args.input),
+                                         args.output,
+                                         num_partitions=args.partitions)
+        print(json.dumps({"n": man["n"], "m": man["m"],
+                          "partitions": man["num_partitions"]}))
+        return 0
+
+    if args.cmd == "triangles":
+        from ligrust_ray.algos.triangles import triangle_count
+
+        e = ray.data.read_parquet(args.edges)
+        if args.per_node:
+            total, tbl = triangle_count(e, per_node=True)
+            if args.output:
+                ray.data.from_arrow(tbl).write_parquet(args.output)
+        else:
+            total = triangle_count(e)
+        print(json.dumps({"triangles": int(total)}))
+        return 0
+
+    from ligrust_ray.state.graph import DistGraph
+
+    g = DistGraph.load(args.graph)
+    ck = dict(checkpoint_dir=args.checkpoint_dir,
+              checkpoint_every=args.checkpoint_every,
+              resume=not args.no_resume)
+    if args.cmd == "cc":
+        from ligrust_ray.algos.cc import cc
+
+        res = cc(g, **ck)
+    elif args.cmd == "bfs":
+        from ligrust_ray.algos.bfs import bfs
+
+        res = bfs(g, args.source, **ck)
+    elif args.cmd == "pagerank":
+        from ligrust_ray.algos.pagerank import page_rank_delta
+
+        res = page_rank_delta(g, max_iterations=args.max_iterations, **ck)
+    else:
+        from ligrust_ray.algos.labelprop import label_propagation
+
+        res = label_propagation(g, max_iterations=args.max_iterations, **ck)
+    if args.output:
+        g.result_dataset(res["state_names"]).write_parquet(args.output)
+    print(json.dumps({k: v for k, v in res.items() if k != "state_names"}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,126 @@
+"""Text analysis ops over the ``documents`` table (large-scale training-data
+pipeline components): token counting, doc stats, quality scoring, language
+ID, fingerprinting. All are stateless/actor-pool ``map_batches`` stages with
+regexes compiled once per actor; semantics of the SQL-checkable ones mirror
+the DuckDB oracle exactly (see __ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[.,!?]")
+_WORD = re.compile(r"[a-zA-Z]+")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "den"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "es"},
+    "fr": {"le", "la", "de", "et", "un", "est", "en", "que"},
+    "zh": set(),  # CJK handled by the charset rule below
+}
+
+
+def token_count_batch(t: pa.Table) -> pa.Table:
+    """n_tokens = length(regexp_split_to_array(trim(text), '\\s+')) —
+    exactly DuckDB's semantics (empty text -> [''] -> 1)."""
+    texts = t.column("text").to_pylist()
+    n = [len(_WS.split(x.strip())) for x in texts]
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "n_tokens": pa.array(n, type=pa.int64())})
+
+
+def doc_stats_batch(t: pa.Table) -> pa.Table:
+    texts = t.column("text").to_pylist()
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_chars_m": pa.array([len(x) for x in texts], type=pa.int64()),
+        "n_tokens": pa.array([len(_WS.split(x.strip())) for x in texts],
+                             type=pa.int64()),
+        "n_punct": pa.array([len(_PUNCT.findall(x)) for x in texts],
+                            type=pa.int64()),
+    })
+
+
+class QualityScore:
+    """Heuristic quality score in [0,1]: length band + alpha ratio +
+    stopword presence + mean word length band. Deterministic; the per-actor
+    state is the compiled regexes + stopword set."""
+
+    def __init__(self):
+        self.word = _WORD
+        self.stop = _LANG_PROFILES["en"]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        scores = np.zeros(len(texts))
+        for i, x in enumerate(texts):
+            if not x:
+                continue
+            words = self.word.findall(x.lower())
+            n_alpha = sum(len(w) for w in words)
+            alpha_ratio = n_alpha / max(1, len(x))
+            stop_ratio = (sum(w in self.stop for w in words)
+                          / max(1, len(words)))
+            mean_wl = n_alpha / max(1, len(words))
+            s = 0.0
+            s += 0.25 * (1.0 if 100 <= len(x) <= 20000 else 0.0)
+            s += 0.25 * min(1.0, alpha_ratio / 0.7)
+            s += 0.25 * min(1.0, stop_ratio / 0.3)
+            s += 0.25 * (1.0 if 3.0 <= mean_wl <= 10.0 else 0.0)
+            scores[i] = round(s, 6)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "quality": pa.array(scores)})
+
+
+class LangId:
+    """Charset + stopword-profile language ID (n-gram-free heuristic that is
+    cheap and fully vectorisable per doc)."""
+
+    def __init__(self):
+        self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+        self.word = _WORD
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        preds = []
+        for x in texts:
+            cjk = sum(1 for ch in x[:400] if "一" <= ch <= "鿿")
+            if cjk > len(x[:400]) * 0.2:
+                preds.append("zh")
+                continue
+            words = set(self.word.findall(x.lower()[:2000]))
+            best, best_hits = "unknown", 0
+            for lang in sorted(self.profiles):
+                hits = len(words & self.profiles[lang])
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "pred_lang": pa.array(preds, type=pa.string())})
+
+
+_FP_BASE = 1099511628211
+_FP_OFF = 14695981039346656037
+_U64 = (1 << 64) - 1
+
+
+def fnv1a64(data: bytes) -> int:
+    h = _FP_OFF
+    for b in data:
+        h = ((h ^ b) * _FP_BASE) & _U64
+    return h - (1 << 64) if h >= (1 << 63) else h  # as signed int64
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    """FNV-1a rolling hash over whitespace-normalised text -> int64
+    document fingerprint (stable content identity for incremental crawls)."""
+    texts = t.column("text").to_pylist()
+    out = [fnv1a64(" ".join(x.split()).encode("utf-8")) for x in texts]
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "fingerprint": pa.array(out, type=pa.int64())})

@@ -1,0 +1,256 @@
+"""Driver-contract query implementations (one per operator family; see
+__ray_entry__.py for the DuckDB oracle SQL). Every callable takes ``sf_dir``
+and returns a Dataset / pandas DataFrame / pyarrow Table.
+
+The SQL-reproducible edge table is derived from the ``events`` table
+(FIXTURES.md F7): ``src = user_id``,
+``dst = CAST(FLOOR(value * 100) AS BIGINT) % 150`` — deterministic in both
+engines (identical IEEE double arithmetic).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ligrust_ray.algos.bfs import bfs
+from ligrust_ray.algos.cc import cc
+from ligrust_ray.algos.labelprop import label_propagation
+from ligrust_ray.algos.pagerank import page_rank_delta
+from ligrust_ray.algos.triangles import triangle_count
+from ligrust_ray.dataops import ann, dedup, multimodal, textstats
+from ligrust_ray.pipelines.build import build_graph_from_edges, build_graph_from_pages
+from ligrust_ray.sources.synth import generate_pages
+from ligrust_ray.state.graph import DistGraph
+
+N_EVENT_NODES = 150
+
+
+def _events(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["user_id", "value"])
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def events_edges_ds(sf_dir: str) -> ray.data.Dataset:
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        v = t.column("value").to_numpy()
+        dst = (np.floor(v * 100).astype(np.int64)) % N_EVENT_NODES
+        return pa.table({"src": pa.array(u), "dst": pa.array(dst)})
+
+    return _events(sf_dir).map_batches(derive, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- graph ops
+def q_events_edges(sf_dir: str):
+    return events_edges_ds(sf_dir)
+
+
+def q_events_out_degree(sf_dir: str):
+    out = events_edges_ds(sf_dir).groupby("src").count()
+    return out.map_batches(
+        lambda t: pa.table({"src": t.column("src"),
+                            "out_degree": t.column("count()")}),
+        batch_format="pyarrow")
+
+
+def q_events_degree_histogram(sf_dir: str):
+    deg = q_events_out_degree(sf_dir)
+    hist = deg.groupby("out_degree").count()
+    return hist.map_batches(
+        lambda t: pa.table({"degree": t.column("out_degree"),
+                            "n_nodes": t.column("count()")}),
+        batch_format="pyarrow")
+
+
+def _distinct_edges(sf_dir: str) -> ray.data.Dataset:
+    return (events_edges_ds(sf_dir).groupby(["src", "dst"]).count()
+            .select_columns(["src", "dst"]))
+
+
+def q_events_mutual_edges(sf_dir: str):
+    """Count of unordered pairs {a,b}, a<b, with BOTH directions present.
+    Distinct edges are small (<= n^2); the reverse-key set is broadcast and
+    probed per batch (semi-join via broadcast, SURVEY.md guide pattern)."""
+    dist = _distinct_edges(sf_dir).materialize()
+    keys = np.sort(np.concatenate(
+        [b["src"].astype(np.int64) * N_EVENT_NODES + b["dst"]
+         for b in dist.iter_batches(batch_format="numpy")] or
+        [np.zeros(0, dtype=np.int64)]))
+    keys_ref = ray.put(keys)
+
+    def count_mutual(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        sel = s < d
+        rev = d[sel] * N_EVENT_NODES + s[sel]
+        pos = np.minimum(np.searchsorted(ks, rev), max(len(ks) - 1, 0))
+        hit = (ks[pos] == rev) if len(ks) else np.zeros(0, bool)
+        return pa.table({"n_mutual": pa.array([int(hit.sum())], type=pa.int64())})
+
+    parts = dist.map_batches(count_mutual, batch_format="pyarrow").to_pandas()
+    return pa.table({"n_mutual": pa.array([int(parts["n_mutual"].sum())],
+                                          type=pa.int64())})
+
+
+def q_events_triangles(sf_dir: str):
+    total = triangle_count(events_edges_ds(sf_dir), n=N_EVENT_NODES)
+    return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
+
+
+# ------------------------------------------------- iterative graph algorithms
+_GRAPH_CACHE: dict = {}
+
+
+def events_graph(sf_dir: str) -> DistGraph:
+    key = ("events", sf_dir)
+    if key not in _GRAPH_CACHE:
+        tag = zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF
+        gd = os.path.join(tempfile.gettempdir(), f"ligr_events_{tag:08x}")
+        if not os.path.exists(os.path.join(gd, "manifest.json")):
+            build_graph_from_edges(events_edges_ds(sf_dir), gd,
+                                   n=N_EVENT_NODES, num_partitions=4)
+        _GRAPH_CACHE[key] = DistGraph.load(gd)
+    return _GRAPH_CACHE[key]
+
+
+def q_pagerank_events(sf_dir: str):
+    g = events_graph(sf_dir)
+    page_rank_delta(g, max_iterations=100)
+    st = g.collect_state(["page_rank"])
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "rank": pa.array(st["page_rank"])})
+
+
+def q_cc_events(sf_dir: str):
+    g = events_graph(sf_dir)
+    cc(g)
+    st = g.collect_state(["ids"])
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "comp": pa.array(st["ids"])})
+
+
+def q_bfs_events(sf_dir: str):
+    g = events_graph(sf_dir)
+    bfs(g, root=0)
+    st = g.collect_state(["parent", "level"])
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "parent": pa.array(st["parent"]),
+                     "level": pa.array(st["level"])})
+
+
+def q_labelprop_events(sf_dir: str):
+    g = events_graph(sf_dir)
+    label_propagation(g, max_iterations=20)
+    st = g.collect_state(["labels"])
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "label": pa.array(st["labels"])})
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+def q_pages_pagerank(sf_dir: str):
+    """Flagship: synthetic Common-Crawl-style corpus (scaled by sf) ->
+    extract -> build CSR -> PageRankDelta -> per-url rank."""
+    n_pages = max(100, int(20000 * _sf_of(sf_dir)))
+    key = ("pages", n_pages)
+    if key not in _GRAPH_CACHE:
+        gd = os.path.join(tempfile.gettempdir(), f"ligr_pages_{n_pages}")
+        if not os.path.exists(os.path.join(gd, "manifest.json")):
+            pages = ray.data.from_arrow(generate_pages(n_pages, seed=42))
+            build_graph_from_pages(pages, gd, num_partitions=4)
+        _GRAPH_CACHE[key] = DistGraph.load(gd)
+    g = _GRAPH_CACHE[key]
+    page_rank_delta(g, max_iterations=50)
+    st = g.collect_state(["page_rank"])
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "rank": pa.array(st["page_rank"])})
+
+
+# ------------------------------------------------------------ documents ops
+def q_docs_exact_dedup(sf_dir: str):
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+def q_docs_token_count(sf_dir: str):
+    return _docs(sf_dir).map_batches(textstats.token_count_batch,
+                                     batch_format="pyarrow")
+
+
+def q_docs_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(textstats.doc_stats_batch,
+                                     batch_format="pyarrow")
+
+
+def q_docs_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(textstats.QualityScore,
+                                     batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_docs_langid(sf_dir: str):
+    return _docs(sf_dir).map_batches(textstats.LangId,
+                                     batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_docs_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(textstats.fingerprint_batch,
+                                     batch_format="pyarrow")
+
+
+def q_docs_minhash_dedup(sf_dir: str):
+    return dedup.minhash_lsh_dedup(_docs(sf_dir))
+
+
+def q_docs_simhash(sf_dir: str):
+    return dedup.simhash_dataset(_docs(sf_dir))
+
+
+def q_docs_ngram_dupes(sf_dir: str):
+    return dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+
+
+# ------------------------------------------------------------ embeddings ops
+def q_emb_knn(sf_dir: str):
+    return ann.knn_bruteforce(_emb(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_emb_knn_ivf(sf_dir: str):
+    return ann.knn_ivf(_emb(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_emb_near_dup(sf_dir: str):
+    ds = dedup.embedding_near_dup(_emb(sf_dir), threshold=0.45)
+    # concatenate with an explicit schema so an empty result keeps columns
+    parts = [b for b in ds.iter_batches(batch_format="pyarrow")]
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    return pa.concat_tables([t.cast(schema) for t in parts]) if parts else \
+        schema.empty_table()
+
+
+# ------------------------------------------------------------ multimodal
+def q_media_decode(sf_dir: str):
+    media = multimodal.docs_as_media(_docs(sf_dir))
+    feats = multimodal.decode_features(media)
+    return feats.select_columns(["media_id", "width", "height"])
