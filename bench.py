@@ -61,7 +61,7 @@ def run_headline(num_cpus: int) -> dict:
     from ligrust_ray.algos.bfs import bfs
     from ligrust_ray.algos.cc import cc
     from ligrust_ray.algos.labelprop import label_propagation
-    from ligrust_ray.algos.pagerank import page_rank_delta
+    from ligrust_ray.algos.pagerank import page_rank_classic, page_rank_delta
     from ligrust_ray.state.graph import DistGraph
 
     q: dict[str, float] = {}
@@ -74,7 +74,11 @@ def run_headline(num_cpus: int) -> dict:
     q["load_graph"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    pr = page_rank_delta(g, max_iterations=100)
+    page_rank_delta(g, max_iterations=100)   # reference-exact variant (2 rounds)
+    q["pagerank_reference"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pr = page_rank_classic(g, max_iterations=100)  # iterative-to-convergence
     q["pagerank"] = time.perf_counter() - t0
     pr_iters, pr_edges = pr["iterations"], pr["edges_scanned"]
 
@@ -123,14 +127,14 @@ def run_headline(num_cpus: int) -> dict:
 
 def _scaling_child(num_cpus: int) -> None:
     _init(num_cpus)
-    from ligrust_ray.algos.pagerank import page_rank_delta
+    from ligrust_ray.algos.pagerank import page_rank_classic
     from ligrust_ray.state.graph import DistGraph
 
     gdir = _pages_graph_dir(BENCH_PAGES)
     g = DistGraph.load(gdir)
-    page_rank_delta(g, max_iterations=3)          # warm actors/object store
+    page_rank_classic(g, max_iterations=3)        # warm actors/object store
     t0 = time.perf_counter()
-    pr = page_rank_delta(g, max_iterations=100)
+    pr = page_rank_classic(g, max_iterations=100)
     wall = time.perf_counter() - t0
     print("SCALING_RESULT " + json.dumps({
         "num_cpus": num_cpus, "wall_s": wall,

@@ -81,6 +81,53 @@ class PRLater(VertexKernel):
         return upd, {"sum_of_delta": float(delta.sum())}
 
 
+class PRClassicRound(VertexKernel):
+    """One round of the CLASSIC delta-PageRank variant (the semantics the
+    Ligra paper intends and the reference's FirstRound threshold quirk
+    defeats — see module docstring). Fixed point is the same
+    ``r = 0.15 + 0.85·Σ r_u/d_u``; the frontier prunes converged vertices
+    (``|delta| > 0.01·rank`` keeps), error is the L1 delta norm."""
+
+    def update(self, state, mask, shard):
+        delta = state["nbr"] * DAMPING
+        state["nbr"] = np.zeros_like(delta)
+        state["deltas"] = delta
+        pr = state["page_rank"] + delta
+        state["page_rank"] = pr
+        keep = np.abs(delta) > np.abs(pr) * DELTA_THRESHOLD
+        return keep, {"sum_of_delta": float(np.abs(delta).sum())}
+
+
+def page_rank_classic(graph, max_iterations: int = 100,
+                      tolerance: float = TOLERANCE) -> dict:
+    """Iterative-to-convergence variant used for benchmarking (the
+    reference-exact variant stops after 2 rounds by construction). Same
+    unnormalized fixed point; push/pull switching is exercised as the
+    frontier shrinks."""
+    t0 = time.perf_counter()
+    graph.init_algo({
+        "deltas": (np.float64, ALPHA),      # r_0 = delta_0 = 0.15 everywhere
+        "page_rank": (np.float64, ALPHA),
+        "nbr": (np.float64, 0.0),
+    })
+    graph.set_frontier("all")
+    graph.edges_scanned = 0
+    edge_kernel = PREdge()
+    round_kernel = PRClassicRound()
+    iteration = 0
+    error = float("inf")
+    while iteration < max_iterations and graph.frontier_count:
+        iteration += 1
+        graph.edge_map(edge_kernel)
+        s = graph.vertex_filter(round_kernel, over="all")
+        error = s["sum_of_delta"]
+        if error < tolerance:
+            break
+    return {"iterations": iteration, "edges_scanned": graph.edges_scanned,
+            "error": error, "wall_s": time.perf_counter() - t0,
+            "state_names": ["page_rank"]}
+
+
 def page_rank_delta(graph, max_iterations: int = 100,
                     checkpoint_dir: str | None = None,
                     checkpoint_every: int = 1, resume: bool = True) -> dict:

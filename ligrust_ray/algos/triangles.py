@@ -4,19 +4,23 @@ pipeline rather than an edgeMap composition.
 
 Algorithm (degree-ordered wedge check):
 1. canonicalise: undirected simplification — ``(min(s,d), max(s,d))``,
-   self-loops dropped, duplicates removed (groupby distinct = shuffle #1);
+   self-loops dropped, duplicates removed (in-batch pre-dedup, then one
+   groupby shuffle);
 2. orient each edge from the endpoint with (degree, id)-smaller rank to the
    larger — bounds every oriented out-degree by O(sqrt(m)), which is what
-   keeps hub (Zipf) vertices from exploding the wedge count (the skew story);
-3. roll oriented edges into per-source neighbor lists (groupby = shuffle #2);
-4. generate wedges (v, w) per source u from its oriented list and probe each
-   against the oriented edge set; every hit is exactly one triangle.
+   keeps hub (Zipf) vertices from exploding the wedge count (the skew
+   story);
+3. hash-partition oriented edges by source (ONE groupby shuffle; a handful
+   of groups, each processed with vectorised NumPy — no per-vertex pandas);
+4. per partition: group edges by source, generate wedges (v, w) per source
+   with ``triu_indices``, probe each wedge against the oriented edge set.
+   Every hit is exactly one triangle, counted once (at its wedge apex).
 
 The probe set is broadcast as a sorted ``u * n + v`` key array (``ray.put``
-once, ``np.searchsorted`` per batch — no per-batch reshipping). At 10^12
-edges the probe side no longer broadcasts: the scale path is to bucket
-wedges by ``hash(v) % B`` and hash-join against the identically bucketed
-edge set per bucket; the wedge generation and probe kernels are unchanged.
+once, ``np.searchsorted`` per partition). At 10^12 edges the probe side no
+longer broadcasts: the scale path buckets wedges by ``hash(v) % B`` and
+hash-joins against the identically bucketed edge set per bucket; the wedge
+generation and probe kernels are unchanged.
 """
 
 from __future__ import annotations
@@ -28,36 +32,31 @@ import ray
 import ray.data
 
 
-def _canonical_undirected(edges: ray.data.Dataset) -> ray.data.Dataset:
+def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
+                   per_node: bool = False, num_partitions: int = 16):
+    """Returns total int, or (total, per-node pa.Table) when ``per_node``."""
+    if isinstance(edges, pa.Table):
+        edges = ray.data.from_arrow(edges)
+
     def canon(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy()
         d = t.column("dst").to_numpy()
         keep = s != d
-        a = np.minimum(s[keep], d[keep])
-        b = np.maximum(s[keep], d[keep])
-        # in-batch pre-dedup shrinks the shuffle input
-        k = np.unique(np.stack([a, b], axis=1), axis=0)
+        a = np.minimum(s[keep], d[keep]).astype(np.int64)
+        b = np.maximum(s[keep], d[keep]).astype(np.int64)
+        k = np.unique(np.stack([a, b], axis=1), axis=0)  # in-batch pre-dedup
         return pa.table({"src": k[:, 0], "dst": k[:, 1]})
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates()
-
-    return (edges.map_batches(canon, batch_format="pyarrow")
-            .groupby(["src", "dst"]).map_groups(dedup, batch_format="pandas"))
-
-
-def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
-                   per_node: bool = False):
-    """Returns total int, or (total, per-node pa.Table) when ``per_node``."""
-    if isinstance(edges, pa.Table):
-        edges = ray.data.from_arrow(edges)
-    und = _canonical_undirected(edges).materialize()
+    und = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby(["src", "dst"]).count()
+           .select_columns(["src", "dst"])).materialize()
     if und.count() == 0:
         empty = pa.table({"node_id": pa.array([], type=pa.int64()),
                           "triangles": pa.array([], type=pa.int64())})
         return (0, empty) if per_node else 0
 
-    # degrees over the undirected simple graph (small result: one row/vertex)
+    # degrees on the simple graph (driver-side n-array; scale path: keep as
+    # a dataset and broadcast per-partition slices)
     def endpoints(t: pa.Table) -> pa.Table:
         return pa.table({"v": np.concatenate([t.column("src").to_numpy(),
                                               t.column("dst").to_numpy()])})
@@ -70,81 +69,71 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
     deg[deg_pdf["v"].to_numpy()] = deg_pdf["count()"].to_numpy()
     deg_ref = ray.put(deg)
 
-    def orient(t: pa.Table) -> pa.Table:
+    def orient_and_part(t: pa.Table) -> pa.Table:
         dg = ray.get(deg_ref)
         a = t.column("src").to_numpy()
         b = t.column("dst").to_numpy()
-        # rank(v) = (deg[v], v); orient low rank -> high rank
         a_first = (dg[a] < dg[b]) | ((dg[a] == dg[b]) & (a < b))
-        u = np.where(a_first, a, b)
-        v = np.where(a_first, b, a)
-        return pa.table({"src": u, "dst": v})
+        u = np.where(a_first, a, b).astype(np.int64)
+        v = np.where(a_first, b, a).astype(np.int64)
+        return pa.table({"src": u, "dst": v,
+                         "part": (u % num_partitions).astype(np.int64)})
 
-    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+    oriented = edges  # placeholder for chaining clarity
+    oriented = und.map_batches(orient_and_part,
+                               batch_format="pyarrow").materialize()
 
-    # broadcast probe set: sorted u*n+v keys (scale path: bucketed hash join)
-    key_parts = [b["src"].astype(np.int64) * n + b["dst"].astype(np.int64)
-                 for b in oriented.iter_batches(batch_format="numpy")]
-    keys = np.sort(np.concatenate(key_parts)) if key_parts else np.zeros(0, np.int64)
+    keys = np.sort(np.concatenate(
+        [b["src"] * n + b["dst"]
+         for b in oriented.iter_batches(batch_format="numpy")]))
     keys_ref = ray.put(keys)
 
-    def listify(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["src"].iloc[0])
-        nb = np.sort(g["dst"].to_numpy(dtype=np.int64))
-        return pd.DataFrame({"src": [u], "nbrs": [nb]})
+    def probe_part(g: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        u = g["src"].to_numpy(dtype=np.int64)
+        v = g["dst"].to_numpy(dtype=np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        bounds = np.append(starts, len(u))
+        if per_node:
+            hits = np.zeros(n, dtype=np.int64)
+        total = 0
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            d = hi - lo
+            if d < 2:
+                continue
+            nb = v[lo:hi]                      # sorted by id
+            ii, jj = np.triu_indices(d, k=1)
+            x, y = nb[ii], nb[jj]
+            wk = x * n + y                     # canonical? orientation is by
+            # (deg, id) rank, so check both directions of the closing edge:
+            pos = np.minimum(np.searchsorted(ks, wk), len(ks) - 1)
+            hit = ks[pos] == wk
+            wk2 = y * n + x
+            pos2 = np.minimum(np.searchsorted(ks, wk2), len(ks) - 1)
+            hit = hit | (ks[pos2] == wk2)
+            c = int(np.count_nonzero(hit))
+            total += c
+            if per_node and c:
+                hits[u[lo]] += c
+                np.add.at(hits, x[hit], 1)
+                np.add.at(hits, y[hit], 1)
+        if per_node:
+            nz = np.flatnonzero(hits)
+            return pd.DataFrame({"node_id": np.append(nz, -1),
+                                 "triangles": np.append(hits[nz], total)})
+        return pd.DataFrame({"node_id": [-1], "triangles": [total]})
 
-    adj = oriented.groupby("src").map_groups(listify, batch_format="pandas")
-
-    class WedgeProbe:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            rows_u, rows_cnt = [], []
-            node_hits: dict[int, int] = {}
-            for u, nb in zip(batch["src"], batch["nbrs"]):
-                nb = np.asarray(nb, dtype=np.int64)
-                d = len(nb)
-                if d < 2:
-                    continue
-                ii, jj = np.triu_indices(d, k=1)
-                wk = nb[ii] * n + nb[jj]           # oriented: nb sorted, need
-                # rank order not id order — recheck both orders:
-                pos = np.searchsorted(self.keys, wk)
-                pos = np.minimum(pos, len(self.keys) - 1)
-                hit1 = self.keys[pos] == wk if len(self.keys) else np.zeros(0, bool)
-                wk2 = nb[jj] * n + nb[ii]
-                pos2 = np.searchsorted(self.keys, wk2)
-                pos2 = np.minimum(pos2, len(self.keys) - 1)
-                hit2 = self.keys[pos2] == wk2 if len(self.keys) else np.zeros(0, bool)
-                hit = hit1 | hit2
-                c = int(hit.sum())
-                if c:
-                    rows_u.append(u)
-                    rows_cnt.append(c)
-                    if per_node:
-                        node_hits[u] = node_hits.get(u, 0) + c
-                        for x in nb[ii][hit].tolist():
-                            node_hits[x] = node_hits.get(x, 0) + 1
-                        for x in nb[jj][hit].tolist():
-                            node_hits[x] = node_hits.get(x, 0) + 1
-            if per_node:
-                ks = sorted(node_hits)
-                return pd.DataFrame({"node_id": ks,
-                                     "triangles": [node_hits[k] for k in ks]})
-            return pd.DataFrame({"node_id": rows_u, "triangles": rows_cnt})
-
-    counted = adj.map_batches(WedgeProbe, batch_format="pandas",
-                              concurrency=(1, 8))
-    if per_node:
-        agg = counted.groupby("node_id").sum("triangles").to_pandas()
-        agg = agg.rename(columns={"sum(triangles)": "triangles"})
-        full = np.zeros(n, dtype=np.int64)
-        if len(agg):
-            full[agg["node_id"].to_numpy()] = agg["triangles"].to_numpy()
-        total = int(full.sum()) // 3
-        tbl = pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
-                        "triangles": pa.array(full)})
-        return total, tbl
-    s = counted.sum("triangles") if counted.count() else 0
-    return int(s)
+    res = (oriented.groupby("part")
+           .map_groups(probe_part, batch_format="pandas").to_pandas())
+    total = int(res.loc[res["node_id"] == -1, "triangles"].sum())
+    if not per_node:
+        return total
+    pern = res[res["node_id"] >= 0].groupby("node_id")["triangles"].sum()
+    full = np.zeros(n, dtype=np.int64)
+    full[pern.index.to_numpy()] = pern.to_numpy()
+    tbl = pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "triangles": pa.array(full)})
+    return total, tbl

@@ -157,3 +157,30 @@ def random_digraph(n: int, avg_deg: float, seed: int,
     src = np.repeat(np.arange(n, dtype=np.int64), deg)
     dst = rng.integers(0, n, size=m).astype(np.int64)
     return src, dst
+
+
+def page_rank_classic_oracle(n: int, src: np.ndarray, dst: np.ndarray,
+                             max_iterations: int = 100, tol: float = 1e-7
+                             ) -> tuple[np.ndarray, int, float]:
+    """Mirror of ligrust_ray.algos.pagerank.page_rank_classic."""
+    outdeg = out_degrees(n, src)
+    deltas = np.full(n, ALPHA)
+    pr = np.full(n, ALPHA)
+    frontier = np.ones(n, dtype=bool)
+    it = 0
+    error = float("inf")
+    while it < max_iterations and frontier.any():
+        it += 1
+        if len(src):
+            w = np.where(frontier[src], deltas[src] / outdeg[src], 0.0)
+            nbr = np.bincount(dst, weights=w, minlength=n)
+        else:
+            nbr = np.zeros(n)
+        delta = nbr * DAMPING
+        pr = pr + delta
+        deltas = delta
+        frontier = np.abs(delta) > np.abs(pr) * DELTA_THRESHOLD
+        error = float(np.abs(delta).sum())
+        if error < tol:
+            break
+    return pr, it, error

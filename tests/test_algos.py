@@ -112,3 +112,16 @@ def test_push_pull_agree(ray_session, tmp_path):
     ids_pull = g3.collect_state(["ids"])["ids"]
     np.testing.assert_array_equal(ids_mixed, ids_push)
     np.testing.assert_array_equal(ids_mixed, ids_pull)
+
+
+@pytest.mark.parametrize("name", ["er-300", "zipf-200", "path"])
+def test_pagerank_classic_allclose(graphs, name):
+    from ligrust_ray.algos.pagerank import page_rank_classic
+
+    g, n, src, dst = graphs[name]
+    res = page_rank_classic(g, max_iterations=60)
+    got = g.collect_state(["page_rank"])["page_rank"]
+    exp, it, err = oracle.page_rank_classic_oracle(n, src, dst,
+                                                   max_iterations=60)
+    assert res["iterations"] == it
+    np.testing.assert_allclose(got, exp, atol=1e-6)

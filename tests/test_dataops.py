@@ -1,0 +1,150 @@
+"""Training-data ops: dedup family, ANN, text stats, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ligrust_ray.dataops import ann, dedup, multimodal, textstats
+
+
+def docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",          # exact dup of 0
+        "the quick brown fox jumped over the lazy dog today",   # near dup
+        "completely different content about ray data engines",
+        "another unrelated document mentioning arrow batches",
+        "",                                                      # empty
+        "the quick brown fox jumps over the lazy dog",          # exact dup of 0
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    return ray.data.from_arrow(docs_table())
+
+
+def test_exact_dedup(docs_ds):
+    got = sorted(dedup.exact_dedup(docs_ds).to_pandas()["doc_id"])
+    # distinct texts: {0(=1=6), 2, 3, 4, 5} -> min ids
+    assert got == [0, 2, 3, 4, 5]
+
+
+def test_minhash_lsh_clusters_near_dups(docs_ds):
+    pdf = dedup.minhash_lsh_dedup(docs_ds, num_perm=64, bands=32,
+                                  threshold=0.3).to_pandas()
+    cl = dict(zip(pdf["doc_id"], pdf["cluster"]))
+    assert cl[0] == cl[1] == cl[6] == 0          # exact dups cluster
+    assert cl[2] == 0                    # near dup joins (jaccard 4/11 > 0.3)
+    assert cl[3] != cl[4]                        # unrelated stay apart
+    # determinism
+    pdf2 = dedup.minhash_lsh_dedup(docs_ds, num_perm=64, bands=32,
+                                   threshold=0.3).to_pandas()
+    assert pdf.equals(pdf2)
+
+
+def test_simhash_properties(docs_ds):
+    pdf = dedup.simhash_dataset(docs_ds).to_pandas().set_index("doc_id")
+    assert pdf.loc[0, "simhash"] == pdf.loc[1, "simhash"]
+    h0 = int(pdf.loc[0, "simhash"])
+    h2 = int(pdf.loc[2, "simhash"])
+    ham = bin((h0 ^ h2) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16                              # near dup -> small hamming
+    h3 = int(pdf.loc[3, "simhash"])
+    assert bin((h0 ^ h3) & ((1 << 64) - 1)).count("1") > ham
+    assert pdf.loc[5, "simhash"] == 0
+
+
+def test_ngram_pairs(docs_ds):
+    pdf = dedup.ngram_jaccard_pairs(docs_ds, threshold=0.3).to_pandas()
+    pairs = set(zip(pdf["a"], pdf["b"]))
+    assert (0, 1) in pairs and (0, 6) in pairs and (0, 2) in pairs
+
+
+def _emb_ds(n=60, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    mat[1] = mat[0] * 2.0          # same direction as 0 -> cosine 1
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), type=pa.float32()), d),
+    })), mat
+
+
+def test_knn_bruteforce_exact(ray_session):
+    ds, mat = _emb_ds()
+    got = ann.knn_bruteforce(ds, query_ids=[0, 5], k=5).to_pandas()
+    m = mat.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    for q in (0, 5):
+        sims = m @ m[q]
+        exp = np.lexsort((np.arange(len(m)), -sims))[:5]
+        sub = got[got["query_id"] == q].sort_values("rank")
+        np.testing.assert_array_equal(sub["neighbor_id"].to_numpy(), exp)
+
+
+def test_knn_ivf_recall(ray_session):
+    ds, mat = _emb_ds(n=200, d=8, seed=4)
+    exact = ann.knn_bruteforce(ds, query_ids=[0, 1, 2], k=10).to_pandas()
+    approx = ann.knn_ivf(ds, query_ids=[0, 1, 2], k=10,
+                         n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for q in (0, 1, 2):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6               # nprobe=4/8 buckets
+
+
+def test_embedding_near_dup_pairs(ray_session):
+    ds, _ = _emb_ds()
+    pdf = ray.data.Dataset.to_pandas(
+        dedup.embedding_near_dup(ds, threshold=0.999))
+    assert (0, 1) in set(zip(pdf["a"], pdf["b"]))
+
+
+def test_textstats_and_fingerprint(docs_ds):
+    tc = docs_ds.map_batches(textstats.token_count_batch,
+                             batch_format="pyarrow").to_pandas()
+    assert tc.set_index("doc_id").loc[0, "n_tokens"] == 9
+    assert tc.set_index("doc_id").loc[5, "n_tokens"] == 1  # duckdb semantics
+    fp = docs_ds.map_batches(textstats.fingerprint_batch,
+                             batch_format="pyarrow").to_pandas()
+    f = fp.set_index("doc_id")["fingerprint"]
+    assert f[0] == f[1] and f[0] != f[3]
+    q = docs_ds.map_batches(textstats.QualityScore, batch_format="pyarrow",
+                            concurrency=1).to_pandas()
+    assert (q["quality"] >= 0).all() and (q["quality"] <= 1).all()
+
+
+def test_langid_charset_rule(ray_session):
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["the cat and the dog in a house",
+                                    "这是一个中文文档 关于图计算 的测试文本"])})
+    pdf = ray.data.from_arrow(t).map_batches(
+        textstats.LangId, batch_format="pyarrow", concurrency=1).to_pandas()
+    got = dict(zip(pdf["doc_id"], pdf["pred_lang"]))
+    assert got[0] == "en" and got[1] == "zh"
+
+
+def test_multimodal_plumbing(docs_ds):
+    media = multimodal.docs_as_media(docs_ds)
+    out = multimodal.decode_features(media, feature_dim=8).to_pandas()
+    assert set(out.columns) == {"media_id", "width", "height", "features"}
+    assert len(out) == 7
+    assert all(len(f) == 8 for f in out["features"])
+    # deterministic fake decode
+    out2 = multimodal.decode_features(
+        multimodal.docs_as_media(docs_ds), feature_dim=8).to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert (a["width"] == b["width"]).all()
+    # the stub raises exactly where a real codec would plug in
+    stage = multimodal.DecodeStage(real=True)
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"media_id": pa.array([1], type=pa.int64()),
+                        "payload": pa.array([b"x"], type=pa.binary())}))
