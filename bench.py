@@ -101,10 +101,10 @@ def run_headline(num_cpus: int) -> dict:
     from ligrust_ray.pipelines import queries as Q
 
     t0 = time.perf_counter()
-    triangle_count(Q.events_edges_ds(SF_DIR), n=Q.N_EVENT_NODES)
+    triangle_count(Q.events_edges_ds(SF_DIR))  # n derived from the data
     q["triangles_events"] = time.perf_counter() - t0
 
-    docs = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs = Q._docs(SF_DIR)   # byte-sized block count (see queries._read_sized)
     t0 = time.perf_counter()
     docs.map_batches(textstats.doc_stats_batch,
                      batch_format="pyarrow").materialize()

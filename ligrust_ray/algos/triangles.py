@@ -31,6 +31,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ligrust_ray.stages import shuffle
+
 
 def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
                    per_node: bool = False, num_partitions: int = 16):
@@ -47,26 +49,31 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
         k = np.unique(np.stack([a, b], axis=1), axis=0)  # in-batch pre-dedup
         return pa.table({"src": k[:, 0], "dst": k[:, 1]})
 
-    und = (edges.map_batches(canon, batch_format="pyarrow")
-           .groupby(["src", "dst"]).count()
-           .select_columns(["src", "dst"])).materialize()
+    und = shuffle.distinct(edges.map_batches(canon, batch_format="pyarrow"),
+                           ["src", "dst"]).materialize()
     if und.count() == 0:
         empty = pa.table({"node_id": pa.array([], type=pa.int64()),
                           "triangles": pa.array([], type=pa.int64())})
         return (0, empty) if per_node else 0
 
-    # degrees on the simple graph (driver-side n-array; scale path: keep as
-    # a dataset and broadcast per-partition slices)
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.table({"v": np.concatenate([t.column("src").to_numpy(),
-                                              t.column("dst").to_numpy()])})
+    # degrees on the simple graph: per-batch (v, count) partials combined on
+    # the driver — the deg array is driver-resident here regardless, so a
+    # full groupby shuffle buys nothing (scale path: keep degrees as a
+    # dataset and broadcast per-partition slices)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t.column("src").to_numpy(),
+                            t.column("dst").to_numpy()])
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": uv, "c": cnt.astype(np.int64)})
 
-    deg_pdf = (und.map_batches(endpoints, batch_format="pyarrow")
-               .groupby("v").count().to_pandas())
+    parts = list(und.map_batches(deg_partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="numpy"))
+    vmax = max(int(b["v"].max()) for b in parts)
     if n is None:
-        n = int(deg_pdf["v"].max()) + 1
+        n = vmax + 1
     deg = np.zeros(n, dtype=np.int64)
-    deg[deg_pdf["v"].to_numpy()] = deg_pdf["count()"].to_numpy()
+    for b in parts:
+        np.add.at(deg, b["v"], b["c"])
     deg_ref = ray.put(deg)
 
     def orient_and_part(t: pa.Table) -> pa.Table:

@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ligrust_ray.stages import shuffle
+
 _WORD = re.compile(r"\S+")
 
 
@@ -43,10 +45,9 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"doc_id": t.column("doc_id"),
                          "h": pa.array(_content_hash(t.column("text").to_pylist()))})
 
-    return (docs.map_batches(hash_batch, batch_format="pyarrow")
-            .groupby("h").min("doc_id")
-            .map_batches(lambda t: pa.table({"doc_id": t.column("min(doc_id)")}),
-                         batch_format="pyarrow"))
+    hashed = docs.map_batches(hash_batch, batch_format="pyarrow")
+    return (shuffle.grouped_agg(hashed, ["h"], {"doc_id": ("doc_id", "min")})
+            .select_columns(["doc_id"]))
 
 
 def _shingles(text: str, k: int) -> set[int]:
@@ -126,16 +127,34 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
                          "band": pa.array(out_b, type=pa.int64()),
                          "bh": pa.array(out_h, type=pa.int64())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        """All (a<b) pairs sharing a (band, bh) bucket, vectorised over the
+        whole hash partition: only buckets with >=2 docs generate pairs."""
+        if not len(part):
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        d = part.sort_values(["band", "bh", "doc_id"])
+        key = d["band"].to_numpy() * (1 << 62) ^ d["bh"].to_numpy()
+        ids = d["doc_id"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        sizes = np.diff(np.append(starts, len(key)))
+        out_a, out_b = [], []
+        for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            u = np.unique(ids[s:s + z])
+            if len(u) < 2:
+                continue
+            ii, jj = np.triu_indices(len(u), k=1)
+            out_a.append(u[ii])
+            out_b.append(u[jj])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
-    cand = (sigs.map_batches(band_rows, batch_format="pyarrow")
-            .groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas")
-            .to_pandas().drop_duplicates())
+    cand = shuffle.grouped_apply(
+        sigs.map_batches(band_rows, batch_format="pyarrow"),
+        ["band", "bh"], bucket_pairs).to_pandas().drop_duplicates()
 
     # verify candidates with exact jaccard over shingle sets
     texts = {r["doc_id"]: r["text"]

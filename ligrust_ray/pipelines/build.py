@@ -86,9 +86,15 @@ def assign_ids(url_ds: ray.data.Dataset, nbuckets: int = 64
         .map_groups(rank_bucket, batch_format="pyarrow")
         .materialize()  # reused twice below; size = one row per distinct url
     )
-    counts_pdf = ranked.groupby("bucket").count().to_pandas()
+    # per-bucket counts: per-batch bincount partials summed on the driver
+    # (the count vector is nbuckets-long — tiny at any scale)
     counts = np.zeros(nbuckets, dtype=np.int64)
-    counts[counts_pdf["bucket"].to_numpy()] = counts_pdf["count()"].to_numpy()
+    for b in ranked.map_batches(
+            lambda t: pa.table({"bucket": np.arange(nbuckets, dtype=np.int64),
+                                "c": np.bincount(t.column("bucket").to_numpy(),
+                                                 minlength=nbuckets)}),
+            batch_format="pyarrow").iter_batches(batch_format="numpy"):
+        np.add.at(counts, b["bucket"], b["c"])
     offsets = np.zeros(nbuckets, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
     n = int(counts.sum())

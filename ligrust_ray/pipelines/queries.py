@@ -28,22 +28,60 @@ from ligrust_ray.algos.triangles import triangle_count
 from ligrust_ray.dataops import ann, dedup, multimodal, textstats
 from ligrust_ray.pipelines.build import build_graph_from_edges, build_graph_from_pages
 from ligrust_ray.sources.synth import generate_pages
+from ligrust_ray.stages import shuffle
 from ligrust_ray.state.graph import DistGraph
 
-N_EVENT_NODES = 150
+N_EVENT_NODES = 150          # dst domain: CAST(FLOOR(value*100) AS BIGINT) % 150
+
+_EVENTS_N_CACHE: dict[str, int] = {}
+
+
+def events_n(sf_dir: str) -> int:
+    """Node-id domain of the events graph: max(user_id)+1 scales with sf
+    (src = user_id is unbounded; dst is always < N_EVENT_NODES). Read from
+    parquet row-group statistics — no data scan."""
+    if sf_dir not in _EVENTS_N_CACHE:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+        idx = f.schema_arrow.get_field_index("user_id")
+        mx = max(f.metadata.row_group(i).column(idx).statistics.max
+                 for i in range(f.metadata.num_row_groups))
+        _EVENTS_N_CACHE[sf_dir] = max(int(mx) + 1, N_EVENT_NODES)
+    return _EVENTS_N_CACHE[sf_dir]
+
+
+_BLOCK_TARGET_BYTES = 32 << 20   # ~32 MiB per block
+
+
+def _read_sized(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """read_parquet with block count sized by BYTES, not cluster CPUs.
+
+    Ray Data's default parallelism heuristic targets ~2-3 blocks per CPU,
+    which turns a 2 MB table on a 32-CPU cluster into 64 blocks — every
+    downstream groupby becomes a 64x64 shuffle of near-empty partitions. We
+    cap blocks at ceil(file_bytes / 32MiB): at 100 TB this matches the
+    default (thousands of blocks); at contract/test scale it collapses the
+    shuffle to a handful of tasks."""
+    size = sum(os.path.getsize(os.path.join(dp, f))
+               for dp, _, fs in os.walk(path) for f in fs) \
+        if os.path.isdir(path) else os.path.getsize(path)
+    nblocks = max(1, -(-size // _BLOCK_TARGET_BYTES))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=nblocks)
 
 
 def _events(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                                 columns=["user_id", "value"])
+    return _read_sized(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id", "value"])
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _read_sized(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _emb(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _read_sized(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def events_edges_ds(sf_dir: str) -> ray.data.Dataset:
@@ -62,25 +100,19 @@ def q_events_edges(sf_dir: str):
 
 
 def q_events_out_degree(sf_dir: str):
-    out = events_edges_ds(sf_dir).groupby("src").count()
-    return out.map_batches(
-        lambda t: pa.table({"src": t.column("src"),
-                            "out_degree": t.column("count()")}),
-        batch_format="pyarrow")
+    return shuffle.grouped_agg(events_edges_ds(sf_dir), ["src"],
+                               {"out_degree": (None, "count")})
 
 
 def q_events_degree_histogram(sf_dir: str):
-    deg = q_events_out_degree(sf_dir)
-    hist = deg.groupby("out_degree").count()
-    return hist.map_batches(
-        lambda t: pa.table({"degree": t.column("out_degree"),
-                            "n_nodes": t.column("count()")}),
+    deg = q_events_out_degree(sf_dir).map_batches(
+        lambda t: pa.table({"degree": t.column("out_degree")}),
         batch_format="pyarrow")
+    return shuffle.grouped_agg(deg, ["degree"], {"n_nodes": (None, "count")})
 
 
 def _distinct_edges(sf_dir: str) -> ray.data.Dataset:
-    return (events_edges_ds(sf_dir).groupby(["src", "dst"]).count()
-            .select_columns(["src", "dst"]))
+    return shuffle.distinct(events_edges_ds(sf_dir), ["src", "dst"])
 
 
 def q_events_mutual_edges(sf_dir: str):
@@ -110,7 +142,7 @@ def q_events_mutual_edges(sf_dir: str):
 
 
 def q_events_triangles(sf_dir: str):
-    total = triangle_count(events_edges_ds(sf_dir), n=N_EVENT_NODES)
+    total = triangle_count(events_edges_ds(sf_dir), n=events_n(sf_dir))
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
 
 
@@ -122,10 +154,11 @@ def events_graph(sf_dir: str) -> DistGraph:
     key = ("events", sf_dir)
     if key not in _GRAPH_CACHE:
         tag = zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF
-        gd = os.path.join(tempfile.gettempdir(), f"ligr_events_{tag:08x}")
+        gd = os.path.join(tempfile.gettempdir(),
+                          f"ligr_events_{tag:08x}_n{events_n(sf_dir)}")
         if not os.path.exists(os.path.join(gd, "manifest.json")):
             build_graph_from_edges(events_edges_ds(sf_dir), gd,
-                                   n=N_EVENT_NODES, num_partitions=4)
+                                   n=events_n(sf_dir), num_partitions=4)
         _GRAPH_CACHE[key] = DistGraph.load(gd)
     return _GRAPH_CACHE[key]
 
