@@ -118,8 +118,7 @@ def page_rank_classic(graph, max_iterations: int = 100,
     error = float("inf")
     while iteration < max_iterations and graph.frontier_count:
         iteration += 1
-        graph.edge_map(edge_kernel)
-        s = graph.vertex_filter(round_kernel, over="all")
+        s = graph.edge_map_fused(edge_kernel, round_kernel, over="all")
         error = s["sum_of_delta"]
         if error < tolerance:
             break

@@ -31,8 +31,12 @@ def knn_bruteforce(emb: ray.data.Dataset, query_ids: list[int], k: int = 10
                    ) -> ray.data.Dataset:
     """(query_id, neighbor_id, rank) — exact cosine top-k, self included.
     Rank ties broken by neighbor_id ascending (deterministic)."""
-    qset = set(int(q) for q in query_ids)
-    q_tbl = emb.filter(lambda r: int(r["vec_id"]) in qset).to_pandas()
+    import pyarrow.compute as pc
+
+    qarr = pa.array(sorted(int(q) for q in query_ids), type=pa.int64())
+    q_tbl = emb.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=qarr)),
+        batch_format="pyarrow").to_pandas()
     q_ids, q_mat = _matrix(q_tbl)
     order = np.argsort(q_ids)
     q_ids, q_mat = q_ids[order], _normalize(q_mat[order])

@@ -183,3 +183,53 @@ def write_pages_corpus(
         for idx, lo, hi in todo:
             _write(idx, lo, hi, urls, hubs)
     return out_dir
+
+
+def synth_edges_dataset(n_nodes: int, avg_degree: int = 32, seed: int = 42,
+                        n_chunks: int = 64, hub_frac: float = 0.3,
+                        hub_skew: float = 3.0):
+    """Deterministic Zipf-skewed random digraph as a Ray Dataset of
+    ``(src:int64, dst:int64)`` — the scaling-bench corpus (BASELINE.md §3):
+    large enough that per-iteration gather compute dominates coordination,
+    with a heavy-tailed in-degree (hub) distribution as the skew story.
+
+    Chunk ``c`` is a pure function of ``(seed, c)`` — same graph at any
+    parallelism. ``hub_frac`` of edges follow a power-law target
+    distribution (heavy-tailed in-degree), the rest uniform. Hot target
+    ids are scattered through a bijective affine permutation so hub load
+    spreads across contiguous range partitions — mirroring the url-hash
+    id assignment of the pages build (pipelines/build.py), which is the
+    engine's actual skew mitigation; without it every hub lands in
+    partition 0 and the hottest shard serializes each iteration.
+    """
+    import math
+
+    import ray.data
+
+    bounds = np.linspace(0, n_nodes, n_chunks + 1).astype(np.int64)
+    mult = 2654435761
+    while math.gcd(mult, n_nodes) != 1:
+        mult += 2
+
+    def gen(batch):
+        outs, outd = [], []
+        for c in batch["id"]:
+            c = int(c)
+            lo, hi = int(bounds[c]), int(bounds[c + 1])
+            rng = np.random.default_rng([seed, c])
+            deg = rng.poisson(avg_degree, size=hi - lo)
+            src = np.repeat(np.arange(lo, hi, dtype=np.int64), deg)
+            m = len(src)
+            u = rng.random(m)
+            hub = rng.random(m) < hub_frac
+            raw = np.where(hub,
+                           (n_nodes * u ** hub_skew).astype(np.int64),
+                           (n_nodes * u).astype(np.int64))
+            np.clip(raw, 0, n_nodes - 1, out=raw)
+            dst = (raw * mult + 12345) % n_nodes   # bijective scatter
+            outs.append(src)
+            outd.append(dst)
+        return {"src": np.concatenate(outs), "dst": np.concatenate(outd)}
+
+    return (ray.data.range(n_chunks, override_num_blocks=n_chunks)
+            .map_batches(gen, batch_format="numpy"))

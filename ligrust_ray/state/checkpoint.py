@@ -73,6 +73,7 @@ def latest_checkpoint(root: str, algo: str) -> dict | None:
 
 
 def restore_checkpoint(graph, manifest: dict) -> None:
+    graph._view_cache = None
     d = _iter_dir(os.path.dirname(os.path.dirname(
         manifest["partitions"][0]["file"])), manifest["algo"],
         manifest["iteration"]) if manifest.get("partitions") else None

@@ -50,11 +50,14 @@ def _multi_range(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return rep + np.arange(total, dtype=np.int64)
 
 
-def _load_csr_part(path: str) -> tuple[np.ndarray, np.ndarray]:
-    """part parquet -> (indptr[len+1] local, flat neighbor ids global)."""
+def _load_csr_part(path: str, id_dtype=np.int64) -> tuple[np.ndarray, np.ndarray]:
+    """part parquet -> (indptr[len+1] local, flat neighbor ids global).
+
+    ``id_dtype=np.int32`` when n < 2^31: gather kernels are memory-bandwidth
+    bound, so halving index width is a direct throughput win."""
     t = pq.read_table(path, columns=["neighbors", "degree"])
     col = t.column("neighbors").combine_chunks()
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(id_dtype, copy=False)
     deg = t.column("degree").to_numpy().astype(np.int64, copy=False)
     indptr = np.zeros(len(deg) + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr[1:])
@@ -62,32 +65,51 @@ def _load_csr_part(path: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _segment_reduce(reduce: str, indptr: np.ndarray, w: np.ndarray,
-                    contrib_mask: np.ndarray, value_dtype) -> tuple[np.ndarray, np.ndarray]:
+                    contrib_mask: np.ndarray | None, value_dtype,
+                    tgt_idx: np.ndarray | None = None
+                    ) -> tuple[np.ndarray, np.ndarray]:
     """Per-target reduction over in-list segments.
 
-    ``w``: per-edge value; ``contrib_mask``: per-edge "source in frontier".
-    Returns (agg[nloc], touched[nloc]). Deterministic: accumulation follows
-    flat (source-ascending) order, mirroring the oracle.
+    ``w``: per-edge value; ``contrib_mask``: per-edge "source in frontier"
+    (``None`` = full frontier, every edge contributes). Returns
+    (agg[nloc], touched[nloc]). Deterministic: accumulation follows flat
+    (source-ascending) order, mirroring the oracle.
     """
     nloc = len(indptr) - 1
     deg = np.diff(indptr)
-    tgt_idx = np.repeat(np.arange(nloc, dtype=np.int64), deg)
-    touched = np.bincount(tgt_idx, weights=contrib_mask.astype(np.float64),
-                          minlength=nloc) > 0
-    if reduce == "sum":
-        w = np.where(contrib_mask, w, 0.0)
-        agg = np.bincount(tgt_idx, weights=w, minlength=nloc)
-    elif reduce == "min":
-        w = np.where(contrib_mask, w, INT_SENTINEL)
-        agg = np.full(nloc, INT_SENTINEL, dtype=np.int64)
-        ne = deg > 0
+    ne = deg > 0
+    starts = indptr[:-1][ne]
+    if contrib_mask is None:
+        touched = ne
+    else:
+        # np.add over bool == logical OR per segment: "any source active"
+        touched = np.zeros(nloc, dtype=bool)
         if w.size:
-            agg[ne] = np.minimum.reduceat(w, indptr[:-1][ne])
+            touched[ne] = np.add.reduceat(contrib_mask, starts)
+    if reduce == "sum":
+        # single-pass segment sum over the CSR layout (reduceat), no
+        # per-edge target-index array — gather kernels are bandwidth bound
+        if contrib_mask is not None:
+            w = np.where(contrib_mask, w, 0.0)
+        agg = np.zeros(nloc, dtype=np.float64)
+        if w.size:
+            agg[ne] = np.add.reduceat(w, starts)
+    elif reduce == "min":
+        if contrib_mask is not None:
+            w = np.where(contrib_mask, w, INT_SENTINEL)
+        agg = np.full(nloc, INT_SENTINEL, dtype=np.int64)
+        if w.size:
+            agg[ne] = np.minimum.reduceat(w, starts)
         touched = agg < INT_SENTINEL
     elif reduce == "mode":
         # most frequent value with smallest-value tiebreak, per target
-        keep = contrib_mask
-        t_i, lab = tgt_idx[keep], w[keep].astype(np.int64)
+        if tgt_idx is None:
+            tgt_idx = np.repeat(np.arange(nloc, dtype=np.int64), deg)
+        if contrib_mask is None:
+            t_i, lab = tgt_idx, w.astype(np.int64)
+        else:
+            t_i = tgt_idx[contrib_mask]
+            lab = w[contrib_mask].astype(np.int64)
         agg = np.full(nloc, INT_SENTINEL, dtype=np.int64)
         touched = np.zeros(nloc, dtype=bool)
         if t_i.size:
@@ -144,11 +166,14 @@ class CsrShard:
         self.hi = int(bounds[part + 1])
         self.nloc = self.hi - self.lo
         self.nparts = len(bounds) - 1
+        id_dtype = np.int32 if int(bounds[-1]) < (1 << 31) else np.int64
         self.out_indptr, self.out_flat = _load_csr_part(
-            os.path.join(graph_dir, "out", f"part-{part:05d}.parquet"))
+            os.path.join(graph_dir, "out", f"part-{part:05d}.parquet"), id_dtype)
         self.in_indptr, self.in_flat = _load_csr_part(
-            os.path.join(graph_dir, "in", f"part-{part:05d}.parquet"))
+            os.path.join(graph_dir, "in", f"part-{part:05d}.parquet"), id_dtype)
         self.out_deg = np.diff(self.out_indptr)
+        self._in_tgt_idx: np.ndarray | None = None   # lazy (mode reduce only)
+
         # --- partition-aligned pull index: which source parts feed us, and a
         # compact index of each in-edge into the concat of just those ranges.
         src_part = np.searchsorted(self.bounds, self.in_flat, side="right") - 1
@@ -161,6 +186,12 @@ class CsrShard:
         self.compact_size = int(sizes.sum())
         self.state: dict[str, np.ndarray] = {}
         self.frontier = np.zeros(self.nloc, dtype=bool)
+
+    def in_tgt_idx(self) -> np.ndarray:
+        if self._in_tgt_idx is None:
+            self._in_tgt_idx = np.repeat(
+                np.arange(self.nloc, dtype=np.int64), np.diff(self.in_indptr))
+        return self._in_tgt_idx
 
     # ---- lifecycle -------------------------------------------------------
     def ping(self) -> int:
@@ -223,7 +254,7 @@ class CsrShard:
         w = values_c[idx] if idx.size else np.zeros(0, dtype=values_c.dtype)
         active = kernel.target_active(self.state)
         agg, touched = _segment_reduce(kernel.reduce, self.in_indptr, w, contrib,
-                                       kernel.value_dtype)
+                                       kernel.value_dtype, self.in_tgt_idx())
         if active is not None:
             touched = touched & active
         changed, scalars = kernel.apply(self.state, agg, touched, self)
@@ -233,6 +264,52 @@ class CsrShard:
         s["edges_scanned"] = int(self.in_flat.size)
         s["scalars"] = scalars
         return s
+
+    def pull_broadcast(self, kernel, frontier_full: np.ndarray | None,
+                       values_full: np.ndarray) -> dict:
+        """Dense gather against ONE broadcast (frontier, values) pair
+        covering all n vertices (small-graph fast path: n x 9 bytes is a
+        single plasma object, zero-copy mapped by every shard — 2 objects
+        per iteration instead of P^2 small fetches, which serialize in the
+        object store server). ``frontier_full=None`` means the frontier is
+        FULL (every source active) — skips the mask gather entirely.
+        ``DistGraph.edge_map`` switches to the partition-aligned ``pull``
+        above a node-count threshold."""
+        idx = self.in_flat
+        contrib = None if frontier_full is None else (
+            frontier_full[idx] if idx.size else np.zeros(0, dtype=bool))
+        w = values_full[idx] if idx.size else np.zeros(0, dtype=values_full.dtype)
+        active = kernel.target_active(self.state)
+        agg, touched = _segment_reduce(kernel.reduce, self.in_indptr, w, contrib,
+                                       kernel.value_dtype, self.in_tgt_idx())
+        if active is not None:
+            touched = touched & active
+        changed, scalars = kernel.apply(self.state, agg, touched, self)
+        if kernel.has_output_frontier:
+            self.frontier = changed
+        s = self._frontier_summary()
+        s["edges_scanned"] = int(self.in_flat.size)
+        s["scalars"] = scalars
+        return s
+
+    def pull_fused(self, kernel, vkernel, over: str,
+                   frontier_full: np.ndarray | None,
+                   values_full: np.ndarray):
+        """One wave = pull_broadcast + vertex_op + next-iteration view
+        values. Collapses the 3 actor waves of an iterative round
+        (make_view, pull, vertex_filter) into 1 — per-iteration dispatch
+        overhead is the scaling killer for mid-size graphs. Returns
+        (summary, next_view_values)."""
+        s = self.pull_broadcast(kernel, frontier_full, values_full)
+        mask = np.ones(self.nloc, dtype=bool) if over == "all" else self.frontier
+        keep, scalars = vkernel.update(self.state, mask, self)
+        self.frontier = keep if keep is not None else mask.copy()
+        s2 = self._frontier_summary()
+        s2["edges_scanned"] = s["edges_scanned"]
+        merged = dict(s.get("scalars") or {})
+        merged.update(scalars or {})
+        s2["scalars"] = merged
+        return s2, self.frontier, kernel.source_values(self.state, self.out_deg)
 
     # ---- sparse / push edge map -----------------------------------------
     def push(self, kernel):
@@ -351,6 +428,10 @@ class DistGraph:
         self.frontier_count = 0
         self.frontier_degree_sum = 0
         self.edges_scanned = 0
+        # concatenated (frontier, source_values) for the NEXT edge_map,
+        # produced by the previous pull_fused wave; any other state
+        # mutation invalidates it
+        self._view_cache: tuple[np.ndarray, np.ndarray] | None = None
 
     # threshold() of graph.rs:31-33 — the Ligra dense/sparse switch constant
     @property
@@ -384,6 +465,7 @@ class DistGraph:
 
     # ---- primitives ------------------------------------------------------
     def init_algo(self, spec: dict) -> None:
+        self._view_cache = None
         ray.get([a.init_state.remote(spec) for a in self.actors])
 
     def set_frontier(self, kind: str, ids: np.ndarray | None = None) -> None:
@@ -398,12 +480,24 @@ class DistGraph:
             ])
         self._absorb(s)
 
+    # above this node count the broadcast views no longer fit one object
+    # comfortably; fall back to partition-aligned per-shard fetch
+    PULL_BROADCAST_MAX_NODES = 1 << 24
+
     def edge_map(self, kernel) -> dict:
         """relationship_map (/root/reference/src/ligra.rs:58-88): dense pull
         when Σ out_degree(frontier) > m/20, else sparse push."""
         if self.frontier_degree_sum > self.threshold:
-            views = [a.make_view.remote(kernel) for a in self.actors]
-            summaries = ray.get([a.pull.remote(kernel, views) for a in self.actors])
+            if self.n <= self.PULL_BROADCAST_MAX_NODES:
+                f_ref, v_ref = self._broadcast_views(kernel)
+                self._view_cache = None
+                summaries = ray.get([
+                    a.pull_broadcast.remote(kernel, f_ref, v_ref)
+                    for a in self.actors])
+            else:
+                views = [a.make_view.remote(kernel) for a in self.actors]
+                summaries = ray.get([a.pull.remote(kernel, views)
+                                     for a in self.actors])
         else:
             per_actor = [
                 a.push.options(num_returns=self.nparts + 1).remote(kernel)
@@ -415,13 +509,45 @@ class DistGraph:
                                                  for src in range(self.nparts)])
                 for p, a in enumerate(self.actors)
             ])
+        self._view_cache = None
         return self._absorb(summaries)
 
+    def _broadcast_views(self, kernel):
+        """(frontier_ref|None, values_ref) for a broadcast pull — reused
+        from the view cache when the previous fused wave produced them
+        (skips the make_view dispatch entirely in steady state)."""
+        full = self.frontier_count >= self.n
+        if self._view_cache is not None:
+            f, v = self._view_cache
+            return (None if full else ray.put(f)), ray.put(v)
+        views = ray.get([a.make_view.remote(kernel) for a in self.actors])
+        f_ref = None if full else \
+            ray.put(np.concatenate([f for f, _ in views]))
+        return f_ref, ray.put(np.concatenate([v for _, v in views]))
+
+    def edge_map_fused(self, kernel, vkernel, over: str = "all") -> dict:
+        """edge_map + vertex_filter in ONE actor wave (dense broadcast mode
+        only; falls back to the two separate primitives otherwise). The
+        wave also returns next-iteration source values, so steady-state
+        iterations cost one dispatch + one broadcast."""
+        dense = self.frontier_degree_sum > self.threshold
+        if not (dense and self.n <= self.PULL_BROADCAST_MAX_NODES):
+            self.edge_map(kernel)
+            return self.vertex_filter(vkernel, over=over)
+        f_ref, v_ref = self._broadcast_views(kernel)
+        out = ray.get([a.pull_fused.remote(kernel, vkernel, over, f_ref, v_ref)
+                       for a in self.actors])
+        self._view_cache = (np.concatenate([f for _, f, _ in out]),
+                            np.concatenate([v for _, _, v in out]))
+        return self._absorb([s for s, _, _ in out])
+
     def vertex_map(self, kernel, over: str = "frontier") -> dict:
+        self._view_cache = None
         return self._absorb(ray.get([
             a.vertex_op.remote(kernel, over, False) for a in self.actors]))
 
     def vertex_filter(self, kernel, over: str = "frontier") -> dict:
+        self._view_cache = None
         return self._absorb(ray.get([
             a.vertex_op.remote(kernel, over, True) for a in self.actors]))
 
