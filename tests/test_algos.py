@@ -112,6 +112,26 @@ def test_push_pull_agree(ray_session, tmp_path):
     ids_pull = g3.collect_state(["ids"])["ids"]
     np.testing.assert_array_equal(ids_mixed, ids_push)
     np.testing.assert_array_equal(ids_mixed, ids_pull)
+    # partition-aligned pull (the >16M-node scale path; small graphs
+    # normally take the single-object broadcast fast path)
+    g4 = make_graph(str(tmp_path / "d"), src, dst, 150, nparts=4)
+    g4.m = 0
+    g4.PULL_BROADCAST_MAX_NODES = 0
+    cc(g4)
+    np.testing.assert_array_equal(
+        ids_mixed, g4.collect_state(["ids"])["ids"])
+
+
+def test_partition_aligned_pull_pagerank(ray_session, tmp_path):
+    """PageRank through the partition-aligned pull path (broadcast
+    disabled) must equal the broadcast path and the oracle."""
+    src, dst = oracle.random_digraph(200, 5.0, seed=11)
+    g = make_graph(str(tmp_path / "pa"), src, dst, 200, nparts=4)
+    g.PULL_BROADCAST_MAX_NODES = 0
+    page_rank_delta(g, max_iterations=50)
+    got = g.collect_state(["page_rank"])["page_rank"]
+    exp, _, _ = oracle.page_rank_delta_oracle(200, src, dst, max_iterations=50)
+    np.testing.assert_allclose(got, exp, atol=1e-6)
 
 
 @pytest.mark.parametrize("name", ["er-300", "zipf-200", "path"])

@@ -1,0 +1,89 @@
+"""stages/shuffle.py — two-phase hash aggregate vs pandas ground truth.
+
+These helpers replace Ray Data's built-in Aggregate everywhere in the repo
+(the built-in reduces rows in a Python loop; see stages/shuffle.py
+docstring), so their correctness underpins every SQL-checked query.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from ligrust_ray.stages import shuffle
+
+
+def _df(n=5000, seed=0):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k1": rng.integers(0, 97, n),
+        "k2": rng.choice(["alpha", "beta", "gamma", "delta"], n),
+        "v": rng.integers(-1000, 1000, n),
+    })
+
+
+@pytest.fixture()
+def ds(ray_session):
+    # multiple blocks so partial combine + shuffle both do real work
+    pdf = _df()
+    return ray.data.from_pandas([pdf.iloc[i::4].reset_index(drop=True)
+                                 for i in range(4)]), pdf
+
+
+def test_grouped_agg_count_sum_min_max(ds):
+    d, pdf = ds
+    got = (shuffle.grouped_agg(
+        d, ["k1", "k2"],
+        {"n": (None, "count"), "s": ("v", "sum"),
+         "lo": ("v", "min"), "hi": ("v", "max")})
+        .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True))
+    exp = (pdf.groupby(["k1", "k2"], as_index=False)
+           .agg(n=("v", "size"), s=("v", "sum"),
+                lo=("v", "min"), hi=("v", "max"))
+           .sort_values(["k1", "k2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n": np.int64}), exp.astype({"n": np.int64}))
+
+
+def test_grouped_agg_string_key(ds):
+    d, pdf = ds
+    got = (shuffle.grouped_agg(d, ["k2"], {"s": ("v", "sum")})
+           .to_pandas().sort_values("k2").reset_index(drop=True))
+    exp = (pdf.groupby("k2", as_index=False).agg(s=("v", "sum"))
+           .sort_values("k2").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_distinct(ds):
+    d, pdf = ds
+    got = (shuffle.distinct(d, ["k1", "k2"]).to_pandas()
+           .sort_values(["k1", "k2"]).reset_index(drop=True))
+    exp = (pdf[["k1", "k2"]].drop_duplicates()
+           .sort_values(["k1", "k2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_grouped_apply(ds):
+    d, pdf = ds
+    def topv(part):
+        return (part.groupby("k1", as_index=False)
+                .agg(top=("v", "max")))
+    got = (shuffle.grouped_apply(d.map_batches(
+        lambda t: t[["k1", "v"]], batch_format="pandas"), ["k1"], topv)
+        .to_pandas().sort_values("k1").reset_index(drop=True))
+    exp = (pdf.groupby("k1", as_index=False).agg(top=("v", "max"))
+           .sort_values("k1").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_grouped_agg_unsupported_kind(ds):
+    d, _ = ds
+    with pytest.raises(ValueError, match="unsupported agg kind"):
+        shuffle.grouped_agg(d, ["k1"], {"x": ("v", "mean")})
+
+
+def test_empty_input(ray_session):
+    d = ray.data.from_pandas(pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                           "v": pd.Series([], dtype=np.int64)}))
+    out = shuffle.grouped_agg(d, ["k"], {"n": (None, "count")}).to_pandas()
+    assert len(out) == 0
