@@ -102,7 +102,10 @@ def _segment_reduce(reduce: str, indptr: np.ndarray, w: np.ndarray,
             agg[ne] = np.minimum.reduceat(w, starts)
         touched = agg < INT_SENTINEL
     elif reduce == "mode":
-        # most frequent value with smallest-value tiebreak, per target
+        # most frequent value with smallest-value tiebreak, per target.
+        # Single np.sort of a composite (target, label) key — we never need
+        # the permutation, and one key sort is ~3x cheaper than lexsort,
+        # which dominates label-propagation iterations.
         if tgt_idx is None:
             tgt_idx = np.repeat(np.arange(nloc, dtype=np.int64), deg)
         if contrib_mask is None:
@@ -113,19 +116,28 @@ def _segment_reduce(reduce: str, indptr: np.ndarray, w: np.ndarray,
         agg = np.full(nloc, INT_SENTINEL, dtype=np.int64)
         touched = np.zeros(nloc, dtype=bool)
         if t_i.size:
-            order = np.lexsort((lab, t_i))
-            t_s, l_s = t_i[order], lab[order]
-            new_run = np.empty(t_s.size, dtype=bool)
-            new_run[0] = True
-            new_run[1:] = (t_s[1:] != t_s[:-1]) | (l_s[1:] != l_s[:-1])
-            run_start = np.flatnonzero(new_run)
-            run_t = t_s[run_start]
-            run_l = l_s[run_start]
-            run_cnt = np.diff(np.append(run_start, t_s.size))
-            # winner per target: order runs by (t, -count, label); first wins
-            wo = np.lexsort((run_l, -run_cnt, run_t))
-            uniq_t, first = np.unique(run_t[wo], return_index=True)
-            agg[uniq_t] = run_l[wo][first]
+            lab_span = int(lab.max()) + 1
+            key = np.sort(t_i * lab_span + lab)
+            run_start = np.flatnonzero(
+                np.concatenate(([True], key[1:] != key[:-1])))
+            run_key = key[run_start]
+            run_t = run_key // lab_span
+            run_l = run_key - run_t * lab_span
+            run_cnt = np.diff(np.append(run_start, key.size))
+            # Winner per target WITHOUT another sort: runs are already
+            # (t asc, label asc), so per contiguous target segment take the
+            # max count, then the first (= smallest-label) run hitting it —
+            # three reduceat/compare passes over the runs.
+            tstart = np.flatnonzero(
+                np.concatenate(([True], run_t[1:] != run_t[:-1])))
+            seg_sizes = np.diff(np.append(tstart, run_t.size))
+            seg = np.repeat(np.arange(len(tstart)), seg_sizes)
+            max_per_seg = np.maximum.reduceat(run_cnt, tstart)
+            idx = np.where(run_cnt == max_per_seg[seg],
+                           np.arange(run_t.size), run_t.size)
+            first = np.minimum.reduceat(idx, tstart)
+            uniq_t = run_t[tstart]
+            agg[uniq_t] = run_l[first]
             touched[uniq_t] = True
     else:  # pragma: no cover
         raise ValueError(f"unknown reduce {reduce}")
@@ -254,7 +266,9 @@ class CsrShard:
         w = values_c[idx] if idx.size else np.zeros(0, dtype=values_c.dtype)
         active = kernel.target_active(self.state)
         agg, touched = _segment_reduce(kernel.reduce, self.in_indptr, w, contrib,
-                                       kernel.value_dtype, self.in_tgt_idx())
+                                       kernel.value_dtype,
+                                       self.in_tgt_idx()
+                                       if kernel.reduce == "mode" else None)
         if active is not None:
             touched = touched & active
         changed, scalars = kernel.apply(self.state, agg, touched, self)
@@ -281,7 +295,9 @@ class CsrShard:
         w = values_full[idx] if idx.size else np.zeros(0, dtype=values_full.dtype)
         active = kernel.target_active(self.state)
         agg, touched = _segment_reduce(kernel.reduce, self.in_indptr, w, contrib,
-                                       kernel.value_dtype, self.in_tgt_idx())
+                                       kernel.value_dtype,
+                                       self.in_tgt_idx()
+                                       if kernel.reduce == "mode" else None)
         if active is not None:
             touched = touched & active
         changed, scalars = kernel.apply(self.state, agg, touched, self)
