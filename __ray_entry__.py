@@ -61,8 +61,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": Q.q_emb_knn,
         "emb_knn_ivf": Q.q_emb_knn_ivf,
         "emb_near_dup": Q.q_emb_near_dup,
-        # multimodal plumbing (deterministic stub decode)
+        # multimodal plumbing (deterministic stub decode/resize/frame-sample)
         "media_decode": Q.q_media_decode,
+        "media_resize": Q.q_media_resize,
+        "media_frames": Q.q_media_frames,
     }
 
 
@@ -113,4 +115,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
+        "media_resize": (
+            "SELECT doc_id AS media_id, CAST(224 AS BIGINT) AS width, "
+            "CAST(224 AS BIGINT) AS height FROM documents"),
+        "media_frames": (
+            "SELECT doc_id AS media_id, f.i AS frame_idx FROM documents "
+            "CROSS JOIN (SELECT CAST(UNNEST(range(4)) AS BIGINT) AS i) f"),
     }

@@ -90,29 +90,69 @@ def _kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 5,
 
 
 def knn_ivf(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
-            n_centroids: int = 16, nprobe: int = 4, seed: int = 42
-            ) -> ray.data.Dataset:
+            n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
+            train_sample: int = 4096) -> ray.data.Dataset:
     """Approximate top-k: bucket by nearest centroid, probe nprobe buckets.
-    The bucketed layout is what a 10^12-vector deployment would persist as
-    partitioned parquet; here buckets are realised as a groupby shuffle."""
-    pdf = emb.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids, mat = _matrix(pdf)
-    mat = _normalize(mat)
-    cent = _kmeans_lite(mat, n_centroids, seed=seed)
-    assign = np.argmax(mat @ cent.T, axis=1)
-    qpos = {int(v): i for i, v in enumerate(ids)}
-    rows_q, rows_n, rows_r = [], [], []
-    for q in sorted(int(x) for x in query_ids):
-        qv = mat[qpos[q]]
-        probes = np.argsort(-(cent @ qv))[:nprobe]
-        cand_mask = np.isin(assign, probes)
-        cand_ids = ids[cand_mask]
-        sims = mat[cand_mask] @ qv
-        order = np.lexsort((cand_ids, -sims))[:k]
-        rows_q.extend([q] * len(order))
-        rows_n.extend(cand_ids[order].tolist())
-        rows_r.extend(range(1, len(order) + 1))
-    return ray.data.from_arrow(pa.table({
-        "query_id": pa.array(rows_q, type=pa.int64()),
-        "neighbor_id": pa.array(rows_n, type=pa.int64()),
-        "rank": pa.array(rows_r, type=pa.int64())}))
+
+    Distributed shape (what a 10^12-vector deployment runs; only the tiny
+    artifacts touch the driver):
+    1. centroids trained on a bounded driver-side SAMPLE (train_sample rows);
+    2. every vector scored/bucketed inside ``map_batches`` against the
+       broadcast centroids — the bucketed layout is what scale persists as
+       hash-partitioned parquet;
+    3. per-batch partial top-k per (query, probed-bucket) — only candidate
+       rows in probed buckets emit scores;
+    4. final exact top-k per query via a tiny per-query group merge.
+    """
+    import pyarrow.compute as pc
+
+    # 1. bounded sample -> centroids (driver holds n_centroids x d only)
+    sample = emb.select_columns(["vec_id", "embedding"]) \
+        .limit(train_sample).to_pandas()
+    s_ids, s_mat = _matrix(sample)
+    s_mat = _normalize(s_mat)
+    cent = _kmeans_lite(s_mat, n_centroids, seed=seed)
+
+    # query vectors: the query-id set is small by contract
+    qarr = pa.array(sorted(int(q) for q in query_ids), type=pa.int64())
+    q_tbl = emb.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=qarr)),
+        batch_format="pyarrow").to_pandas()
+    q_ids, q_mat = _matrix(q_tbl)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _normalize(q_mat[order])
+    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    bcast = ray.put((cent, q_ids, q_mat, probes))
+
+    def score(t: pa.Table) -> pa.Table:
+        c, qi, qm, pr = ray.get(bcast)
+        ids = t.column("vec_id").to_numpy()
+        m = _normalize(np.stack([np.asarray(v)
+                                 for v in t.column("embedding").to_pylist()]
+                                ).astype(np.float64))
+        assign = np.argmax(m @ c.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for row, q in enumerate(qi):
+            cand = np.isin(assign, pr[row])
+            if not cand.any():
+                continue
+            sims = m[cand] @ qm[row]
+            cids = ids[cand]
+            top = np.lexsort((cids, -sims))[:k]     # per-batch partial top-k
+            out_q.extend([q] * len(top))
+            out_n.extend(cids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "neighbor_id": pa.array(out_n, type=pa.int64()),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({"query_id": g["query_id"].to_numpy(),
+                             "neighbor_id": g["neighbor_id"].to_numpy(),
+                             "rank": np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(score, batch_format="pyarrow", batch_size=4096)
+            .groupby("query_id").map_groups(merge, batch_format="pandas"))

@@ -156,19 +156,40 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
         sigs.map_batches(band_rows, batch_format="pyarrow"),
         ["band", "bh"], bucket_pairs).to_pandas().drop_duplicates()
 
-    # verify candidates with exact jaccard over shingle sets
-    texts = {r["doc_id"]: r["text"]
-             for r in docs.select_columns(["doc_id", "text"]).take_all()}
+    # verify candidates with exact jaccard over shingle sets. Only docs
+    # that appear in a candidate pair are shingled, inside map_batches;
+    # the driver receives O(#candidate docs) shingle sets, never the corpus
+    # (the corpus-wide take_all this replaces is the antipattern that
+    # cannot run at 10^12 docs).
+    cand_ids = np.unique(np.concatenate([
+        cand["a"].to_numpy(dtype=np.int64),
+        cand["b"].to_numpy(dtype=np.int64)])) if len(cand) else \
+        np.zeros(0, dtype=np.int64)
+    cand_arr = pa.array(cand_ids, type=pa.int64())
+
+    def shingle_candidates(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_in(t.column("doc_id"), value_set=cand_arr))
+        ids = t.column("doc_id").to_pylist()
+        sets = [np.array(sorted(_shingles(x, shingle_k)), dtype=np.int64)
+                for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "sh": pa.array([s.tolist() for s in sets],
+                           type=pa.list_(pa.int64()))})
+
+    sh_map = {}
+    for b in (docs.select_columns(["doc_id", "text"])
+              .map_batches(shingle_candidates, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for d, s in zip(b.column("doc_id").to_pylist(),
+                        b.column("sh").to_pylist()):
+            sh_map[int(d)] = set(s)
+
     keep_pairs = []
-    sh_cache: dict[int, set] = {}
-
-    def sh(d):
-        if d not in sh_cache:
-            sh_cache[d] = _shingles(texts[int(d)], shingle_k)
-        return sh_cache[d]
-
     for a, b in zip(cand.get("a", []), cand.get("b", [])):
-        sa, sb = sh(a), sh(b)
+        sa, sb = sh_map[int(a)], sh_map[int(b)]
         u = len(sa | sb)
         if u and len(sa & sb) / u >= threshold:
             keep_pairs.append((int(a), int(b)))
@@ -187,7 +208,9 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
-    all_ids = sorted(texts)
+    all_ids = sorted(
+        int(x) for b in sigs.select_columns(["doc_id"])
+        .iter_batches(batch_format="numpy") for x in b["doc_id"])
     cluster = [find(d) for d in all_ids]
     return ray.data.from_arrow(pa.table({
         "doc_id": pa.array(all_ids, type=pa.int64()),

@@ -92,3 +92,84 @@ def decode_features(media: ray.data.Dataset, feature_dim: int = 16,
         DecodeStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
         fn_constructor_kwargs=dict(feature_dim=feature_dim))
+
+
+class ResizeStage:
+    """Actor-pool resize kernel: payload -> payload at (target_w, target_h).
+
+    The fake path derives the "resized" payload deterministically from the
+    input bytes + target dims; ``real=True`` raises at the exact point a
+    deployment would call ``PIL.Image.resize`` / ``cv2.resize``.
+    """
+
+    def __init__(self, target_w: int = 224, target_h: int = 224,
+                 real: bool = False):
+        self.tw = target_w
+        self.th = target_h
+        self.real = real
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError(
+                "real resize: plug PIL/cv2 here (not in container)")
+        out = []
+        for payload in t.column("payload").to_pylist():
+            h = hashlib.blake2b(payload, digest_size=32,
+                                person=b"resize").digest()
+            out.append(h + self.tw.to_bytes(4, "big")
+                       + self.th.to_bytes(4, "big"))
+        n = t.num_rows
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "payload": pa.array(out, type=pa.binary()),
+            "width": pa.array([self.tw] * n, type=pa.int64()),
+            "height": pa.array([self.th] * n, type=pa.int64()),
+        })
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler: one video payload -> ``n_frames`` frame
+    rows (media_id, frame_idx, frame payload) — the row-expanding
+    (flat_map-shaped) stage of a video pipeline. Deterministic fake
+    frames; ``real=True`` raises where ffmpeg/pyav seek+decode would run."""
+
+    def __init__(self, n_frames: int = 4, real: bool = False):
+        self.n_frames = n_frames
+        self.real = real
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError(
+                "real frame sampling: plug ffmpeg/pyav here (not in container)")
+        ids, idxs, frames = [], [], []
+        for mid, payload in zip(t.column("media_id").to_pylist(),
+                                t.column("payload").to_pylist()):
+            for i in range(self.n_frames):
+                ids.append(mid)
+                idxs.append(i)
+                frames.append(hashlib.blake2b(
+                    payload + i.to_bytes(4, "big"), digest_size=32,
+                    person=b"frame").digest())
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(idxs, type=pa.int64()),
+            "frame": pa.array(frames, type=pa.binary()),
+        })
+
+
+def resize_media(media: ray.data.Dataset, target_w: int = 224,
+                 target_h: int = 224, concurrency=(1, 4),
+                 batch_size: int = 64) -> ray.data.Dataset:
+    return media.map_batches(
+        ResizeStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+        fn_constructor_kwargs=dict(target_w=target_w, target_h=target_h))
+
+
+def sample_frames(media: ray.data.Dataset, n_frames: int = 4,
+                  concurrency=(1, 4), batch_size: int = 32
+                  ) -> ray.data.Dataset:
+    return media.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+        fn_constructor_kwargs=dict(n_frames=n_frames))

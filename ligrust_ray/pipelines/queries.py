@@ -287,3 +287,15 @@ def q_media_decode(sf_dir: str):
     media = multimodal.docs_as_media(_docs(sf_dir))
     feats = multimodal.decode_features(media)
     return feats.select_columns(["media_id", "width", "height"])
+
+
+def q_media_resize(sf_dir: str):
+    media = multimodal.docs_as_media(_docs(sf_dir))
+    return (multimodal.resize_media(media, 224, 224)
+            .select_columns(["media_id", "width", "height"]))
+
+
+def q_media_frames(sf_dir: str):
+    media = multimodal.docs_as_media(_docs(sf_dir))
+    return (multimodal.sample_frames(media, n_frames=4)
+            .select_columns(["media_id", "frame_idx"]))

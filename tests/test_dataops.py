@@ -148,3 +148,28 @@ def test_multimodal_plumbing(docs_ds):
     with pytest.raises(NotImplementedError):
         stage(pa.table({"media_id": pa.array([1], type=pa.int64()),
                         "payload": pa.array([b"x"], type=pa.binary())}))
+
+
+def test_media_resize_and_frames(ray_session, docs_ds):
+    from ligrust_ray.dataops import multimodal
+
+    media = multimodal.docs_as_media(docs_ds)
+    rs = multimodal.resize_media(media, 128, 96).to_pandas()
+    assert (rs["width"] == 128).all() and (rs["height"] == 96).all()
+    assert rs["payload"].map(len).nunique() == 1       # fixed-size fake
+    # deterministic across runs
+    rs2 = multimodal.resize_media(
+        multimodal.docs_as_media(docs_ds), 128, 96).to_pandas()
+    assert rs.sort_values("media_id")["payload"].tolist() == \
+        rs2.sort_values("media_id")["payload"].tolist()
+
+    fr = multimodal.sample_frames(media, n_frames=3).to_pandas()
+    n_docs = docs_ds.count()
+    assert len(fr) == 3 * n_docs
+    assert set(fr["frame_idx"].unique()) == {0, 1, 2}
+    # real=True is a clearly-marked stub at the decode point
+    import pytest as _pytest
+
+    stage = multimodal.ResizeStage(64, 64, real=True)
+    with _pytest.raises(NotImplementedError, match="real resize"):
+        stage(media.take_batch(2, batch_format="pyarrow"))
