@@ -82,6 +82,13 @@ def run_headline(num_cpus: int) -> dict:
     from ligrust_ray.algos.pagerank import page_rank_classic, page_rank_delta
     from ligrust_ray.state.graph import DistGraph
 
+    import ray.data
+
+    # warm the Ray Data worker pool once (a cluster serving pipelines is
+    # warm; the first map task otherwise pays ~2-4s of process startup
+    # that would be misattributed to whichever query runs first)
+    ray.data.range(1000).map_batches(lambda b: b).materialize()
+
     q: dict[str, float] = {}
     t0 = time.perf_counter()
     gdir = _pages_graph_dir(BENCH_PAGES)
