@@ -1,0 +1,85 @@
+"""Property-based conformance (SURVEY.md §5.2 #3-4, mirroring the
+reference's quickcheck usage at /root/reference/src/ligra.rs:308-340):
+random digraphs -> engine == oracle invariants, idempotence, and
+determinism across partition counts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import oracle
+from ligrust_ray.algos.cc import cc
+from ligrust_ray.algos.pagerank import page_rank_delta
+from ligrust_ray.pipelines.build import build_graph_from_edges
+from ligrust_ray.state.graph import DistGraph
+
+
+def _graph(tmp, src, dst, n, nparts):
+    t = pa.table({"src": pa.array(src, type=pa.int64()),
+                  "dst": pa.array(dst, type=pa.int64())})
+    build_graph_from_edges(t, tmp, n=n, num_partitions=nparts)
+    return DistGraph.load(tmp)
+
+
+edge_lists = st.integers(5, 40).flatmap(
+    lambda n: st.tuples(
+        st.just(n),
+        st.lists(st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                 max_size=120)))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(edge_lists)
+def test_cc_matches_oracle_and_idempotent(ray_session, tmp_path_factory, ne):
+    n, edges = ne
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    tmp = tmp_path_factory.mktemp("hypcc")
+    g = _graph(str(tmp / "g"), src, dst, n, nparts=3)
+    cc(g)
+    got = g.collect_state(["ids"])["ids"]
+    exp = oracle.cc_oracle(n, src, dst)
+    np.testing.assert_array_equal(got, exp)
+    # idempotent under re-run (fresh state, same graph)
+    cc(g)
+    np.testing.assert_array_equal(g.collect_state(["ids"])["ids"], exp)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(edge_lists)
+def test_pagerank_residual_and_tolerance(ray_session, tmp_path_factory, ne):
+    n, edges = ne
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    tmp = tmp_path_factory.mktemp("hyppr")
+    g = _graph(str(tmp / "g"), src, dst, n, nparts=3)
+    page_rank_delta(g, max_iterations=100)
+    got = g.collect_state(["page_rank"])["page_rank"]
+    exp, _, _ = oracle.page_rank_delta_oracle(n, src, dst, max_iterations=100)
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+@pytest.mark.parametrize("nparts", [1, 2, 5, 8])
+def test_determinism_across_partition_counts(ray_session, tmp_path, nparts):
+    """SURVEY §5.2 #4: identical components/labels/ranks at every
+    parallelism level (partition count is the engine's unit of
+    parallelism)."""
+    from ligrust_ray.algos.labelprop import label_propagation
+
+    src, dst = oracle.random_digraph(120, 3.0, seed=77)
+    g = _graph(str(tmp_path / f"p{nparts}"), src, dst, 120, nparts)
+    cc(g)
+    ids = g.collect_state(["ids"])["ids"]
+    np.testing.assert_array_equal(ids, oracle.cc_oracle(120, src, dst))
+    label_propagation(g, max_iterations=8)
+    labels = g.collect_state(["labels"])["labels"]
+    np.testing.assert_array_equal(
+        labels, oracle.label_prop_oracle(120, src, dst, max_iterations=8))
+    page_rank_delta(g, max_iterations=60)
+    pr = g.collect_state(["page_rank"])["page_rank"]
+    exp, _, _ = oracle.page_rank_delta_oracle(120, src, dst, max_iterations=60)
+    np.testing.assert_allclose(pr, exp, atol=1e-6)
