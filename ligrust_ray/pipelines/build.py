@@ -52,9 +52,9 @@ def extract_edge_urls(pages: ray.data.Dataset, concurrency: int | None = None
                       ) -> ray.data.Dataset:
     """pages -> (src_url, dst_url), one row per href occurrence."""
     return pages.map_batches(
-        ExtractLinks, batch_format="pyarrow", batch_size=1024,
+        ExtractLinks, batch_format="pyarrow", batch_size=256,
         zero_copy_batch=True,
-        concurrency=concurrency or (1, 16),
+        concurrency=concurrency or (2, 32),
     )
 
 
@@ -67,17 +67,24 @@ def assign_ids(url_ds: ray.data.Dataset, nbuckets: int = 64
     """
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        urls = t.column("url").to_pylist()
-        return pa.table({"url": t.column("url").cast(pa.string()),
+        # in-batch pre-dedup: the url universe arrives with one row per
+        # href occurrence (~degree x n rows); deduping before the bucket
+        # shuffle cuts exchanged rows to ~distinct urls per batch
+        u = pa.compute.unique(t.column("url").cast(pa.string()))
+        urls = u.to_pylist()
+        return pa.table({"url": u,
                          "bucket": pa.array(_crc_bucket(urls, nbuckets))})
 
     def rank_bucket(g: pa.Table) -> pa.Table:
-        urls = np.unique(np.asarray(g.column("url").to_pylist(), dtype=object))
+        # Arrow-native unique + sort (C++): the python-object np.unique this
+        # replaces dominated the whole id-assignment stage
+        u = pa.compute.unique(g.column("url").cast(pa.string()))
+        u = u.take(pa.compute.sort_indices(u))
         b = g.column("bucket")[0].as_py()
         return pa.table({
-            "url": pa.array(urls.tolist(), type=pa.string()),
-            "bucket": pa.array(np.full(len(urls), b, dtype=np.int64)),
-            "local_rank": pa.array(np.arange(len(urls), dtype=np.int64)),
+            "url": u,
+            "bucket": pa.array(np.full(len(u), b, dtype=np.int64)),
+            "local_rank": pa.array(np.arange(len(u), dtype=np.int64)),
         })
 
     ranked = (
@@ -150,7 +157,7 @@ def edges_with_ids(edge_urls: ray.data.Dataset, mapping: ray.data.Dataset,
     u_ref, i_ref = ray.put(urls_sorted), ray.put(ids_sorted)
     return edge_urls.map_batches(
         _UrlToId, batch_format="pyarrow", batch_size=65536,
-        concurrency=(1, 8),
+        concurrency=(2, 16),
         fn_constructor_args=(u_ref, i_ref, drop_missing),
     )
 
