@@ -139,6 +139,21 @@ def run_headline(num_cpus: int) -> dict:
     dedup.exact_dedup(docs).materialize()
     q["docs_exact_dedup"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    dedup.minhash_lsh_dedup(docs).materialize()
+    q["docs_minhash_dedup"] = time.perf_counter() - t0
+
+    from ligrust_ray.dataops import ann
+
+    emb = Q._emb(SF_DIR)
+    t0 = time.perf_counter()
+    ann.knn_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=10).materialize()
+    q["emb_knn"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ann.knn_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=10).materialize()
+    q["emb_knn_ivf"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

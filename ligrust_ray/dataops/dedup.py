@@ -72,8 +72,11 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, self.MERSENNE, size=num_perm, dtype=np.int64)
-        self.b = rng.integers(0, self.MERSENNE, size=num_perm, dtype=np.int64)
+        # a < 2^30 and the permutation input x < 2^32, so a*x + b < 2^63:
+        # the whole (a*x+b) mod p runs vectorised in int64 — no object-dtype
+        # bigint fallback (which made signatures ~50x slower)
+        self.a = rng.integers(1, 1 << 30, size=num_perm, dtype=np.int64)
+        self.b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.int64)
         self.k = shingle_k
         self.num_perm = num_perm
 
@@ -81,11 +84,9 @@ class MinHasher:
         sh = _shingles(text, self.k)
         if not sh:
             return np.full(self.num_perm, self.MERSENNE, dtype=np.int64)
-        x = np.array(sorted(sh), dtype=np.int64)
-        # (a*x+b) mod p, per permutation — object-dtype to dodge overflow
-        vals = (x[None, :].astype(object) * self.a[:, None].astype(object)
-                + self.b[:, None].astype(object)) % self.MERSENNE
-        return np.min(vals.astype(np.int64), axis=1)
+        x = np.array(sorted(sh), dtype=np.int64) & 0xFFFFFFFF   # low 32 bits
+        vals = (x[None, :] * self.a[:, None] + self.b[:, None]) % self.MERSENNE
+        return np.min(vals, axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
