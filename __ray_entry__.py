@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": Q.q_emb_knn,
         "emb_knn_ivf": Q.q_emb_knn_ivf,
         "emb_near_dup": Q.q_emb_near_dup,
+        # relational breadth over the TPC-H-ish tables (SQL-checked)
+        "lineitem_pricing": Q.q_lineitem_pricing,
+        "orders_by_segment": Q.q_orders_by_segment,
+        "docs_lang_hist": Q.q_docs_lang_hist,
         # multimodal plumbing (deterministic stub decode/resize/frame-sample)
         "media_decode": Q.q_media_decode,
         "media_resize": Q.q_media_resize,
@@ -115,6 +119,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty, "
+            "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) "
+            "AS sum_price_cents, "
+            "COUNT(*) AS n_rows FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"),
+        "orders_by_segment": (
+            "SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_orders, "
+            "SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) "
+            "AS revenue_cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment"),
+        "docs_lang_hist": (
+            "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"),
         "media_resize": (
             "SELECT doc_id AS media_id, CAST(224 AS BIGINT) AS width, "
             "CAST(224 AS BIGINT) AS height FROM documents"),

@@ -282,6 +282,94 @@ def q_emb_near_dup(sf_dir: str):
         schema.empty_table()
 
 
+# ----------------------------------------------- relational (TPC-H-ish)
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped: grouped sums/counts over lineitem, shipped before a
+    fixed date — column-pruned read, partial-combine hash aggregate."""
+    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_returnflag", "l_linestatus", "l_quantity",
+                              "l_extendedprice", "l_shipdate"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        import datetime
+
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.less_equal(t.column("l_shipdate"),
+                                   pa.scalar(datetime.datetime(1998, 9, 2))))
+        # integer units (qty, price cents): sums are exact and order-free,
+        # so the Ray result hashes identically to the DuckDB oracle
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+            "price_cents": pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64()),
+        })
+
+    filtered = li.map_batches(pre, batch_format="pyarrow")
+    out = shuffle.grouped_agg(
+        filtered, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("qty", "sum"),
+         "sum_price_cents": ("price_cents", "sum"),
+         "n_rows": (None, "count")})
+    return out.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty": t.column("sum_qty").cast(pa.int64()),
+            "sum_price_cents": t.column("sum_price_cents").cast(pa.int64()),
+            "n_rows": t.column("n_rows").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join: orders -> customer (small side ray.put once,
+    resolved per batch with np.searchsorted), then grouped revenue."""
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    order_k = np.argsort(cust["c_custkey"].to_numpy())
+    keys = cust["c_custkey"].to_numpy()[order_k]
+    segs = cust["c_mktsegment"].to_numpy()[order_k]
+    bcast = ray.put((keys, segs))
+
+    def join(t: pa.Table) -> pa.Table:
+        k, s = ray.get(bcast)
+        ck = t.column("o_custkey").to_numpy()
+        pos = np.minimum(np.searchsorted(k, ck), len(k) - 1)
+        ok = k[pos] == ck
+        cents = np.round(
+            t.column("o_totalprice").to_numpy()[ok] * 100.0).astype(np.int64)
+        return pa.table({
+            "mktsegment": pa.array(s[pos][ok], type=pa.string()),
+            "price_cents": pa.array(cents)})
+
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+    out = shuffle.grouped_agg(
+        orders.map_batches(join, batch_format="pyarrow"),
+        ["mktsegment"],
+        {"n_orders": (None, "count"),
+         "revenue_cents": ("price_cents", "sum")})
+    return out.map_batches(
+        lambda t: pa.table({
+            "mktsegment": t.column("mktsegment"),
+            "n_orders": t.column("n_orders").cast(pa.int64()),
+            "revenue_cents": t.column("revenue_cents").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_docs_lang_hist(sf_dir: str):
+    out = shuffle.grouped_agg(
+        _docs(sf_dir).select_columns(["lang"]), ["lang"],
+        {"n_docs": (None, "count")})
+    return out.map_batches(
+        lambda t: pa.table({"lang": t.column("lang"),
+                            "n_docs": t.column("n_docs").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ multimodal
 def q_media_decode(sf_dir: str):
     media = multimodal.docs_as_media(_docs(sf_dir))
