@@ -142,14 +142,27 @@ class _UrlToId:
         return pa.table({"src": pa.array(src_id[ok]), "dst": pa.array(dst_id[ok])})
 
 
+BROADCAST_MAP_MAX = 5_000_000     # above this, the url->id map is joined
+#                                   by hash bucket instead of broadcast
+
+
 def edges_with_ids(edge_urls: ray.data.Dataset, mapping: ray.data.Dataset,
-                   drop_missing: bool = False) -> ray.data.Dataset:
+                   drop_missing: bool = False,
+                   broadcast_max: int | None = None) -> ray.data.Dataset:
     """Resolve (src_url, dst_url) -> (src:int64, dst:int64).
+
+    Small mappings broadcast (``ray.put`` once, ``np.searchsorted`` per
+    batch); mappings above ``broadcast_max`` urls go through two bucketed
+    hash joins (partition BOTH sides by hash(url), merge per bucket) — the
+    wide-join path a 10^12-url crawl requires.
 
     ``drop_missing=False`` requires that every url (incl. dangling targets)
     has an id — i.e. ``assign_ids`` ran over the union of page urls and link
     targets (default build policy: every seen url gets an id, matching a
     real crawl; the reference's text format has no dangling ids at all)."""
+    limit = BROADCAST_MAP_MAX if broadcast_max is None else broadcast_max
+    if mapping.count() > limit:
+        return _edges_with_ids_bucketed(edge_urls, mapping, drop_missing)
     mp = mapping.to_pandas()
     order = np.argsort(mp["url"].to_numpy(dtype=np.str_), kind="stable")
     urls_sorted = mp["url"].to_numpy(dtype=np.str_)[order]
@@ -160,6 +173,73 @@ def edges_with_ids(edge_urls: ray.data.Dataset, mapping: ray.data.Dataset,
         concurrency=(2, 16),
         fn_constructor_args=(u_ref, i_ref, drop_missing),
     )
+
+
+def _bucket_join(left: ray.data.Dataset, key: str, carry: str,
+                 mapping: ray.data.Dataset, out_key: str,
+                 how_inner: bool, num_partitions: int = 64
+                 ) -> ray.data.Dataset:
+    """One bucketed hash join pass: rows (key, carry) x mapping (url, id)
+    -> (out_key=id, carry). Both sides tagged ``__part = hash(url) % P``
+    and merged per partition (pandas C merge)."""
+    import pandas as pd
+
+    from ligrust_ray.stages import shuffle as _sh  # noqa: F401 (pattern ref)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
+        return pd.DataFrame({
+            "k": df[key], "carry": df[carry],
+            "id": np.full(len(df), -1, dtype=np.int64),
+            "side": np.zeros(len(df), dtype=np.int8),
+            "__part": (h % num_partitions).astype(np.int64)})
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["url"], index=False).to_numpy()
+        return pd.DataFrame({
+            "k": df["url"], "carry": [""] * len(df),
+            "id": df["id"].astype(np.int64),
+            "side": np.ones(len(df), dtype=np.int8),
+            "__part": (h % num_partitions).astype(np.int64)})
+
+    both = (left.map_batches(tag_left, batch_format="pandas")
+            .union(mapping.map_batches(tag_right, batch_format="pandas")))
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        e = part[part["side"] == 0]
+        m = part[part["side"] == 1][["k", "id"]].rename(columns={"id": "mid"})
+        how = "inner" if how_inner else "left"
+        j = e.merge(m, on="k", how=how)
+        mid = j["mid"].fillna(-1).astype(np.int64)
+        return pd.DataFrame({out_key: mid, "carry": j["carry"]})
+
+    return (both.groupby("__part")
+            .map_groups(join, batch_format="pandas"))
+
+
+def _edges_with_ids_bucketed(edge_urls: ray.data.Dataset,
+                             mapping: ray.data.Dataset,
+                             drop_missing: bool) -> ray.data.Dataset:
+    # pass 1: resolve src_url -> src (carry dst_url)
+    p1 = _bucket_join(edge_urls, "src_url", "dst_url", mapping, "src",
+                      how_inner=True)          # unknown src = not a page row
+    # pass 2: resolve dst_url -> dst (carry src id as string-free int col)
+    import pandas as pd
+
+    def swap(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"dst_url": df["carry"],
+                             "src_str": df["src"].astype(str)})
+
+    p1s = p1.map_batches(swap, batch_format="pandas")
+    p2 = _bucket_join(p1s, "dst_url", "src_str", mapping, "dst",
+                      how_inner=drop_missing)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": df["carry"].astype(np.int64),
+            "dst": df["dst"].astype(np.int64)})
+
+    return p2.map_batches(finish, batch_format="pandas")
 
 
 def partition_bounds(n: int, num_partitions: int) -> np.ndarray:

@@ -99,3 +99,31 @@ def test_adjacency_text_parity(tmp_path):
 def test_reference_fixture_file():
     e = adjacency_text_to_edges("/root/reference/test-graph.input")
     assert list(zip(e["src"].to_pylist(), e["dst"].to_pylist())) == [(0, 1), (2, 3)]
+
+
+def test_bucketed_join_matches_broadcast(ray_session, tmp_path):
+    """edges_with_ids broadcast path vs the bucketed hash-join scale path
+    (forced via broadcast_max=0) must produce the same edge multiset."""
+    import pandas as pd
+    import ray.data
+
+    from ligrust_ray.pipelines.build import (assign_ids, edges_with_ids,
+                                             extract_edge_urls)
+    from ligrust_ray.sources.synth import generate_pages
+
+    pages = ray.data.from_arrow(generate_pages(300, seed=7))
+    edge_urls = extract_edge_urls(
+        pages.select_columns(["url", "html"])).materialize()
+    universe = pages.select_columns(["url"]).union(
+        edge_urls.select_columns(["dst_url"]).rename_columns(
+            {"dst_url": "url"}))
+    mapping, n = assign_ids(universe)
+    mapping = mapping.materialize()
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        return df.astype({"src": "int64", "dst": "int64"})
+
+    bc = norm(edges_with_ids(edge_urls, mapping))
+    bk = norm(edges_with_ids(edge_urls, mapping, broadcast_max=0))
+    pd.testing.assert_frame_equal(bc, bk)
