@@ -280,7 +280,7 @@ class CsrShard:
         return s
 
     def pull_broadcast(self, kernel, frontier_full: np.ndarray | None,
-                       values_full: np.ndarray) -> dict:
+                       values_full: np.ndarray, return_views: bool = False):
         """Dense gather against ONE broadcast (frontier, values) pair
         covering all n vertices (small-graph fast path: n x 9 bytes is a
         single plasma object, zero-copy mapped by every shard — 2 objects
@@ -306,6 +306,11 @@ class CsrShard:
         s = self._frontier_summary()
         s["edges_scanned"] = int(self.in_flat.size)
         s["scalars"] = scalars
+        if return_views:
+            # next-iteration (frontier, source_values) so the driver can
+            # skip the make_view wave (same contract as pull_fused)
+            return s, self.frontier, kernel.source_values(self.state,
+                                                          self.out_deg)
         return s
 
     def pull_fused(self, kernel, vkernel, over: str,
@@ -506,14 +511,17 @@ class DistGraph:
         if self.frontier_degree_sum > self.threshold:
             if self.n <= self.PULL_BROADCAST_MAX_NODES:
                 f_ref, v_ref = self._broadcast_views(kernel)
-                self._view_cache = None
-                summaries = ray.get([
-                    a.pull_broadcast.remote(kernel, f_ref, v_ref)
+                out = ray.get([
+                    a.pull_broadcast.remote(kernel, f_ref, v_ref,
+                                            return_views=True)
                     for a in self.actors])
-            else:
-                views = [a.make_view.remote(kernel) for a in self.actors]
-                summaries = ray.get([a.pull.remote(kernel, views)
-                                     for a in self.actors])
+                self._view_cache = (
+                    np.concatenate([f for _, f, _ in out]),
+                    np.concatenate([v for _, _, v in out]))
+                return self._absorb([s for s, _, _ in out])
+            views = [a.make_view.remote(kernel) for a in self.actors]
+            summaries = ray.get([a.pull.remote(kernel, views)
+                                 for a in self.actors])
         else:
             per_actor = [
                 a.push.options(num_returns=self.nparts + 1).remote(kernel)
