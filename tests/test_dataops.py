@@ -173,3 +173,47 @@ def test_media_resize_and_frames(ray_session, docs_ds):
     stage = multimodal.ResizeStage(64, 64, real=True)
     with _pytest.raises(NotImplementedError, match="real resize"):
         stage(media.take_batch(2, batch_format="pyarrow"))
+
+
+def test_relational_queries_vs_duckdb(ray_session):
+    """lineitem_pricing / orders_by_segment / docs_lang_hist vs DuckDB on
+    sf0.001 — the in-repo mirror of the driver's oracle compare."""
+    import duckdb
+
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = (Q.q_lineitem_pricing(sf).to_pandas()
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    exp = duckdb.sql(
+        f"""SELECT l_returnflag, l_linestatus,
+            SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+            SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+            COUNT(*) AS n_rows FROM '{sf}/lineitem.parquet'
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1,2 ORDER BY 1,2""").df()
+    assert len(got) == len(exp)
+    for c in ("sum_qty", "sum_price_cents", "n_rows"):
+        np.testing.assert_array_equal(got[c].to_numpy(dtype=np.int64),
+                                      exp[c].to_numpy(dtype=np.int64))
+
+    g2 = (Q.q_orders_by_segment(sf).to_pandas()
+          .sort_values("mktsegment").reset_index(drop=True))
+    e2 = duckdb.sql(
+        f"""SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
+            SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS revenue_cents
+            FROM '{sf}/orders.parquet' o
+            JOIN '{sf}/customer.parquet' c ON o.o_custkey=c.c_custkey
+            GROUP BY 1 ORDER BY 1""").df()
+    np.testing.assert_array_equal(
+        g2["revenue_cents"].to_numpy(dtype=np.int64),
+        e2["revenue_cents"].to_numpy(dtype=np.int64))
+    np.testing.assert_array_equal(g2["n_orders"].to_numpy(dtype=np.int64),
+                                  e2["n_orders"].to_numpy(dtype=np.int64))
+
+    g3 = Q.q_docs_lang_hist(sf).to_pandas()
+    e3 = duckdb.sql(f"SELECT lang, COUNT(*) n FROM '{sf}/documents.parquet' "
+                    "GROUP BY 1").df()
+    assert g3["n_docs"].sum() == e3["n"].sum()
+    assert set(g3["lang"]) == set(e3["lang"])
