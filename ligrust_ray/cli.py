@@ -38,6 +38,9 @@ def main(argv=None):
     b.add_argument("-p", "--partitions", type=int, default=32)
     b.add_argument("--format", choices=["pages", "adjacency", "edges"],
                    default="pages")
+    b.add_argument("--hub-threshold", type=int, default=None,
+                   help="split in-lists longer than this across holder "
+                        "partitions (skew mitigation; default: no split)")
 
     s = sub.add_parser("synth", help="generate the synthetic pages corpus")
     s.add_argument("-o", "--output", required=True)
@@ -81,7 +84,8 @@ def main(argv=None):
 
         if args.format == "pages":
             man = build_graph_from_pages(args.input, args.output,
-                                         num_partitions=args.partitions)
+                                         num_partitions=args.partitions,
+                                         hub_in_threshold=args.hub_threshold)
         elif args.format == "adjacency":
             from ligrust_ray.sources.adjacency_text import (
                 adjacency_text_to_edges, read_adjacency_text)
@@ -93,7 +97,8 @@ def main(argv=None):
         else:
             man = build_graph_from_edges(ray.data.read_parquet(args.input),
                                          args.output,
-                                         num_partitions=args.partitions)
+                                         num_partitions=args.partitions,
+                                         hub_in_threshold=args.hub_threshold)
         print(json.dumps({"n": man["n"], "m": man["m"],
                           "partitions": man["num_partitions"]}))
         return 0

@@ -248,16 +248,48 @@ def partition_bounds(n: int, num_partitions: int) -> np.ndarray:
 
 
 def _rollup_and_write(g: pd.DataFrame, *, key: str, other: str, bounds: np.ndarray,
-                      out_dir: str, sort_neighbors: bool) -> pd.DataFrame:
+                      out_dir: str, sort_neighbors: bool,
+                      hub_threshold: int | None = None) -> pd.DataFrame:
     """Per-partition CSR chunk: sort, roll into list rows (incl. zero-degree
-    gaps), write ``part-{p}.parquet`` atomically. Returns one stats row."""
+    gaps), write ``part-{p}.parquet`` atomically. Returns one stats row.
+
+    Skew-aware hub splitting (north_star requirement): a node whose list
+    exceeds ``hub_threshold`` has its ENTIRE list spilled in
+    ``hub_threshold``-sized chunks to HOLDER partitions chosen by
+    hash(node, chunk) — written to ``hubspill-{p}.parquet`` as
+    (holder, hub_id, srcs); its local CSR row becomes empty. Every shard
+    loads every spill file and keeps its holder rows, computes chunk
+    partials each iteration, and the driver merges them into the hub's
+    home aggregate — so a 10^9-degree hub costs each holder O(chunk), not
+    the home shard O(degree). Spilling ALL chunks (home keeps none) makes
+    the merge uniform for every reduce, including non-associative mode
+    (label counts combine at the driver)."""
     part = int(g["part"].iloc[0])
     lo, hi = int(bounds[part]), int(bounds[part + 1])
+    nparts = len(bounds) - 1
     real = g[g[key] >= 0]
     k = real[key].to_numpy(dtype=np.int64)
     v = real[other].to_numpy(dtype=np.int64)
     order = np.lexsort((v, k)) if sort_neighbors else np.argsort(k, kind="stable")
     k, v = k[order], v[order]
+
+    spill_rows: list[tuple[int, int, np.ndarray]] = []
+    if hub_threshold and len(k):
+        counts_all = np.bincount(k - lo, minlength=hi - lo)
+        hubs = np.flatnonzero(counts_all > hub_threshold) + lo
+        if len(hubs):
+            keep_mask = np.ones(len(k), dtype=bool)
+            pos = np.searchsorted(k, hubs)           # k sorted by node
+            for h, p0 in zip(hubs, pos):
+                d = int(counts_all[h - lo])
+                srcs = v[p0:p0 + d]
+                for ci, start in enumerate(range(0, d, hub_threshold)):
+                    chunk = srcs[start:start + hub_threshold]
+                    holder = int((zlib.crc32(
+                        f"{h}:{ci}".encode()) % nparts))
+                    spill_rows.append((holder, int(h), chunk.copy()))
+                keep_mask[p0:p0 + d] = False
+            k, v = k[keep_mask], v[keep_mask]
     counts = np.bincount(k - lo, minlength=hi - lo) if hi > lo else np.zeros(0, np.int64)
     indptr = np.zeros(hi - lo + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
@@ -273,13 +305,26 @@ def _rollup_and_write(g: pd.DataFrame, *, key: str, other: str, bounds: np.ndarr
     tmp = final + ".tmp"
     pq.write_table(tbl, tmp)
     os.replace(tmp, final)
+    n_spilled = 0
+    if spill_rows:
+        n_spilled = int(sum(len(c) for _, _, c in spill_rows))
+        sp = pa.table({
+            "holder": pa.array([r[0] for r in spill_rows], type=pa.int64()),
+            "hub_id": pa.array([r[1] for r in spill_rows], type=pa.int64()),
+            "srcs": pa.array([r[2].tolist() for r in spill_rows],
+                             type=pa.list_(pa.int64())),
+        })
+        spf = os.path.join(out_dir, f"hubspill-{part:05d}.parquet")
+        pq.write_table(sp, spf + ".tmp")
+        os.replace(spf + ".tmp", spf)
     return pd.DataFrame({"part": [part], "nodes": [hi - lo], "edges": [len(v)],
-                         "degree_sum": [int(counts.sum())]})
+                         "degree_sum": [int(counts.sum())],
+                         "spilled_edges": [n_spilled]})
 
 
 def _build_direction(edges: ray.data.Dataset, key: str, other: str, n: int,
-                     bounds: np.ndarray, out_dir: str, sort_neighbors: bool
-                     ) -> list[dict]:
+                     bounds: np.ndarray, out_dir: str, sort_neighbors: bool,
+                     hub_threshold: int | None = None) -> list[dict]:
     num_partitions = len(bounds) - 1
     bounds_ref = ray.put(bounds)
 
@@ -298,7 +343,8 @@ def _build_direction(edges: ray.data.Dataset, key: str, other: str, n: int,
 
     def rollup(g: pd.DataFrame) -> pd.DataFrame:
         return _rollup_and_write(g, key=key, other=other, bounds=ray.get(bounds_ref),
-                                 out_dir=out_dir, sort_neighbors=sort_neighbors)
+                                 out_dir=out_dir, sort_neighbors=sort_neighbors,
+                                 hub_threshold=hub_threshold)
 
     stats = (
         edges.map_batches(add_part, batch_format="pyarrow")
@@ -311,7 +357,8 @@ def _build_direction(edges: ray.data.Dataset, key: str, other: str, n: int,
 
 
 def build_csr(edges: ray.data.Dataset, n: int, out_dir: str,
-              num_partitions: int = 32, meta: dict | None = None) -> dict:
+              num_partitions: int = 32, meta: dict | None = None,
+              hub_in_threshold: int | None = None) -> dict:
     """edges (src,dst) -> ``out_dir/{out,in}/part-*.parquet`` + manifest.
 
     out-CSR keyed by src (neighbors sorted by dst asc); in-CSR keyed by dst
@@ -323,11 +370,15 @@ def build_csr(edges: ray.data.Dataset, n: int, out_dir: str,
     out_stats = _build_direction(edges, "src", "dst", n, bounds,
                                  os.path.join(out_dir, "out"), sort_neighbors=True)
     in_stats = _build_direction(edges, "dst", "src", n, bounds,
-                                os.path.join(out_dir, "in"), sort_neighbors=True)
+                                os.path.join(out_dir, "in"), sort_neighbors=True,
+                                hub_threshold=hub_in_threshold)
     m = int(sum(s["edges"] for s in out_stats))
     manifest = {
         "n": n,
         "m": m,
+        "hub_in_threshold": hub_in_threshold,
+        "spilled_in_edges": int(sum(s.get("spilled_edges", 0)
+                                    for s in in_stats)),
         "num_partitions": num_partitions,
         "bounds": bounds.tolist(),
         "out_stats": out_stats,
@@ -342,7 +393,8 @@ def build_csr(edges: ray.data.Dataset, n: int, out_dir: str,
 def build_graph_from_pages(pages_path: str | ray.data.Dataset, out_dir: str,
                            num_partitions: int = 32,
                            include_dangling: bool = True,
-                           nbuckets: int = 64) -> dict:
+                           nbuckets: int = 64,
+                           hub_in_threshold: int | None = None) -> dict:
     """Full ETL: pages parquet -> CSR graph dir. Returns the manifest."""
     if isinstance(pages_path, str):
         pages = ray.data.read_parquet(pages_path, columns=["url", "html"])
@@ -358,14 +410,17 @@ def build_graph_from_pages(pages_path: str | ray.data.Dataset, out_dir: str,
     mapping, n = assign_ids(url_universe, nbuckets=nbuckets)
     edges = edges_with_ids(edge_urls, mapping, drop_missing=not include_dangling)
     manifest = build_csr(edges, n, out_dir, num_partitions=num_partitions,
-                         meta={"source": "pages", "include_dangling": include_dangling})
+                         meta={"source": "pages",
+                               "include_dangling": include_dangling},
+                         hub_in_threshold=hub_in_threshold)
     # persist the url<->id mapping next to the graph for downstream joins
     mapping.write_parquet(os.path.join(out_dir, "url_map"))
     return manifest
 
 
 def build_graph_from_edges(edges: pa.Table | ray.data.Dataset, out_dir: str,
-                           n: int | None = None, num_partitions: int = 8) -> dict:
+                           n: int | None = None, num_partitions: int = 8,
+                           hub_in_threshold: int | None = None) -> dict:
     """Build a graph dir straight from an int edge table (tests, events graph,
     AdjacencyGraph text fixtures)."""
     if isinstance(edges, pa.Table):
@@ -377,4 +432,5 @@ def build_graph_from_edges(edges: pa.Table | ray.data.Dataset, out_dir: str,
         mx = edges.max(["src", "dst"])
         n = int(max(mx["max(src)"], mx["max(dst)"])) + 1
     return build_csr(edges, n, out_dir, num_partitions=num_partitions,
-                     meta={"source": "edges"})
+                     meta={"source": "edges"},
+                     hub_in_threshold=hub_in_threshold)

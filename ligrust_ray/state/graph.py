@@ -185,6 +185,23 @@ class CsrShard:
             os.path.join(graph_dir, "in", f"part-{part:05d}.parquet"), id_dtype)
         self.out_deg = np.diff(self.out_indptr)
         self._in_tgt_idx: np.ndarray | None = None   # lazy (mode reduce only)
+        # hub spill chunks held by THIS shard (skew-aware splitting,
+        # pipelines/build.py): list of (hub_global_id, src_ids)
+        import glob as _glob
+
+        self.hub_chunks: list[tuple[int, np.ndarray]] = []
+        for f in sorted(_glob.glob(os.path.join(graph_dir, "in",
+                                                "hubspill-*.parquet"))):
+            t = pq.read_table(f)
+            hold = t.column("holder").to_numpy()
+            mine = hold == part
+            if mine.any():
+                hubs = t.column("hub_id").to_numpy()[mine]
+                col = t.column("srcs").combine_chunks()
+                for i in np.flatnonzero(mine):
+                    self.hub_chunks.append((
+                        int(t.column("hub_id")[i].as_py()),
+                        np.asarray(col[i].as_py(), dtype=id_dtype)))
 
         # --- partition-aligned pull index: which source parts feed us, and a
         # compact index of each in-edge into the concat of just those ranges.
@@ -208,6 +225,9 @@ class CsrShard:
     # ---- lifecycle -------------------------------------------------------
     def ping(self) -> int:
         return self.part
+
+    def hub_edge_count(self) -> int:
+        return int(sum(len(c) for _, c in self.hub_chunks))
 
     def meta(self) -> dict:
         return {"part": self.part, "lo": self.lo, "hi": self.hi,
@@ -280,7 +300,8 @@ class CsrShard:
         return s
 
     def pull_broadcast(self, kernel, frontier_full: np.ndarray | None,
-                       values_full: np.ndarray, return_views: bool = False):
+                       values_full: np.ndarray, return_views: bool = False,
+                       hub_aggs: dict | None = None):
         """Dense gather against ONE broadcast (frontier, values) pair
         covering all n vertices (small-graph fast path: n x 9 bytes is a
         single plasma object, zero-copy mapped by every shard — 2 objects
@@ -298,6 +319,15 @@ class CsrShard:
                                        kernel.value_dtype,
                                        self.in_tgt_idx()
                                        if kernel.reduce == "mode" else None)
+        if hub_aggs:
+            # driver-combined aggregates for split hubs homed in this range
+            # (their local in-lists are empty by construction, so this is
+            # assignment, not double-count)
+            touched = touched.copy()
+            for h, (val, tch) in hub_aggs.items():
+                if self.lo <= h < self.hi:
+                    agg[h - self.lo] = val
+                    touched[h - self.lo] = tch
         if active is not None:
             touched = touched & active
         changed, scalars = kernel.apply(self.state, agg, touched, self)
@@ -313,15 +343,45 @@ class CsrShard:
                                                           self.out_deg)
         return s
 
+    def hub_partials(self, kernel, frontier_full: np.ndarray | None,
+                     values_full: np.ndarray) -> list:
+        """Per-chunk partials for the hub chunks this shard holds.
+        sum/min: (hub, partial, touched); mode: (hub, labels, counts)."""
+        out = []
+        for hub, srcs in self.hub_chunks:
+            w = values_full[srcs]
+            if frontier_full is None:
+                mask = None
+                active = w
+            else:
+                mask = frontier_full[srcs]
+                active = w[mask]
+            if kernel.reduce == "sum":
+                out.append((hub, float(active.sum()),
+                            bool(len(active))))
+            elif kernel.reduce == "min":
+                if len(active):
+                    out.append((hub, int(active.min()), True))
+                else:
+                    out.append((hub, INT_SENTINEL, False))
+            elif kernel.reduce == "mode":
+                lab, cnt = np.unique(active.astype(np.int64),
+                                     return_counts=True)
+                out.append((hub, lab, cnt))
+            else:  # pragma: no cover
+                raise ValueError(kernel.reduce)
+        return out
+
     def pull_fused(self, kernel, vkernel, over: str,
                    frontier_full: np.ndarray | None,
-                   values_full: np.ndarray):
+                   values_full: np.ndarray, hub_aggs: dict | None = None):
         """One wave = pull_broadcast + vertex_op + next-iteration view
         values. Collapses the 3 actor waves of an iterative round
         (make_view, pull, vertex_filter) into 1 — per-iteration dispatch
         overhead is the scaling killer for mid-size graphs. Returns
         (summary, next_view_values)."""
-        s = self.pull_broadcast(kernel, frontier_full, values_full)
+        s = self.pull_broadcast(kernel, frontier_full, values_full,
+                                hub_aggs=hub_aggs)
         mask = np.ones(self.nloc, dtype=bool) if over == "all" else self.frontier
         keep, scalars = vkernel.update(self.state, mask, self)
         self.frontier = keep if keep is not None else mask.copy()
@@ -445,6 +505,8 @@ class DistGraph:
         self.m = int(manifest["m"])
         self.bounds = np.asarray(manifest["bounds"], dtype=np.int64)
         self.nparts = int(manifest["num_partitions"])
+        self.has_hubs = bool(manifest.get("spilled_in_edges", 0))
+        self.hub_edges_total = int(manifest.get("spilled_in_edges", 0))
         self.actors = actors
         self.frontier_count = 0
         self.frontier_degree_sum = 0
@@ -509,11 +571,13 @@ class DistGraph:
         """relationship_map (/root/reference/src/ligra.rs:58-88): dense pull
         when Σ out_degree(frontier) > m/20, else sparse push."""
         if self.frontier_degree_sum > self.threshold:
-            if self.n <= self.PULL_BROADCAST_MAX_NODES:
+            if self.n <= self.PULL_BROADCAST_MAX_NODES or self.has_hubs:
                 f_ref, v_ref = self._broadcast_views(kernel)
+                hub_aggs = self._hub_wave(kernel, f_ref, v_ref)
                 out = ray.get([
                     a.pull_broadcast.remote(kernel, f_ref, v_ref,
-                                            return_views=True)
+                                            return_views=True,
+                                            hub_aggs=hub_aggs)
                     for a in self.actors])
                 self._view_cache = (
                     np.concatenate([f for _, f, _ in out]),
@@ -536,6 +600,43 @@ class DistGraph:
         self._view_cache = None
         return self._absorb(summaries)
 
+    def _hub_wave(self, kernel, f_ref, v_ref) -> dict | None:
+        """Tiny pre-wave for split hubs: every shard reduces its held
+        chunks against the broadcast views; the driver merges per hub.
+        Returns {hub_id: (agg_value, touched)} or None."""
+        if not self.has_hubs:
+            return None
+        self.edges_scanned += self.hub_edges_total
+        parts = ray.get([a.hub_partials.remote(kernel, f_ref, v_ref)
+                         for a in self.actors])
+        merged: dict = {}
+        for plist in parts:
+            for row in plist:
+                merged.setdefault(row[0], []).append(row[1:])
+        out: dict = {}
+        for hub, ps in merged.items():
+            if kernel.reduce == "sum":
+                out[hub] = (float(sum(v for v, _ in ps)),
+                            any(t for _, t in ps))
+            elif kernel.reduce == "min":
+                vals = [v for v, t in ps if t]
+                out[hub] = (min(vals) if vals else INT_SENTINEL, bool(vals))
+            else:  # mode: merge label counts, argmax w/ min-label tiebreak
+                lab = np.concatenate([p[0] for p in ps])
+                cnt = np.concatenate([p[1] for p in ps])
+                if lab.size == 0:
+                    out[hub] = (INT_SENTINEL, False)
+                    continue
+                order = np.argsort(lab, kind="stable")
+                lab, cnt = lab[order], cnt[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], lab[1:] != lab[:-1])))
+                ulab = lab[starts]
+                ucnt = np.add.reduceat(cnt, starts)
+                win = np.lexsort((ulab, -ucnt))[0]
+                out[hub] = (int(ulab[win]), True)
+        return out
+
     def _broadcast_views(self, kernel):
         """(frontier_ref|None, values_ref) for a broadcast pull — reused
         from the view cache when the previous fused wave produced them
@@ -555,11 +656,14 @@ class DistGraph:
         wave also returns next-iteration source values, so steady-state
         iterations cost one dispatch + one broadcast."""
         dense = self.frontier_degree_sum > self.threshold
-        if not (dense and self.n <= self.PULL_BROADCAST_MAX_NODES):
+        if not (dense and (self.n <= self.PULL_BROADCAST_MAX_NODES
+                           or self.has_hubs)):
             self.edge_map(kernel)
             return self.vertex_filter(vkernel, over=over)
         f_ref, v_ref = self._broadcast_views(kernel)
-        out = ray.get([a.pull_fused.remote(kernel, vkernel, over, f_ref, v_ref)
+        hub_aggs = self._hub_wave(kernel, f_ref, v_ref)
+        out = ray.get([a.pull_fused.remote(kernel, vkernel, over, f_ref, v_ref,
+                                           hub_aggs)
                        for a in self.actors])
         self._view_cache = (np.concatenate([f for _, f, _ in out]),
                             np.concatenate([v for _, _, v in out]))

@@ -145,3 +145,52 @@ def test_pagerank_classic_allclose(graphs, name):
                                                    max_iterations=60)
     assert res["iterations"] == it
     np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+def test_hub_splitting_matches_oracle(ray_session, tmp_path):
+    """Skew path: in-lists above hub_in_threshold spill to holder
+    partitions (build.py) and merge through the hub-partials wave. All
+    three reduce kinds (sum=PR, min=CC, mode=LP) must equal the oracle,
+    and the split build must equal the unsplit build."""
+    from ligrust_ray.algos.labelprop import label_propagation
+    from ligrust_ray.algos.pagerank import page_rank_classic
+
+    # Zipf graph with a designated mega-hub: half of all edges hit node 7
+    src, dst = oracle.random_digraph(120, 4.0, seed=21)
+    hub_src = np.arange(0, 120, dtype=np.int64)
+    src = np.concatenate([src, hub_src])
+    dst = np.concatenate([dst, np.full(120, 7, dtype=np.int64)])
+
+    g_split = make_graph(str(tmp_path / "split"), src, dst, 120, nparts=4)
+    # rebuild with splitting forced (threshold far below the hub degree)
+    t = pa.table({"src": pa.array(src, type=pa.int64()),
+                  "dst": pa.array(dst, type=pa.int64())})
+    build_graph_from_edges(t, str(tmp_path / "split2"), n=120,
+                           num_partitions=4, hub_in_threshold=8)
+    g2 = DistGraph.load(str(tmp_path / "split2"))
+    assert g2.has_hubs and not g_split.has_hubs
+    assert g2.manifest["spilled_in_edges"] > 0
+
+    # CC (min)
+    cc(g_split)
+    cc(g2)
+    exp = oracle.cc_oracle(120, src, dst)
+    np.testing.assert_array_equal(g_split.collect_state(["ids"])["ids"], exp)
+    np.testing.assert_array_equal(g2.collect_state(["ids"])["ids"], exp)
+
+    # PageRank delta (sum) — exact oracle conformance through the hub wave
+    page_rank_delta(g2, max_iterations=60)
+    exp_pr, _, _ = oracle.page_rank_delta_oracle(120, src, dst,
+                                                 max_iterations=60)
+    np.testing.assert_allclose(g2.collect_state(["page_rank"])["page_rank"],
+                               exp_pr, atol=1e-6)
+
+    # classic variant exercises the FUSED path with hub_aggs
+    r = page_rank_classic(g2, max_iterations=50)
+    assert r["iterations"] >= 1
+
+    # LP (mode) — non-associative reduce through driver count-merge
+    label_propagation(g2, max_iterations=8)
+    exp_lab = oracle.label_prop_oracle(120, src, dst, max_iterations=8)
+    np.testing.assert_array_equal(
+        g2.collect_state(["labels"])["labels"], exp_lab)
