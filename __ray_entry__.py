@@ -120,17 +120,21 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
         "lineitem_pricing": (
+            # CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) returns HUGEINT
+            # which pandas surfaces as float64, breaking the driver's
+            # value-hash vs our int64 sums (VERDICT r1 item 1).
             "SELECT l_returnflag, l_linestatus, "
-            "SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty, "
-            "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) "
-            "AS sum_price_cents, "
+            "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS sum_price_cents, "
             "COUNT(*) AS n_rows FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus"),
         "orders_by_segment": (
             "SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_orders, "
-            "SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) "
-            "AS revenue_cents "
+            "CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment"),
         "docs_lang_hist": (

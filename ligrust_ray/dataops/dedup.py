@@ -134,8 +134,11 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
         if not len(part):
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64)})
-        d = part.sort_values(["band", "bh", "doc_id"])
-        key = d["band"].to_numpy() * (1 << 62) ^ d["bh"].to_numpy()
+        # bucket key is bh alone: the band index is already hashed into bh
+        # (hash_shingle(f"{band}:...")), and a band-multiplied composite
+        # would overflow int64 for band >= 2
+        d = part.sort_values(["bh", "doc_id"])
+        key = d["bh"].to_numpy()
         ids = d["doc_id"].to_numpy(dtype=np.int64)
         starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
         sizes = np.diff(np.append(starts, len(key)))

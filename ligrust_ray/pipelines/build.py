@@ -365,6 +365,16 @@ def build_csr(edges: ray.data.Dataset, n: int, out_dir: str,
     (neighbors sorted by src asc — the reference's stable invert ordering,
     graph.rs:280). Two groupby shuffles; this is THE wide step of the build.
     """
+    # Rebuilding into an existing dir: remove EVERY stale CSR/spill file
+    # first. CsrShard globs all hubspill-*.parquet (and a different
+    # partition count leaves part files the new build never overwrites);
+    # stale leftovers would double-count edges silently.
+    import glob as _glob
+
+    for sub in ("out", "in"):
+        for f in _glob.glob(os.path.join(out_dir, sub, "*.parquet")):
+            os.remove(f)
+
     bounds = partition_bounds(n, num_partitions)
     edges = edges.materialize()  # consumed twice (one shuffle per direction)
     out_stats = _build_direction(edges, "src", "dst", n, bounds,

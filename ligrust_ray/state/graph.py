@@ -116,14 +116,25 @@ def _segment_reduce(reduce: str, indptr: np.ndarray, w: np.ndarray,
         agg = np.full(nloc, INT_SENTINEL, dtype=np.int64)
         touched = np.zeros(nloc, dtype=bool)
         if t_i.size:
+            lab_min = int(lab.min())
             lab_span = int(lab.max()) + 1
-            key = np.sort(t_i * lab_span + lab)
-            run_start = np.flatnonzero(
-                np.concatenate(([True], key[1:] != key[:-1])))
-            run_key = key[run_start]
-            run_t = run_key // lab_span
-            run_l = run_key - run_t * lab_span
-            run_cnt = np.diff(np.append(run_start, key.size))
+            if lab_min >= 0 and nloc * lab_span < (1 << 62):
+                key = np.sort(t_i * lab_span + lab)
+                run_start = np.flatnonzero(
+                    np.concatenate(([True], key[1:] != key[:-1])))
+                run_key = key[run_start]
+                run_t = run_key // lab_span
+                run_l = run_key - run_t * lab_span
+            else:
+                # composite key would overflow int64 (or labels are
+                # negative): lexsort fallback, runs on the pair arrays
+                order = np.lexsort((lab, t_i))
+                st, sl = t_i[order], lab[order]
+                run_start = np.flatnonzero(np.concatenate(
+                    ([True], (st[1:] != st[:-1]) | (sl[1:] != sl[:-1]))))
+                run_t = st[run_start]
+                run_l = sl[run_start]
+            run_cnt = np.diff(np.append(run_start, t_i.size))
             # Winner per target WITHOUT another sort: runs are already
             # (t asc, label asc), so per contiguous target segment take the
             # max count, then the first (= smallest-label) run hitting it —
@@ -203,6 +214,24 @@ class CsrShard:
                         int(t.column("hub_id")[i].as_py()),
                         np.asarray(col[i].as_py(), dtype=id_dtype)))
 
+        # --- partition-aligned index for hub-spill chunks held here: which
+        # source parts the chunk srcs touch, and each src's position in the
+        # concat of just those ranges (same scheme as the in-CSR below), so
+        # hub partials never need a full-graph broadcast.
+        if self.hub_chunks:
+            hub_srcs = np.concatenate([c for _, c in self.hub_chunks])
+            hsp = np.searchsorted(self.bounds, hub_srcs, side="right") - 1
+            self.hub_needed_parts = np.unique(hsp).astype(np.int64)
+            hsizes = np.diff(self.bounds)[self.hub_needed_parts]
+            hoff = np.zeros(self.nparts, dtype=np.int64)
+            hoff[self.hub_needed_parts] = np.concatenate(
+                ([0], np.cumsum(hsizes)[:-1]))
+            self.hub_srcs_compact = (hub_srcs - self.bounds[hsp] + hoff[hsp])
+            self.hub_chunk_ptr = np.concatenate(
+                ([0], np.cumsum([len(c) for _, c in self.hub_chunks])))
+        else:
+            self.hub_needed_parts = np.zeros(0, dtype=np.int64)
+
         # --- partition-aligned pull index: which source parts feed us, and a
         # compact index of each in-edge into the concat of just those ranges.
         src_part = np.searchsorted(self.bounds, self.in_flat, side="right") - 1
@@ -268,10 +297,13 @@ class CsrShard:
         return self.frontier, vals
 
     # ---- dense / pull edge map ------------------------------------------
-    def pull(self, kernel, view_refs: list) -> dict:
+    def pull(self, kernel, view_refs: list, hub_aggs: dict | None = None) -> dict:
         """Gather over this range's in-CSR. ``view_refs[p]`` is the ObjectRef
         of partition p's ``make_view`` result; only ``needed_parts`` are
-        fetched (partition-aligned, not a full broadcast)."""
+        fetched (partition-aligned, not a full broadcast). ``hub_aggs`` are
+        driver-merged aggregates for split hubs homed in this range (their
+        local in-lists are empty by construction — assignment, not
+        double-count)."""
         fr_parts = ray.get([view_refs[p] for p in self.needed_parts])
         if self.compact_size:
             frontier_c = np.concatenate([f for f, _ in fr_parts]) \
@@ -289,6 +321,12 @@ class CsrShard:
                                        kernel.value_dtype,
                                        self.in_tgt_idx()
                                        if kernel.reduce == "mode" else None)
+        if hub_aggs:
+            touched = touched.copy()
+            for h, (val, tch) in hub_aggs.items():
+                if self.lo <= h < self.hi:
+                    agg[h - self.lo] = val
+                    touched[h - self.lo] = tch
         if active is not None:
             touched = touched & active
         changed, scalars = kernel.apply(self.state, agg, touched, self)
@@ -343,33 +381,46 @@ class CsrShard:
                                                           self.out_deg)
         return s
 
+    @staticmethod
+    def _chunk_partial(kernel, active: np.ndarray):
+        if kernel.reduce == "sum":
+            return (float(active.sum()), bool(len(active)))
+        if kernel.reduce == "min":
+            return (int(active.min()), True) if len(active) else \
+                (INT_SENTINEL, False)
+        if kernel.reduce == "mode":
+            lab, cnt = np.unique(active.astype(np.int64), return_counts=True)
+            return (lab, cnt)
+        raise ValueError(kernel.reduce)  # pragma: no cover
+
     def hub_partials(self, kernel, frontier_full: np.ndarray | None,
                      values_full: np.ndarray) -> list:
-        """Per-chunk partials for the hub chunks this shard holds.
-        sum/min: (hub, partial, touched); mode: (hub, labels, counts)."""
+        """Per-chunk partials for the hub chunks this shard holds, against
+        the BROADCAST views. sum/min: (hub, partial, touched);
+        mode: (hub, labels, counts)."""
         out = []
         for hub, srcs in self.hub_chunks:
             w = values_full[srcs]
-            if frontier_full is None:
-                mask = None
-                active = w
-            else:
-                mask = frontier_full[srcs]
-                active = w[mask]
-            if kernel.reduce == "sum":
-                out.append((hub, float(active.sum()),
-                            bool(len(active))))
-            elif kernel.reduce == "min":
-                if len(active):
-                    out.append((hub, int(active.min()), True))
-                else:
-                    out.append((hub, INT_SENTINEL, False))
-            elif kernel.reduce == "mode":
-                lab, cnt = np.unique(active.astype(np.int64),
-                                     return_counts=True)
-                out.append((hub, lab, cnt))
-            else:  # pragma: no cover
-                raise ValueError(kernel.reduce)
+            active = w if frontier_full is None else w[frontier_full[srcs]]
+            out.append((hub, *self._chunk_partial(kernel, active)))
+        return out
+
+    def hub_partials_aligned(self, kernel, view_refs: list) -> list:
+        """Same partials, but partition-aligned: fetch ONLY the source
+        partitions this shard's hub chunks reference (the >2^24-node scale
+        path — no n-sized broadcast object)."""
+        if not self.hub_chunks:
+            return []
+        fr_parts = ray.get([view_refs[p] for p in self.hub_needed_parts])
+        frontier_c = np.concatenate([f for f, _ in fr_parts])
+        values_c = np.concatenate([v for _, v in fr_parts])
+        out = []
+        for i, (hub, _) in enumerate(self.hub_chunks):
+            idx = self.hub_srcs_compact[
+                self.hub_chunk_ptr[i]:self.hub_chunk_ptr[i + 1]]
+            w = values_c[idx]
+            active = w[frontier_c[idx]]
+            out.append((hub, *self._chunk_partial(kernel, active)))
         return out
 
     def pull_fused(self, kernel, vkernel, over: str,
@@ -511,10 +562,13 @@ class DistGraph:
         self.frontier_count = 0
         self.frontier_degree_sum = 0
         self.edges_scanned = 0
-        # concatenated (frontier, source_values) for the NEXT edge_map,
-        # produced by the previous pull_fused wave; any other state
-        # mutation invalidates it
-        self._view_cache: tuple[np.ndarray, np.ndarray] | None = None
+        # (kernel_key, frontier, source_values) for the NEXT edge_map,
+        # produced by the previous pull wave. Tagged with the producing
+        # kernel's identity: reusing source values across kernel types
+        # would silently pull wrong messages. Any state/frontier mutation
+        # outside edge_map invalidates it (init_algo / vertex_map /
+        # vertex_filter / set_frontier / restore).
+        self._view_cache: tuple[tuple, np.ndarray, np.ndarray] | None = None
 
     # threshold() of graph.rs:31-33 — the Ligra dense/sparse switch constant
     @property
@@ -552,6 +606,15 @@ class DistGraph:
         ray.get([a.init_state.remote(spec) for a in self.actors])
 
     def set_frontier(self, kind: str, ids: np.ndarray | None = None) -> None:
+        if kind == "all" and self._view_cache is not None:
+            # source VALUES depend only on state (unchanged here); the new
+            # frontier is full, which _broadcast_views encodes as
+            # f_ref=None — so patch the cached frontier instead of paying
+            # a make_view wave (labelprop does this every round)
+            k, _, v = self._view_cache
+            self._view_cache = (k, np.ones(self.n, dtype=bool), v)
+        else:
+            self._view_cache = None
         if kind in ("all", "none"):
             s = ray.get([a.set_frontier.remote(kind) for a in self.actors])
         else:
@@ -571,7 +634,7 @@ class DistGraph:
         """relationship_map (/root/reference/src/ligra.rs:58-88): dense pull
         when Σ out_degree(frontier) > m/20, else sparse push."""
         if self.frontier_degree_sum > self.threshold:
-            if self.n <= self.PULL_BROADCAST_MAX_NODES or self.has_hubs:
+            if self.n <= self.PULL_BROADCAST_MAX_NODES:
                 f_ref, v_ref = self._broadcast_views(kernel)
                 hub_aggs = self._hub_wave(kernel, f_ref, v_ref)
                 out = ray.get([
@@ -580,11 +643,16 @@ class DistGraph:
                                             hub_aggs=hub_aggs)
                     for a in self.actors])
                 self._view_cache = (
+                    self._kernel_key(kernel),
                     np.concatenate([f for _, f, _ in out]),
                     np.concatenate([v for _, _, v in out]))
                 return self._absorb([s for s, _, _ in out])
+            # partition-aligned path (> 2^24 nodes): per-shard fetch of only
+            # the needed source ranges; hub partials are aligned too, so
+            # skew-split graphs keep the no-broadcast scale path
             views = [a.make_view.remote(kernel) for a in self.actors]
-            summaries = ray.get([a.pull.remote(kernel, views)
+            hub_aggs = self._hub_wave_aligned(kernel, views)
+            summaries = ray.get([a.pull.remote(kernel, views, hub_aggs)
                                  for a in self.actors])
         else:
             per_actor = [
@@ -609,6 +677,19 @@ class DistGraph:
         self.edges_scanned += self.hub_edges_total
         parts = ray.get([a.hub_partials.remote(kernel, f_ref, v_ref)
                          for a in self.actors])
+        return self._merge_hub_partials(kernel, parts)
+
+    def _hub_wave_aligned(self, kernel, view_refs: list) -> dict | None:
+        """Hub pre-wave for the partition-aligned pull path: each shard
+        fetches only the view slices its chunks reference."""
+        if not self.has_hubs:
+            return None
+        self.edges_scanned += self.hub_edges_total
+        parts = ray.get([a.hub_partials_aligned.remote(kernel, view_refs)
+                         for a in self.actors])
+        return self._merge_hub_partials(kernel, parts)
+
+    def _merge_hub_partials(self, kernel, parts: list) -> dict:
         merged: dict = {}
         for plist in parts:
             for row in plist:
@@ -637,13 +718,20 @@ class DistGraph:
                 out[hub] = (int(ulab[win]), True)
         return out
 
+    @staticmethod
+    def _kernel_key(kernel) -> tuple:
+        return (type(kernel), id(kernel))
+
     def _broadcast_views(self, kernel):
         """(frontier_ref|None, values_ref) for a broadcast pull — reused
         from the view cache when the previous fused wave produced them
-        (skips the make_view dispatch entirely in steady state)."""
+        WITH THE SAME KERNEL (skips the make_view dispatch in steady
+        state); a different kernel's cached source values would be wrong,
+        so mismatches fall back to a make_view wave."""
         full = self.frontier_count >= self.n
-        if self._view_cache is not None:
-            f, v = self._view_cache
+        if (self._view_cache is not None
+                and self._view_cache[0] == self._kernel_key(kernel)):
+            _, f, v = self._view_cache
             return (None if full else ray.put(f)), ray.put(v)
         views = ray.get([a.make_view.remote(kernel) for a in self.actors])
         f_ref = None if full else \
@@ -656,8 +744,7 @@ class DistGraph:
         wave also returns next-iteration source values, so steady-state
         iterations cost one dispatch + one broadcast."""
         dense = self.frontier_degree_sum > self.threshold
-        if not (dense and (self.n <= self.PULL_BROADCAST_MAX_NODES
-                           or self.has_hubs)):
+        if not (dense and self.n <= self.PULL_BROADCAST_MAX_NODES):
             self.edge_map(kernel)
             return self.vertex_filter(vkernel, over=over)
         f_ref, v_ref = self._broadcast_views(kernel)
@@ -665,7 +752,8 @@ class DistGraph:
         out = ray.get([a.pull_fused.remote(kernel, vkernel, over, f_ref, v_ref,
                                            hub_aggs)
                        for a in self.actors])
-        self._view_cache = (np.concatenate([f for _, f, _ in out]),
+        self._view_cache = (self._kernel_key(kernel),
+                            np.concatenate([f for _, f, _ in out]),
                             np.concatenate([v for _, _, v in out]))
         return self._absorb([s for s, _, _ in out])
 

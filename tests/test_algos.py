@@ -194,3 +194,37 @@ def test_hub_splitting_matches_oracle(ray_session, tmp_path):
     exp_lab = oracle.label_prop_oracle(120, src, dst, max_iterations=8)
     np.testing.assert_array_equal(
         g2.collect_state(["labels"])["labels"], exp_lab)
+
+    # PARTITION-ALIGNED pull with hubs (the >2^24-node scale path for
+    # skewed graphs): hub partials fetch only needed view slices
+    g3 = DistGraph.load(str(tmp_path / "split2"))
+    g3.PULL_BROADCAST_MAX_NODES = 0
+    cc(g3)
+    np.testing.assert_array_equal(g3.collect_state(["ids"])["ids"], exp)
+    page_rank_delta(g3, max_iterations=60)
+    np.testing.assert_allclose(g3.collect_state(["page_rank"])["page_rank"],
+                               exp_pr, atol=1e-6)
+    label_propagation(g3, max_iterations=8)
+    np.testing.assert_array_equal(
+        g3.collect_state(["labels"])["labels"], exp_lab)
+
+
+def test_rebuild_clears_stale_hubspill(ray_session, tmp_path):
+    """Rebuilding into the same dir with a different hub threshold must not
+    leave stale hubspill files that double-count edges (ADVICE r1)."""
+    src, dst = oracle.random_digraph(80, 3.0, seed=5)
+    src = np.concatenate([src, np.arange(80, dtype=np.int64)])
+    dst = np.concatenate([dst, np.full(80, 3, dtype=np.int64)])
+    t = pa.table({"src": pa.array(src, type=pa.int64()),
+                  "dst": pa.array(dst, type=pa.int64())})
+    d = str(tmp_path / "re")
+    build_graph_from_edges(t, d, n=80, num_partitions=4, hub_in_threshold=8)
+    # rebuild WITHOUT splitting into the same dir
+    build_graph_from_edges(t, d, n=80, num_partitions=4)
+    g = DistGraph.load(d)
+    assert not g.has_hubs
+    import glob
+    assert not glob.glob(str(tmp_path / "re" / "in" / "hubspill-*.parquet"))
+    cc(g)
+    np.testing.assert_array_equal(g.collect_state(["ids"])["ids"],
+                                  oracle.cc_oracle(80, src, dst))
