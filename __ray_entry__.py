@@ -20,6 +20,194 @@ from typing import Any
 _EDGES_CTE = ("SELECT user_id AS src, "
               "CAST(FLOOR(value * 100) AS BIGINT) % 150 AS dst FROM events")
 
+# node-id domain: max(user_id)+1, floored at the dst domain size 150
+_NODES_CTE = ("SELECT UNNEST(range(GREATEST(150, "
+              "(SELECT MAX(user_id) + 1 FROM events)))) AS id")
+
+
+def _signed64(expr: str) -> str:
+    """UBIGINT expression -> two's-complement BIGINT (DuckDB CAST raises
+    on overflow, so wrap through HUGEINT)."""
+    return (f"CAST(CAST({expr} AS HUGEINT) - (CASE WHEN {expr} >= "
+            "9223372036854775808 THEN 18446744073709551616 ELSE 0 END) "
+            "AS BIGINT)")
+
+
+def _labelprop_sql(iters: int = 20) -> str:
+    """Synchronous label propagation unrolled to ``iters`` layers (matches
+    the engine's max_iterations=20: LP's fixed point is idempotent, so an
+    early-converged run equals the fully unrolled SQL). Every layer is
+    MATERIALIZED — each l{i} is referenced twice and DuckDB's default CTE
+    inlining would blow up exponentially."""
+    sql = (f"WITH e AS MATERIALIZED ({_EDGES_CTE}), "
+           f"nodes AS MATERIALIZED ({_NODES_CTE}), "
+           "l0 AS MATERIALIZED (SELECT id AS node, CAST(id AS BIGINT) "
+           "AS lab FROM nodes)")
+    for i in range(1, iters + 1):
+        p = f"l{i - 1}"
+        sql += (
+            f", c{i} AS (SELECT e.dst AS node, p.lab AS lab, COUNT(*) AS c "
+            f"FROM e JOIN {p} p ON p.node = e.src GROUP BY e.dst, p.lab)"
+            f", w{i} AS (SELECT node, lab, ROW_NUMBER() OVER "
+            "(PARTITION BY node ORDER BY c DESC, lab ASC) AS rn "
+            f"FROM c{i})"
+            f", l{i} AS MATERIALIZED (SELECT p.node, "
+            "COALESCE(w.lab, p.lab) AS lab "
+            f"FROM {p} p LEFT JOIN (SELECT node, lab FROM w{i} "
+            "WHERE rn = 1) w ON w.node = p.node)")
+    return (sql + f" SELECT node AS node_id, lab AS label FROM l{iters}")
+
+
+def _simhash_sql() -> str:
+    """64-bit simhash: per-token md5-lower-u64, per-bit ±1 vote over the
+    token multiset, bit set iff vote > 0 (dedup.SimHasher spec)."""
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64))
+    bit_fold = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::HUGEINT ELSE 0 END)"
+        for b in range(64))
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
+        "FROM documents WHERE trim(text) <> ''), "
+        "th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks), "
+        f"votes AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id), "
+        f"folded AS (SELECT doc_id, {bit_fold} AS u FROM votes) "
+        "SELECT d.doc_id, COALESCE(CAST(f.u - (CASE WHEN f.u >= "
+        "9223372036854775808 THEN 18446744073709551616 ELSE 0 END) "
+        "AS BIGINT), 0) AS simhash "
+        "FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id")
+
+
+def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3,
+                 threshold: float = 0.8, seed: int = 42,
+                 pairs_only: bool = False) -> str:
+    """Full minhash-LSH dedup oracle (dedup.minhash_lsh_dedup spec):
+    word-3-shingles -> md5-lower-u64 % 2^32 -> 64 minhash permutations
+    ((a*x+b) mod 2^61-1, a/b drawn from the same seeded generator as
+    MinHasher) -> band bucket keys (md5 of "band:v0,v1,...") -> candidate
+    pairs per bucket -> exact-Jaccard >= threshold verify over shingle
+    sets -> connected components (min doc_id) via recursive CTE.
+    ``pairs_only`` emits the (cluster-rep, member) pairs instead
+    (ngram_jaccard_pairs spec). Every CTE is MATERIALIZED: several are
+    referenced twice and DuckDB's default inlining would re-scan (or
+    exponentially re-plan) them."""
+    import numpy as np
+
+    mersenne = (1 << 61) - 1
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 30, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.int64)
+    rpb = num_perm // bands
+    mins = ", ".join(
+        f"MIN(({a[p]} * x + {b[p]}) % {mersenne}) AS s{p}"
+        for p in range(num_perm))
+    band_exprs = []
+    for bi in range(bands):
+        parts = " || ',' || ".join(
+            f"CAST(s{bi * rpb + i} AS VARCHAR)" for i in range(rpb))
+        band_exprs.append(
+            f"SELECT doc_id, md5_number_lower('{bi}:' || {parts}) AS bh "
+            "FROM sig")
+    band_union = " UNION ALL ".join(band_exprs)
+    out_final = (
+        "SELECT a, b FROM (SELECT DISTINCT cl.cluster AS a, cl.doc_id AS b "
+        "FROM cl WHERE cl.cluster <> cl.doc_id)"
+        if pairs_only else "SELECT doc_id, cluster FROM cl")
+    return f"""
+WITH RECURSIVE
+toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+shing AS MATERIALIZED (
+  SELECT DISTINCT doc_id, md5_number_lower(sh) % 4294967296 AS x FROM (
+    SELECT doc_id, CASE WHEN len(w) < {k} THEN array_to_string(w, ' ')
+      ELSE NULL END AS sh FROM toks WHERE len(w) < {k}
+    UNION ALL
+    SELECT t.doc_id, w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS sh
+    FROM toks t, UNNEST(range(1, len(t.w) - {k} + 2)) AS i(i)
+    WHERE len(t.w) >= {k}
+  ) WHERE sh IS NOT NULL AND sh <> ''
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, {mins} FROM shing GROUP BY doc_id
+),
+bandrows AS MATERIALIZED ({band_union}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+  FROM bandrows p1 JOIN bandrows p2
+  ON p1.bh = p2.bh AND p1.doc_id < p2.doc_id
+),
+szs AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM shing
+                     GROUP BY doc_id),
+common AS MATERIALIZED (
+  SELECT c.a, c.b, COUNT(*) AS cmn
+  FROM cand c JOIN shing sa ON sa.doc_id = c.a
+  JOIN shing sb ON sb.doc_id = c.b AND sb.x = sa.x
+  GROUP BY c.a, c.b
+),
+verified AS MATERIALIZED (
+  SELECT c.a, c.b FROM cand c
+  JOIN szs na ON na.doc_id = c.a JOIN szs nb ON nb.doc_id = c.b
+  LEFT JOIN common cm ON cm.a = c.a AND cm.b = c.b
+  WHERE (COALESCE(cm.cmn, 0) / CAST(na.n + nb.n - COALESCE(cm.cmn, 0)
+         AS DOUBLE)) >= {threshold}
+),
+und AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM verified UNION SELECT b, a FROM verified
+),
+r(node, reach) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT und.d, r.reach FROM r JOIN und ON und.s = r.node
+),
+comp AS MATERIALIZED (SELECT node, MIN(reach) AS label FROM r
+                      GROUP BY node),
+cl AS MATERIALIZED (
+  SELECT d.doc_id, CAST(COALESCE(c.label, d.doc_id) AS BIGINT) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+{out_final}
+"""
+
+
+_STOPS = {
+    "en": ["a", "and", "in", "is", "it", "of", "the", "to"],
+    "de": ["das", "den", "der", "die", "ein", "ist", "und", "zu"],
+    "es": ["de", "el", "en", "es", "la", "que", "un", "y"],
+    "fr": ["de", "en", "est", "et", "la", "le", "que", "un"],
+}
+
+
+def _langid_sql() -> str:
+    """Charset + stopword-profile language id (textstats.LangId spec):
+    CJK-majority rule on the first 400 chars, else argmax of distinct-
+    stopword hits over the first 2000 chars, ties to the alphabetically
+    first language (de < en < es < fr), zero hits -> unknown."""
+    def lst(lang):
+        return "[" + ",".join(f"'{w}'" for w in _STOPS[lang]) + "]"
+
+    hits = ", ".join(
+        f"len(list_filter(words, w -> list_contains({lst(k)}, w))) AS h_{k}"
+        for k in ("de", "en", "es", "fr"))
+    return (
+        "WITH f AS (SELECT doc_id, "
+        "length(regexp_replace(substr(text, 1, 400), "
+        "'[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, "
+        "length(substr(text, 1, 400)) AS n400, "
+        "list_distinct(regexp_extract_all(substr(lower(text), 1, 2000), "
+        "'[a-zA-Z]+')) AS words FROM documents), "
+        f"h AS (SELECT doc_id, cjk, n400, {hits} FROM f) "
+        "SELECT doc_id, CASE WHEN cjk > n400 * 0.2 THEN 'zh' "
+        "WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 "
+        "THEN 'unknown' "
+        "WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de' "
+        "WHEN h_en > h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en' "
+        "WHEN h_es > h_de AND h_es > h_en AND h_es >= h_fr THEN 'es' "
+        "ELSE 'fr' END AS pred_lang FROM h")
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: synthesize a small
@@ -86,6 +274,48 @@ def oracle_sql() -> dict[str, str]:
             f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})) "
             "SELECT COUNT(*) AS n_mutual FROM e a "
             "JOIN e b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst"),
+        # iterative graph algorithms — CC/BFS via recursive CTEs over the
+        # directed edge list; PageRankDelta via its closed form (the
+        # reference's round-1 output-frontier rule |delta| > rank + 0.01
+        # is unsatisfiable for n >= 4, so the frontier empties and the
+        # fixed point is one gather); LP by unrolling all 20 rounds.
+        "cc_events": (
+            f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+            f"nodes AS ({_NODES_CTE}), "
+            "r(node, reach) AS (SELECT id, id FROM nodes "
+            "UNION SELECT e.dst, r.reach FROM r JOIN e ON e.src = r.node) "
+            "SELECT node AS node_id, CAST(MIN(reach) AS BIGINT) AS comp "
+            "FROM r GROUP BY node"),
+        "bfs_events": (
+            f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+            f"nodes AS ({_NODES_CTE}), "
+            "b(node, lvl) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            "UNION SELECT e.dst, b.lvl + 1 FROM b JOIN e ON e.src = b.node "
+            "WHERE b.lvl < (SELECT COUNT(*) FROM nodes)), "
+            "lvls AS (SELECT node, MIN(lvl) AS level FROM b GROUP BY node), "
+            "par AS (SELECT e.dst AS node, MIN(e.src) AS parent "
+            "FROM e JOIN lvls ls ON ls.node = e.src "
+            "JOIN lvls ld ON ld.node = e.dst "
+            "WHERE ld.level = ls.level + 1 AND e.dst <> 0 GROUP BY e.dst) "
+            "SELECT nodes.id AS node_id, "
+            "CAST(COALESCE(CASE WHEN nodes.id = 0 THEN 0 "
+            "ELSE par.parent END, -1) AS BIGINT) AS parent, "
+            "CAST(COALESCE(lvls.level, -1) AS BIGINT) AS level "
+            "FROM nodes LEFT JOIN lvls ON lvls.node = nodes.id "
+            "LEFT JOIN par ON par.node = nodes.id"),
+        "pagerank_events": (
+            f"WITH e AS ({_EDGES_CTE}), nodes AS ({_NODES_CTE}), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+            "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src), "
+            "gather AS (SELECT e.dst AS node, "
+            "SUM((1.0 / nn.n) / deg.d) AS nbr "
+            "FROM e JOIN deg ON deg.src = e.src CROSS JOIN nn "
+            "GROUP BY e.dst) "
+            "SELECT nodes.id AS node_id, "
+            "CAST(FLOOR((COALESCE(g.nbr, 0.0) * 0.85 + 0.15) * 1000000 "
+            "+ 0.5) AS BIGINT) AS rank_ppm "
+            "FROM nodes LEFT JOIN gather g ON g.node = nodes.id"),
+        "labelprop_events": _labelprop_sql(20),
         "events_triangles": (
             f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
             "WHERE src <> dst), "
@@ -105,6 +335,46 @@ def oracle_sql() -> dict[str, str]:
             "AS n_tokens, "
             "CAST(length(regexp_replace(text, '[^.,!?]', '', 'g')) AS BIGINT) "
             "AS n_punct FROM documents"),
+        # deterministic text ops (specs defined DuckDB-first; see
+        # dataops/textstats.py + dataops/hashing.py)
+        "docs_fingerprint": (
+            "SELECT doc_id, "
+            + _signed64("md5_number_lower(regexp_replace(trim(text), "
+                        "'\\s+', ' ', 'g'))")
+            + " AS fingerprint FROM documents"),
+        "docs_simhash": _simhash_sql(),
+        "docs_minhash_dedup": _minhash_sql(),
+        "docs_ngram_dupes": _minhash_sql(bands=32, threshold=0.5,
+                                         pairs_only=True),
+        "docs_quality": (
+            "WITH f AS (SELECT doc_id, text, "
+            "regexp_extract_all(lower(text), '[a-zA-Z]+') AS words, "
+            "CAST(length(text) AS BIGINT) AS nchar FROM documents), "
+            "m AS (SELECT doc_id, nchar, "
+            "CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) "
+            "AS BIGINT) AS n_alpha, "
+            "CAST(len(words) AS BIGINT) AS n_words, "
+            "CAST(len(list_filter(words, w -> list_contains("
+            "['the','and','of','a','to','in','is','it'], w))) AS BIGINT) "
+            "AS n_stop FROM f), "
+            "s AS (SELECT doc_id, CASE WHEN nchar = 0 THEN 0.0 ELSE "
+            "(((0.25 * (CASE WHEN nchar BETWEEN 100 AND 20000 THEN 1.0 "
+            "ELSE 0.0 END)) "
+            "+ (0.25 * LEAST(1.0, (n_alpha / CAST(GREATEST(1, nchar) "
+            "AS DOUBLE)) / 0.7))) "
+            "+ (0.25 * LEAST(1.0, (n_stop / CAST(GREATEST(1, n_words) "
+            "AS DOUBLE)) / 0.3))) "
+            "+ (0.25 * (CASE WHEN (n_alpha / CAST(GREATEST(1, n_words) "
+            "AS DOUBLE)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)) "
+            "END AS q FROM m) "
+            "SELECT doc_id, CAST(FLOOR(q * 1000000 + 0.5) AS BIGINT) "
+            "AS quality_1e6 FROM s"),
+        "docs_langid": _langid_sql(),
+        "media_decode": (
+            "SELECT doc_id AS media_id, "
+            "CAST(64 + (md5_number_upper(text) & 255) AS BIGINT) AS width, "
+            "CAST(64 + ((md5_number_upper(text) >> 8) & 255) AS BIGINT) "
+            "AS height FROM documents"),
         "emb_knn": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe "
             "FROM embeddings WHERE vec_id < 5), "

@@ -16,11 +16,18 @@ Algorithm (degree-ordered wedge check):
    with ``triu_indices``, probe each wedge against the oriented edge set.
    Every hit is exactly one triangle, counted once (at its wedge apex).
 
-The probe set is broadcast as a sorted ``u * n + v`` key array (``ray.put``
-once, ``np.searchsorted`` per partition). At 10^12 edges the probe side no
-longer broadcasts: the scale path buckets wedges by ``hash(v) % B`` and
-hash-joins against the identically bucketed edge set per bucket; the wedge
-generation and probe kernels are unchanged.
+Closing-edge probe, two modes (``probe_mode``):
+- ``broadcast`` (default below ``BROADCAST_MAX_EDGES`` oriented edges): the
+  oriented edge set is broadcast ONCE as a sorted ``u * n + v`` key array
+  (``ray.put``, ``np.searchsorted`` per partition).
+- ``bucketed`` (the 10^12-edge scale path): wedges and edges are both
+  hash-bucketed by the wedge's first endpoint (= the edge's source) and
+  joined per bucket — NO broadcast of the edge set; the wedge stream is the
+  shuffle (O(Σ C(outdeg,2)) rows, bounded by the sqrt-degree orientation).
+
+Wedges are generated with endpoints in ORIENTATION order ((deg, id) rank),
+so the closing edge of a real triangle is oriented exactly x -> y: one
+probe per wedge (round 1 sorted by id and probed both directions).
 """
 
 from __future__ import annotations
@@ -33,9 +40,14 @@ import ray.data
 
 from ligrust_ray.stages import shuffle
 
+# above this oriented-edge count the probe set stops being broadcast and
+# the bucketed wedge<->edge hash join runs instead
+BROADCAST_MAX_EDGES = 1 << 22
+
 
 def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
-                   per_node: bool = False, num_partitions: int = 16):
+                   per_node: bool = False, num_partitions: int = 16,
+                   probe_mode: str = "auto"):
     """Returns total int, or (total, per-node pa.Table) when ``per_node``."""
     if isinstance(edges, pa.Table):
         edges = ray.data.from_arrow(edges)
@@ -86,55 +98,118 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
         return pa.table({"src": u, "dst": v,
                          "part": (u % num_partitions).astype(np.int64)})
 
-    oriented = edges  # placeholder for chaining clarity
     oriented = und.map_batches(orient_and_part,
                                batch_format="pyarrow").materialize()
+    m_oriented = oriented.count()
+    if probe_mode == "auto":
+        probe_mode = ("broadcast" if m_oriented <= BROADCAST_MAX_EDGES
+                      else "bucketed")
 
-    keys = np.sort(np.concatenate(
-        [b["src"] * n + b["dst"]
-         for b in oriented.iter_batches(batch_format="numpy")]))
-    keys_ref = ray.put(keys)
-
-    def probe_part(g: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(keys_ref)
+    def wedges_of(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(x, y, apex) wedge arrays for one source-partition, endpoints in
+        ORIENTATION ((deg, id)-rank) order so the closing edge, if present,
+        is oriented exactly x -> y."""
+        dg = ray.get(deg_ref)
         u = g["src"].to_numpy(dtype=np.int64)
         v = g["dst"].to_numpy(dtype=np.int64)
-        order = np.lexsort((v, u))
+        order = np.lexsort((v, dg[v], u))     # per-apex nb sorted by (deg,id)
         u, v = u[order], v[order]
         starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
         bounds = np.append(starts, len(u))
-        if per_node:
-            hits = np.zeros(n, dtype=np.int64)
-        total = 0
+        xs, ys, ap = [], [], []
         for i in range(len(starts)):
             lo, hi = bounds[i], bounds[i + 1]
             d = hi - lo
             if d < 2:
                 continue
-            nb = v[lo:hi]                      # sorted by id
+            nb = v[lo:hi]                      # (deg, id)-rank ascending
             ii, jj = np.triu_indices(d, k=1)
-            x, y = nb[ii], nb[jj]
-            wk = x * n + y                     # canonical? orientation is by
-            # (deg, id) rank, so check both directions of the closing edge:
-            pos = np.minimum(np.searchsorted(ks, wk), len(ks) - 1)
-            hit = ks[pos] == wk
-            wk2 = y * n + x
-            pos2 = np.minimum(np.searchsorted(ks, wk2), len(ks) - 1)
-            hit = hit | (ks[pos2] == wk2)
-            c = int(np.count_nonzero(hit))
-            total += c
-            if per_node and c:
-                hits[u[lo]] += c
+            xs.append(nb[ii])
+            ys.append(nb[jj])
+            ap.append(np.full(len(ii), u[lo], dtype=np.int64))
+        if not xs:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        return np.concatenate(xs), np.concatenate(ys), np.concatenate(ap)
+
+    if probe_mode == "broadcast":
+        keys = np.sort(np.concatenate(
+            [b["src"] * n + b["dst"]
+             for b in oriented.iter_batches(batch_format="numpy")]))
+        keys_ref = ray.put(keys)
+
+        def probe_part(g: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(keys_ref)
+            x, y, ap = wedges_of(g)
+            wk = x * n + y                     # single probe: see wedges_of
+            pos = np.minimum(np.searchsorted(ks, wk), max(len(ks) - 1, 0))
+            hit = (ks[pos] == wk) if len(ks) else np.zeros(0, bool)
+            total = int(np.count_nonzero(hit))
+            if per_node:
+                hits = np.zeros(n, dtype=np.int64)
+                np.add.at(hits, ap[hit], 1)
                 np.add.at(hits, x[hit], 1)
                 np.add.at(hits, y[hit], 1)
-        if per_node:
-            nz = np.flatnonzero(hits)
-            return pd.DataFrame({"node_id": np.append(nz, -1),
-                                 "triangles": np.append(hits[nz], total)})
-        return pd.DataFrame({"node_id": [-1], "triangles": [total]})
+                nz = np.flatnonzero(hits)
+                return pd.DataFrame({"node_id": np.append(nz, -1),
+                                     "triangles": np.append(hits[nz], total)})
+            return pd.DataFrame({"node_id": [-1], "triangles": [total]})
 
-    res = (oriented.groupby("part")
-           .map_groups(probe_part, batch_format="pandas").to_pandas())
+        res = (oriented.groupby("part")
+               .map_groups(probe_part, batch_format="pandas").to_pandas())
+    else:
+        # bucketed wedge<->edge hash join: no broadcast of the edge set.
+        # Both sides route to bucket = x % num_partitions (wedge) /
+        # src % num_partitions (edge).
+        wedge_schema = pa.schema([("x", pa.int64()), ("y", pa.int64()),
+                                  ("apex", pa.int64()),
+                                  ("side", pa.int8()),
+                                  ("bucket", pa.int64())])
+
+        def make_wedges(g: pd.DataFrame) -> pa.Table:
+            x, y, ap = wedges_of(g)
+            return pa.table({
+                "x": pa.array(x), "y": pa.array(y), "apex": pa.array(ap),
+                "side": pa.array(np.zeros(len(x), dtype=np.int8)),
+                "bucket": pa.array(x % num_partitions)}, schema=wedge_schema)
+
+        def tag_edges(t: pa.Table) -> pa.Table:
+            s = t.column("src").to_numpy()
+            d = t.column("dst").to_numpy()
+            return pa.table({
+                "x": pa.array(s), "y": pa.array(d),
+                "apex": pa.array(np.full(len(s), -1, dtype=np.int64)),
+                "side": pa.array(np.ones(len(s), dtype=np.int8)),
+                "bucket": pa.array(s % num_partitions)}, schema=wedge_schema)
+
+        wedges = (oriented.groupby("part")
+                  .map_groups(make_wedges, batch_format="pandas"))
+        both = wedges.union(oriented.map_batches(tag_edges,
+                                                 batch_format="pyarrow"))
+
+        def join_bucket(part: pd.DataFrame) -> pd.DataFrame:
+            e = part[part["side"] == 1]
+            w = part[part["side"] == 0]
+            ks = np.sort(e["x"].to_numpy(dtype=np.int64) * n
+                         + e["y"].to_numpy(dtype=np.int64))
+            x = w["x"].to_numpy(dtype=np.int64)
+            y = w["y"].to_numpy(dtype=np.int64)
+            ap = w["apex"].to_numpy(dtype=np.int64)
+            wk = x * n + y
+            pos = np.minimum(np.searchsorted(ks, wk), max(len(ks) - 1, 0))
+            hit = (ks[pos] == wk) if len(ks) else np.zeros(len(wk), bool)
+            total = int(np.count_nonzero(hit))
+            if per_node:
+                out_id = np.concatenate([ap[hit], x[hit], y[hit],
+                                         np.array([-1], dtype=np.int64)])
+                out_c = np.concatenate([np.ones(3 * total, dtype=np.int64),
+                                        np.array([total], dtype=np.int64)])
+                return pd.DataFrame({"node_id": out_id, "triangles": out_c})
+            return pd.DataFrame({"node_id": [-1], "triangles": [total]})
+
+        res = (both.groupby("bucket")
+               .map_groups(join_bucket, batch_format="pandas").to_pandas())
+
     total = int(res.loc[res["node_id"] == -1, "triangles"].sum())
     if not per_node:
         return total

@@ -51,6 +51,9 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _shingles(text: str, k: int) -> set[int]:
+    """Word k-shingle hashes, 32-bit domain (the minhash permutation input;
+    spec: md5-lower-u64 of the shingle string, low 32 bits — replicable as
+    DuckDB ``md5_number_lower(s) % 4294967296``)."""
     toks = _WORD.findall(text.lower())
     if len(toks) < k:
         joined = " ".join(toks)
@@ -59,9 +62,9 @@ def _shingles(text: str, k: int) -> set[int]:
 
 
 def hash_shingle(s: str) -> int:
-    h = int.from_bytes(hashlib.blake2b(s.encode("utf-8"),
-                                       digest_size=8).digest(), "big")
-    return h - (1 << 64) if h >= (1 << 63) else h  # signed int64 range
+    from ligrust_ray.dataops.hashing import md5_u64_lower
+
+    return md5_u64_lower(s.encode("utf-8")) & 0xFFFFFFFF
 
 
 class MinHasher:
@@ -99,6 +102,231 @@ class MinHasher:
         })
 
 
+def _shingle_rows_fn(shingle_k: int):
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        sets = [np.array(sorted(_shingles(x, shingle_k)), dtype=np.int64)
+                for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "sh": pa.array([s.tolist() for s in sets],
+                           type=pa.list_(pa.int64()))})
+
+    return shingle_rows
+
+
+_PAIR_SH_SCHEMA = pa.schema([("k", pa.int64()), ("a", pa.int64()),
+                             ("b", pa.int64()),
+                             ("sh", pa.list_(pa.int64())),
+                             ("__part", pa.int64())])
+
+
+def _verify_pairs(cand: ray.data.Dataset, shingle_ds: ray.data.Dataset,
+                  threshold: float, num_partitions: int = 32
+                  ) -> ray.data.Dataset:
+    """Exact-Jaccard filter of candidate pairs via two bucketed hash joins
+    (key = one pair endpoint vs the shingle table's doc_id). Returns the
+    surviving (a, b) pairs as a dataset.
+
+    The partition tag is computed Arrow-side (``key % P``) and every block
+    carries the fixed _PAIR_SH_SCHEMA — routing list columns through a
+    pandas partial would re-infer the schema per partition (all-null
+    partitions infer ``null``) and break the shuffle."""
+
+    def tag_pairs(key_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            k = t.column(key_col).to_numpy()
+            return pa.table({
+                "k": t.column(key_col),
+                "a": t.column("a"), "b": t.column("b"),
+                "sh": pa.nulls(n, pa.list_(pa.int64())),
+                "__part": pa.array(k % num_partitions)},
+                schema=_PAIR_SH_SCHEMA)
+        return f
+
+    def tag_shingles(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = t.column("doc_id").to_numpy()
+        return pa.table({
+            "k": t.column("doc_id"),
+            "a": pa.nulls(n, pa.int64()), "b": pa.nulls(n, pa.int64()),
+            "sh": t.column("sh"),
+            "__part": pa.array(k % num_partitions)}, schema=_PAIR_SH_SCHEMA)
+
+    def join_attach(part: pd.DataFrame) -> pa.Table:
+        """Attach sh(a) to each pair row and RE-KEY by b for pass 2."""
+        is_pair = part["a"].notna()
+        sh_of = dict(zip(part.loc[~is_pair, "k"], part.loc[~is_pair, "sh"]))
+        p = part[is_pair]
+        ks, aa, bb, sh = [], [], [], []
+        for a, b in zip(p["a"], p["b"]):
+            s = sh_of.get(int(a))
+            if s is None:
+                continue   # endpoint not in corpus: cannot verify, drop
+            ks.append(int(b))
+            aa.append(int(a))
+            bb.append(int(b))
+            sh.append(np.asarray(s, dtype=np.int64).tolist())
+        karr = np.array(ks, dtype=np.int64)
+        return pa.table({"k": pa.array(karr),
+                         "a": pa.array(aa, type=pa.int64()),
+                         "b": pa.array(bb, type=pa.int64()),
+                         "sh": pa.array(sh, type=pa.list_(pa.int64())),
+                         "__part": pa.array(karr % num_partitions)},
+                        schema=_PAIR_SH_SCHEMA)
+
+    def join_verify(part: pd.DataFrame) -> pd.DataFrame:
+        # pair rows carry sh(a) in the "sh" slot; shingle rows have null a.
+        # Exact Jaccard per candidate pair, partition-local.
+        is_pair = part["a"].notna()
+        sh_of = dict(zip(part.loc[~is_pair, "k"], part.loc[~is_pair, "sh"]))
+        p = part[is_pair]
+        out_a, out_b = [], []
+        for a, b, sha in zip(p["a"], p["b"], p["sh"]):
+            shb = sh_of.get(int(b))
+            if sha is None or shb is None:
+                continue
+            sa = set(np.asarray(sha).tolist())
+            sb = set(np.asarray(shb).tolist())
+            u = len(sa | sb)
+            if u and len(sa & sb) / u >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+        return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
+                             "b": np.array(out_b, dtype=np.int64)})
+
+    sh_tagged = shingle_ds.map_batches(tag_shingles,
+                                       batch_format="pyarrow").materialize()
+    both1 = cand.map_batches(tag_pairs("a"),
+                             batch_format="pyarrow").union(sh_tagged)
+    with_sh_a = (both1.groupby("__part")
+                 .map_groups(join_attach, batch_format="pandas"))
+    both2 = with_sh_a.union(sh_tagged)
+    return (both2.groupby("__part")
+            .map_groups(join_verify, batch_format="pandas"))
+
+
+def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
+                     num_partitions: int = 32) -> ray.data.Dataset:
+    """(doc_id, label) for every doc in a pair; label = min doc_id of the
+    pair-graph component. Dataset-based synchronous min-label propagation:
+    each round is ONE bucketed hash join (labels vs pair endpoints) plus a
+    grouped min — no driver-side label table or union-find; the driver
+    sees only the per-round label checksum (convergence test). Converges
+    in O(component diameter) rounds; near-dup components are shallow."""
+    pairs = pairs.materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t.column("a").to_numpy(),
+                              t.column("b").to_numpy()])
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "label": pa.array(ids, type=pa.int64())})
+
+    labels = shuffle.grouped_agg(
+        pairs.map_batches(seed, batch_format="pyarrow"),
+        ["doc_id"], {"label": ("label", "min")}).materialize()
+
+    schema = pa.schema([("k", pa.int64()), ("other", pa.int64()),
+                        ("lab", pa.int64()), ("side", pa.int8()),
+                        ("__part", pa.int64())])
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        k = np.concatenate([a, b])
+        n = len(k)
+        return pa.table({
+            "k": pa.array(k),
+            "other": pa.array(np.concatenate([b, a])),
+            "lab": pa.nulls(n, pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "__part": pa.array(k % num_partitions)}, schema=schema)
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = t.column("doc_id").to_numpy()
+        return pa.table({
+            "k": t.column("doc_id"),
+            "other": pa.nulls(n, pa.int64()),
+            "lab": t.column("label").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "__part": pa.array(k % num_partitions)}, schema=schema)
+
+    def propagate(part: pd.DataFrame) -> pd.DataFrame:
+        lab_rows = part[part["side"] == 1]
+        lab_of = dict(zip(lab_rows["k"], lab_rows["lab"]))
+        e = part[part["side"] == 0]
+        # message: k's label offered to the other endpoint; plus k keeps its
+        # own label (so the grouped min never loses ground)
+        out_id = np.concatenate([e["other"].to_numpy(dtype=np.int64),
+                                 lab_rows["k"].to_numpy(dtype=np.int64)])
+        out_lab = np.concatenate([
+            np.array([int(lab_of[int(k)]) for k in e["k"]], dtype=np.int64),
+            lab_rows["lab"].to_numpy(dtype=np.int64)])
+        return pd.DataFrame({"doc_id": out_id, "label": out_lab})
+
+    edges_tagged = pairs.map_batches(tag_pairs,
+                                     batch_format="pyarrow").materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        sums = labels.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [int(pa.compute.sum(t.column("label")).as_py() or 0)])}),
+            batch_format="pyarrow")
+        cur_sum = sum(int(x) for b in sums.iter_batches(batch_format="numpy")
+                      for x in b["s"])
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        both = edges_tagged.union(
+            labels.map_batches(tag_labels, batch_format="pyarrow"))
+        msgs = (both.groupby("__part")
+                .map_groups(propagate, batch_format="pandas"))
+        labels = shuffle.grouped_agg(
+            msgs, ["doc_id"], {"label": ("label", "min")}).materialize()
+    return labels
+
+
+def _attach_clusters(doc_ids: ray.data.Dataset, labels: ray.data.Dataset,
+                     num_partitions: int = 32) -> ray.data.Dataset:
+    """Left join (bucketed): every doc_id row gets cluster = its component
+    label, or itself when unpaired. Both sides stream through one hash
+    shuffle; no driver-side id list."""
+    schema = pa.schema([("k", pa.int64()), ("lab", pa.int64()),
+                        ("side", pa.int8()), ("__part", pa.int64())])
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = t.column("doc_id").to_numpy()
+        return pa.table({"k": t.column("doc_id"),
+                         "lab": pa.nulls(n, pa.int64()),
+                         "side": pa.array(np.zeros(n, dtype=np.int8)),
+                         "__part": pa.array(k % num_partitions)},
+                        schema=schema)
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = t.column("doc_id").to_numpy()
+        return pa.table({"k": t.column("doc_id"),
+                         "lab": t.column("label").cast(pa.int64()),
+                         "side": pa.array(np.ones(n, dtype=np.int8)),
+                         "__part": pa.array(k % num_partitions)},
+                        schema=schema)
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        lab_of = dict(zip(part.loc[part["side"] == 1, "k"],
+                          part.loc[part["side"] == 1, "lab"]))
+        d = part[part["side"] == 0]
+        ks = d["k"].to_numpy(dtype=np.int64)
+        out = np.array([int(lab_of.get(int(k), k)) for k in ks],
+                       dtype=np.int64)
+        return pd.DataFrame({"doc_id": ks, "cluster": out})
+
+    both = (doc_ids.map_batches(tag_docs, batch_format="pyarrow")
+            .union(labels.map_batches(tag_labels, batch_format="pyarrow")))
+    return both.groupby("__part").map_groups(join, batch_format="pandas")
+
+
 def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 3,
                       threshold: float = 0.8, seed: int = 42
@@ -113,13 +341,18 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
                             ).materialize()
 
     def band_rows(t: pa.Table) -> pa.Table:
+        from ligrust_ray.dataops.hashing import md5_i64_lower
+
         ids = t.column("doc_id").to_numpy()
         sig = np.stack([np.asarray(s) for s in t.column("sig").to_pylist()]) \
             if t.num_rows else np.zeros((0, num_perm), dtype=np.int64)
         out_id, out_b, out_h = [], [], []
         for b in range(bands):
             chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-            hs = [hash_shingle(f"{b}:" + ",".join(map(str, row)))
+            # full-64-bit band-bucket key (md5-lower of "band:v0,v1,..." —
+            # DuckDB-replicable; 32 bits would collide at 10^12-doc scale)
+            hs = [md5_i64_lower((f"{b}:" + ",".join(map(str, row)))
+                                .encode("utf-8"))
                   for row in chunk.tolist()]
             out_id.extend(ids.tolist())
             out_b.extend([b] * len(ids))
@@ -156,90 +389,60 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)})
 
-    cand = shuffle.grouped_apply(
-        sigs.map_batches(band_rows, batch_format="pyarrow"),
-        ["band", "bh"], bucket_pairs).to_pandas().drop_duplicates()
+    cand = shuffle.distinct(
+        shuffle.grouped_apply(
+            sigs.map_batches(band_rows, batch_format="pyarrow"),
+            ["band", "bh"], bucket_pairs),
+        ["a", "b"]).materialize()
 
-    # verify candidates with exact jaccard over shingle sets. Only docs
-    # that appear in a candidate pair are shingled, inside map_batches;
-    # the driver receives O(#candidate docs) shingle sets, never the corpus
-    # (the corpus-wide take_all this replaces is the antipattern that
-    # cannot run at 10^12 docs).
-    cand_ids = np.unique(np.concatenate([
-        cand["a"].to_numpy(dtype=np.int64),
-        cand["b"].to_numpy(dtype=np.int64)])) if len(cand) else \
-        np.zeros(0, dtype=np.int64)
-    cand_arr = pa.array(cand_ids, type=pa.int64())
+    # exact-Jaccard verify, fully distributed: the candidate-doc shingle
+    # sets travel through two bucketed hash joins (keyed by pair endpoint),
+    # never through the driver (round-1 collected them into a driver dict —
+    # impossible at 10^12 docs). Verification itself runs vectorised per
+    # join partition.
+    shingle_ds = docs.select_columns(["doc_id", "text"]).map_batches(
+        _shingle_rows_fn(shingle_k), batch_format="pyarrow")
+    verified = _verify_pairs(cand, shingle_ds, threshold)
 
-    def shingle_candidates(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # cluster = min doc_id of the connected component of the verified-pair
+    # graph: dataset-based min-label propagation (the CC operator's algebra
+    # over the tiny pair graph; O(component diameter) rounds, and near-dup
+    # components are shallow). No driver-side union-find, no corpus-wide
+    # id list.
+    labels = _pair_components(verified)
 
-        t = t.filter(pc.is_in(t.column("doc_id"), value_set=cand_arr))
-        ids = t.column("doc_id").to_pylist()
-        sets = [np.array(sorted(_shingles(x, shingle_k)), dtype=np.int64)
-                for x in t.column("text").to_pylist()]
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "sh": pa.array([s.tolist() for s in sets],
-                           type=pa.list_(pa.int64()))})
-
-    sh_map = {}
-    for b in (docs.select_columns(["doc_id", "text"])
-              .map_batches(shingle_candidates, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
-        for d, s in zip(b.column("doc_id").to_pylist(),
-                        b.column("sh").to_pylist()):
-            sh_map[int(d)] = set(s)
-
-    keep_pairs = []
-    for a, b in zip(cand.get("a", []), cand.get("b", [])):
-        sa, sb = sh_map[int(a)], sh_map[int(b)]
-        u = len(sa | sb)
-        if u and len(sa & sb) / u >= threshold:
-            keep_pairs.append((int(a), int(b)))
-
-    # union-find -> cluster = min id (driver-side; scale path: CC operator)
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in keep_pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    all_ids = sorted(
-        int(x) for b in sigs.select_columns(["doc_id"])
-        .iter_batches(batch_format="numpy") for x in b["doc_id"])
-    cluster = [find(d) for d in all_ids]
-    return ray.data.from_arrow(pa.table({
-        "doc_id": pa.array(all_ids, type=pa.int64()),
-        "cluster": pa.array(cluster, type=pa.int64())}))
+    # every doc gets a cluster: doc_id unless a verified pair relabeled it.
+    # Bucketed left join — the corpus id column streams through ONE hash
+    # shuffle against the (small) label table.
+    return _attach_clusters(docs.select_columns(["doc_id"]), labels)
 
 
 class SimHasher:
+    """64-bit simhash over the token multiset of lower(text).
+
+    Spec (DuckDB-replicable, see __ray_entry__.oracle_sql): token hash =
+    md5-lower-u64 of the token; bit b of the simhash is set iff
+    Σ_tokens (2·bit_b(hash) − 1) > 0; empty text -> 0. The per-token md5
+    is C-speed (hashing.py); the bit voting is one vectorised matmul-free
+    numpy pass per batch."""
+
     def __init__(self, seed: int = 42):
         self.seed = seed
+        self._bitpos = np.arange(64, dtype=np.uint64)
 
-    @staticmethod
-    def simhash64(text: str) -> int:
+    def simhash64(self, text: str) -> int:
+        from ligrust_ray.dataops.hashing import md5_u64_lower_many, u64_to_i64
+
         toks = _WORD.findall(text.lower())
         if not toks:
             return 0
-        digs = np.stack([np.frombuffer(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
-            dtype=np.uint8) for t in toks])
-        bits = np.unpackbits(digs, axis=1).astype(np.int64)   # (ntok, 64)
-        acc = np.where(bits == 1, 1, -1).sum(axis=0)
-        h = 0
-        for i in range(64):
-            if acc[i] > 0:
-                h |= (1 << i)
-        return h - (1 << 64) if h >= (1 << 63) else h
+        hs = md5_u64_lower_many([t.encode("utf-8") for t in toks])
+        bits = ((hs[:, None] >> self._bitpos[None, :])
+                & np.uint64(1)).astype(np.int64)              # (ntok, 64)
+        acc = (2 * bits - 1).sum(axis=0)
+        h = int(((acc > 0).astype(np.uint64)
+                 << self._bitpos).sum(dtype=np.uint64))
+        return u64_to_i64(h)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         return pa.table({
@@ -263,46 +466,65 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, shingle_k: int = 3,
     clustered = minhash_lsh_dedup(docs, num_perm=num_perm, bands=bands,
                                   shingle_k=shingle_k, threshold=threshold,
                                   seed=seed)
-    pdf = clustered.to_pandas()
-    out_a, out_b = [], []
-    for _, grp in pdf.groupby("cluster"):
-        ids = np.sort(grp["doc_id"].to_numpy())
-        if len(ids) > 1:
-            rep = ids[0]
-            for other in ids[1:]:
-                out_a.append(int(rep))
-                out_b.append(int(other))
-    return ray.data.from_arrow(pa.table({"a": pa.array(out_a, type=pa.int64()),
-                                         "b": pa.array(out_b, type=pa.int64())}))
+
+    # cluster = min member id, so the rep pairs are exactly the rows where
+    # doc_id != cluster — a stateless per-batch filter, no materialisation
+    # (round 1 ran to_pandas on the corpus-sized cluster table here).
+    def rep_pairs(t: pa.Table) -> pa.Table:
+        c = t.column("cluster").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        keep = c != d
+        return pa.table({"a": pa.array(c[keep], type=pa.int64()),
+                         "b": pa.array(d[keep], type=pa.int64())})
+
+    return clustered.map_batches(rep_pairs, batch_format="pyarrow")
+
+
+def _block_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t.column("vec_id").to_numpy()
+    m = np.stack([np.asarray(v) for v in t.column("embedding").to_pylist()]
+                 ).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return ids, m
+
+
+@ray.remote
+def _near_dup_block_pair(ta: pa.Table, tb: pa.Table, threshold: float,
+                         same: bool) -> pa.Table:
+    ids_a, ma = _block_matrix(ta)
+    ids_b, mb = _block_matrix(tb)
+    if not len(ids_a) or not len(ids_b):
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+    sims = ma @ mb.T
+    ii, jj = np.nonzero(sims >= threshold)
+    a = ids_a[ii].astype(np.int64)
+    b = ids_b[jj].astype(np.int64)
+    if same:
+        keep = a < b                    # dedup the symmetric half + diagonal
+        a, b = a[keep], b[keep]
+    else:                               # each unordered cross pair appears
+        a, b = np.minimum(a, b), np.maximum(a, b)   # once: canonicalise
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
 def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
                        ) -> ray.data.Dataset:
-    """(a, b) pairs with cosine >= threshold, a < b. Brute-force blocked
-    matmul: each batch of rows is compared against the (broadcast) full
-    normalised matrix — O(n^2 d / batch) flops, the scale path is the IVF
-    partitioner in dataops/ann.py."""
-    tbl = emb.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = tbl["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    mat_ref = ray.put(mat)
-    ids_ref = ray.put(ids)
+    """(a, b) pairs with cosine >= threshold, a < b — EXACT all-pairs.
 
-    def block(t: pa.Table) -> pa.Table:
-        m = ray.get(mat_ref)
-        all_ids = ray.get(ids_ref)
-        q_ids = t.column("vec_id").to_numpy()
-        q = np.stack([np.asarray(v) for v in t.column("embedding").to_pylist()]
-                     ).astype(np.float64)
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        sims = q @ m.T
-        ii, jj = np.nonzero(sims >= threshold)
-        a = q_ids[ii]
-        b = all_ids[jj]
-        keep = a < b
-        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
-                         "b": pa.array(b[keep], type=pa.int64())})
-
-    return emb.select_columns(["vec_id", "embedding"]).map_batches(
-        block, batch_format="pyarrow", batch_size=256)
+    Block-pair decomposition: the normalised table's B blocks stay in the
+    object store; one Ray task per block pair (B(B+1)/2 tasks) fetches just
+    its two blocks and emits its matches. No full-matrix broadcast, no
+    driver materialisation (round 1 ran to_pandas + an O(n·d) broadcast).
+    The O(n²) flops are inherent to the exact semantics; the approximate
+    scale path for recall-tolerant near-dup is the IVF partitioner in
+    dataops/ann.py (bucket both sides, compare within buckets)."""
+    norm = emb.select_columns(["vec_id", "embedding"]).materialize()
+    bundles = list(norm.iter_internal_ref_bundles())
+    refs = [r for bu in bundles for r in bu.block_refs]
+    outs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            outs.append(_near_dup_block_pair.remote(
+                refs[i], refs[j], threshold, i == j))
+    return ray.data.from_arrow_refs(outs)

@@ -55,11 +55,14 @@ class DecodeStage:
         self.real = real
 
     def _decode_fake(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        h = hashlib.blake2b(payload, digest_size=8 + self.feature_dim).digest()
-        w = 64 + h[0]
-        ht = 64 + h[1]
-        feat = (np.frombuffer(h[8:], dtype=np.uint8).astype(np.float32)
-                / 255.0)
+        # pseudo-dims from the first two md5 digest bytes — replicable in
+        # the DuckDB oracle as md5_number_upper(text) & 255 etc. (the
+        # upper-u64 is the little-endian view of digest[0:8])
+        d = hashlib.md5(payload).digest()
+        w = 64 + d[0]
+        ht = 64 + d[1]
+        h = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
+        feat = np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
         return w, ht, feat
 
     def __call__(self, t: pa.Table) -> pa.Table:

@@ -48,9 +48,12 @@ def doc_stats_batch(t: pa.Table) -> pa.Table:
 
 
 class QualityScore:
-    """Heuristic quality score in [0,1]: length band + alpha ratio +
-    stopword presence + mean word length band. Deterministic; the per-actor
-    state is the compiled regexes + stopword set."""
+    """Heuristic quality score: length band + alpha ratio + stopword
+    presence + mean word length band, emitted as integer micro-units
+    (``quality_1e6`` in [0, 1e6]) so the value hashes identically to the
+    DuckDB oracle (float hash-compare is addition-order fragile). The
+    left-associative sum order and floor(x+0.5) rounding are part of the
+    spec — the oracle SQL mirrors them term by term."""
 
     def __init__(self):
         self.word = _WORD
@@ -58,7 +61,7 @@ class QualityScore:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
-        scores = np.zeros(len(texts))
+        scores = np.zeros(len(texts), dtype=np.int64)
         for i, x in enumerate(texts):
             if not x:
                 continue
@@ -68,14 +71,13 @@ class QualityScore:
             stop_ratio = (sum(w in self.stop for w in words)
                           / max(1, len(words)))
             mean_wl = n_alpha / max(1, len(words))
-            s = 0.0
-            s += 0.25 * (1.0 if 100 <= len(x) <= 20000 else 0.0)
-            s += 0.25 * min(1.0, alpha_ratio / 0.7)
-            s += 0.25 * min(1.0, stop_ratio / 0.3)
-            s += 0.25 * (1.0 if 3.0 <= mean_wl <= 10.0 else 0.0)
-            scores[i] = round(s, 6)
+            s = 0.25 * (1.0 if 100 <= len(x) <= 20000 else 0.0)
+            s = s + 0.25 * min(1.0, alpha_ratio / 0.7)
+            s = s + 0.25 * min(1.0, stop_ratio / 0.3)
+            s = s + 0.25 * (1.0 if 3.0 <= mean_wl <= 10.0 else 0.0)
+            scores[i] = int(np.floor(s * 1e6 + 0.5))
         return pa.table({"doc_id": t.column("doc_id"),
-                         "quality": pa.array(scores)})
+                         "quality_1e6": pa.array(scores, type=pa.int64())})
 
 
 class LangId:
@@ -105,22 +107,16 @@ class LangId:
                          "pred_lang": pa.array(preds, type=pa.string())})
 
 
-_FP_BASE = 1099511628211
-_FP_OFF = 14695981039346656037
-_U64 = (1 << 64) - 1
-
-
-def fnv1a64(data: bytes) -> int:
-    h = _FP_OFF
-    for b in data:
-        h = ((h ^ b) * _FP_BASE) & _U64
-    return h - (1 << 64) if h >= (1 << 63) else h  # as signed int64
-
-
 def fingerprint_batch(t: pa.Table) -> pa.Table:
-    """FNV-1a rolling hash over whitespace-normalised text -> int64
-    document fingerprint (stable content identity for incremental crawls)."""
+    """int64 document fingerprint (stable content identity for
+    incremental crawls): md5-lower-u64 of the whitespace-normalised text
+    (collapse ``\\s+`` runs to one space, strip ends). C-speed hashing
+    (hashing.py) and DuckDB-replicable:
+    ``md5_number_lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))``."""
+    from ligrust_ray.dataops.hashing import md5_i64_lower
+
     texts = t.column("text").to_pylist()
-    out = [fnv1a64(" ".join(x.split()).encode("utf-8")) for x in texts]
+    out = [md5_i64_lower(" ".join(_WS.split(x.strip())).encode("utf-8")
+                         if x.strip() else b"") for x in texts]
     return pa.table({"doc_id": t.column("doc_id"),
                      "fingerprint": pa.array(out, type=pa.int64())})

@@ -164,11 +164,18 @@ def events_graph(sf_dir: str) -> DistGraph:
 
 
 def q_pagerank_events(sf_dir: str):
+    """Reference-semantics PageRankDelta. Emitted as integer micro-units
+    (rank_ppm) so the value hash is addition-order independent — the
+    DuckDB oracle computes the same closed form (the reference's round-1
+    output-frontier quirk empties the frontier for any n >= 4, so the
+    fixed point is exactly 0.15 + 0.85·Σ_in (1/n)/outdeg(s); float
+    exactness vs the numpy oracle is covered in tests/test_algos.py)."""
     g = events_graph(sf_dir)
     page_rank_delta(g, max_iterations=100)
     st = g.collect_state(["page_rank"])
+    ppm = np.floor(st["page_rank"] * 1e6 + 0.5).astype(np.int64)
     return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
-                     "rank": pa.array(st["page_rank"])})
+                     "rank_ppm": pa.array(ppm)})
 
 
 def q_cc_events(sf_dir: str):

@@ -118,7 +118,7 @@ def test_textstats_and_fingerprint(docs_ds):
     assert f[0] == f[1] and f[0] != f[3]
     q = docs_ds.map_batches(textstats.QualityScore, batch_format="pyarrow",
                             concurrency=1).to_pandas()
-    assert (q["quality"] >= 0).all() and (q["quality"] <= 1).all()
+    assert (q["quality_1e6"] >= 0).all() and (q["quality_1e6"] <= 10**6).all()
 
 
 def test_langid_charset_rule(ray_session):

@@ -41,6 +41,20 @@ def test_triangles_exact(ray_session):
         np.testing.assert_array_equal(pn["triangles"].to_numpy(), exp_pn)
 
 
+def test_triangles_bucketed_matches_broadcast(ray_session):
+    """The no-broadcast scale path (wedge<->edge hash join) must equal the
+    broadcast path and the oracle, including per-node counts."""
+    for n, seed in [(60, 4), (100, 9)]:
+        src, dst = oracle.random_digraph(n, 4.0, seed)
+        t = pa.table({"src": src, "dst": dst})
+        exp_total, exp_pn = _per_node_oracle(n, src, dst)
+        total, pn = triangle_count(t, n=n, per_node=True,
+                                   probe_mode="bucketed")
+        assert total == exp_total
+        np.testing.assert_array_equal(pn["triangles"].to_numpy(), exp_pn)
+        assert triangle_count(t, n=n, probe_mode="bucketed") == exp_total
+
+
 def test_triangles_parallel_edges_and_self_loops(ray_session):
     # duplicates and self-loops must not change the count
     src = np.array([0, 0, 1, 1, 2, 2, 0], dtype=np.int64)
