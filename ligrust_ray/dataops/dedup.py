@@ -31,6 +31,10 @@ from ligrust_ray.stages import shuffle
 
 _WORD = re.compile(r"\S+")
 
+# candidate-id sets below this broadcast as a sorted array (semi-join
+# pre-filter before shingling); larger sets stream unfiltered
+CAND_BROADCAST_MAX = 2_000_000
+
 
 def _content_hash(texts: list[str]) -> list[str]:
     return [hashlib.sha1(t.encode("utf-8")).hexdigest() for t in texts]
@@ -68,8 +72,12 @@ def hash_shingle(s: str) -> int:
 
 
 class MinHasher:
-    """Stateful batch UDF: the permutation parameters are drawn once per
-    actor from a fixed seed (deterministic across runs and actor counts)."""
+    """Batch UDF: the permutation parameters are drawn from a fixed seed
+    (deterministic across runs and worker counts). Dispatched as TASKS
+    with a per-process instance cache (_minhasher), not an actor pool —
+    the state is ~1 KB and recomputable, while an actor pool pays 2-4 s
+    spin-up per map_batches call (measured; pools don't persist across
+    calls). Actor pools are reserved for genuinely expensive setup."""
 
     MERSENNE = (1 << 61) - 1
 
@@ -92,6 +100,10 @@ class MinHasher:
         return np.min(vals, axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        # per-doc permute: each (num_perm, |shingles|) op stays L2-resident
+        # (a batch-wide reduceat variant measured 90x SLOWER — axis-1
+        # ufunc.reduceat strides poorly); the stage cost is dominated by
+        # shingling (regex + md5), not the permute matmul
         texts = t.column("text").to_pylist()
         sigs = np.stack([self.signature(x) for x in texts]) if texts else \
             np.zeros((0, self.num_perm), dtype=np.int64)
@@ -100,6 +112,22 @@ class MinHasher:
             "sig": pa.FixedSizeListArray.from_arrays(
                 pa.array(sigs.ravel(), type=pa.int64()), self.num_perm),
         })
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _minhasher(num_perm: int, shingle_k: int, seed: int) -> MinHasher:
+    return MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+
+
+def _minhash_batches(ds: ray.data.Dataset, num_perm: int, shingle_k: int,
+                     seed: int) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        return _minhasher(num_perm, shingle_k, seed)(t)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
 
 
 def _shingle_rows_fn(shingle_k: int):
@@ -204,6 +232,77 @@ def _verify_pairs(cand: ray.data.Dataset, shingle_ds: ray.data.Dataset,
     both2 = with_sh_a.union(sh_tagged)
     return (both2.groupby("__part")
             .map_groups(join_verify, batch_format="pandas"))
+
+
+@ray.remote
+def _verify_and_cluster_small(cand_blocks: list, shingle_blocks: list,
+                              threshold: float) -> pa.Table:
+    """Small-side fast path: when the candidate set fits one worker, verify
+    Jaccard and union-find the survivors in a single Ray task (NOT on the
+    driver), returning the (doc_id, label) table. Replaces 5+ fixed-cost
+    shuffle rounds with one task at sandbox/typical dup rates; the
+    distributed join + label-propagation path below is the fallback."""
+    def as_tables(blocks):
+        # internal blocks may be Arrow or pandas depending on the producer
+        return [pa.Table.from_pandas(b, preserve_index=False)
+                if isinstance(b, pd.DataFrame) else b for b in blocks]
+
+    cand_blocks = as_tables(ray.get(list(cand_blocks)))    # ref lists are
+    shingle_blocks = as_tables(ray.get(list(shingle_blocks)))  # not auto-resolved
+    sh_of: dict[int, set] = {}
+    for t in shingle_blocks:
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("sh").to_pylist()):
+            sh_of[int(d)] = set(s)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for t in cand_blocks:
+        for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
+            sa, sb = sh_of.get(int(a)), sh_of.get(int(b))
+            if sa is None or sb is None:
+                continue
+            u = len(sa | sb)
+            if not u or len(sa & sb) / u < threshold:
+                continue
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    ids = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "label": pa.array([find(i) for i in ids], type=pa.int64())})
+
+
+def _block_refs(ds: ray.data.Dataset) -> list:
+    return [r for bu in ds.iter_internal_ref_bundles() for r in bu.block_refs]
+
+
+def _attach_clusters_broadcast(doc_ids: ray.data.Dataset, labels_ref
+                               ) -> ray.data.Dataset:
+    """cluster = label (or self) via a broadcast of the bounded label
+    table — zero shuffles; used only under CAND_BROADCAST_MAX."""
+
+    def attach(t: pa.Table) -> pa.Table:
+        lab = ray.get(labels_ref)
+        ks = lab.column("doc_id").to_numpy()
+        vs = lab.column("label").to_numpy()
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        out = d.copy()
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, d), len(ks) - 1)
+            hit = ks[pos] == d
+            out[hit] = vs[pos[hit]]
+        return pa.table({"doc_id": pa.array(d),
+                         "cluster": pa.array(out)})
+
+    return doc_ids.map_batches(attach, batch_format="pyarrow")
 
 
 def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
@@ -334,11 +433,7 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
     """Returns (doc_id, cluster) — cluster = min doc_id of the near-dup
     group under exact-Jaccard >= threshold verification of LSH candidates."""
     rows_per_band = num_perm // bands
-    sigs = docs.map_batches(MinHasher, batch_format="pyarrow", batch_size=512,
-                            concurrency=(1, 8),
-                            fn_constructor_kwargs=dict(
-                                num_perm=num_perm, shingle_k=shingle_k, seed=seed)
-                            ).materialize()
+    sigs = _minhash_batches(docs, num_perm, shingle_k, seed).materialize()
 
     def band_rows(t: pa.Table) -> pa.Table:
         from ligrust_ray.dataops.hashing import md5_i64_lower
@@ -400,8 +495,46 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
     # never through the driver (round-1 collected them into a driver dict —
     # impossible at 10^12 docs). Verification itself runs vectorised per
     # join partition.
-    shingle_ds = docs.select_columns(["doc_id", "text"]).map_batches(
+    #
+    # Bounded broadcast pre-filter: when the candidate id set is small
+    # (typical — LSH at threshold 0.8 emits ~dup-rate candidates), shingle
+    # ONLY candidate docs by broadcasting the sorted id array (small-side
+    # semi-join). Above the bound the unfiltered corpus-wide shingle
+    # stream runs — same result, linear shuffle.
+    def endpoints(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t.column("a").to_numpy(),
+                              t.column("b").to_numpy()])
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+    cand_ids = shuffle.distinct(
+        cand.map_batches(endpoints, batch_format="pyarrow"), ["doc_id"])
+    docs_sel = docs.select_columns(["doc_id", "text"])
+    small = cand_ids.count() <= CAND_BROADCAST_MAX
+    if small:
+        id_arr = np.sort(np.concatenate(
+            [b["doc_id"] for b in cand_ids.iter_batches(batch_format="numpy")]
+            or [np.zeros(0, dtype=np.int64)]))
+        id_ref = ray.put(id_arr)
+
+        def semi(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            vs = pa.array(ray.get(id_ref), type=pa.int64())
+            return t.filter(pc.is_in(t.column("doc_id"), value_set=vs))
+
+        docs_sel = docs_sel.map_batches(semi, batch_format="pyarrow")
+    shingle_ds = docs_sel.map_batches(
         _shingle_rows_fn(shingle_k), batch_format="pyarrow")
+
+    if small:
+        # bounded fast path: candidate shingles fit one worker — verify +
+        # union-find in a single task, broadcast the tiny label table
+        labels_ref = _verify_and_cluster_small.remote(
+            _block_refs(cand), _block_refs(shingle_ds.materialize()),
+            threshold)
+        return _attach_clusters_broadcast(docs.select_columns(["doc_id"]),
+                                          labels_ref)
+
     verified = _verify_pairs(cand, shingle_ds, threshold)
 
     # cluster = min doc_id of the connected component of the verified-pair
@@ -452,9 +585,18 @@ class SimHasher:
                                 type=pa.int64())})
 
 
+@functools.lru_cache(maxsize=2)
+def _simhasher(seed: int) -> SimHasher:
+    return SimHasher(seed=seed)
+
+
 def simhash_dataset(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(SimHasher, batch_format="pyarrow", batch_size=512,
-                            concurrency=(1, 8))
+    # task-based with per-process cache — see MinHasher note on actor-pool
+    # spin-up cost for trivial state
+    def f(t: pa.Table) -> pa.Table:
+        return _simhasher(42)(t)
+
+    return docs.map_batches(f, batch_format="pyarrow", batch_size=512)
 
 
 def ngram_jaccard_pairs(docs: ray.data.Dataset, shingle_k: int = 3,

@@ -107,6 +107,21 @@ class LangId:
                          "pred_lang": pa.array(preds, type=pa.string())})
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def quality_scorer() -> "QualityScore":
+    """Per-process cached instance for task-based dispatch (state is a
+    compiled regex + tiny stopword set — not worth an actor pool)."""
+    return QualityScore()
+
+
+@functools.lru_cache(maxsize=1)
+def lang_id() -> "LangId":
+    return LangId()
+
+
 def fingerprint_batch(t: pa.Table) -> pa.Table:
     """int64 document fingerprint (stable content identity for
     incremental crawls): md5-lower-u64 of the whitespace-normalised text

@@ -245,13 +245,16 @@ def q_docs_stats(sf_dir: str):
 
 
 def q_docs_quality(sf_dir: str):
-    return _docs(sf_dir).map_batches(textstats.QualityScore,
-                                     batch_format="pyarrow", concurrency=(1, 4))
+    # task-based with a per-process instance cache: the per-actor state is
+    # a compiled regex + stopword set (~trivial), while an actor pool pays
+    # seconds of spin-up per call (see dedup.MinHasher note)
+    return _docs(sf_dir).map_batches(
+        lambda t: textstats.quality_scorer()(t), batch_format="pyarrow")
 
 
 def q_docs_langid(sf_dir: str):
-    return _docs(sf_dir).map_batches(textstats.LangId,
-                                     batch_format="pyarrow", concurrency=(1, 4))
+    return _docs(sf_dir).map_batches(
+        lambda t: textstats.lang_id()(t), batch_format="pyarrow")
 
 
 def q_docs_fingerprint(sf_dir: str):

@@ -46,6 +46,20 @@ def test_minhash_lsh_clusters_near_dups(docs_ds):
     assert pdf.equals(pdf2)
 
 
+def test_minhash_distributed_path_matches_fast_path(docs_ds, monkeypatch):
+    """Forcing the large-candidate-set path (bucketed Jaccard joins +
+    dataset label propagation) must give the same clusters as the bounded
+    single-task fast path."""
+    fast = dedup.minhash_lsh_dedup(docs_ds, num_perm=64, bands=32,
+                                   threshold=0.3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(dedup, "CAND_BROADCAST_MAX", 0)
+    dist = dedup.minhash_lsh_dedup(docs_ds, num_perm=64, bands=32,
+                                   threshold=0.3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(dist)
+
+
 def test_simhash_properties(docs_ds):
     pdf = dedup.simhash_dataset(docs_ds).to_pandas().set_index("doc_id")
     assert pdf.loc[0, "simhash"] == pdf.loc[1, "simhash"]
