@@ -209,7 +209,8 @@ def run_scaling() -> dict:
     # meaningless: INTERLEAVE the two configs and keep the best run of each
     # (least-contended sample). Protocol documented in BASELINE.md §3.
     results: dict = {}
-    for rep in range(2):
+    n_reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    for rep in range(n_reps):
         for ncpu in (2, 8, 32):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-child",

@@ -66,6 +66,17 @@ def main(argv=None):
     t.add_argument("--per-node", action="store_true")
     t.add_argument("-o", "--output", default=None)
 
+    d = sub.add_parser("dump", help="graph dir -> reference-format .bin "
+                                    "(graph.rs:322-357 layout)")
+    d.add_argument("graph", help="graph dir from `build`")
+    d.add_argument("-o", "--output", required=True, help=".bin path")
+
+    ib = sub.add_parser("import-bin", help="reference-format .bin -> "
+                                           "partitioned CSR graph dir")
+    ib.add_argument("input", help=".bin path")
+    ib.add_argument("-o", "--output", required=True)
+    ib.add_argument("-p", "--partitions", type=int, default=32)
+
     args = p.parse_args(argv)
     _ray_up(args.num_cpus)
     import ray
@@ -99,6 +110,22 @@ def main(argv=None):
                                          args.output,
                                          num_partitions=args.partitions,
                                          hub_in_threshold=args.hub_threshold)
+        print(json.dumps({"n": man["n"], "m": man["m"],
+                          "partitions": man["num_partitions"]}))
+        return 0
+
+    if args.cmd == "dump":
+        from ligrust_ray.sources.ligra_binary import dump_graph_dir
+
+        info = dump_graph_dir(args.graph, args.output)
+        print(json.dumps(info))
+        return 0
+
+    if args.cmd == "import-bin":
+        from ligrust_ray.sources.ligra_binary import binary_to_graph_dir
+
+        man = binary_to_graph_dir(args.input, args.output,
+                                  num_partitions=args.partitions)
         print(json.dumps({"n": man["n"], "m": man["m"],
                           "partitions": man["num_partitions"]}))
         return 0

@@ -175,21 +175,26 @@ def edges_with_ids(edge_urls: ray.data.Dataset, mapping: ray.data.Dataset,
     )
 
 
-def _bucket_join(left: ray.data.Dataset, key: str, carry: str,
-                 mapping: ray.data.Dataset, out_key: str,
-                 how_inner: bool, num_partitions: int = 64
+def _bucket_join(left: ray.data.Dataset, key: str, carry_s: str | None,
+                 carry_i: str | None, mapping: ray.data.Dataset,
+                 out_key: str, how_inner: bool, num_partitions: int = 64
                  ) -> ray.data.Dataset:
-    """One bucketed hash join pass: rows (key, carry) x mapping (url, id)
-    -> (out_key=id, carry). Both sides tagged ``__part = hash(url) % P``
-    and merged per partition (pandas C merge)."""
+    """One bucketed hash join pass: rows (key, carries) x mapping (url, id)
+    -> (out_key=id, cs, ci). The carry is TYPED — one optional string
+    column and one optional int64 column ride through the shuffle as
+    themselves (round 1 stringified the int carry to satisfy a
+    single-carry-column union, paying a str()/astype round trip on the
+    widest shuffle of the build). Sentinels ("" / -1) instead of nulls
+    keep every partition's pandas dtypes identical."""
     import pandas as pd
-
-    from ligrust_ray.stages import shuffle as _sh  # noqa: F401 (pattern ref)
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
         return pd.DataFrame({
-            "k": df[key], "carry": df[carry],
+            "k": df[key],
+            "cs": df[carry_s] if carry_s else [""] * len(df),
+            "ci": (df[carry_i].to_numpy(dtype=np.int64) if carry_i
+                   else np.full(len(df), -1, dtype=np.int64)),
             "id": np.full(len(df), -1, dtype=np.int64),
             "side": np.zeros(len(df), dtype=np.int8),
             "__part": (h % num_partitions).astype(np.int64)})
@@ -197,7 +202,8 @@ def _bucket_join(left: ray.data.Dataset, key: str, carry: str,
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df["url"], index=False).to_numpy()
         return pd.DataFrame({
-            "k": df["url"], "carry": [""] * len(df),
+            "k": df["url"], "cs": [""] * len(df),
+            "ci": np.full(len(df), -1, dtype=np.int64),
             "id": df["id"].astype(np.int64),
             "side": np.ones(len(df), dtype=np.int8),
             "__part": (h % num_partitions).astype(np.int64)})
@@ -211,7 +217,8 @@ def _bucket_join(left: ray.data.Dataset, key: str, carry: str,
         how = "inner" if how_inner else "left"
         j = e.merge(m, on="k", how=how)
         mid = j["mid"].fillna(-1).astype(np.int64)
-        return pd.DataFrame({out_key: mid, "carry": j["carry"]})
+        return pd.DataFrame({out_key: mid, "cs": j["cs"],
+                             "ci": j["ci"].astype(np.int64)})
 
     return (both.groupby("__part")
             .map_groups(join, batch_format="pandas"))
@@ -220,24 +227,27 @@ def _bucket_join(left: ray.data.Dataset, key: str, carry: str,
 def _edges_with_ids_bucketed(edge_urls: ray.data.Dataset,
                              mapping: ray.data.Dataset,
                              drop_missing: bool) -> ray.data.Dataset:
-    # pass 1: resolve src_url -> src (carry dst_url)
-    p1 = _bucket_join(edge_urls, "src_url", "dst_url", mapping, "src",
-                      how_inner=True)          # unknown src = not a page row
-    # pass 2: resolve dst_url -> dst (carry src id as string-free int col)
     import pandas as pd
 
-    def swap(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"dst_url": df["carry"],
-                             "src_str": df["src"].astype(str)})
+    # pass 1: resolve src_url -> src, carrying dst_url (string)
+    p1 = _bucket_join(edge_urls, "src_url", carry_s="dst_url", carry_i=None,
+                      mapping=mapping, out_key="src",
+                      how_inner=True)          # unknown src = not a page row
 
+    def swap(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"dst_url": df["cs"],
+                             "src": df["src"].astype(np.int64)})
+
+    # pass 2: resolve dst_url -> dst, carrying src as int64
     p1s = p1.map_batches(swap, batch_format="pandas")
-    p2 = _bucket_join(p1s, "dst_url", "src_str", mapping, "dst",
+    p2 = _bucket_join(p1s, "dst_url", carry_s=None, carry_i="src",
+                      mapping=mapping, out_key="dst",
                       how_inner=drop_missing)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "src": df["carry"].astype(np.int64),
-            "dst": df["dst"].astype(np.int64)})
+            "src": df["ci"].to_numpy(dtype=np.int64),
+            "dst": df["dst"].to_numpy(dtype=np.int64)})
 
     return p2.map_batches(finish, batch_format="pandas")
 

@@ -155,6 +155,42 @@ def _segment_reduce(reduce: str, indptr: np.ndarray, w: np.ndarray,
     return agg, touched
 
 
+def _merge_hub_partials_rows(reduce: str, parts: list, lo: int, hi: int
+                             ) -> dict:
+    """Merge per-chunk hub partials into {hub: (value, touched)} for hubs
+    homed in [lo, hi). ``parts`` is the per-shard lists of
+    (hub, *partial) rows (sum/min: (hub, val, touched); mode: (hub,
+    labels, counts)). Runs INSIDE the home shard so the hub wave overlaps
+    the main pull wave instead of serialising through a driver merge."""
+    merged: dict = {}
+    for plist in parts:
+        for row in plist:
+            if lo <= row[0] < hi:
+                merged.setdefault(row[0], []).append(row[1:])
+    out: dict = {}
+    for hub, ps in merged.items():
+        if reduce == "sum":
+            out[hub] = (float(sum(v for v, _ in ps)), any(t for _, t in ps))
+        elif reduce == "min":
+            vals = [v for v, t in ps if t]
+            out[hub] = (min(vals) if vals else INT_SENTINEL, bool(vals))
+        else:  # mode: merge label counts, argmax w/ min-label tiebreak
+            lab = np.concatenate([p[0] for p in ps])
+            cnt = np.concatenate([p[1] for p in ps])
+            if lab.size == 0:
+                out[hub] = (INT_SENTINEL, False)
+                continue
+            order = np.argsort(lab, kind="stable")
+            lab, cnt = lab[order], cnt[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], lab[1:] != lab[:-1])))
+            ulab = lab[starts]
+            ucnt = np.add.reduceat(cnt, starts)
+            win = np.lexsort((ulab, -ucnt))[0]
+            out[hub] = (int(ulab[win]), True)
+    return out
+
+
 def _combine_by_key(reduce: str, keys: np.ndarray, vals: np.ndarray
                     ) -> tuple[np.ndarray, np.ndarray]:
     """Partial combiner for push messages: (dst, val) -> unique dst + agg."""
@@ -297,13 +333,26 @@ class CsrShard:
         return self.frontier, vals
 
     # ---- dense / pull edge map ------------------------------------------
-    def pull(self, kernel, view_refs: list, hub_aggs: dict | None = None) -> dict:
+    def _resolve_hub_aggs(self, kernel, hub_partial_refs: list | None
+                          ) -> dict | None:
+        """Fetch the in-flight hub-partials wave (refs, not values — the
+        wave runs CONCURRENTLY with this pull) and merge the chunks homed
+        in this range."""
+        if not hub_partial_refs:
+            return None
+        parts = ray.get(list(hub_partial_refs))
+        return _merge_hub_partials_rows(kernel.reduce, parts,
+                                        self.lo, self.hi)
+
+    def pull(self, kernel, view_refs: list,
+             hub_partial_refs: list | None = None) -> dict:
         """Gather over this range's in-CSR. ``view_refs[p]`` is the ObjectRef
         of partition p's ``make_view`` result; only ``needed_parts`` are
-        fetched (partition-aligned, not a full broadcast). ``hub_aggs`` are
-        driver-merged aggregates for split hubs homed in this range (their
-        local in-lists are empty by construction — assignment, not
-        double-count)."""
+        fetched (partition-aligned, not a full broadcast).
+        ``hub_partial_refs``: the concurrent hub-partials wave; merged
+        aggregates overwrite split hubs homed here (their local in-lists
+        are empty by construction — assignment, not double-count)."""
+        hub_aggs = self._resolve_hub_aggs(kernel, hub_partial_refs)
         fr_parts = ray.get([view_refs[p] for p in self.needed_parts])
         if self.compact_size:
             frontier_c = np.concatenate([f for f, _ in fr_parts]) \
@@ -313,14 +362,8 @@ class CsrShard:
         else:
             frontier_c = np.zeros(0, dtype=bool)
             values_c = np.zeros(0)
-        idx = self.in_flat_compact
-        contrib = frontier_c[idx] if idx.size else np.zeros(0, dtype=bool)
-        w = values_c[idx] if idx.size else np.zeros(0, dtype=values_c.dtype)
-        active = kernel.target_active(self.state)
-        agg, touched = _segment_reduce(kernel.reduce, self.in_indptr, w, contrib,
-                                       kernel.value_dtype,
-                                       self.in_tgt_idx()
-                                       if kernel.reduce == "mode" else None)
+        agg, touched, active, n_scanned = self._dense_gather(
+            kernel, self.in_flat_compact, frontier_c, values_c)
         if hub_aggs:
             touched = touched.copy()
             for h, (val, tch) in hub_aggs.items():
@@ -333,12 +376,59 @@ class CsrShard:
         if kernel.has_output_frontier:
             self.frontier = changed
         s = self._frontier_summary()
-        s["edges_scanned"] = int(self.in_flat.size)
+        s["edges_scanned"] = n_scanned
         s["scalars"] = scalars
         return s
 
+    def _dense_gather(self, kernel, flat_idx: np.ndarray,
+                      frontier_arr: np.ndarray | None,
+                      values_arr: np.ndarray):
+        """Segment reduce over this range's in-CSR; ``flat_idx`` maps edge
+        slots into ``frontier_arr``/``values_arr`` (full broadcast or
+        compact partition-aligned layout).
+
+        Dense-mode early-exit (reference ligra.rs:217-234 analog): when the
+        kernel declares inactive targets (e.g. BFS's already-claimed
+        vertices) and fewer than half the range is active, gather ONLY the
+        active targets' in-list segments — claimed vertices' edges are
+        never read. Returns (agg, touched, active, edges_scanned)."""
+        active = kernel.target_active(self.state)
+        if (active is not None and kernel.reduce != "mode"
+                and 2 * int(active.sum()) < self.nloc):
+            act_idx = np.flatnonzero(active)
+            sub_deg = np.diff(self.in_indptr)[act_idx]
+            edge_idx = _multi_range(self.in_indptr[:-1][act_idx], sub_deg)
+            sub_indptr = np.zeros(len(act_idx) + 1, dtype=np.int64)
+            np.cumsum(sub_deg, out=sub_indptr[1:])
+            sel = flat_idx[edge_idx]
+            contrib = None if frontier_arr is None else (
+                frontier_arr[sel] if sel.size else np.zeros(0, dtype=bool))
+            w = values_arr[sel] if sel.size else \
+                np.zeros(0, dtype=values_arr.dtype)
+            sub_agg, sub_touched = _segment_reduce(
+                kernel.reduce, sub_indptr, w, contrib, kernel.value_dtype)
+            if kernel.reduce == "sum":
+                agg = np.zeros(self.nloc, dtype=np.float64)
+            else:
+                agg = np.full(self.nloc, INT_SENTINEL, dtype=np.int64)
+            touched = np.zeros(self.nloc, dtype=bool)
+            agg[act_idx] = sub_agg
+            touched[act_idx] = sub_touched
+            return agg, touched, active, int(edge_idx.size)
+        idx = flat_idx
+        contrib = None if frontier_arr is None else (
+            frontier_arr[idx] if idx.size else np.zeros(0, dtype=bool))
+        w = values_arr[idx] if idx.size else \
+            np.zeros(0, dtype=values_arr.dtype)
+        agg, touched = _segment_reduce(kernel.reduce, self.in_indptr, w,
+                                       contrib, kernel.value_dtype,
+                                       self.in_tgt_idx()
+                                       if kernel.reduce == "mode" else None)
+        return agg, touched, active, int(self.in_flat.size)
+
     def pull_broadcast(self, kernel, frontier_full: np.ndarray | None,
                        values_full: np.ndarray, return_views: bool = False,
+                       hub_partial_refs: list | None = None,
                        hub_aggs: dict | None = None):
         """Dense gather against ONE broadcast (frontier, values) pair
         covering all n vertices (small-graph fast path: n x 9 bytes is a
@@ -348,18 +438,13 @@ class CsrShard:
         FULL (every source active) — skips the mask gather entirely.
         ``DistGraph.edge_map`` switches to the partition-aligned ``pull``
         above a node-count threshold."""
-        idx = self.in_flat
-        contrib = None if frontier_full is None else (
-            frontier_full[idx] if idx.size else np.zeros(0, dtype=bool))
-        w = values_full[idx] if idx.size else np.zeros(0, dtype=values_full.dtype)
-        active = kernel.target_active(self.state)
-        agg, touched = _segment_reduce(kernel.reduce, self.in_indptr, w, contrib,
-                                       kernel.value_dtype,
-                                       self.in_tgt_idx()
-                                       if kernel.reduce == "mode" else None)
+        if hub_aggs is None:
+            hub_aggs = self._resolve_hub_aggs(kernel, hub_partial_refs)
+        agg, touched, active, n_scanned = self._dense_gather(
+            kernel, self.in_flat, frontier_full, values_full)
         if hub_aggs:
-            # driver-combined aggregates for split hubs homed in this range
-            # (their local in-lists are empty by construction, so this is
+            # merged aggregates for split hubs homed in this range (their
+            # local in-lists are empty by construction, so this is
             # assignment, not double-count)
             touched = touched.copy()
             for h, (val, tch) in hub_aggs.items():
@@ -372,7 +457,7 @@ class CsrShard:
         if kernel.has_output_frontier:
             self.frontier = changed
         s = self._frontier_summary()
-        s["edges_scanned"] = int(self.in_flat.size)
+        s["edges_scanned"] = n_scanned
         s["scalars"] = scalars
         if return_views:
             # next-iteration (frontier, source_values) so the driver can
@@ -425,14 +510,15 @@ class CsrShard:
 
     def pull_fused(self, kernel, vkernel, over: str,
                    frontier_full: np.ndarray | None,
-                   values_full: np.ndarray, hub_aggs: dict | None = None):
+                   values_full: np.ndarray,
+                   hub_partial_refs: list | None = None):
         """One wave = pull_broadcast + vertex_op + next-iteration view
         values. Collapses the 3 actor waves of an iterative round
         (make_view, pull, vertex_filter) into 1 — per-iteration dispatch
         overhead is the scaling killer for mid-size graphs. Returns
         (summary, next_view_values)."""
         s = self.pull_broadcast(kernel, frontier_full, values_full,
-                                hub_aggs=hub_aggs)
+                                hub_partial_refs=hub_partial_refs)
         mask = np.ones(self.nloc, dtype=bool) if over == "all" else self.frontier
         keep, scalars = vkernel.update(self.state, mask, self)
         self.frontier = keep if keep is not None else mask.copy()
@@ -636,11 +722,11 @@ class DistGraph:
         if self.frontier_degree_sum > self.threshold:
             if self.n <= self.PULL_BROADCAST_MAX_NODES:
                 f_ref, v_ref = self._broadcast_views(kernel)
-                hub_aggs = self._hub_wave(kernel, f_ref, v_ref)
+                hub_refs = self._hub_wave(kernel, f_ref, v_ref)
                 out = ray.get([
                     a.pull_broadcast.remote(kernel, f_ref, v_ref,
                                             return_views=True,
-                                            hub_aggs=hub_aggs)
+                                            hub_partial_refs=hub_refs)
                     for a in self.actors])
                 self._view_cache = (
                     self._kernel_key(kernel),
@@ -651,8 +737,8 @@ class DistGraph:
             # the needed source ranges; hub partials are aligned too, so
             # skew-split graphs keep the no-broadcast scale path
             views = [a.make_view.remote(kernel) for a in self.actors]
-            hub_aggs = self._hub_wave_aligned(kernel, views)
-            summaries = ray.get([a.pull.remote(kernel, views, hub_aggs)
+            hub_refs = self._hub_wave_aligned(kernel, views)
+            summaries = ray.get([a.pull.remote(kernel, views, hub_refs)
                                  for a in self.actors])
         else:
             per_actor = [
@@ -675,48 +761,21 @@ class DistGraph:
         if not self.has_hubs:
             return None
         self.edges_scanned += self.hub_edges_total
-        parts = ray.get([a.hub_partials.remote(kernel, f_ref, v_ref)
-                         for a in self.actors])
-        return self._merge_hub_partials(kernel, parts)
+        # dispatch ONLY — the refs ship to the pull wave, which merges the
+        # chunks homed in its range; both waves are in flight concurrently
+        # (round 1 serialised: partials wave -> driver merge -> pull wave)
+        return [a.hub_partials.remote(kernel, f_ref, v_ref)
+                for a in self.actors]
 
-    def _hub_wave_aligned(self, kernel, view_refs: list) -> dict | None:
+    def _hub_wave_aligned(self, kernel, view_refs: list) -> list | None:
         """Hub pre-wave for the partition-aligned pull path: each shard
-        fetches only the view slices its chunks reference."""
+        fetches only the view slices its chunks reference. Dispatch-only;
+        merge happens inside the concurrent pull wave."""
         if not self.has_hubs:
             return None
         self.edges_scanned += self.hub_edges_total
-        parts = ray.get([a.hub_partials_aligned.remote(kernel, view_refs)
-                         for a in self.actors])
-        return self._merge_hub_partials(kernel, parts)
-
-    def _merge_hub_partials(self, kernel, parts: list) -> dict:
-        merged: dict = {}
-        for plist in parts:
-            for row in plist:
-                merged.setdefault(row[0], []).append(row[1:])
-        out: dict = {}
-        for hub, ps in merged.items():
-            if kernel.reduce == "sum":
-                out[hub] = (float(sum(v for v, _ in ps)),
-                            any(t for _, t in ps))
-            elif kernel.reduce == "min":
-                vals = [v for v, t in ps if t]
-                out[hub] = (min(vals) if vals else INT_SENTINEL, bool(vals))
-            else:  # mode: merge label counts, argmax w/ min-label tiebreak
-                lab = np.concatenate([p[0] for p in ps])
-                cnt = np.concatenate([p[1] for p in ps])
-                if lab.size == 0:
-                    out[hub] = (INT_SENTINEL, False)
-                    continue
-                order = np.argsort(lab, kind="stable")
-                lab, cnt = lab[order], cnt[order]
-                starts = np.flatnonzero(
-                    np.concatenate(([True], lab[1:] != lab[:-1])))
-                ulab = lab[starts]
-                ucnt = np.add.reduceat(cnt, starts)
-                win = np.lexsort((ulab, -ucnt))[0]
-                out[hub] = (int(ulab[win]), True)
-        return out
+        return [a.hub_partials_aligned.remote(kernel, view_refs)
+                for a in self.actors]
 
     @staticmethod
     def _kernel_key(kernel) -> tuple:
@@ -748,9 +807,9 @@ class DistGraph:
             self.edge_map(kernel)
             return self.vertex_filter(vkernel, over=over)
         f_ref, v_ref = self._broadcast_views(kernel)
-        hub_aggs = self._hub_wave(kernel, f_ref, v_ref)
+        hub_refs = self._hub_wave(kernel, f_ref, v_ref)
         out = ray.get([a.pull_fused.remote(kernel, vkernel, over, f_ref, v_ref,
-                                           hub_aggs)
+                                           hub_refs)
                        for a in self.actors])
         self._view_cache = (self._kernel_key(kernel),
                             np.concatenate([f for _, f, _ in out]),

@@ -209,6 +209,28 @@ def test_hub_splitting_matches_oracle(ray_session, tmp_path):
         g3.collect_state(["labels"])["labels"], exp_lab)
 
 
+def test_bfs_dense_early_exit_skips_claimed(ray_session, tmp_path):
+    """Dense-mode early-exit (ligra.rs:217-234 analog): on a high-diameter
+    chain forced into dense pulls, claimed vertices' in-lists are skipped,
+    so total edges_scanned is well below iterations x m — and levels stay
+    exact."""
+    n = 240
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    g = make_graph(str(tmp_path / "chain"), src, dst, n, nparts=4)
+    g.m = 0                      # threshold 0 -> dense pull every round
+    from ligrust_ray.algos.bfs import bfs
+
+    res = bfs(g, root=0)
+    exp_par, exp_lvl = oracle.bfs_oracle(n, src, dst, 0)
+    np.testing.assert_array_equal(g.collect_state(["level"])["level"],
+                                  exp_lvl)
+    np.testing.assert_array_equal(g.collect_state(["parent"])["parent"],
+                                  exp_par)
+    full_scan = res["iterations"] * (n - 1)
+    assert res["edges_scanned"] < 0.7 * full_scan
+
+
 def test_rebuild_clears_stale_hubspill(ray_session, tmp_path):
     """Rebuilding into the same dir with a different hub threshold must not
     leave stale hubspill files that double-count edges (ADVICE r1)."""
