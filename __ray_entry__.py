@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents: text analysis + dedup family
         "docs_exact_dedup": Q.q_docs_exact_dedup,
         "docs_token_count": Q.q_docs_token_count,
+        "docs_token_bpe": Q.q_docs_token_bpe,
         "docs_stats": Q.q_docs_stats,
         "docs_quality": Q.q_docs_quality,
         "docs_langid": Q.q_docs_langid,
@@ -249,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": Q.q_emb_knn,
         "emb_knn_ivf": Q.q_emb_knn_ivf,
         "emb_near_dup": Q.q_emb_near_dup,
+        "emb_near_dup_ivf": Q.q_emb_near_dup_ivf,
         # relational breadth over the TPC-H-ish tables (SQL-checked)
         "lineitem_pricing": Q.q_lineitem_pricing,
         "orders_by_segment": Q.q_orders_by_segment,
@@ -329,6 +331,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_count": (
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), "
             "'\\s+')) AS BIGINT) AS n_tokens FROM documents"),
+        "docs_token_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
+            "AS n_tokens_bpe FROM documents"),
         "docs_stats": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, "
             "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "

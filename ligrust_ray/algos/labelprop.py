@@ -59,6 +59,10 @@ def label_propagation(graph, max_iterations: int = 20,
                     "wall_s": 0.0, "state_names": STATE}
     kernel = LPEdge()
     graph.edges_scanned = 0
+    # overlap the lazy mode-index build (m_in int64 per shard) with the
+    # frontier-init waves instead of stalling the first dense pull
+    for a in graph.actors:
+        a.build_mode_index.remote()
     while iteration < max_iterations:
         iteration += 1
         graph.set_frontier("all")  # mode-reduce needs full in-lists every round

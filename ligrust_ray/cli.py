@@ -98,11 +98,21 @@ def main(argv=None):
                                          num_partitions=args.partitions,
                                          hub_in_threshold=args.hub_threshold)
         elif args.format == "adjacency":
-            from ligrust_ray.sources.adjacency_text import (
-                adjacency_text_to_edges, read_adjacency_text)
+            import os
 
-            e = adjacency_text_to_edges(args.input)
-            n = read_adjacency_text(args.input)[0]
+            from ligrust_ray.sources.adjacency_text import (
+                adjacency_text_to_edges, read_adjacency_text,
+                stream_edges_dataset)
+
+            if os.path.getsize(args.input) > (256 << 20):
+                # big text graphs stream in bounded-memory chunks
+                with open(args.input, "rb") as f:
+                    head = f.read(256).split()
+                n = int(head[1])
+                e = stream_edges_dataset(args.input)
+            else:
+                e = adjacency_text_to_edges(args.input)
+                n = read_adjacency_text(args.input)[0]
             man = build_graph_from_edges(e, args.output, n=n,
                                          num_partitions=args.partitions)
         else:

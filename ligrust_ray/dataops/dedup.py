@@ -650,6 +650,61 @@ def _near_dup_block_pair(ta: pa.Table, tb: pa.Table, threshold: float,
     return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
+def embedding_near_dup_ivf(emb: ray.data.Dataset, threshold: float = 0.95,
+                           n_centroids: int = 16, nprobe: int = 2,
+                           seed: int = 42, train_sample: int = 4096
+                           ) -> ray.data.Dataset:
+    """Approximate near-dup pairs: vectors are IVF-bucketed (nearest
+    ``nprobe`` centroids — multi-assignment recovers most cross-boundary
+    pairs) and compared WITHIN buckets only. O(n²/B) flops instead of
+    O(n²); recall < 1 by construction (tested vs the exact operator).
+    This is the recall-tolerant 10^9-vector scale path; the exact
+    block-pair operator below is the oracle."""
+    from ligrust_ray.dataops.ann import _kmeans_lite, _matrix, _normalize
+
+    sample = emb.select_columns(["vec_id", "embedding"]) \
+        .limit(train_sample).to_pandas()
+    _, s_mat = _matrix(sample)
+    cent = _kmeans_lite(_normalize(s_mat), n_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _block_matrix(t)
+        sims = m @ c.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]      # top-nprobe
+        n = len(ids)
+        emb_col = t.column("embedding")
+        out_ids = np.repeat(ids, nprobe)
+        out_bkt = order.ravel().astype(np.int64)
+        out_emb = emb_col.combine_chunks().take(
+            pa.array(np.repeat(np.arange(n), nprobe)))
+        return pa.table({"vec_id": pa.array(out_ids),
+                         "bucket": pa.array(out_bkt),
+                         "embedding": out_emb})
+
+    def pairs_in_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) < 2:
+            return pd.DataFrame({"a": np.zeros(0, np.int64),
+                                 "b": np.zeros(0, np.int64)})
+        ids = part["vec_id"].to_numpy(dtype=np.int64)
+        m = np.stack(part["embedding"].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        ii, jj = np.nonzero(sims >= threshold)
+        a, b = ids[ii], ids[jj]
+        keep = a < b
+        return pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+
+    bucketed = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        bucketize, batch_format="pyarrow")
+    pairs = (bucketed.groupby("bucket")
+             .map_groups(pairs_in_bucket, batch_format="pandas"))
+    # multi-probe puts a vector in nprobe buckets -> a pair can appear in
+    # more than one bucket: global dedup
+    return shuffle.distinct(pairs, ["a", "b"])
+
+
 def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
                        ) -> ray.data.Dataset:
     """(a, b) pairs with cosine >= threshold, a < b — EXACT all-pairs.

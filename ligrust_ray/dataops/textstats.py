@@ -35,6 +35,22 @@ def token_count_batch(t: pa.Table) -> pa.Table:
                      "n_tokens": pa.array(n, type=pa.int64())})
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / single non-space
+# symbol — deliberately RE2-compatible (no lookahead) so the DuckDB oracle
+# runs the IDENTICAL pattern
+_BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+BPE_PATTERN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_bpe_batch(t: pa.Table) -> pa.Table:
+    """Sub-word-ish token count (letter/digit/symbol runs) — the cheap
+    proxy a data pipeline uses to budget tokenizer costs before real BPE."""
+    texts = t.column("text").to_pylist()
+    n = [len(_BPE.findall(x)) for x in texts]
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "n_tokens_bpe": pa.array(n, type=pa.int64())})
+
+
 def doc_stats_batch(t: pa.Table) -> pa.Table:
     texts = t.column("text").to_pylist()
     return pa.table({

@@ -239,6 +239,20 @@ def q_docs_token_count(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+def q_docs_token_bpe(sf_dir: str):
+    return _docs(sf_dir).map_batches(textstats.token_count_bpe_batch,
+                                     batch_format="pyarrow")
+
+
+def q_emb_near_dup_ivf(sf_dir: str):
+    ds = dedup.embedding_near_dup_ivf(_emb(sf_dir), threshold=0.45)
+    parts = [b for b in ds.iter_batches(batch_format="pyarrow")]
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    return pa.concat_tables([t.select(["a", "b"]).cast(schema)
+                             for t in parts]) if parts else \
+        schema.empty_table()
+
+
 def q_docs_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(textstats.doc_stats_batch,
                                      batch_format="pyarrow")

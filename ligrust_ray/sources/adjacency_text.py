@@ -37,6 +37,111 @@ def read_adjacency_text(path: str) -> tuple[int, int, np.ndarray, np.ndarray]:
     return n, m, nums[:n], nums[n:]
 
 
+def _token_stream(path: str, chunk_bytes: int = 32 << 20):
+    """Bounded-memory ASCII-decimal token stream: yields int64 arrays, one
+    per file chunk, carrying split tokens across chunk boundaries (the
+    linereader-style streaming of graph.rs:145-196 — the round-1 reader
+    slurped the whole file)."""
+    rest = b""
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                break
+            buf = rest + chunk
+            if buf[-1:].isspace():
+                rest = b""
+            else:
+                cut = max(buf.rfind(b" "), buf.rfind(b"\n"),
+                          buf.rfind(b"\t"), buf.rfind(b"\r"))
+                if cut < 0:
+                    rest = buf
+                    continue
+                buf, rest = buf[:cut], buf[cut:]
+            toks = buf.split()
+            if toks:
+                yield toks
+    if rest.split():
+        yield rest.split()
+
+
+def adjacency_text_to_edges_stream(path: str, batch_edges: int = 1 << 22,
+                                   chunk_bytes: int = 32 << 20):
+    """Streaming variant of ``adjacency_text_to_edges``: a generator of
+    ``(src, dst)`` pyarrow tables of ~``batch_edges`` rows each.
+
+    Memory: O(n) for the offsets prefix (the reference holds the same
+    vector) + O(chunk) for the target stream — never O(m). Feed the
+    batches into ``ray.data.from_arrow_refs`` (see ``stream_edges_dataset``)
+    so only object-store refs stay on the driver."""
+    def numbers():
+        first = True
+        for toks in _token_stream(path, chunk_bytes):
+            if first:
+                if toks[0] != b"AdjacencyGraph":
+                    raise ValueError(
+                        f"{path}: missing AdjacencyGraph header")
+                toks = toks[1:]
+                first = False
+            if toks:
+                yield np.array(toks, dtype=np.int64)
+
+    gen = numbers()
+    pending: list[np.ndarray] = []
+    have = 0
+
+    def take(k: int) -> np.ndarray:
+        nonlocal have
+        while have < k:
+            arr = next(gen)
+            pending.append(arr)
+            have += len(arr)
+        flat = np.concatenate(pending) if len(pending) > 1 else pending[0]
+        out, rest = flat[:k], flat[k:]
+        pending.clear()
+        if len(rest):
+            pending.append(rest)
+        have = len(rest)
+        return out
+
+    head = take(2)
+    n, m = int(head[0]), int(head[1])
+    offsets = take(n)
+    degrees = np.diff(np.concatenate([offsets, [m]]))
+    if (degrees < 0).any():
+        raise ValueError(f"{path}: offsets not monotonic")
+    done = 0
+    while done < m:
+        k = min(batch_edges, m - done)
+        dst = take(k)
+        # sources for target positions [done, done+k): nodes whose CSR
+        # ranges intersect the window
+        lo_node = int(np.searchsorted(offsets, done, side="right")) - 1
+        hi_node = int(np.searchsorted(offsets, done + k, side="left"))
+        ids = np.arange(lo_node, hi_node, dtype=np.int64)
+        starts = np.maximum(offsets[lo_node:hi_node], done)
+        nxt = offsets[lo_node + 1:hi_node + 1]
+        if len(nxt) < len(ids):               # window reaches the last node
+            nxt = np.concatenate([nxt, [m]])
+        ends = np.minimum(nxt, done + k)
+        src = np.repeat(ids, np.maximum(ends - starts, 0))
+        yield pa.table({"src": pa.array(src),
+                        "dst": pa.array(dst.astype(np.int64))})
+        done += k
+
+
+def stream_edges_dataset(path: str, batch_edges: int = 1 << 22):
+    """Streaming text graph -> ``ray.data.Dataset`` of (src, dst); each
+    batch is ray.put into the object store as it parses, so driver memory
+    stays O(batch)."""
+    import ray
+    import ray.data
+
+    refs = [ray.put(t) for t in adjacency_text_to_edges_stream(
+        path, batch_edges=batch_edges)]
+    return ray.data.from_arrow_refs(refs)
+
+
 def write_adjacency_text(path: str, offsets: np.ndarray, targets: np.ndarray) -> None:
     with open(path, "w") as f:
         f.write("AdjacencyGraph\n")

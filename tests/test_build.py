@@ -101,6 +101,39 @@ def test_reference_fixture_file():
     assert list(zip(e["src"].to_pylist(), e["dst"].to_pylist())) == [(0, 1), (2, 3)]
 
 
+def test_streaming_adjacency_reader_parity(ray_session, tmp_path):
+    """The chunked tokenizer (bounded memory) must produce the exact edge
+    stream of the slurp reader, across chunk/batch boundaries, zero-degree
+    gaps and the reference fixture."""
+    import oracle
+    from ligrust_ray.sources.adjacency_text import (
+        adjacency_text_to_edges_stream, edges_to_csr, stream_edges_dataset,
+        write_adjacency_text)
+
+    # random graph with zero-degree nodes, tiny chunk sizes to force splits
+    src, dst = oracle.random_digraph(50, 3.0, seed=13)
+    indptr, flat = edges_to_csr(50, src, dst)
+    p = str(tmp_path / "g.txt")
+    write_adjacency_text(p, indptr[:-1], flat)
+    ref = adjacency_text_to_edges(p)
+    for batch_edges, chunk in ((7, 64), (1000, 16), (13, 4096)):
+        tables = list(adjacency_text_to_edges_stream(
+            p, batch_edges=batch_edges, chunk_bytes=chunk))
+        got = pa.concat_tables(tables)
+        assert got.equals(ref)
+    ds = stream_edges_dataset(p, batch_edges=17)
+    got = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    df = got.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    rdf = ref.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert df.equals(rdf)
+
+    tables = list(adjacency_text_to_edges_stream(
+        "/root/reference/test-graph.input", batch_edges=1))
+    got = pa.concat_tables(tables)
+    assert list(zip(got["src"].to_pylist(), got["dst"].to_pylist())) == \
+        [(0, 1), (2, 3)]
+
+
 def test_bucketed_join_matches_broadcast(ray_session, tmp_path):
     """edges_with_ids broadcast path vs the bucketed hash-join scale path
     (forced via broadcast_max=0) must produce the same edge multiset."""

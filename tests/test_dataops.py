@@ -121,6 +121,27 @@ def test_embedding_near_dup_pairs(ray_session):
     assert (0, 1) in set(zip(pdf["a"], pdf["b"]))
 
 
+def test_embedding_near_dup_ivf_recall(ray_session):
+    ds, _ = _emb_ds()
+    exact = set(map(tuple, dedup.embedding_near_dup(ds, threshold=0.9)
+                    .to_pandas()[["a", "b"]].to_numpy()))
+    approx = set(map(tuple, dedup.embedding_near_dup_ivf(
+        ds, threshold=0.9, n_centroids=4, nprobe=2)
+        .to_pandas()[["a", "b"]].to_numpy()))
+    assert approx <= exact                    # no false pairs (exact cosine)
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_token_count_bpe(docs_ds):
+    pdf = docs_ds.map_batches(textstats.token_count_bpe_batch,
+                              batch_format="pyarrow").to_pandas() \
+        .set_index("doc_id")
+    # "the quick brown fox jumps over the lazy dog" -> 9 letter runs
+    assert pdf.loc[0, "n_tokens_bpe"] == 9
+    assert pdf.loc[5, "n_tokens_bpe"] == 0    # empty text
+
+
 def test_textstats_and_fingerprint(docs_ds):
     tc = docs_ds.map_batches(textstats.token_count_batch,
                              batch_format="pyarrow").to_pandas()
