@@ -173,6 +173,32 @@ cl AS MATERIALIZED (
 """
 
 
+# QualityScore spec (textstats.QualityScore): left-associative sum order
+# and floor(x+0.5) rounding mirror the Python expression term by term
+_QUALITY_SQL = (
+    "WITH f AS (SELECT doc_id, text, "
+    "regexp_extract_all(lower(text), '[a-zA-Z]+') AS words, "
+    "CAST(length(text) AS BIGINT) AS nchar FROM documents), "
+    "m AS (SELECT doc_id, nchar, "
+    "CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) "
+    "AS BIGINT) AS n_alpha, "
+    "CAST(len(words) AS BIGINT) AS n_words, "
+    "CAST(len(list_filter(words, w -> list_contains("
+    "['the','and','of','a','to','in','is','it'], w))) AS BIGINT) "
+    "AS n_stop FROM f), "
+    "s AS (SELECT doc_id, CASE WHEN nchar = 0 THEN 0.0 ELSE "
+    "(((0.25 * (CASE WHEN nchar BETWEEN 100 AND 20000 THEN 1.0 "
+    "ELSE 0.0 END)) "
+    "+ (0.25 * LEAST(1.0, (n_alpha / CAST(GREATEST(1, nchar) "
+    "AS DOUBLE)) / 0.7))) "
+    "+ (0.25 * LEAST(1.0, (n_stop / CAST(GREATEST(1, n_words) "
+    "AS DOUBLE)) / 0.3))) "
+    "+ (0.25 * (CASE WHEN (n_alpha / CAST(GREATEST(1, n_words) "
+    "AS DOUBLE)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)) "
+    "END AS q FROM m) "
+    "SELECT doc_id, CAST(FLOOR(q * 1000000 + 0.5) AS BIGINT) "
+    "AS quality_1e6 FROM s")
+
 _STOPS = {
     "en": ["a", "and", "in", "is", "it", "of", "the", "to"],
     "de": ["das", "den", "der", "die", "ein", "ist", "und", "zu"],
@@ -229,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_degree_histogram": Q.q_events_degree_histogram,
         "events_mutual_edges": Q.q_events_mutual_edges,
         "events_triangles": Q.q_events_triangles,
+        "events_triangles_per_node": Q.q_events_triangles_per_node,
         # iterative graph algorithms (rows-only; exactness in pytest oracle)
         "pagerank_events": Q.q_pagerank_events,
         "cc_events": Q.q_cc_events,
@@ -239,10 +266,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": Q.q_docs_exact_dedup,
         "docs_token_count": Q.q_docs_token_count,
         "docs_token_bpe": Q.q_docs_token_bpe,
+        "docs_token_quantiles": Q.q_docs_token_quantiles,
         "docs_stats": Q.q_docs_stats,
         "docs_quality": Q.q_docs_quality,
         "docs_langid": Q.q_docs_langid,
         "docs_fingerprint": Q.q_docs_fingerprint,
+        "docs_clean": Q.q_docs_clean,
         "docs_minhash_dedup": Q.q_docs_minhash_dedup,
         "docs_simhash": Q.q_docs_simhash,
         "docs_ngram_dupes": Q.q_docs_ngram_dupes,
@@ -335,6 +364,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
             "AS n_tokens_bpe FROM documents"),
+        "docs_token_quantiles": (
+            # same quantile definition as the engine: smallest value whose
+            # running count reaches ceil(q * total)
+            "WITH tc AS (SELECT CAST(len(regexp_split_to_array(trim(text), "
+            "'\\s+')) AS BIGINT) AS v FROM documents), "
+            "h AS (SELECT v, COUNT(*) AS c FROM tc GROUP BY v), "
+            "cdf AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h), "
+            "tot AS (SELECT COUNT(*) AS n FROM tc), "
+            "qs AS (SELECT UNNEST([50, 90, 99]) AS q_pct) "
+            "SELECT qs.q_pct, CAST(MIN(cdf.v) AS BIGINT) AS n_tokens "
+            "FROM qs CROSS JOIN tot JOIN cdf "
+            "ON cdf.cum >= CAST(CEIL(qs.q_pct / 100.0 * tot.n) AS BIGINT) "
+            "GROUP BY qs.q_pct"),
         "docs_stats": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, "
             "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
@@ -348,33 +390,30 @@ def oracle_sql() -> dict[str, str]:
             + _signed64("md5_number_lower(regexp_replace(trim(text), "
                         "'\\s+', ' ', 'g'))")
             + " AS fingerprint FROM documents"),
+        "docs_clean": (
+            f"WITH q AS ({_QUALITY_SQL}), l AS ({_langid_sql()}) "
+            "SELECT MIN(d.doc_id) AS doc_id FROM documents d "
+            "JOIN q ON q.doc_id = d.doc_id "
+            "JOIN l ON l.doc_id = d.doc_id "
+            "WHERE q.quality_1e6 >= 500000 AND l.pred_lang = 'en' "
+            "GROUP BY d.text"),
+        "events_triangles_per_node": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1 "
+            "JOIN u e2 ON e1.b = e2.a "
+            "JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "members AS (SELECT x AS node_id FROM tri "
+            "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+            "SELECT node_id, COUNT(*) AS triangles FROM members "
+            "GROUP BY node_id"),
         "docs_simhash": _simhash_sql(),
         "docs_minhash_dedup": _minhash_sql(),
         "docs_ngram_dupes": _minhash_sql(bands=32, threshold=0.5,
                                          pairs_only=True),
-        "docs_quality": (
-            "WITH f AS (SELECT doc_id, text, "
-            "regexp_extract_all(lower(text), '[a-zA-Z]+') AS words, "
-            "CAST(length(text) AS BIGINT) AS nchar FROM documents), "
-            "m AS (SELECT doc_id, nchar, "
-            "CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) "
-            "AS BIGINT) AS n_alpha, "
-            "CAST(len(words) AS BIGINT) AS n_words, "
-            "CAST(len(list_filter(words, w -> list_contains("
-            "['the','and','of','a','to','in','is','it'], w))) AS BIGINT) "
-            "AS n_stop FROM f), "
-            "s AS (SELECT doc_id, CASE WHEN nchar = 0 THEN 0.0 ELSE "
-            "(((0.25 * (CASE WHEN nchar BETWEEN 100 AND 20000 THEN 1.0 "
-            "ELSE 0.0 END)) "
-            "+ (0.25 * LEAST(1.0, (n_alpha / CAST(GREATEST(1, nchar) "
-            "AS DOUBLE)) / 0.7))) "
-            "+ (0.25 * LEAST(1.0, (n_stop / CAST(GREATEST(1, n_words) "
-            "AS DOUBLE)) / 0.3))) "
-            "+ (0.25 * (CASE WHEN (n_alpha / CAST(GREATEST(1, n_words) "
-            "AS DOUBLE)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)) "
-            "END AS q FROM m) "
-            "SELECT doc_id, CAST(FLOOR(q * 1000000 + 0.5) AS BIGINT) "
-            "AS quality_1e6 FROM s"),
+        "docs_quality": _QUALITY_SQL,
         "docs_langid": _langid_sql(),
         "media_decode": (
             "SELECT doc_id AS media_id, "

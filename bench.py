@@ -129,6 +129,12 @@ def run_headline(num_cpus: int) -> dict:
     triangle_count(Q.events_edges_ds(SF_DIR))  # n derived from the data
     q["triangles_events"] = time.perf_counter() - t0
 
+    # scale path: bucketed wedge<->edge hash join — no broadcast of the
+    # oriented edge set (forced; auto mode switches above 4M edges)
+    t0 = time.perf_counter()
+    triangle_count(Q.events_edges_ds(SF_DIR), probe_mode="bucketed")
+    q["triangles_events_bucketed"] = time.perf_counter() - t0
+
     docs = Q._docs(SF_DIR)   # byte-sized block count (see queries._read_sized)
     t0 = time.perf_counter()
     docs.map_batches(textstats.doc_stats_batch,

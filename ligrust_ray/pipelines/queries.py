@@ -146,6 +146,44 @@ def q_events_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
 
 
+def q_events_triangles_per_node(sf_dir: str):
+    """Per-node triangle participation counts (nonzero nodes only)."""
+    _, tbl = triangle_count(events_edges_ds(sf_dir), n=events_n(sf_dir),
+                            per_node=True)
+    import pyarrow.compute as pc
+
+    return tbl.filter(pc.greater(tbl.column("triangles"), 0))
+
+
+def q_docs_clean(sf_dir: str):
+    """Composite corpus-cleaning pipeline (the realistic end-to-end
+    training-data prep): predicted-English docs above a quality floor,
+    exact-deduplicated (min doc_id per text). Quality and language are
+    pure functions of the text, so filtering BEFORE the dedup shuffle is
+    semantics-identical and means only survivors' (hash, doc_id) pairs
+    enter the one wide step — a single streaming pass plus one hash
+    shuffle, no broadcast of any id set."""
+    docs = _docs(sf_dir)
+
+    def filter_score(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        q = textstats.quality_scorer()(t)
+        lang = textstats.lang_id()(t)
+        ok = (q.column("quality_1e6").to_numpy() >= 500_000) & \
+            (np.asarray(lang.column("pred_lang")) == "en")
+        keep = t.filter(pa.array(ok))
+        hs = [hashlib.sha1(x.encode("utf-8")).hexdigest()
+              for x in keep.column("text").to_pylist()]
+        return pa.table({"doc_id": keep.column("doc_id"),
+                         "h": pa.array(hs, type=pa.string())})
+
+    filtered = docs.map_batches(filter_score, batch_format="pyarrow")
+    return (shuffle.grouped_agg(filtered, ["h"],
+                                {"doc_id": ("doc_id", "min")})
+            .select_columns(["doc_id"]))
+
+
 # ------------------------------------------------- iterative graph algorithms
 _GRAPH_CACHE: dict = {}
 
@@ -251,6 +289,33 @@ def q_emb_near_dup_ivf(sf_dir: str):
     return pa.concat_tables([t.select(["a", "b"]).cast(schema)
                              for t in parts]) if parts else \
         schema.empty_table()
+
+
+def q_docs_token_quantiles(sf_dir: str):
+    """Exact token-count quantiles (p50/p90/p99) via a distributed value
+    histogram: token counts are small integers, so the grouped
+    (value, count) table is tiny regardless of corpus size — the classic
+    bounded-sketch shape (counts shuffle, never documents). Quantile
+    definition (shared with the oracle): smallest value whose running
+    count reaches ceil(q * total)."""
+    tc = _docs(sf_dir).map_batches(textstats.token_count_batch,
+                                   batch_format="pyarrow")
+    hist = shuffle.grouped_agg(
+        tc.map_batches(lambda t: pa.table({"v": t.column("n_tokens")}),
+                       batch_format="pyarrow"),
+        ["v"], {"c": (None, "count")}).to_pandas().sort_values("v")
+    vals = hist["v"].to_numpy(dtype=np.int64)
+    cum = hist["c"].to_numpy(dtype=np.int64).cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    qs = [0.5, 0.9, 0.99]
+    out_q, out_v = [], []
+    for q in qs:
+        rank = int(np.ceil(q * total))
+        i = int(np.searchsorted(cum, rank))
+        out_q.append(int(q * 100))
+        out_v.append(int(vals[min(i, len(vals) - 1)]) if total else 0)
+    return pa.table({"q_pct": pa.array(out_q, type=pa.int64()),
+                     "n_tokens": pa.array(out_v, type=pa.int64())})
 
 
 def q_docs_stats(sf_dir: str):
