@@ -113,6 +113,36 @@ def extract_page(html: bytes, base_url: str = "") -> tuple[str, list[str]]:
     return text, links
 
 
+class _LinksParser(HTMLParser):
+    """href-only harvester: IDENTICAL tag semantics to _PageParser (same
+    HTMLParser tokenizer, same <a href> rule, script/style CDATA handled by
+    the tokenizer itself) but skips all text-node bookkeeping — the edge
+    extraction path never needs the text, and handle_data dominates the
+    full parse."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+
+
+def extract_links(html: bytes, base_url: str = "") -> list[str]:
+    """Pure function: html bytes -> resolved hrefs, document order,
+    duplicates kept. Equals ``extract_page(html, base_url)[1]`` (tested)."""
+    p = _LinksParser()
+    try:
+        p.feed(html.decode("utf-8", errors="replace"))
+        p.close()
+    except Exception:
+        pass  # salvage whatever was harvested before the error
+    return [urljoin(base_url, h) if base_url else h for h in p.hrefs]
+
+
 class ExtractLinks:
     """Actor-pool batch UDF: pages batch -> edge-url batch.
 
@@ -124,12 +154,10 @@ class ExtractLinks:
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
-        srcs: list[str] = []
         all_links: list[str] = []
         offsets = [0]
         for u, h in zip(urls, htmls):
-            _, links = extract_page(h, base_url=u)
-            all_links.extend(links)
+            all_links.extend(extract_links(h, base_url=u))
             offsets.append(len(all_links))
         counts = np.diff(np.asarray(offsets, dtype=np.int64))
         src_arr = pa.array(np.repeat(np.asarray(urls, dtype=object), counts))

@@ -69,11 +69,20 @@ def assign_ids(url_ds: ray.data.Dataset, nbuckets: int = 64
     def add_bucket(t: pa.Table) -> pa.Table:
         # in-batch pre-dedup: the url universe arrives with one row per
         # href occurrence (~degree x n rows); deduping before the bucket
-        # shuffle cuts exchanged rows to ~distinct urls per batch
+        # shuffle cuts exchanged rows to ~distinct urls per batch.
+        # batch_size below is LARGE on purpose: Ray's 1024-row default
+        # makes the dedup ratio terrible (urls repeat across batches) and
+        # the downstream sort-shuffle pays per ROW.
         u = pa.compute.unique(t.column("url").cast(pa.string()))
         urls = u.to_pylist()
         return pa.table({"url": u,
                          "bucket": pa.array(_crc_bucket(urls, nbuckets))})
+
+    def dedup_again(t: pa.Table) -> pa.Table:
+        # second, wider pre-dedup pass (1M-row batches) before the one
+        # all-to-all: measured 3.9M -> ~0.2M rows at 60k pages
+        g = t.group_by(["url", "bucket"]).aggregate([])
+        return g
 
     def rank_bucket(g: pa.Table) -> pa.Table:
         # Arrow-native unique + sort (C++): the python-object np.unique this
@@ -88,7 +97,10 @@ def assign_ids(url_ds: ray.data.Dataset, nbuckets: int = 64
         })
 
     ranked = (
-        url_ds.map_batches(add_bucket, batch_format="pyarrow")
+        url_ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=1 << 18)
+        .map_batches(dedup_again, batch_format="pyarrow",
+                     batch_size=1 << 20)
         .groupby("bucket")
         .map_groups(rank_bucket, batch_format="pyarrow")
         .materialize()  # reused twice below; size = one row per distinct url

@@ -40,6 +40,31 @@ def test_synth_chunk_equivalence():
     assert pa.concat_tables(parts).equals(whole)
 
 
+def test_links_only_parser_matches_full_parse():
+    """extract_links (text-skipping fast path) must equal
+    extract_page()[1] on the synth corpus AND adversarial HTML."""
+    from ligrust_ray.functions.extract import extract_links
+
+    t = generate_pages(200, seed=11)
+    for i in range(200):
+        u = t.column("url")[i].as_py()
+        html = t.column("html")[i].as_py()
+        assert extract_links(html, u) == extract_page(html, u)[1]
+    nasty = [
+        b'<a href="/x">a</a><script><a href="/hidden">s</a></script>',
+        b'<noscript><a href="/ns">n</a></noscript>',
+        b"<a href='/single'>q</a><a href=unquoted>u</a>",
+        b'<a href="/amp?a=1&amp;b=2">e</a>',
+        b'<A HREF="/upper">c</A>',
+        b'<a href="">empty</a><a>none</a>',
+        b'<a href="/broken',
+        '<a href="/unicodé">u</a>'.encode(),
+    ]
+    for html in nasty:
+        assert extract_links(html, "http://b/") == \
+            extract_page(html, "http://b/")[1]
+
+
 def test_extract_links_batchfn():
     t = generate_pages(50, seed=3)
     out = ExtractLinks()(t)
