@@ -256,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mutual_edges": Q.q_events_mutual_edges,
         "events_triangles": Q.q_events_triangles,
         "events_triangles_per_node": Q.q_events_triangles_per_node,
+        # windowed / sessionized aggregates (streaming-window family)
+        "events_sessions": Q.q_events_sessions,
+        "events_windows": Q.q_events_windows,
         # iterative graph algorithms (rows-only; exactness in pytest oracle)
         "pagerank_events": Q.q_pagerank_events,
         "cc_events": Q.q_cc_events,
@@ -355,6 +358,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS n_triangles FROM u e1 "
             "JOIN u e2 ON e1.b = e2.a "
             "JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b"),
+        "events_sessions": (
+            "WITH o AS (SELECT user_id, ts, "
+            "LAG(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events), "
+            "s AS (SELECT user_id, CASE WHEN prev IS NULL OR "
+            "ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns "
+            "FROM o) "
+            "SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, "
+            "COUNT(*) AS n_events FROM s GROUP BY user_id"),
+        "events_windows": (
+            "SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 "
+            "AS BIGINT) AS window_start_us, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_cents FROM events GROUP BY 1"),
         "docs_exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"),
         "docs_token_count": (

@@ -241,6 +241,22 @@ def q_labelprop_events(sf_dir: str):
                      "label": pa.array(st["labels"])})
 
 
+def q_events_sessions(sf_dir: str):
+    from ligrust_ray.dataops import windows
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_id", "ts", "user_id"])
+    return windows.sessionize(ev)
+
+
+def q_events_windows(sf_dir: str):
+    from ligrust_ray.dataops import windows
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts", "value"])
+    return windows.tumbling_window_counts(ev)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:

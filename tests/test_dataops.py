@@ -252,3 +252,33 @@ def test_relational_queries_vs_duckdb(ray_session):
                     "GROUP BY 1").df()
     assert g3["n_docs"].sum() == e3["n"].sum()
     assert set(g3["lang"]) == set(e3["lang"])
+
+
+def test_sessionize_and_windows(ray_session):
+    from ligrust_ray.dataops import windows
+
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "ts": pa.array(
+            np.array([0, 10 * 60, 50 * 60,            # user 1: gap 40min
+                      0, 29 * 60, 60 * 60], dtype=np.int64) * us
+        ).cast(pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], type=pa.int64()),
+    })
+    out = windows.sessionize(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert out.loc[1, "n_sessions"] == 2 and out.loc[1, "n_events"] == 3
+    # user 2: 29min gap (same session), then 31min gap (new session)
+    assert out.loc[2, "n_sessions"] == 2
+
+    t2 = pa.table({
+        "ts": pa.array(np.array([0, 1800, 3600, 7200], dtype=np.int64)
+                       * us).cast(pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    w = windows.tumbling_window_counts(ray.data.from_arrow(t2)).to_pandas()
+    w = w.set_index("window_start_us").sort_index()
+    assert w.loc[0, "n_events"] == 2 and w.loc[0, "sum_value_cents"] == 300
+    assert w.loc[3600 * us, "n_events"] == 1
+    assert w.loc[7200 * us, "sum_value_cents"] == 400
