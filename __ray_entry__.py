@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed / sessionized aggregates (streaming-window family)
         "events_sessions": Q.q_events_sessions,
         "events_windows": Q.q_events_windows,
+        "events_asof_click": Q.q_events_asof_click,
+        "order_revenue_by_priority": Q.q_order_revenue_by_priority,
         # iterative graph algorithms (rows-only; exactness in pytest oracle)
         "pagerank_events": Q.q_pagerank_events,
         "cc_events": Q.q_cc_events,
@@ -373,6 +375,19 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
             "AS sum_value_cents FROM events GROUP BY 1"),
+        "events_asof_click": (
+            "SELECT event_id, CAST(COALESCE(MAX(CASE WHEN "
+            "event_type = 'click' THEN epoch_us(ts) END) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+            "AS BIGINT) AS last_click_us FROM events"),
+        "order_revenue_by_priority": (
+            "SELECT o.o_orderpriority AS priority, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem l JOIN orders o "
+            "ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderpriority"),
         "docs_exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"),
         "docs_token_count": (

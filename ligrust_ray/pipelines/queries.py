@@ -465,6 +465,79 @@ def q_orders_by_segment(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_order_revenue_by_priority(sf_dir: str):
+    """Big x big shuffle join (lineitem x orders on orderkey — both sides
+    too large to broadcast at scale) then grouped integer-cents revenue
+    per order priority. Exercises stages/shuffle.hash_join."""
+    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        # floor(x+0.5) rounding shared with the oracle — exact .5 values DO
+        # occur in price*(1-discount) and np.round's half-even would differ
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1.0 - t.column("l_discount").to_numpy())
+                       * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"okey": t.column("l_orderkey").cast(pa.int64()),
+                         "rev_cents": pa.array(rev)})
+
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_orderpriority"])
+
+    def okey(t: pa.Table) -> pa.Table:
+        return pa.table({"okey": t.column("o_orderkey").cast(pa.int64()),
+                         "priority": t.column("o_orderpriority")})
+
+    joined = shuffle.hash_join(
+        li.map_batches(pre, batch_format="pyarrow"),
+        orders.map_batches(okey, batch_format="pyarrow"),
+        on="okey", l_cols=["rev_cents"], r_cols=["priority"])
+    out = shuffle.grouped_agg(joined, ["priority"],
+                              {"n_items": (None, "count"),
+                               "revenue_cents": ("rev_cents", "sum")})
+    return out.map_batches(
+        lambda t: pa.table({
+            "priority": t.column("priority"),
+            "n_items": t.column("n_items").cast(pa.int64()),
+            "revenue_cents": t.column("revenue_cents").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_events_asof_click(sf_dir: str):
+    """As-of join (self): for every event, the timestamp of the most
+    recent STRICTLY PRECEDING 'click' event of the same user (-1 epoch-us
+    sentinel when none). Hash-partition by user, then one vectorised
+    sorted sweep per partition — the canonical as-of-join shape Ray Data
+    lacks natively; partitioning assumption: one user's history fits a
+    partition."""
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_id", "ts", "user_id", "event_type"])
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "last_click_us": pd.Series([], dtype=np.int64)})
+        u = part["user_id"].to_numpy(dtype=np.int64)
+        ts = part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = part["event_id"].to_numpy(dtype=np.int64)
+        is_click = part["event_type"].to_numpy() == "click"
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, is_click = u[order], ts[order], eid[order], is_click[order]
+        # running last-click ts, reset at each user boundary: prefix-max of
+        # (click ? ts : -1) shifted by one within the user segment
+        click_ts = np.where(is_click, ts, np.int64(-1))
+        prev = np.concatenate(([np.int64(-1)], click_ts[:-1]))
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        prev[new_user] = -1
+        # per-user prefix max (cython groupby cummax — no per-user loop)
+        out = pd.DataFrame({"u": u, "p": prev}).groupby("u")["p"] \
+            .cummax().to_numpy(dtype=np.int64)
+        return pd.DataFrame({"event_id": eid, "last_click_us": out})
+
+    return shuffle.grouped_apply(ev, ["user_id"], per_partition)
+
+
 def q_docs_lang_hist(sf_dir: str):
     out = shuffle.grouped_agg(
         _docs(sf_dir).select_columns(["lang"]), ["lang"],

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 _FINAL_KIND = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
@@ -90,6 +91,76 @@ def distinct(ds: ray.data.Dataset, keys: list[str],
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("__part").map_groups(final, batch_format="pandas"))
+
+
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              on: str, l_cols: list[str], r_cols: list[str],
+              how: str = "inner", num_partitions: int = 32
+              ) -> ray.data.Dataset:
+    """Big x big equi-join on an int64 key: BOTH sides hash-partition by
+    ``key % P`` and merge per partition (pandas C merge) — the general
+    shuffle join; the broadcast join in pipelines/queries.py covers the
+    small-side case. ``l_cols``/``r_cols`` are the carried columns
+    (names must be disjoint). Inner only: a left join would widen
+    missing-side int columns to float64 in partitions with misses
+    (pandas NaN), giving blocks inconsistent schemas.
+
+    Implementation detail: the two sides ride ONE dataset so a single
+    groupby shuffle routes them. Blocks stay ARROW with a fixed union
+    schema (typed nulls for the absent side) — a pandas round trip would
+    re-infer dtypes per block (nullable int64 -> float64) and corrupt
+    large keys. Each side is re-extracted null-free before the merge, so
+    dtypes survive exactly."""
+    all_cols = [on] + list(l_cols) + list(r_cols)
+    if len(set(all_cols)) != len(all_cols):
+        raise ValueError("join columns must be disjoint")
+    if how != "inner":
+        raise ValueError(f"unsupported how={how!r}")
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+
+    def _field(schema, name):
+        return schema.field(name).type
+
+    union_schema = pa.schema(
+        [(on, pa.int64())]
+        + [(c, _field(l_schema, c)) for c in l_cols]
+        + [(c, _field(r_schema, c)) for c in r_cols]
+        + [("__side", pa.int8()), ("__part", pa.int64())])
+
+    def tag(cols, other_cols, side):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column(on).cast(pa.int64())
+            n = t.num_rows
+            arrays = {on: k}
+            for c in cols:
+                arrays[c] = t.column(c)
+            for c in other_cols:
+                arrays[c] = pa.nulls(n, union_schema.field(c).type)
+            arrays["__side"] = pa.array(
+                np.full(n, side, dtype=np.int8))
+            arrays["__part"] = pa.array(
+                k.to_numpy(zero_copy_only=False) % num_partitions)
+            return pa.table({f.name: arrays[f.name]
+                             for f in union_schema}, schema=union_schema)
+        return f
+
+    def merge(part: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        side = part.column("__side")
+        lf = part.filter(pc.equal(side, 0)) \
+            .select([on] + list(l_cols)).to_pandas()
+        rf = part.filter(pc.equal(side, 1)) \
+            .select([on] + list(r_cols)).to_pandas()
+        return lf.merge(rf, on=on, how=how)
+
+    both = (left.map_batches(tag(l_cols, r_cols, 0),
+                             batch_format="pyarrow")
+            .union(right.map_batches(tag(r_cols, l_cols, 1),
+                                     batch_format="pyarrow")))
+    return both.groupby("__part").map_groups(merge, batch_format="pyarrow")
 
 
 def grouped_apply(ds: ray.data.Dataset, keys: list[str], fn,

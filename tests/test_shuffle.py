@@ -87,3 +87,29 @@ def test_empty_input(ray_session):
                                            "v": pd.Series([], dtype=np.int64)}))
     out = shuffle.grouped_agg(d, ["k"], {"n": (None, "count")}).to_pandas()
     assert len(out) == 0
+
+
+def test_hash_join_inner(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ligrust_ray.stages.shuffle import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 5], type=pa.int64()),
+        "lv": pa.array([10.0, 20.0, 21.0, 30.0, 50.0]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 3, 4], type=pa.int64()),
+        "rs": pa.array(["a", "b", "c", "d"], type=pa.string()),
+    }))
+    got = hash_join(left, right, on="k", l_cols=["lv"], r_cols=["rs"]) \
+        .to_pandas().sort_values(["k", "lv", "rs"]).reset_index(drop=True)
+    exp = pd.DataFrame({
+        "k": [2, 2, 3, 3],
+        "lv": [20.0, 21.0, 30.0, 30.0],
+        "rs": ["a", "a", "b", "c"],
+    })
+    pd.testing.assert_frame_equal(got[["k", "lv", "rs"]], exp)
+    assert got["k"].dtype == "int64"
