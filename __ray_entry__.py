@@ -6,10 +6,18 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` covers the operator inventory of SURVEY.md §2 (graph build,
 degree/aggregate ops, the four iterative algorithms, triangle count) plus
 the training-data ops (dedup family, ANN, text analysis, multimodal
-plumbing). Each SQL-expressible query has a DuckDB oracle in
-``oracle_sql()`` with IDENTICAL column names; iterative/model-ish ops are
-rows-only here and exactness-tested against the NumPy oracle in pytest
-(tests/oracle.py)."""
+plumbing, windowed/sessionized aggregates, as-of + big-x-big joins, the
+corpus-clean composite). Every SQL-expressible query has a DuckDB oracle
+in ``oracle_sql()`` with IDENTICAL column names — including the iterative
+graph algorithms (CC/BFS via recursive CTEs, label propagation unrolled
+to its 20 synchronous rounds, PageRankDelta via its closed form: the
+reference's round-1 output-frontier rule ``|delta| > rank + 0.01`` is
+unsatisfiable for n >= 4, so the frontier empties and the fixed point is
+one gather) and the full minhash-LSH dedup pipeline. Rows-only remain:
+``pages_pagerank`` (its synthesized pages corpus is not a
+driver-registered table; exactness is pytest-oracle-tested) and the two
+IVF ops (k-means centroids are not SQL-expressible; recall is
+pytest-tested against the exact operators)."""
 
 from __future__ import annotations
 

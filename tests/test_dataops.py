@@ -282,3 +282,16 @@ def test_sessionize_and_windows(ray_session):
     assert w.loc[0, "n_events"] == 2 and w.loc[0, "sum_value_cents"] == 300
     assert w.loc[3600 * us, "n_events"] == 1
     assert w.loc[7200 * us, "sum_value_cents"] == 400
+
+
+def test_embedding_near_dup_multiblock(ray_session):
+    """Block-pair decomposition: a multi-block layout must yield exactly
+    the single-block pair set (exercises the cross-block canonicalise
+    path, which single-block datasets never hit)."""
+    ds, _ = _emb_ds(n=90, d=8, seed=6)
+    one = set(map(tuple, dedup.embedding_near_dup(ds, threshold=0.8)
+                  .to_pandas()[["a", "b"]].to_numpy()))
+    many = set(map(tuple, dedup.embedding_near_dup(
+        ds.repartition(5), threshold=0.8)
+        .to_pandas()[["a", "b"]].to_numpy()))
+    assert one == many and len(one) > 0

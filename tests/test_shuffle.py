@@ -104,7 +104,8 @@ def test_hash_join_inner(ray_session):
         "k": pa.array([2, 3, 3, 4], type=pa.int64()),
         "rs": pa.array(["a", "b", "c", "d"], type=pa.string()),
     }))
-    got = hash_join(left, right, on="k", l_cols=["lv"], r_cols=["rs"]) \
+    got = hash_join(left.repartition(3), right.repartition(2),
+                    on="k", l_cols=["lv"], r_cols=["rs"]) \
         .to_pandas().sort_values(["k", "lv", "rs"]).reset_index(drop=True)
     exp = pd.DataFrame({
         "k": [2, 2, 3, 3],
