@@ -123,6 +123,8 @@ def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3,
         "SELECT a, b FROM (SELECT DISTINCT cl.cluster AS a, cl.doc_id AS b "
         "FROM cl WHERE cl.cluster <> cl.doc_id)"
         if pairs_only else "SELECT doc_id, cluster FROM cl")
+    shingle_concat = " || ' ' || ".join(
+        f"w[i.i + {j}]" for j in range(k))
     return f"""
 WITH RECURSIVE
 toks AS MATERIALIZED (
@@ -134,7 +136,7 @@ shing AS MATERIALIZED (
     SELECT doc_id, CASE WHEN len(w) < {k} THEN array_to_string(w, ' ')
       ELSE NULL END AS sh FROM toks WHERE len(w) < {k}
     UNION ALL
-    SELECT t.doc_id, w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS sh
+    SELECT t.doc_id, {shingle_concat} AS sh
     FROM toks t, UNNEST(range(1, len(t.w) - {k} + 2)) AS i(i)
     WHERE len(t.w) >= {k}
   ) WHERE sh IS NOT NULL AND sh <> ''
@@ -381,8 +383,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 "
             "AS BIGINT) AS window_start_us, "
             "COUNT(*) AS n_events, "
-            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
-            "AS sum_value_cents FROM events GROUP BY 1"),
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_value_cents FROM events GROUP BY 1"),
         "events_asof_click": (
             "SELECT event_id, CAST(COALESCE(MAX(CASE WHEN "
             "event_type = 'click' THEN epoch_us(ts) END) OVER ("
@@ -480,16 +482,16 @@ def oracle_sql() -> dict[str, str]:
             # which pandas surfaces as float64, breaking the driver's
             # value-hash vs our int64 sums (VERDICT r1 item 1).
             "SELECT l_returnflag, l_linestatus, "
-            "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) "
+            "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) "
             "AS sum_qty, "
-            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) "
             "AS BIGINT) AS sum_price_cents, "
             "COUNT(*) AS n_rows FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus"),
         "orders_by_segment": (
             "SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_orders, "
-            "CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) "
+            "CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) "
             "AS BIGINT) AS revenue_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment"),

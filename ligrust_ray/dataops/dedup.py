@@ -35,6 +35,13 @@ _WORD = re.compile(r"\S+")
 # pre-filter before shingling); larger sets stream unfiltered
 CAND_BROADCAST_MAX = 2_000_000
 
+# the single-task verify+cluster fast path additionally needs every
+# candidate's SHINGLE SET in one worker's heap (~10-50 KB/doc, three
+# orders of magnitude more than the 8-byte id the broadcast bound prices),
+# so it gets its own much smaller gate; between the two bounds the
+# broadcast pre-filter still applies but verification runs distributed
+SMALL_VERIFY_MAX = 100_000
+
 
 def _content_hash(texts: list[str]) -> list[str]:
     return [hashlib.sha1(t.encode("utf-8")).hexdigest() for t in texts]
@@ -308,11 +315,14 @@ def _attach_clusters_broadcast(doc_ids: ray.data.Dataset, labels_ref
 def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
                      num_partitions: int = 32) -> ray.data.Dataset:
     """(doc_id, label) for every doc in a pair; label = min doc_id of the
-    pair-graph component. Dataset-based synchronous min-label propagation:
-    each round is ONE bucketed hash join (labels vs pair endpoints) plus a
-    grouped min — no driver-side label table or union-find; the driver
-    sees only the per-round label checksum (convergence test). Converges
-    in O(component diameter) rounds; near-dup components are shallow."""
+    pair-graph component. Dataset-based min-label propagation with
+    POINTER JUMPING: each round is one bucketed hash join (labels vs pair
+    endpoints) plus a grouped min, then label := label(label) — the jump
+    doubles propagation distance per round, so convergence is
+    O(log diameter) (a 2^64-long chain fits max_rounds=64; a cap hit
+    raises instead of returning silently-wrong labels). No driver-side
+    label table or union-find; the driver sees only the per-round label
+    checksum."""
     pairs = pairs.materialize()
 
     def seed(t: pa.Table) -> pa.Table:
@@ -364,9 +374,38 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
             lab_rows["lab"].to_numpy(dtype=np.int64)])
         return pd.DataFrame({"doc_id": out_id, "label": out_lab})
 
+    def tag_label_queries(t: pa.Table) -> pa.Table:
+        # jump step input: key by the CURRENT LABEL value; "other" carries
+        # the doc so the partition holding label's own row can answer
+        n = t.num_rows
+        k = t.column("label").to_numpy()
+        return pa.table({
+            "k": t.column("label").cast(pa.int64()),
+            "other": t.column("doc_id").cast(pa.int64()),
+            "lab": pa.nulls(n, pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "__part": pa.array(k % num_partitions)}, schema=schema)
+
+    def jump(part: pd.DataFrame) -> pd.DataFrame:
+        # label(label): query rows (k=lab, other=doc) meet label rows
+        # (k=doc_id, lab); emit (doc, label_of(lab)) plus identity rows
+        lab_rows = part[part["side"] == 1]
+        lab_of = dict(zip(lab_rows["k"], lab_rows["lab"]))
+        qr = part[part["side"] == 0]
+        docs_q = qr["other"].to_numpy(dtype=np.int64)
+        ks = qr["k"].to_numpy(dtype=np.int64)
+        jumped = np.array([int(lab_of.get(int(k), k)) for k in ks],
+                          dtype=np.int64)
+        out_id = np.concatenate([docs_q,
+                                 lab_rows["k"].to_numpy(dtype=np.int64)])
+        out_lab = np.concatenate([jumped,
+                                  lab_rows["lab"].to_numpy(dtype=np.int64)])
+        return pd.DataFrame({"doc_id": out_id, "label": out_lab})
+
     edges_tagged = pairs.map_batches(tag_pairs,
                                      batch_format="pyarrow").materialize()
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         sums = labels.map_batches(
             lambda t: pa.table({"s": pa.array(
@@ -375,6 +414,7 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
         cur_sum = sum(int(x) for b in sums.iter_batches(batch_format="numpy")
                       for x in b["s"])
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
         both = edges_tagged.union(
@@ -383,6 +423,19 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
                 .map_groups(propagate, batch_format="pandas"))
         labels = shuffle.grouped_agg(
             msgs, ["doc_id"], {"label": ("label", "min")}).materialize()
+        # pointer jump: label := min(label, label(label))
+        both_j = labels.map_batches(tag_label_queries,
+                                    batch_format="pyarrow").union(
+            labels.map_batches(tag_labels, batch_format="pyarrow"))
+        jmsgs = (both_j.groupby("__part")
+                 .map_groups(jump, batch_format="pandas"))
+        labels = shuffle.grouped_agg(
+            jmsgs, ["doc_id"], {"label": ("label", "min")}).materialize()
+    if not converged:
+        raise RuntimeError(
+            f"_pair_components did not converge in {max_rounds} rounds "
+            "(pointer jumping covers 2^rounds-long chains — this indicates "
+            "a bug, not a deep component)")
     return labels
 
 
@@ -462,9 +515,10 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
         if not len(part):
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64)})
-        # bucket key is bh alone: the band index is already hashed into bh
-        # (hash_shingle(f"{band}:...")), and a band-multiplied composite
-        # would overflow int64 for band >= 2
+        # bucket key is bh alone: the band index is already hashed into
+        # the FULL-64-BIT band key (md5_i64_lower of "band:v0,v1,..." in
+        # band_rows), and a band-multiplied composite would overflow
+        # int64 for band >= 2
         d = part.sort_values(["bh", "doc_id"])
         key = d["bh"].to_numpy()
         ids = d["doc_id"].to_numpy(dtype=np.int64)
@@ -509,8 +563,9 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
     cand_ids = shuffle.distinct(
         cand.map_batches(endpoints, batch_format="pyarrow"), ["doc_id"])
     docs_sel = docs.select_columns(["doc_id", "text"])
-    small = cand_ids.count() <= CAND_BROADCAST_MAX
-    if small:
+    n_cand = cand_ids.count()
+    small = n_cand <= min(SMALL_VERIFY_MAX, CAND_BROADCAST_MAX)
+    if n_cand <= CAND_BROADCAST_MAX:
         id_arr = np.sort(np.concatenate(
             [b["doc_id"] for b in cand_ids.iter_batches(batch_format="numpy")]
             or [np.zeros(0, dtype=np.int64)]))
@@ -666,6 +721,9 @@ def embedding_near_dup_ivf(emb: ray.data.Dataset, threshold: float = 0.95,
         .limit(train_sample).to_pandas()
     _, s_mat = _matrix(sample)
     cent = _kmeans_lite(_normalize(s_mat), n_centroids, seed=seed)
+    # a tiny table can train fewer centroids than nprobe — clamp, or the
+    # repeated-id columns and the (n, <nprobe) argsort disagree in length
+    nprobe = min(nprobe, len(cent))
     cent_ref = ray.put(cent)
 
     def bucketize(t: pa.Table) -> pa.Table:

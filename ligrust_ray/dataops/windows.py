@@ -65,7 +65,9 @@ def tumbling_window_counts(events: ray.data.Dataset,
         ts = t.column("ts").to_numpy().astype("datetime64[us]") \
             .astype(np.int64)
         w = (ts // window_us) * window_us
-        cents = np.round(t.column("value").to_numpy() * 100.0) \
+        # floor(x+0.5): shared with the SQL oracle — np.round's half-even
+        # diverges from DuckDB ROUND on exact .5 values
+        cents = np.floor(t.column("value").to_numpy() * 100.0 + 0.5) \
             .astype(np.int64)
         return pa.table({"window_start_us": pa.array(w),
                          "cents": pa.array(cents)})

@@ -403,13 +403,18 @@ def q_lineitem_pricing(sf_dir: str):
         t = t.filter(pc.less_equal(t.column("l_shipdate"),
                                    pa.scalar(datetime.datetime(1998, 9, 2))))
         # integer units (qty, price cents): sums are exact and order-free,
-        # so the Ray result hashes identically to the DuckDB oracle
+        # so the Ray result hashes identically to the DuckDB oracle.
+        # floor(x+0.5) rounding shared with the oracle — pc.round is
+        # half-even and diverges from SQL ROUND on exact .5 values
+        qty = np.floor(t.column("l_quantity").to_numpy() + 0.5) \
+            .astype(np.int64)
+        cents = np.floor(t.column("l_extendedprice").to_numpy()
+                         * 100.0 + 0.5).astype(np.int64)
         return pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "l_linestatus": t.column("l_linestatus"),
-            "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
-            "price_cents": pc.cast(pc.round(pc.multiply(
-                t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64()),
+            "qty": pa.array(qty),
+            "price_cents": pa.array(cents),
         })
 
     filtered = li.map_batches(pre, batch_format="pyarrow")
@@ -444,8 +449,9 @@ def q_orders_by_segment(sf_dir: str):
         ck = t.column("o_custkey").to_numpy()
         pos = np.minimum(np.searchsorted(k, ck), len(k) - 1)
         ok = k[pos] == ck
-        cents = np.round(
-            t.column("o_totalprice").to_numpy()[ok] * 100.0).astype(np.int64)
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy()[ok] * 100.0
+            + 0.5).astype(np.int64)
         return pa.table({
             "mktsegment": pa.array(s[pos][ok], type=pa.string()),
             "price_cents": pa.array(cents)})

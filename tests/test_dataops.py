@@ -58,6 +58,13 @@ def test_minhash_distributed_path_matches_fast_path(docs_ds, monkeypatch):
                                    threshold=0.3).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert fast.equals(dist)
+    # mid regime: broadcast pre-filter ON, single-task verify OFF
+    monkeypatch.setattr(dedup, "CAND_BROADCAST_MAX", 2_000_000)
+    monkeypatch.setattr(dedup, "SMALL_VERIFY_MAX", 0)
+    mid = dedup.minhash_lsh_dedup(docs_ds, num_perm=64, bands=32,
+                                  threshold=0.3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(mid)
 
 
 def test_simhash_properties(docs_ds):
