@@ -158,43 +158,26 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
         res = (oriented.groupby("part")
                .map_groups(probe_part, batch_format="pandas").to_pandas())
     else:
-        # bucketed wedge<->edge hash join: no broadcast of the edge set.
-        # Both sides route to bucket = x % num_partitions (wedge) /
-        # src % num_partitions (edge).
+        # bucketed wedge<->edge co-group (stages/shuffle.co_group): both
+        # sides hash-route by the wedge's first endpoint / the edge's
+        # source — no broadcast of the edge set.
         wedge_schema = pa.schema([("x", pa.int64()), ("y", pa.int64()),
-                                  ("apex", pa.int64()),
-                                  ("side", pa.int8()),
-                                  ("bucket", pa.int64())])
+                                  ("apex", pa.int64())])
 
         def make_wedges(g: pd.DataFrame) -> pa.Table:
             x, y, ap = wedges_of(g)
-            return pa.table({
-                "x": pa.array(x), "y": pa.array(y), "apex": pa.array(ap),
-                "side": pa.array(np.zeros(len(x), dtype=np.int8)),
-                "bucket": pa.array(x % num_partitions)}, schema=wedge_schema)
-
-        def tag_edges(t: pa.Table) -> pa.Table:
-            s = t.column("src").to_numpy()
-            d = t.column("dst").to_numpy()
-            return pa.table({
-                "x": pa.array(s), "y": pa.array(d),
-                "apex": pa.array(np.full(len(s), -1, dtype=np.int64)),
-                "side": pa.array(np.ones(len(s), dtype=np.int8)),
-                "bucket": pa.array(s % num_partitions)}, schema=wedge_schema)
+            return pa.table({"x": pa.array(x), "y": pa.array(y),
+                             "apex": pa.array(ap)}, schema=wedge_schema)
 
         wedges = (oriented.groupby("part")
                   .map_groups(make_wedges, batch_format="pandas"))
-        both = wedges.union(oriented.map_batches(tag_edges,
-                                                 batch_format="pyarrow"))
 
-        def join_bucket(part: pd.DataFrame) -> pd.DataFrame:
-            e = part[part["side"] == 1]
-            w = part[part["side"] == 0]
-            ks = np.sort(e["x"].to_numpy(dtype=np.int64) * n
-                         + e["y"].to_numpy(dtype=np.int64))
-            x = w["x"].to_numpy(dtype=np.int64)
-            y = w["y"].to_numpy(dtype=np.int64)
-            ap = w["apex"].to_numpy(dtype=np.int64)
+        def join_bucket(wf: pd.DataFrame, ef: pd.DataFrame) -> pd.DataFrame:
+            ks = np.sort(ef["src"].to_numpy(dtype=np.int64) * n
+                         + ef["dst"].to_numpy(dtype=np.int64))
+            x = wf["x"].to_numpy(dtype=np.int64)
+            y = wf["y"].to_numpy(dtype=np.int64)
+            ap = wf["apex"].to_numpy(dtype=np.int64)
             wk = x * n + y
             pos = np.minimum(np.searchsorted(ks, wk), max(len(ks) - 1, 0))
             hit = (ks[pos] == wk) if len(ks) else np.zeros(len(wk), bool)
@@ -207,8 +190,13 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
                 return pd.DataFrame({"node_id": out_id, "triangles": out_c})
             return pd.DataFrame({"node_id": [-1], "triangles": [total]})
 
-        res = (both.groupby("bucket")
-               .map_groups(join_bucket, batch_format="pandas").to_pandas())
+        res = shuffle.co_group(
+            wedges, oriented.select_columns(["src", "dst"]),
+            l_on="x", r_on="src", fn=join_bucket,
+            num_partitions=num_partitions,
+            l_schema=wedge_schema,
+            r_schema=pa.schema([("src", pa.int64()),
+                                ("dst", pa.int64())])).to_pandas()
 
     total = int(res.loc[res["node_id"] == -1, "triangles"].sum())
     if not per_node:

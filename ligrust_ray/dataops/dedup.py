@@ -149,75 +149,42 @@ def _shingle_rows_fn(shingle_k: int):
     return shingle_rows
 
 
-_PAIR_SH_SCHEMA = pa.schema([("k", pa.int64()), ("a", pa.int64()),
-                             ("b", pa.int64()),
-                             ("sh", pa.list_(pa.int64())),
-                             ("__part", pa.int64())])
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+_PAIR_SH_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("sh", pa.list_(pa.int64()))])
+_SHINGLE_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("sh", pa.list_(pa.int64()))])
 
 
 def _verify_pairs(cand: ray.data.Dataset, shingle_ds: ray.data.Dataset,
                   threshold: float, num_partitions: int = 32
                   ) -> ray.data.Dataset:
-    """Exact-Jaccard filter of candidate pairs via two bucketed hash joins
-    (key = one pair endpoint vs the shingle table's doc_id). Returns the
-    surviving (a, b) pairs as a dataset.
+    """Exact-Jaccard filter of candidate pairs via two bucketed co-group
+    passes (key = one pair endpoint vs the shingle table's doc_id; shared
+    machinery: stages/shuffle.co_group). Returns the surviving (a, b)
+    pairs as a dataset."""
+    shingle_ds = shingle_ds.materialize()   # consumed by both passes
 
-    The partition tag is computed Arrow-side (``key % P``) and every block
-    carries the fixed _PAIR_SH_SCHEMA — routing list columns through a
-    pandas partial would re-infer the schema per partition (all-null
-    partitions infer ``null``) and break the shuffle."""
-
-    def tag_pairs(key_col: str):
-        def f(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            k = t.column(key_col).to_numpy()
-            return pa.table({
-                "k": t.column(key_col),
-                "a": t.column("a"), "b": t.column("b"),
-                "sh": pa.nulls(n, pa.list_(pa.int64())),
-                "__part": pa.array(k % num_partitions)},
-                schema=_PAIR_SH_SCHEMA)
-        return f
-
-    def tag_shingles(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        k = t.column("doc_id").to_numpy()
-        return pa.table({
-            "k": t.column("doc_id"),
-            "a": pa.nulls(n, pa.int64()), "b": pa.nulls(n, pa.int64()),
-            "sh": t.column("sh"),
-            "__part": pa.array(k % num_partitions)}, schema=_PAIR_SH_SCHEMA)
-
-    def join_attach(part: pd.DataFrame) -> pa.Table:
-        """Attach sh(a) to each pair row and RE-KEY by b for pass 2."""
-        is_pair = part["a"].notna()
-        sh_of = dict(zip(part.loc[~is_pair, "k"], part.loc[~is_pair, "sh"]))
-        p = part[is_pair]
-        ks, aa, bb, sh = [], [], [], []
-        for a, b in zip(p["a"], p["b"]):
+    def attach(lf: pd.DataFrame, rf: pd.DataFrame) -> pa.Table:
+        """Attach sh(a) to each pair row (pass 2 re-keys by b)."""
+        sh_of = dict(zip(rf["doc_id"], rf["sh"]))
+        aa, bb, sh = [], [], []
+        for a, b in zip(lf["a"], lf["b"]):
             s = sh_of.get(int(a))
             if s is None:
                 continue   # endpoint not in corpus: cannot verify, drop
-            ks.append(int(b))
             aa.append(int(a))
             bb.append(int(b))
             sh.append(np.asarray(s, dtype=np.int64).tolist())
-        karr = np.array(ks, dtype=np.int64)
-        return pa.table({"k": pa.array(karr),
-                         "a": pa.array(aa, type=pa.int64()),
+        return pa.table({"a": pa.array(aa, type=pa.int64()),
                          "b": pa.array(bb, type=pa.int64()),
-                         "sh": pa.array(sh, type=pa.list_(pa.int64())),
-                         "__part": pa.array(karr % num_partitions)},
+                         "sh": pa.array(sh, type=pa.list_(pa.int64()))},
                         schema=_PAIR_SH_SCHEMA)
 
-    def join_verify(part: pd.DataFrame) -> pd.DataFrame:
-        # pair rows carry sh(a) in the "sh" slot; shingle rows have null a.
-        # Exact Jaccard per candidate pair, partition-local.
-        is_pair = part["a"].notna()
-        sh_of = dict(zip(part.loc[~is_pair, "k"], part.loc[~is_pair, "sh"]))
-        p = part[is_pair]
+    def verify(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        sh_of = dict(zip(rf["doc_id"], rf["sh"]))
         out_a, out_b = [], []
-        for a, b, sha in zip(p["a"], p["b"], p["sh"]):
+        for a, b, sha in zip(lf["a"], lf["b"], lf["sh"]):
             shb = sh_of.get(int(b))
             if sha is None or shb is None:
                 continue
@@ -230,15 +197,14 @@ def _verify_pairs(cand: ray.data.Dataset, shingle_ds: ray.data.Dataset,
         return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
                              "b": np.array(out_b, dtype=np.int64)})
 
-    sh_tagged = shingle_ds.map_batches(tag_shingles,
-                                       batch_format="pyarrow").materialize()
-    both1 = cand.map_batches(tag_pairs("a"),
-                             batch_format="pyarrow").union(sh_tagged)
-    with_sh_a = (both1.groupby("__part")
-                 .map_groups(join_attach, batch_format="pandas"))
-    both2 = with_sh_a.union(sh_tagged)
-    return (both2.groupby("__part")
-            .map_groups(join_verify, batch_format="pandas"))
+    with_sh_a = shuffle.co_group(
+        cand, shingle_ds, l_on="a", r_on="doc_id", fn=attach,
+        num_partitions=num_partitions,
+        l_schema=_PAIR_SCHEMA, r_schema=_SHINGLE_SCHEMA)
+    return shuffle.co_group(
+        with_sh_a, shingle_ds, l_on="b", r_on="doc_id", fn=verify,
+        num_partitions=num_partitions,
+        l_schema=_PAIR_SH_SCHEMA, r_schema=_SHINGLE_SCHEMA)
 
 
 @ray.remote
@@ -335,75 +301,43 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
         pairs.map_batches(seed, batch_format="pyarrow"),
         ["doc_id"], {"label": ("label", "min")}).materialize()
 
-    schema = pa.schema([("k", pa.int64()), ("other", pa.int64()),
-                        ("lab", pa.int64()), ("side", pa.int8()),
-                        ("__part", pa.int64())])
+    edge_schema = pa.schema([("k", pa.int64()), ("other", pa.int64())])
+    label_schema = pa.schema([("doc_id", pa.int64()),
+                              ("label", pa.int64())])
 
-    def tag_pairs(t: pa.Table) -> pa.Table:
+    def expand(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy()
         b = t.column("b").to_numpy()
-        k = np.concatenate([a, b])
-        n = len(k)
-        return pa.table({
-            "k": pa.array(k),
-            "other": pa.array(np.concatenate([b, a])),
-            "lab": pa.nulls(n, pa.int64()),
-            "side": pa.array(np.zeros(n, dtype=np.int8)),
-            "__part": pa.array(k % num_partitions)}, schema=schema)
+        return pa.table({"k": pa.array(np.concatenate([a, b])),
+                         "other": pa.array(np.concatenate([b, a]))},
+                        schema=edge_schema)
 
-    def tag_labels(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        k = t.column("doc_id").to_numpy()
-        return pa.table({
-            "k": t.column("doc_id"),
-            "other": pa.nulls(n, pa.int64()),
-            "lab": t.column("label").cast(pa.int64()),
-            "side": pa.array(np.ones(n, dtype=np.int8)),
-            "__part": pa.array(k % num_partitions)}, schema=schema)
-
-    def propagate(part: pd.DataFrame) -> pd.DataFrame:
-        lab_rows = part[part["side"] == 1]
-        lab_of = dict(zip(lab_rows["k"], lab_rows["lab"]))
-        e = part[part["side"] == 0]
-        # message: k's label offered to the other endpoint; plus k keeps its
-        # own label (so the grouped min never loses ground)
-        out_id = np.concatenate([e["other"].to_numpy(dtype=np.int64),
-                                 lab_rows["k"].to_numpy(dtype=np.int64)])
+    def propagate(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        # message: k's label offered to the other endpoint; plus k keeps
+        # its own label (so the grouped min never loses ground)
+        lab_of = dict(zip(rf["doc_id"], rf["label"]))
+        out_id = np.concatenate([lf["other"].to_numpy(dtype=np.int64),
+                                 rf["doc_id"].to_numpy(dtype=np.int64)])
         out_lab = np.concatenate([
-            np.array([int(lab_of[int(k)]) for k in e["k"]], dtype=np.int64),
-            lab_rows["lab"].to_numpy(dtype=np.int64)])
+            np.array([int(lab_of[int(k)]) for k in lf["k"]],
+                     dtype=np.int64),
+            rf["label"].to_numpy(dtype=np.int64)])
         return pd.DataFrame({"doc_id": out_id, "label": out_lab})
 
-    def tag_label_queries(t: pa.Table) -> pa.Table:
-        # jump step input: key by the CURRENT LABEL value; "other" carries
-        # the doc so the partition holding label's own row can answer
-        n = t.num_rows
-        k = t.column("label").to_numpy()
-        return pa.table({
-            "k": t.column("label").cast(pa.int64()),
-            "other": t.column("doc_id").cast(pa.int64()),
-            "lab": pa.nulls(n, pa.int64()),
-            "side": pa.array(np.zeros(n, dtype=np.int8)),
-            "__part": pa.array(k % num_partitions)}, schema=schema)
-
-    def jump(part: pd.DataFrame) -> pd.DataFrame:
-        # label(label): query rows (k=lab, other=doc) meet label rows
-        # (k=doc_id, lab); emit (doc, label_of(lab)) plus identity rows
-        lab_rows = part[part["side"] == 1]
-        lab_of = dict(zip(lab_rows["k"], lab_rows["lab"]))
-        qr = part[part["side"] == 0]
-        docs_q = qr["other"].to_numpy(dtype=np.int64)
-        ks = qr["k"].to_numpy(dtype=np.int64)
+    def jump(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        # label(label): left = labels keyed by their LABEL value, right =
+        # labels keyed by doc; emit (doc, label_of(label)) + identity rows
+        lab_of = dict(zip(rf["doc_id"], rf["label"]))
+        ks = lf["label"].to_numpy(dtype=np.int64)
         jumped = np.array([int(lab_of.get(int(k), k)) for k in ks],
                           dtype=np.int64)
-        out_id = np.concatenate([docs_q,
-                                 lab_rows["k"].to_numpy(dtype=np.int64)])
+        out_id = np.concatenate([lf["doc_id"].to_numpy(dtype=np.int64),
+                                 rf["doc_id"].to_numpy(dtype=np.int64)])
         out_lab = np.concatenate([jumped,
-                                  lab_rows["lab"].to_numpy(dtype=np.int64)])
+                                  rf["label"].to_numpy(dtype=np.int64)])
         return pd.DataFrame({"doc_id": out_id, "label": out_lab})
 
-    edges_tagged = pairs.map_batches(tag_pairs,
-                                     batch_format="pyarrow").materialize()
+    edges = pairs.map_batches(expand, batch_format="pyarrow").materialize()
     prev_sum = None
     converged = False
     for _ in range(max_rounds):
@@ -417,18 +351,19 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
             converged = True
             break
         prev_sum = cur_sum
-        both = edges_tagged.union(
-            labels.map_batches(tag_labels, batch_format="pyarrow"))
-        msgs = (both.groupby("__part")
-                .map_groups(propagate, batch_format="pandas"))
+        msgs = shuffle.co_group(edges, labels, l_on="k", r_on="doc_id",
+                                fn=propagate,
+                                num_partitions=num_partitions,
+                                l_schema=edge_schema,
+                                r_schema=label_schema)
         labels = shuffle.grouped_agg(
             msgs, ["doc_id"], {"label": ("label", "min")}).materialize()
         # pointer jump: label := min(label, label(label))
-        both_j = labels.map_batches(tag_label_queries,
-                                    batch_format="pyarrow").union(
-            labels.map_batches(tag_labels, batch_format="pyarrow"))
-        jmsgs = (both_j.groupby("__part")
-                 .map_groups(jump, batch_format="pandas"))
+        jmsgs = shuffle.co_group(labels, labels, l_on="label",
+                                 r_on="doc_id", fn=jump,
+                                 num_partitions=num_partitions,
+                                 l_schema=label_schema,
+                                 r_schema=label_schema)
         labels = shuffle.grouped_agg(
             jmsgs, ["doc_id"], {"label": ("label", "min")}).materialize()
     if not converged:
@@ -441,42 +376,23 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
 
 def _attach_clusters(doc_ids: ray.data.Dataset, labels: ray.data.Dataset,
                      num_partitions: int = 32) -> ray.data.Dataset:
-    """Left join (bucketed): every doc_id row gets cluster = its component
-    label, or itself when unpaired. Both sides stream through one hash
-    shuffle; no driver-side id list."""
-    schema = pa.schema([("k", pa.int64()), ("lab", pa.int64()),
-                        ("side", pa.int8()), ("__part", pa.int64())])
+    """Left join (bucketed co-group): every doc_id row gets cluster = its
+    component label, or itself when unpaired. Both sides stream through
+    one hash shuffle; no driver-side id list."""
 
-    def tag_docs(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        k = t.column("doc_id").to_numpy()
-        return pa.table({"k": t.column("doc_id"),
-                         "lab": pa.nulls(n, pa.int64()),
-                         "side": pa.array(np.zeros(n, dtype=np.int8)),
-                         "__part": pa.array(k % num_partitions)},
-                        schema=schema)
-
-    def tag_labels(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        k = t.column("doc_id").to_numpy()
-        return pa.table({"k": t.column("doc_id"),
-                         "lab": t.column("label").cast(pa.int64()),
-                         "side": pa.array(np.ones(n, dtype=np.int8)),
-                         "__part": pa.array(k % num_partitions)},
-                        schema=schema)
-
-    def join(part: pd.DataFrame) -> pd.DataFrame:
-        lab_of = dict(zip(part.loc[part["side"] == 1, "k"],
-                          part.loc[part["side"] == 1, "lab"]))
-        d = part[part["side"] == 0]
-        ks = d["k"].to_numpy(dtype=np.int64)
+    def join(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        lab_of = dict(zip(rf["doc_id"], rf["label"]))
+        ks = lf["doc_id"].to_numpy(dtype=np.int64)
         out = np.array([int(lab_of.get(int(k), k)) for k in ks],
                        dtype=np.int64)
         return pd.DataFrame({"doc_id": ks, "cluster": out})
 
-    both = (doc_ids.map_batches(tag_docs, batch_format="pyarrow")
-            .union(labels.map_batches(tag_labels, batch_format="pyarrow")))
-    return both.groupby("__part").map_groups(join, batch_format="pandas")
+    return shuffle.co_group(
+        doc_ids, labels, l_on="doc_id", r_on="doc_id", fn=join,
+        num_partitions=num_partitions,
+        l_schema=pa.schema([("doc_id", pa.int64())]),
+        r_schema=pa.schema([("doc_id", pa.int64()),
+                            ("label", pa.int64())]))
 
 
 def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,

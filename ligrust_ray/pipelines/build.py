@@ -187,78 +187,54 @@ def edges_with_ids(edge_urls: ray.data.Dataset, mapping: ray.data.Dataset,
     )
 
 
-def _bucket_join(left: ray.data.Dataset, key: str, carry_s: str | None,
-                 carry_i: str | None, mapping: ray.data.Dataset,
-                 out_key: str, how_inner: bool, num_partitions: int = 64
-                 ) -> ray.data.Dataset:
-    """One bucketed hash join pass: rows (key, carries) x mapping (url, id)
-    -> (out_key=id, cs, ci). The carry is TYPED — one optional string
-    column and one optional int64 column ride through the shuffle as
-    themselves (round 1 stringified the int carry to satisfy a
-    single-carry-column union, paying a str()/astype round trip on the
-    widest shuffle of the build). Sentinels ("" / -1) instead of nulls
-    keep every partition's pandas dtypes identical."""
-    import pandas as pd
-
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
-        return pd.DataFrame({
-            "k": df[key],
-            "cs": df[carry_s] if carry_s else [""] * len(df),
-            "ci": (df[carry_i].to_numpy(dtype=np.int64) if carry_i
-                   else np.full(len(df), -1, dtype=np.int64)),
-            "id": np.full(len(df), -1, dtype=np.int64),
-            "side": np.zeros(len(df), dtype=np.int8),
-            "__part": (h % num_partitions).astype(np.int64)})
-
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df["url"], index=False).to_numpy()
-        return pd.DataFrame({
-            "k": df["url"], "cs": [""] * len(df),
-            "ci": np.full(len(df), -1, dtype=np.int64),
-            "id": df["id"].astype(np.int64),
-            "side": np.ones(len(df), dtype=np.int8),
-            "__part": (h % num_partitions).astype(np.int64)})
-
-    both = (left.map_batches(tag_left, batch_format="pandas")
-            .union(mapping.map_batches(tag_right, batch_format="pandas")))
-
-    def join(part: pd.DataFrame) -> pd.DataFrame:
-        e = part[part["side"] == 0]
-        m = part[part["side"] == 1][["k", "id"]].rename(columns={"id": "mid"})
-        how = "inner" if how_inner else "left"
-        j = e.merge(m, on="k", how=how)
-        mid = j["mid"].fillna(-1).astype(np.int64)
-        return pd.DataFrame({out_key: mid, "cs": j["cs"],
-                             "ci": j["ci"].astype(np.int64)})
-
-    return (both.groupby("__part")
-            .map_groups(join, batch_format="pandas"))
-
-
 def _edges_with_ids_bucketed(edge_urls: ray.data.Dataset,
                              mapping: ray.data.Dataset,
                              drop_missing: bool) -> ray.data.Dataset:
+    """Two bucketed co-group passes (stages/shuffle.co_group — string
+    keys hash with pandas' vectorised siphash) resolving src_url then
+    dst_url against the (url, id) mapping; the carried columns stay
+    TYPED through both shuffles (no stringified ids, no sentinels)."""
     import pandas as pd
 
-    # pass 1: resolve src_url -> src, carrying dst_url (string)
-    p1 = _bucket_join(edge_urls, "src_url", carry_s="dst_url", carry_i=None,
-                      mapping=mapping, out_key="src",
-                      how_inner=True)          # unknown src = not a page row
+    from ligrust_ray.stages.shuffle import co_group
 
-    def swap(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"dst_url": df["cs"],
-                             "src": df["src"].astype(np.int64)})
+    map_schema = pa.schema([("url", pa.string()), ("id", pa.int64())])
 
-    # pass 2: resolve dst_url -> dst, carrying src as int64
-    p1s = p1.map_batches(swap, batch_format="pandas")
-    p2 = _bucket_join(p1s, "dst_url", carry_s=None, carry_i="src",
-                      mapping=mapping, out_key="dst",
-                      how_inner=drop_missing)
+    def resolve(key: str, out_cols, how: str):
+        def f(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+            m = rf.rename(columns={"url": key, "id": "__mid"})
+            j = lf.merge(m, on=key, how=how)
+            out = {}
+            for name, src in out_cols:
+                vals = j["__mid"] if src == "__mid" else j[src]
+                if src == "__mid" or name in ("src", "dst"):
+                    vals = vals.fillna(-1).astype(np.int64) \
+                        if vals.isna().any() else vals.astype(np.int64)
+                out[name] = vals
+            return pd.DataFrame(out)
+        return f
+
+    # pass 1: src_url -> src, carrying dst_url (string); unknown src =
+    # not a page row -> inner
+    p1 = co_group(
+        edge_urls, mapping, l_on="src_url", r_on="url",
+        fn=resolve("src_url", [("src", "__mid"), ("dst_url", "dst_url")],
+                   how="inner"),
+        l_schema=pa.schema([("src_url", pa.string()),
+                            ("dst_url", pa.string())]),
+        r_schema=map_schema)
+    # pass 2: dst_url -> dst, carrying src (int64)
+    p2 = co_group(
+        p1, mapping, l_on="dst_url", r_on="url",
+        fn=resolve("dst_url", [("dst", "__mid"), ("src", "src")],
+                   how="inner" if drop_missing else "left"),
+        l_schema=pa.schema([("src", pa.int64()),
+                            ("dst_url", pa.string())]),
+        r_schema=map_schema)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "src": df["ci"].to_numpy(dtype=np.int64),
+            "src": df["src"].to_numpy(dtype=np.int64),
             "dst": df["dst"].to_numpy(dtype=np.int64)})
 
     return p2.map_batches(finish, batch_format="pandas")

@@ -93,6 +93,79 @@ def distinct(ds: ray.data.Dataset, keys: list[str],
             .groupby("__part").map_groups(final, batch_format="pandas"))
 
 
+def _part_of(key_arr: pa.ChunkedArray | pa.Array, num_partitions: int
+             ) -> pa.Array:
+    """Deterministic partition id for a key column: int keys use value
+    modulo (cheap, stable); strings use pandas' vectorised siphash. Both
+    sides of a co-partition MUST run the same function."""
+    if pa.types.is_integer(key_arr.type):
+        k = key_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.array(k % num_partitions)
+    h = pd.util.hash_pandas_object(
+        key_arr.to_pandas(), index=False).to_numpy()
+    return pa.array((h % num_partitions).astype(np.int64))
+
+
+def co_group(left: ray.data.Dataset, right: ray.data.Dataset,
+             l_on: str, r_on: str, fn, num_partitions: int = 32,
+             l_schema: pa.Schema | None = None,
+             r_schema: pa.Schema | None = None) -> ray.data.Dataset:
+    """Hash co-partition two datasets on a key column and apply
+    ``fn(l_part: pd.DataFrame, r_part: pd.DataFrame) -> DataFrame|Table``
+    once per partition — the shared machinery under every bucketed
+    join/verify/propagate stage in this repo.
+
+    Both sides ride ONE dataset through a single groupby shuffle: blocks
+    keep a fixed Arrow union schema (side-prefixed columns, typed nulls
+    for the absent side — a pandas round trip would re-infer dtypes per
+    block), and each side is re-extracted null-free before ``fn`` sees
+    it, so dtypes survive exactly. Pass ``l_schema``/``r_schema``
+    (pyarrow) when known — deriving them via ``ds.schema()`` may execute
+    part of the upstream plan."""
+    l_schema = l_schema or left.schema().base_schema
+    r_schema = r_schema or right.schema().base_schema
+    l_cols = [f.name for f in l_schema]
+    r_cols = [f.name for f in r_schema]
+    union_schema = pa.schema(
+        [(f"l_{c}", l_schema.field(c).type) for c in l_cols]
+        + [(f"r_{c}", r_schema.field(c).type) for c in r_cols]
+        + [("__side", pa.int8()), ("__part", pa.int64())])
+
+    def tag(cols, prefix, other_cols, other_prefix, on, side):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays = {}
+            for c in cols:
+                arrays[f"{prefix}{c}"] = t.column(c)
+            for c in other_cols:
+                arrays[f"{other_prefix}{c}"] = pa.nulls(
+                    n, union_schema.field(f"{other_prefix}{c}").type)
+            arrays["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            arrays["__part"] = _part_of(t.column(on), num_partitions)
+            return pa.table({f.name: arrays[f.name]
+                             for f in union_schema}, schema=union_schema)
+        return f
+
+    def apply(part: pa.Table) -> "pd.DataFrame | pa.Table":
+        import pyarrow.compute as pc
+
+        side = part.column("__side")
+        lf = part.filter(pc.equal(side, 0)) \
+            .select([f"l_{c}" for c in l_cols]) \
+            .rename_columns(l_cols).to_pandas()
+        rf = part.filter(pc.equal(side, 1)) \
+            .select([f"r_{c}" for c in r_cols]) \
+            .rename_columns(r_cols).to_pandas()
+        return fn(lf, rf)
+
+    both = (left.map_batches(tag(l_cols, "l_", r_cols, "r_", l_on, 0),
+                             batch_format="pyarrow")
+            .union(right.map_batches(tag(r_cols, "r_", l_cols, "l_",
+                                         r_on, 1),
+                                     batch_format="pyarrow")))
+    return both.groupby("__part").map_groups(apply, batch_format="pyarrow")
+
+
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               on: str, l_cols: list[str], r_cols: list[str],
               how: str = "inner", num_partitions: int = 32
@@ -103,64 +176,23 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     small-side case. ``l_cols``/``r_cols`` are the carried columns
     (names must be disjoint). Inner only: a left join would widen
     missing-side int columns to float64 in partitions with misses
-    (pandas NaN), giving blocks inconsistent schemas.
-
-    Implementation detail: the two sides ride ONE dataset so a single
-    groupby shuffle routes them. Blocks stay ARROW with a fixed union
-    schema (typed nulls for the absent side) — a pandas round trip would
-    re-infer dtypes per block (nullable int64 -> float64) and corrupt
-    large keys. Each side is re-extracted null-free before the merge, so
-    dtypes survive exactly."""
+    (pandas NaN), giving blocks inconsistent schemas. Built on
+    ``co_group`` (the shared co-partition machinery)."""
     all_cols = [on] + list(l_cols) + list(r_cols)
     if len(set(all_cols)) != len(all_cols):
         raise ValueError("join columns must be disjoint")
     if how != "inner":
         raise ValueError(f"unsupported how={how!r}")
 
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    def merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        j = lf.merge(rf.rename(columns={on: "__rk"}),
+                     left_on=on, right_on="__rk", how=how)
+        return j.drop(columns="__rk")
 
-    def _field(schema, name):
-        return schema.field(name).type
-
-    union_schema = pa.schema(
-        [(on, pa.int64())]
-        + [(c, _field(l_schema, c)) for c in l_cols]
-        + [(c, _field(r_schema, c)) for c in r_cols]
-        + [("__side", pa.int8()), ("__part", pa.int64())])
-
-    def tag(cols, other_cols, side):
-        def f(t: pa.Table) -> pa.Table:
-            k = t.column(on).cast(pa.int64())
-            n = t.num_rows
-            arrays = {on: k}
-            for c in cols:
-                arrays[c] = t.column(c)
-            for c in other_cols:
-                arrays[c] = pa.nulls(n, union_schema.field(c).type)
-            arrays["__side"] = pa.array(
-                np.full(n, side, dtype=np.int8))
-            arrays["__part"] = pa.array(
-                k.to_numpy(zero_copy_only=False) % num_partitions)
-            return pa.table({f.name: arrays[f.name]
-                             for f in union_schema}, schema=union_schema)
-        return f
-
-    def merge(part: pa.Table) -> pd.DataFrame:
-        import pyarrow.compute as pc
-
-        side = part.column("__side")
-        lf = part.filter(pc.equal(side, 0)) \
-            .select([on] + list(l_cols)).to_pandas()
-        rf = part.filter(pc.equal(side, 1)) \
-            .select([on] + list(r_cols)).to_pandas()
-        return lf.merge(rf, on=on, how=how)
-
-    both = (left.map_batches(tag(l_cols, r_cols, 0),
-                             batch_format="pyarrow")
-            .union(right.map_batches(tag(r_cols, l_cols, 1),
-                                     batch_format="pyarrow")))
-    return both.groupby("__part").map_groups(merge, batch_format="pyarrow")
+    return co_group(left.select_columns([on] + list(l_cols)),
+                    right.select_columns([on] + list(r_cols)),
+                    l_on=on, r_on=on, fn=merge,
+                    num_partitions=num_partitions)
 
 
 def grouped_apply(ds: ray.data.Dataset, keys: list[str], fn,
