@@ -37,10 +37,13 @@ CAND_BROADCAST_MAX = 2_000_000
 
 # the single-task verify+cluster fast path additionally needs every
 # candidate's SHINGLE SET in one worker's heap (~10-50 KB/doc, three
-# orders of magnitude more than the 8-byte id the broadcast bound prices),
-# so it gets its own much smaller gate; between the two bounds the
-# broadcast pre-filter still applies but verification runs distributed
+# orders of magnitude more than the 8-byte id the broadcast bound
+# prices), so it is double-gated: a candidate-count ceiling (cheap first
+# check) AND a measured total-shingle-bytes ceiling; between the gates
+# the broadcast pre-filter still applies but verification runs
+# distributed
 SMALL_VERIFY_MAX = 100_000
+SMALL_VERIFY_MAX_BYTES = 1 << 30
 
 
 def _content_hash(texts: list[str]) -> list[str]:
@@ -324,18 +327,45 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
             rf["label"].to_numpy(dtype=np.int64)])
         return pd.DataFrame({"doc_id": out_id, "label": out_lab})
 
+    # pointer-jump routing is SALTED: keying queries by raw label value
+    # would funnel every member of a big component into ONE partition
+    # (label skew is the whole point of components). Queries route by
+    # label*S + doc%S; the label->label mapping is replicated S ways so
+    # every salt bucket can answer. Skew per partition is bounded by
+    # component_size / S.
+    JUMP_SALT = 16
+    q_schema = pa.schema([("jk", pa.int64()), ("doc_id", pa.int64()),
+                          ("lab", pa.int64())])
+    m_schema = pa.schema([("jk", pa.int64()), ("lab_key", pa.int64()),
+                          ("lab2", pa.int64())])
+
+    def tag_queries(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        lb = t.column("label").to_numpy()
+        return pa.table({
+            "jk": pa.array(lb * JUMP_SALT + (d % JUMP_SALT)),
+            "doc_id": pa.array(d), "lab": pa.array(lb)}, schema=q_schema)
+
+    def tag_mapping(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        lb = t.column("label").to_numpy()
+        s = np.tile(np.arange(JUMP_SALT, dtype=np.int64), len(d))
+        return pa.table({
+            "jk": pa.array(np.repeat(d, JUMP_SALT) * JUMP_SALT + s),
+            "lab_key": pa.array(np.repeat(d, JUMP_SALT)),
+            "lab2": pa.array(np.repeat(lb, JUMP_SALT))}, schema=m_schema)
+
     def jump(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        # label(label): left = labels keyed by their LABEL value, right =
-        # labels keyed by doc; emit (doc, label_of(label)) + identity rows
-        lab_of = dict(zip(rf["doc_id"], rf["label"]))
-        ks = lf["label"].to_numpy(dtype=np.int64)
-        jumped = np.array([int(lab_of.get(int(k), k)) for k in ks],
+        # label(label): emit (doc, label_of(label)) + (doc, label) so the
+        # grouped min never loses ground
+        lab_of = dict(zip(rf["lab_key"], rf["lab2"]))
+        docs_q = lf["doc_id"].to_numpy(dtype=np.int64)
+        labs = lf["lab"].to_numpy(dtype=np.int64)
+        jumped = np.array([int(lab_of.get(int(k), k)) for k in labs],
                           dtype=np.int64)
-        out_id = np.concatenate([lf["doc_id"].to_numpy(dtype=np.int64),
-                                 rf["doc_id"].to_numpy(dtype=np.int64)])
-        out_lab = np.concatenate([jumped,
-                                  rf["label"].to_numpy(dtype=np.int64)])
-        return pd.DataFrame({"doc_id": out_id, "label": out_lab})
+        return pd.DataFrame({
+            "doc_id": np.concatenate([docs_q, docs_q]),
+            "label": np.concatenate([labs, jumped])})
 
     edges = pairs.map_batches(expand, batch_format="pyarrow").materialize()
     prev_sum = None
@@ -358,12 +388,14 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
                                 r_schema=label_schema)
         labels = shuffle.grouped_agg(
             msgs, ["doc_id"], {"label": ("label", "min")}).materialize()
-        # pointer jump: label := min(label, label(label))
-        jmsgs = shuffle.co_group(labels, labels, l_on="label",
-                                 r_on="doc_id", fn=jump,
-                                 num_partitions=num_partitions,
-                                 l_schema=label_schema,
-                                 r_schema=label_schema)
+        # pointer jump: label := min(label, label(label)), salt-routed
+        labels_m = labels.materialize()
+        jmsgs = shuffle.co_group(
+            labels_m.map_batches(tag_queries, batch_format="pyarrow"),
+            labels_m.map_batches(tag_mapping, batch_format="pyarrow"),
+            l_on="jk", r_on="jk", fn=jump,
+            num_partitions=num_partitions,
+            l_schema=q_schema, r_schema=m_schema)
         labels = shuffle.grouped_agg(
             jmsgs, ["doc_id"], {"label": ("label", "min")}).materialize()
     if not converged:
@@ -480,8 +512,8 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
         cand.map_batches(endpoints, batch_format="pyarrow"), ["doc_id"])
     docs_sel = docs.select_columns(["doc_id", "text"])
     n_cand = cand_ids.count()
-    small = n_cand <= min(SMALL_VERIFY_MAX, CAND_BROADCAST_MAX)
-    if n_cand <= CAND_BROADCAST_MAX:
+    prefiltered = n_cand <= CAND_BROADCAST_MAX
+    if prefiltered:
         id_arr = np.sort(np.concatenate(
             [b["doc_id"] for b in cand_ids.iter_batches(batch_format="numpy")]
             or [np.zeros(0, dtype=np.int64)]))
@@ -497,14 +529,26 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
     shingle_ds = docs_sel.map_batches(
         _shingle_rows_fn(shingle_k), batch_format="pyarrow")
 
-    if small:
-        # bounded fast path: candidate shingles fit one worker — verify +
-        # union-find in a single task, broadcast the tiny label table
-        labels_ref = _verify_and_cluster_small.remote(
-            _block_refs(cand), _block_refs(shingle_ds.materialize()),
-            threshold)
-        return _attach_clusters_broadcast(docs.select_columns(["doc_id"]),
-                                          labels_ref)
+    if prefiltered and n_cand <= SMALL_VERIFY_MAX:
+        # the single-task path is gated by actual BYTES, not candidate
+        # count: shingle volume per doc varies by orders of magnitude,
+        # and the one worker must hold every candidate's set
+        shingle_ds = shingle_ds.materialize()
+        sizes = shingle_ds.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(pa.compute.sum(
+                    pa.compute.list_value_length(
+                        t.column("sh"))).as_py() or 0)])}),
+            batch_format="pyarrow")
+        total_shingles = sum(
+            int(x) for b in sizes.iter_batches(batch_format="numpy")
+            for x in b["n"])
+        if total_shingles * 80 <= SMALL_VERIFY_MAX_BYTES:
+            # ~80 B per entry in a Python set of ints
+            labels_ref = _verify_and_cluster_small.remote(
+                _block_refs(cand), _block_refs(shingle_ds), threshold)
+            return _attach_clusters_broadcast(
+                docs.select_columns(["doc_id"]), labels_ref)
 
     verified = _verify_pairs(cand, shingle_ds, threshold)
 

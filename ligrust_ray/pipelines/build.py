@@ -194,10 +194,9 @@ def _edges_with_ids_bucketed(edge_urls: ray.data.Dataset,
     keys hash with pandas' vectorised siphash) resolving src_url then
     dst_url against the (url, id) mapping; the carried columns stay
     TYPED through both shuffles (no stringified ids, no sentinels)."""
-    import pandas as pd
+    from ligrust_ray.stages import shuffle
 
-    from ligrust_ray.stages.shuffle import co_group
-
+    co_group = shuffle.co_group
     map_schema = pa.schema([("url", pa.string()), ("id", pa.int64())])
 
     def resolve(key: str, out_cols, how: str):

@@ -126,6 +126,14 @@ def co_group(left: ray.data.Dataset, right: ray.data.Dataset,
     r_schema = r_schema or right.schema().base_schema
     l_cols = [f.name for f in l_schema]
     r_cols = [f.name for f in r_schema]
+    # the two key columns MUST route through the same partition function —
+    # an int/string (or int/float) mismatch would silently co-locate
+    # nothing and return an empty join instead of erroring
+    lk, rk = l_schema.field(l_on).type, r_schema.field(r_on).type
+    if pa.types.is_integer(lk) != pa.types.is_integer(rk):
+        raise TypeError(
+            f"co_group key type mismatch: {l_on}:{lk} vs {r_on}:{rk} "
+            "(both must be integer, or both non-integer)")
     union_schema = pa.schema(
         [(f"l_{c}", l_schema.field(c).type) for c in l_cols]
         + [(f"r_{c}", r_schema.field(c).type) for c in r_cols]

@@ -302,3 +302,17 @@ def test_embedding_near_dup_multiblock(ray_session):
         ds.repartition(5), threshold=0.8)
         .to_pandas()[["a", "b"]].to_numpy()))
     assert one == many and len(one) > 0
+
+
+def test_pair_components_deep_chain(ray_session):
+    """A 50-link chain component must converge within 16 rounds (pointer
+    jumping is O(log diameter); plain propagation would need 50 rounds)
+    and label every member with the minimum id."""
+    n = 50
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array(np.arange(n - 1, dtype=np.int64) + 1000),
+        "b": pa.array(np.arange(1, n, dtype=np.int64) + 1000),
+    }))
+    labels = dedup._pair_components(pairs, max_rounds=16).to_pandas()
+    assert len(labels) == n
+    assert (labels["label"].to_numpy() == 1000).all()
