@@ -16,6 +16,15 @@ Algorithm (degree-ordered wedge check):
    with ``triu_indices``, probe each wedge against the oriented edge set.
    Every hit is exactly one triangle, counted once (at its wedge apex).
 
+Degrees, two modes (``deg_mode``):
+- ``broadcast`` (default below ``DEG_BROADCAST_MAX`` nodes): per-batch
+  (v, count) partials are combined into one int64 array and ``ray.put``
+  once — an n-length array, bounded by the gate (2^24 nodes = 128 MB).
+- ``dataset`` (the 10^10-node scale path): degrees stay a Dataset built by
+  ``grouped_agg`` over exploded endpoints and are attached to each edge by
+  TWO ``co_group`` passes (src then dst) — no O(n) driver or broadcast
+  array anywhere; the oriented edge carries the (deg, id) rank it needs.
+
 Closing-edge probe, two modes (``probe_mode``):
 - ``broadcast`` (default below ``BROADCAST_MAX_EDGES`` oriented edges): the
   oriented edge set is broadcast ONCE as a sorted ``u * n + v`` key array
@@ -27,7 +36,13 @@ Closing-edge probe, two modes (``probe_mode``):
 
 Wedges are generated with endpoints in ORIENTATION order ((deg, id) rank),
 so the closing edge of a real triangle is oriented exactly x -> y: one
-probe per wedge (round 1 sorted by id and probed both directions).
+probe per wedge. The rank order is read from the ``vdeg`` column carried on
+each oriented edge, so wedge generation never touches a global array.
+
+``per_node=True`` returns ``(total, Dataset)`` where the Dataset holds
+(node_id, triangles) for nodes in >=1 triangle — built by ``grouped_agg``
+over per-partition (node, count) partials; nothing n-length is ever
+materialised on the driver.
 """
 
 from __future__ import annotations
@@ -43,12 +58,52 @@ from ligrust_ray.stages import shuffle
 # above this oriented-edge count the probe set stops being broadcast and
 # the bucketed wedge<->edge hash join runs instead
 BROADCAST_MAX_EDGES = 1 << 22
+# above this node count degrees stay a Dataset (co_group attach) instead of
+# one ray.put array — same gate idiom as the pull kernel's broadcast switch
+DEG_BROADCAST_MAX = 1 << 24
+
+_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+_DEG_SCHEMA = pa.schema([("v", pa.int64()), ("deg", pa.int64())])
+
+
+def _probe_hits(x: np.ndarray, y: np.ndarray, e_src: np.ndarray,
+                e_dst: np.ndarray, n: int) -> np.ndarray:
+    """Boolean mask: wedge (x, y) closed by an oriented edge x -> y.
+
+    Scalar-key searchsorted when ``x * n + y`` fits int64; above that
+    (n >= 2^31, i.e. >2 G nodes) a two-column pandas C merge — no 128-bit
+    encode needed."""
+    if n < (1 << 31):
+        ks = np.sort(e_src * n + e_dst)
+        wk = x * n + y
+        pos = np.minimum(np.searchsorted(ks, wk), max(len(ks) - 1, 0))
+        return (ks[pos] == wk) if len(ks) else np.zeros(len(wk), bool)
+    w = pd.DataFrame({"x": x, "y": y})
+    e = pd.DataFrame({"x": e_src, "y": e_dst, "__hit": True})
+    j = w.merge(e, on=["x", "y"], how="left")
+    return j["__hit"].notna().to_numpy()
+
+
+def _per_node_rows(ids: np.ndarray, total: int) -> pd.DataFrame:
+    """Partition-local (node_id, count) partials + one (-1, total) row —
+    combined by np.unique, never an n-length array."""
+    uv, cnt = np.unique(ids, return_counts=True)
+    return pd.DataFrame({
+        "node_id": np.append(uv, np.int64(-1)),
+        "triangles": np.append(cnt.astype(np.int64), np.int64(total))})
 
 
 def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
                    per_node: bool = False, num_partitions: int = 16,
-                   probe_mode: str = "auto"):
-    """Returns total int, or (total, per-node pa.Table) when ``per_node``."""
+                   probe_mode: str = "auto", deg_mode: str = "auto"):
+    """Returns total int, or ``(total, Dataset[node_id, triangles])`` (nodes
+    in >=1 triangle) when ``per_node``."""
+    if probe_mode not in ("auto", "broadcast", "bucketed"):
+        raise ValueError(f"probe_mode must be auto|broadcast|bucketed, "
+                         f"got {probe_mode!r}")
+    if deg_mode not in ("auto", "broadcast", "dataset"):
+        raise ValueError(f"deg_mode must be auto|broadcast|dataset, "
+                         f"got {deg_mode!r}")
     if isinstance(edges, pa.Table):
         edges = ray.data.from_arrow(edges)
 
@@ -59,60 +114,113 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
         a = np.minimum(s[keep], d[keep]).astype(np.int64)
         b = np.maximum(s[keep], d[keep]).astype(np.int64)
         k = np.unique(np.stack([a, b], axis=1), axis=0)  # in-batch pre-dedup
-        return pa.table({"src": k[:, 0], "dst": k[:, 1]})
+        return pa.table({"src": k[:, 0], "dst": k[:, 1]}, schema=_EDGE_SCHEMA)
 
     und = shuffle.distinct(edges.map_batches(canon, batch_format="pyarrow"),
                            ["src", "dst"]).materialize()
     if und.count() == 0:
-        empty = pa.table({"node_id": pa.array([], type=pa.int64()),
-                          "triangles": pa.array([], type=pa.int64())})
+        empty = ray.data.from_arrow(pa.table(
+            {"node_id": pa.array([], type=pa.int64()),
+             "triangles": pa.array([], type=pa.int64())}))
         return (0, empty) if per_node else 0
 
-    # degrees on the simple graph: per-batch (v, count) partials combined on
-    # the driver — the deg array is driver-resident here regardless, so a
-    # full groupby shuffle buys nothing (scale path: keep degrees as a
-    # dataset and broadcast per-partition slices)
-    def deg_partial(t: pa.Table) -> pa.Table:
-        v = np.concatenate([t.column("src").to_numpy(),
-                            t.column("dst").to_numpy()])
-        uv, cnt = np.unique(v, return_counts=True)
-        return pa.table({"v": uv, "c": cnt.astype(np.int64)})
-
-    parts = list(und.map_batches(deg_partial, batch_format="pyarrow")
-                 .iter_batches(batch_format="numpy"))
-    vmax = max(int(b["v"].max()) for b in parts)
     if n is None:
-        n = vmax + 1
-    deg = np.zeros(n, dtype=np.int64)
-    for b in parts:
-        np.add.at(deg, b["v"], b["c"])
-    deg_ref = ray.put(deg)
+        # per-batch scalar max partials -> driver max over O(#blocks) rows
+        vmax_parts = und.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [max(int(np.max(t.column("src").to_numpy())),
+                     int(np.max(t.column("dst").to_numpy())))],
+                type=pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        n = int(vmax_parts["m"].max()) + 1
+    if deg_mode == "auto":
+        deg_mode = "broadcast" if n <= DEG_BROADCAST_MAX else "dataset"
 
-    def orient_and_part(t: pa.Table) -> pa.Table:
-        dg = ray.get(deg_ref)
-        a = t.column("src").to_numpy()
-        b = t.column("dst").to_numpy()
-        a_first = (dg[a] < dg[b]) | ((dg[a] == dg[b]) & (a < b))
+    # ---- orientation: attach (deg, id) rank, emit (src, dst, vdeg, part)
+    # with vdeg = degree of the ORIENTED dst (for per-apex neighbor order)
+    def _orient(a, b, da, db):
+        a_first = (da < db) | ((da == db) & (a < b))
         u = np.where(a_first, a, b).astype(np.int64)
         v = np.where(a_first, b, a).astype(np.int64)
-        return pa.table({"src": u, "dst": v,
+        vdeg = np.where(a_first, db, da).astype(np.int64)
+        return pa.table({"src": u, "dst": v, "vdeg": vdeg,
                          "part": (u % num_partitions).astype(np.int64)})
 
-    oriented = und.map_batches(orient_and_part,
-                               batch_format="pyarrow").materialize()
+    if deg_mode == "broadcast":
+        # per-batch (v, count) partials -> one gated n-length array, put once
+        def deg_partial(t: pa.Table) -> pa.Table:
+            v = np.concatenate([t.column("src").to_numpy(),
+                                t.column("dst").to_numpy()])
+            uv, cnt = np.unique(v, return_counts=True)
+            return pa.table({"v": uv, "c": cnt.astype(np.int64)})
+
+        deg = np.zeros(n, dtype=np.int64)
+        for b in (und.map_batches(deg_partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="numpy")):
+            np.add.at(deg, b["v"], b["c"])
+        deg_ref = ray.put(deg)
+
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            dg = ray.get(deg_ref)
+            a = t.column("src").to_numpy()
+            b = t.column("dst").to_numpy()
+            return _orient(a, b, dg[a], dg[b])
+
+        oriented = und.map_batches(orient_bcast,
+                                   batch_format="pyarrow").materialize()
+    else:
+        # degrees as a Dataset: grouped_agg over exploded endpoints, then
+        # two co_group passes attach deg to src and dst — no O(n) driver
+        # or broadcast array (the 10^10-node path)
+        degs = shuffle.grouped_agg(
+            und.map_batches(
+                lambda t: pa.table({"v": pa.concat_arrays(
+                    [t.column("src").combine_chunks().cast(pa.int64()),
+                     t.column("dst").combine_chunks().cast(pa.int64())])}),
+                batch_format="pyarrow"),
+            ["v"], {"deg": (None, "count")},
+            num_partitions=num_partitions)
+
+        def attach(col: str, out: str):
+            def f(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+                j = lf.merge(rf.rename(columns={"v": col, "deg": out}),
+                             on=col, how="inner")
+                return j
+            return f
+
+        e1_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                               ("sdeg", pa.int64())])
+        e1 = shuffle.co_group(und, degs, l_on="src", r_on="v",
+                              fn=attach("src", "sdeg"),
+                              num_partitions=num_partitions,
+                              l_schema=_EDGE_SCHEMA, r_schema=_DEG_SCHEMA)
+        e2 = shuffle.co_group(e1, degs, l_on="dst", r_on="v",
+                              fn=attach("dst", "ddeg"),
+                              num_partitions=num_partitions,
+                              l_schema=e1_schema, r_schema=_DEG_SCHEMA)
+        oriented = e2.map_batches(
+            lambda t: _orient(t.column("src").to_numpy(),
+                              t.column("dst").to_numpy(),
+                              t.column("sdeg").to_numpy(),
+                              t.column("ddeg").to_numpy()),
+            batch_format="pyarrow").materialize()
+
     m_oriented = oriented.count()
     if probe_mode == "auto":
         probe_mode = ("broadcast" if m_oriented <= BROADCAST_MAX_EDGES
                       else "bucketed")
+    if probe_mode == "broadcast" and n >= (1 << 31):
+        probe_mode = "bucketed"    # x*n+y scalar encode would overflow int64
 
     def wedges_of(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(x, y, apex) wedge arrays for one source-partition, endpoints in
-        ORIENTATION ((deg, id)-rank) order so the closing edge, if present,
-        is oriented exactly x -> y."""
-        dg = ray.get(deg_ref)
+        ORIENTATION ((deg, id)-rank) order — read from the carried vdeg
+        column — so the closing edge, if present, is oriented exactly
+        x -> y."""
         u = g["src"].to_numpy(dtype=np.int64)
         v = g["dst"].to_numpy(dtype=np.int64)
-        order = np.lexsort((v, dg[v], u))     # per-apex nb sorted by (deg,id)
+        vd = g["vdeg"].to_numpy(dtype=np.int64)
+        order = np.lexsort((v, vd, u))        # per-apex nb sorted by (deg,id)
         u, v = u[order], v[order]
         starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
         bounds = np.append(starts, len(u))
@@ -146,17 +254,12 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
             hit = (ks[pos] == wk) if len(ks) else np.zeros(0, bool)
             total = int(np.count_nonzero(hit))
             if per_node:
-                hits = np.zeros(n, dtype=np.int64)
-                np.add.at(hits, ap[hit], 1)
-                np.add.at(hits, x[hit], 1)
-                np.add.at(hits, y[hit], 1)
-                nz = np.flatnonzero(hits)
-                return pd.DataFrame({"node_id": np.append(nz, -1),
-                                     "triangles": np.append(hits[nz], total)})
+                return _per_node_rows(
+                    np.concatenate([ap[hit], x[hit], y[hit]]), total)
             return pd.DataFrame({"node_id": [-1], "triangles": [total]})
 
         res = (oriented.groupby("part")
-               .map_groups(probe_part, batch_format="pandas").to_pandas())
+               .map_groups(probe_part, batch_format="pandas"))
     else:
         # bucketed wedge<->edge co-group (stages/shuffle.co_group): both
         # sides hash-route by the wedge's first endpoint / the edge's
@@ -173,37 +276,36 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
                   .map_groups(make_wedges, batch_format="pandas"))
 
         def join_bucket(wf: pd.DataFrame, ef: pd.DataFrame) -> pd.DataFrame:
-            ks = np.sort(ef["src"].to_numpy(dtype=np.int64) * n
-                         + ef["dst"].to_numpy(dtype=np.int64))
             x = wf["x"].to_numpy(dtype=np.int64)
             y = wf["y"].to_numpy(dtype=np.int64)
             ap = wf["apex"].to_numpy(dtype=np.int64)
-            wk = x * n + y
-            pos = np.minimum(np.searchsorted(ks, wk), max(len(ks) - 1, 0))
-            hit = (ks[pos] == wk) if len(ks) else np.zeros(len(wk), bool)
+            hit = _probe_hits(x, y, ef["src"].to_numpy(dtype=np.int64),
+                              ef["dst"].to_numpy(dtype=np.int64), n)
             total = int(np.count_nonzero(hit))
             if per_node:
-                out_id = np.concatenate([ap[hit], x[hit], y[hit],
-                                         np.array([-1], dtype=np.int64)])
-                out_c = np.concatenate([np.ones(3 * total, dtype=np.int64),
-                                        np.array([total], dtype=np.int64)])
-                return pd.DataFrame({"node_id": out_id, "triangles": out_c})
+                return _per_node_rows(
+                    np.concatenate([ap[hit], x[hit], y[hit]]), total)
             return pd.DataFrame({"node_id": [-1], "triangles": [total]})
 
         res = shuffle.co_group(
             wedges, oriented.select_columns(["src", "dst"]),
             l_on="x", r_on="src", fn=join_bucket,
             num_partitions=num_partitions,
-            l_schema=wedge_schema,
-            r_schema=pa.schema([("src", pa.int64()),
-                                ("dst", pa.int64())])).to_pandas()
+            l_schema=wedge_schema, r_schema=_EDGE_SCHEMA)
 
-    total = int(res.loc[res["node_id"] == -1, "triangles"].sum())
     if not per_node:
-        return total
-    pern = res[res["node_id"] >= 0].groupby("node_id")["triangles"].sum()
-    full = np.zeros(n, dtype=np.int64)
-    full[pern.index.to_numpy()] = pern.to_numpy()
-    tbl = pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
-                    "triangles": pa.array(full)})
-    return total, tbl
+        parts = res.to_pandas()                # one row per partition
+        return int(parts.loc[parts["node_id"] == -1, "triangles"].sum())
+
+    # per-node: grouped_agg over (node_id, count) partials — the -1 row
+    # carries the total; everything stays a Dataset
+    grouped = shuffle.grouped_agg(res, ["node_id"],
+                                  {"triangles": ("triangles", "sum")},
+                                  num_partitions=num_partitions).materialize()
+    tot = grouped.map_batches(
+        lambda df: df[df["node_id"] < 0],
+        batch_format="pandas").to_pandas()     # exactly one row
+    total = int(tot["triangles"].sum())
+    pern = grouped.map_batches(lambda df: df[df["node_id"] >= 0],
+                               batch_format="pandas")
+    return total, pern

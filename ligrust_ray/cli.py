@@ -145,9 +145,9 @@ def main(argv=None):
 
         e = ray.data.read_parquet(args.edges)
         if args.per_node:
-            total, tbl = triangle_count(e, per_node=True)
+            total, pern = triangle_count(e, per_node=True)
             if args.output:
-                ray.data.from_arrow(tbl).write_parquet(args.output)
+                pern.write_parquet(args.output)
         else:
             total = triangle_count(e)
         print(json.dumps({"triangles": int(total)}))

@@ -147,12 +147,11 @@ def q_events_triangles(sf_dir: str):
 
 
 def q_events_triangles_per_node(sf_dir: str):
-    """Per-node triangle participation counts (nonzero nodes only)."""
-    _, tbl = triangle_count(events_edges_ds(sf_dir), n=events_n(sf_dir),
-                            per_node=True)
-    import pyarrow.compute as pc
-
-    return tbl.filter(pc.greater(tbl.column("triangles"), 0))
+    """Per-node triangle participation counts (nonzero nodes only —
+    triangle_count's per_node Dataset already contains exactly those)."""
+    _, pern = triangle_count(events_edges_ds(sf_dir), n=events_n(sf_dir),
+                             per_node=True)
+    return pern
 
 
 def q_docs_clean(sf_dir: str):

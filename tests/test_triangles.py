@@ -1,5 +1,6 @@
 import numpy as np
 import pyarrow as pa
+import pytest
 
 import oracle
 from ligrust_ray.algos.triangles import triangle_count
@@ -15,11 +16,6 @@ def _per_node_oracle(n, src, dst):
         adj[a].add(b)
         adj[b].add(a)
     cnt = np.zeros(n, dtype=np.int64)
-    for a, b in edges:
-        for c in adj[a] & adj[b]:
-            cnt[a] += 1  # counted once per incident edge-pair; /2 below
-    # simpler exact recompute: triangles containing v
-    cnt = np.zeros(n, dtype=np.int64)
     tris = set()
     for a, b in edges:
         for c in adj[a] & adj[b]:
@@ -30,6 +26,15 @@ def _per_node_oracle(n, src, dst):
     return len(tris), cnt
 
 
+def _dense(pern_ds, n):
+    """Densify the nonzero-only per-node Dataset to an n-length array."""
+    df = pern_ds.to_pandas()
+    full = np.zeros(n, dtype=np.int64)
+    if len(df):
+        full[df["node_id"].to_numpy()] = df["triangles"].to_numpy()
+    return full
+
+
 def test_triangles_exact(ray_session):
     for n, seed in [(25, 1), (60, 4), (100, 9)]:
         src, dst = oracle.random_digraph(n, 4.0, seed)
@@ -38,7 +43,7 @@ def test_triangles_exact(ray_session):
         assert oracle.triangles_oracle(src, dst) == exp_total
         total, pn = triangle_count(t, n=n, per_node=True)
         assert total == exp_total
-        np.testing.assert_array_equal(pn["triangles"].to_numpy(), exp_pn)
+        np.testing.assert_array_equal(_dense(pn, n), exp_pn)
 
 
 def test_triangles_bucketed_matches_broadcast(ray_session):
@@ -51,8 +56,41 @@ def test_triangles_bucketed_matches_broadcast(ray_session):
         total, pn = triangle_count(t, n=n, per_node=True,
                                    probe_mode="bucketed")
         assert total == exp_total
-        np.testing.assert_array_equal(pn["triangles"].to_numpy(), exp_pn)
+        np.testing.assert_array_equal(_dense(pn, n), exp_pn)
         assert triangle_count(t, n=n, probe_mode="bucketed") == exp_total
+
+
+def test_triangles_dataset_degrees(ray_session):
+    """The 10^10-node scale path — degrees as a Dataset attached via two
+    co_group passes, NO n-length driver/broadcast array — must match the
+    oracle for both probe modes, n given and n derived."""
+    for n, seed in [(60, 4), (100, 9)]:
+        src, dst = oracle.random_digraph(n, 4.0, seed)
+        t = pa.table({"src": src, "dst": dst})
+        exp_total, exp_pn = _per_node_oracle(n, src, dst)
+        total, pn = triangle_count(t, n=n, per_node=True,
+                                   deg_mode="dataset", probe_mode="bucketed")
+        assert total == exp_total
+        np.testing.assert_array_equal(_dense(pn, n), exp_pn)
+        assert triangle_count(t, deg_mode="dataset") == exp_total  # n derived
+
+
+def test_triangles_huge_n_merge_probe(ray_session):
+    """n >= 2^31 disables the x*n+y scalar encode (int64 overflow): the
+    probe falls back to the two-column merge path and bucketed mode."""
+    src, dst = oracle.random_digraph(80, 4.0, 7)
+    exp = oracle.triangles_oracle(src, dst)
+    t = pa.table({"src": src, "dst": dst})
+    assert triangle_count(t, n=(1 << 31) + 80, deg_mode="dataset") == exp
+
+
+def test_triangles_mode_validation(ray_session):
+    t = pa.table({"src": np.array([0], dtype=np.int64),
+                  "dst": np.array([1], dtype=np.int64)})
+    with pytest.raises(ValueError):
+        triangle_count(t, probe_mode="bcast")
+    with pytest.raises(ValueError):
+        triangle_count(t, deg_mode="drivers")
 
 
 def test_triangles_parallel_edges_and_self_loops(ray_session):
