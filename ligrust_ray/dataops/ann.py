@@ -89,16 +89,98 @@ def _kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 5,
     return cent
 
 
+# ---- IVF index: bucket count scales with n -------------------------------
+# Fixed B=16 caps groupby parallelism at 16 and makes in-bucket all-pairs
+# O((n/16)^2). Auto mode picks B ~ sqrt(n) (balances bucketize cost n*B
+# against in-bucket cost n^2/B); above _TWO_LEVEL_MIN the index goes
+# two-level (coarse sqrt(B) x fine sqrt(B), inverted-multi-index shape) so
+# BOTH the driver k-means (sample x sqrt(B) x d) and the per-vector assign
+# (2 x sqrt(B) x d instead of B x d) stay bounded as B grows.
+IVF_MAX_CENTROIDS = 1 << 16
+IVF_MAX_TRAIN = 1 << 18
+_TWO_LEVEL_MIN = 65
+
+
+def auto_centroids(n: int) -> int:
+    return int(min(max(16, round(np.sqrt(max(n, 1)))), IVF_MAX_CENTROIDS))
+
+
+def train_ivf(s_mat: np.ndarray, n_centroids: int, seed: int = 42):
+    """-> (coarse (Bc,d), fines list[(Bf_i,d)], offsets (Bc+1,)). Bucket id
+    of fine cell f under coarse c is offsets[c]+f. One-level indexes are a
+    single dummy coarse cell holding every centroid as a fine."""
+    B = max(1, min(n_centroids, len(s_mat)))
+    if B < _TWO_LEVEL_MIN:
+        fines = [_kmeans_lite(s_mat, B, seed=seed)]
+        return (np.zeros((1, s_mat.shape[1])), fines,
+                np.array([0, len(fines[0])], dtype=np.int64))
+    bc = int(np.ceil(np.sqrt(B)))
+    coarse = _kmeans_lite(s_mat, bc, seed=seed)
+    assign = np.argmax(s_mat @ coarse.T, axis=1)
+    bf = int(np.ceil(B / len(coarse)))
+    fines = []
+    for c in range(len(coarse)):
+        sub = s_mat[assign == c]
+        fines.append(coarse[[c]] if not len(sub)
+                     else _kmeans_lite(sub, min(bf, len(sub)), seed=seed + 1 + c))
+    offsets = np.concatenate(
+        ([0], np.cumsum([len(f) for f in fines]))).astype(np.int64)
+    return coarse, fines, offsets
+
+
+def assign_buckets(index, m: np.ndarray, kprobe: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Top-``kprobe`` bucket ids per row of ``m`` (normalised), descending
+    sim, deterministic ties. -> (buckets (n,kk) int64, valid (n,kk) bool)
+    — rows can have fewer than kprobe reachable cells (small indexes)."""
+    coarse, fines, offsets = index
+    bc = len(coarse)
+    nc = min(bc, max(1, int(kprobe)))       # coarse cells explored per row
+    if nc < bc:
+        cs = m @ coarse.T
+        topc = np.argpartition(-cs, nc - 1, axis=1)[:, :nc]
+    else:
+        topc = np.tile(np.arange(bc), (len(m), 1))
+    bfmax = max(len(f) for f in fines)
+    cand_s = np.full((len(m), nc * bfmax), -np.inf)
+    cand_b = np.zeros((len(m), nc * bfmax), dtype=np.int64)
+    for g in np.unique(topc):
+        rows, cols = np.nonzero(topc == g)
+        fs = m[rows] @ fines[g].T            # (r, Bf_g)
+        slot = cols[:, None] * bfmax + np.arange(fines[g].shape[0])
+        cand_s[rows[:, None], slot] = fs
+        cand_b[rows[:, None], slot] = offsets[g] + np.arange(
+            fines[g].shape[0], dtype=np.int64)
+    kk = min(int(kprobe), cand_s.shape[1])
+    order = np.argsort(-cand_s, axis=1, kind="stable")[:, :kk]
+    r = np.arange(len(m))[:, None]
+    return cand_b[r, order], np.isfinite(cand_s[r, order])
+
+
+def _train_from_ds(emb: ray.data.Dataset, n_centroids: int | None,
+                   seed: int, train_sample: int):
+    """Bounded-sample IVF training; auto B from a metadata-cheap count."""
+    if n_centroids is None:
+        n_centroids = auto_centroids(emb.count())
+    train_sample = min(max(train_sample, 8 * n_centroids), IVF_MAX_TRAIN)
+    sample = emb.select_columns(["vec_id", "embedding"]) \
+        .limit(train_sample).to_pandas()
+    _, s_mat = _matrix(sample)
+    return train_ivf(_normalize(s_mat), n_centroids, seed=seed)
+
+
 def knn_ivf(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
-            n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
+            n_centroids: int | None = None, nprobe: int = 4, seed: int = 42,
             train_sample: int = 4096) -> ray.data.Dataset:
     """Approximate top-k: bucket by nearest centroid, probe nprobe buckets.
 
     Distributed shape (what a 10^12-vector deployment runs; only the tiny
     artifacts touch the driver):
     1. centroids trained on a bounded driver-side SAMPLE (train_sample rows);
+       ``n_centroids=None`` auto-scales B ~ sqrt(n) via the two-level index
+       above, so bucket count (and pruning power) grows with the data;
     2. every vector scored/bucketed inside ``map_batches`` against the
-       broadcast centroids — the bucketed layout is what scale persists as
+       broadcast index — the bucketed layout is what scale persists as
        hash-partitioned parquet;
     3. per-batch partial top-k per (query, probed-bucket) — only candidate
        rows in probed buckets emit scores;
@@ -106,12 +188,7 @@ def knn_ivf(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
     """
     import pyarrow.compute as pc
 
-    # 1. bounded sample -> centroids (driver holds n_centroids x d only)
-    sample = emb.select_columns(["vec_id", "embedding"]) \
-        .limit(train_sample).to_pandas()
-    s_ids, s_mat = _matrix(sample)
-    s_mat = _normalize(s_mat)
-    cent = _kmeans_lite(s_mat, n_centroids, seed=seed)
+    index = _train_from_ds(emb, n_centroids, seed, train_sample)
 
     # query vectors: the query-id set is small by contract
     qarr = pa.array(sorted(int(q) for q in query_ids), type=pa.int64())
@@ -121,16 +198,17 @@ def knn_ivf(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
     q_ids, q_mat = _matrix(q_tbl)
     order = np.argsort(q_ids)
     q_ids, q_mat = q_ids[order], _normalize(q_mat[order])
-    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    bcast = ray.put((cent, q_ids, q_mat, probes))
+    probes, pvalid = assign_buckets(index, q_mat, nprobe)  # (nq, <=nprobe)
+    probes = np.where(pvalid, probes, -1)   # unreachable cells never match
+    bcast = ray.put((index, q_ids, q_mat, probes))
 
     def score(t: pa.Table) -> pa.Table:
-        c, qi, qm, pr = ray.get(bcast)
+        ix, qi, qm, pr = ray.get(bcast)
         ids = t.column("vec_id").to_numpy()
         m = _normalize(np.stack([np.asarray(v)
                                  for v in t.column("embedding").to_pylist()]
                                 ).astype(np.float64))
-        assign = np.argmax(m @ c.T, axis=1)
+        assign = assign_buckets(ix, m, 1)[0][:, 0]
         out_q, out_n, out_s = [], [], []
         for row, q in enumerate(qi):
             cand = np.isin(assign, pr[row])

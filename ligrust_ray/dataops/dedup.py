@@ -665,41 +665,54 @@ def _near_dup_block_pair(ta: pa.Table, tb: pa.Table, threshold: float,
     return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
+IVF_PAIR_CHUNK = 8192        # in-bucket matmul tile: memory O(chunk^2)
+
+
+def ivf_bucketize(emb: ray.data.Dataset, n_centroids: int | None = None,
+                  nprobe: int = 2, seed: int = 42, train_sample: int = 4096
+                  ) -> tuple[ray.data.Dataset, int]:
+    """(bucketed Dataset[vec_id, bucket, embedding], n_buckets): every
+    vector multi-assigned to its ``nprobe`` nearest IVF cells.
+    ``n_centroids=None`` auto-scales B ~ sqrt(n) via the two-level index in
+    dataops/ann.py, so bucket count — and hence groupby parallelism and the
+    O(n^2/B) in-bucket cost — grows with the data instead of capping at a
+    constant."""
+    from ligrust_ray.dataops import ann
+
+    index = ann._train_from_ds(emb, n_centroids, seed, train_sample)
+    n_buckets = int(index[2][-1])
+    index_ref = ray.put(index)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ix = ray.get(index_ref)
+        ids, m = _block_matrix(t)
+        bkt, valid = ann.assign_buckets(ix, m, nprobe)     # (n, kk)
+        n = len(ids)
+        kk = bkt.shape[1]
+        rows = np.repeat(np.arange(n), kk)[valid.ravel()]
+        return pa.table({
+            "vec_id": pa.array(ids[rows].astype(np.int64)),
+            "bucket": pa.array(bkt.ravel()[valid.ravel()]),
+            "embedding": t.column("embedding").combine_chunks().take(
+                pa.array(rows))})
+
+    bucketed = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        bucketize, batch_format="pyarrow")
+    return bucketed, n_buckets
+
+
 def embedding_near_dup_ivf(emb: ray.data.Dataset, threshold: float = 0.95,
-                           n_centroids: int = 16, nprobe: int = 2,
+                           n_centroids: int | None = None, nprobe: int = 2,
                            seed: int = 42, train_sample: int = 4096
                            ) -> ray.data.Dataset:
     """Approximate near-dup pairs: vectors are IVF-bucketed (nearest
     ``nprobe`` centroids — multi-assignment recovers most cross-boundary
     pairs) and compared WITHIN buckets only. O(n²/B) flops instead of
-    O(n²); recall < 1 by construction (tested vs the exact operator).
-    This is the recall-tolerant 10^9-vector scale path; the exact
-    block-pair operator below is the oracle."""
-    from ligrust_ray.dataops.ann import _kmeans_lite, _matrix, _normalize
-
-    sample = emb.select_columns(["vec_id", "embedding"]) \
-        .limit(train_sample).to_pandas()
-    _, s_mat = _matrix(sample)
-    cent = _kmeans_lite(_normalize(s_mat), n_centroids, seed=seed)
-    # a tiny table can train fewer centroids than nprobe — clamp, or the
-    # repeated-id columns and the (n, <nprobe) argsort disagree in length
-    nprobe = min(nprobe, len(cent))
-    cent_ref = ray.put(cent)
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
-        ids, m = _block_matrix(t)
-        sims = m @ c.T
-        order = np.argsort(-sims, axis=1)[:, :nprobe]      # top-nprobe
-        n = len(ids)
-        emb_col = t.column("embedding")
-        out_ids = np.repeat(ids, nprobe)
-        out_bkt = order.ravel().astype(np.int64)
-        out_emb = emb_col.combine_chunks().take(
-            pa.array(np.repeat(np.arange(n), nprobe)))
-        return pa.table({"vec_id": pa.array(out_ids),
-                         "bucket": pa.array(out_bkt),
-                         "embedding": out_emb})
+    O(n²), with B ~ sqrt(n) by default (``ivf_bucketize``); recall < 1 by
+    construction (tested vs the exact operator). This is the
+    recall-tolerant 10^9-vector scale path; the exact block-pair operator
+    below is the oracle. The in-bucket compare tiles its matmul
+    (``IVF_PAIR_CHUNK``) so one skewed bucket cannot blow a worker's heap."""
 
     def pairs_in_bucket(part: pd.DataFrame) -> pd.DataFrame:
         if len(part) < 2:
@@ -708,14 +721,25 @@ def embedding_near_dup_ivf(emb: ray.data.Dataset, threshold: float = 0.95,
         ids = part["vec_id"].to_numpy(dtype=np.int64)
         m = np.stack(part["embedding"].to_numpy()).astype(np.float64)
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ m.T
-        ii, jj = np.nonzero(sims >= threshold)
-        a, b = ids[ii], ids[jj]
-        keep = a < b
-        return pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+        outs_a, outs_b = [], []
+        for i0 in range(0, len(m), IVF_PAIR_CHUNK):     # upper-tri tiles
+            mi = m[i0:i0 + IVF_PAIR_CHUNK]
+            for j0 in range(i0, len(m), IVF_PAIR_CHUNK):
+                sims = mi @ m[j0:j0 + IVF_PAIR_CHUNK].T
+                ii, jj = np.nonzero(sims >= threshold)
+                a, b = ids[i0 + ii], ids[j0 + jj]
+                if i0 == j0:
+                    keep = a < b       # symmetric half + diagonal
+                    a, b = a[keep], b[keep]
+                else:                  # cross tile: each pair appears once
+                    a, b = np.minimum(a, b), np.maximum(a, b)
+                outs_a.append(a)
+                outs_b.append(b)
+        return pd.DataFrame({"a": np.concatenate(outs_a),
+                             "b": np.concatenate(outs_b)}).drop_duplicates()
 
-    bucketed = emb.select_columns(["vec_id", "embedding"]).map_batches(
-        bucketize, batch_format="pyarrow")
+    bucketed, _ = ivf_bucketize(emb, n_centroids=n_centroids, nprobe=nprobe,
+                                seed=seed, train_sample=train_sample)
     pairs = (bucketed.groupby("bucket")
              .map_groups(pairs_in_bucket, batch_format="pandas"))
     # multi-probe puts a vector in nprobe buckets -> a pair can appear in

@@ -140,6 +140,50 @@ def test_embedding_near_dup_ivf_recall(ray_session):
         assert len(approx & exact) / len(exact) >= 0.6
 
 
+def test_ivf_auto_bucket_count_scales(ray_session):
+    """n >> 16: auto mode must produce MORE than 16 buckets (the r2 fixed
+    B=16 capped groupby parallelism at 16 tasks forever) and the bucketed
+    layout must actually use >16 distinct buckets."""
+    from ligrust_ray.dataops.ann import auto_centroids
+
+    n = 2000
+    assert auto_centroids(n) > 16
+    ds, _ = _emb_ds(n=n, d=8, seed=11)
+    bucketed, n_buckets = dedup.ivf_bucketize(ds, n_centroids=None, nprobe=2)
+    assert n_buckets > 16
+    used = bucketed.to_pandas()["bucket"].nunique()
+    assert used > 16
+
+
+def test_ivf_two_level_recall(ray_session):
+    """B above the two-level threshold (coarse x fine index) must still
+    find near-dups: only exact-cosine pairs, decent recall."""
+    ds, _ = _emb_ds(n=500, d=8, seed=12)
+    exact = set(map(tuple, dedup.embedding_near_dup(ds, threshold=0.9)
+                    .to_pandas()[["a", "b"]].to_numpy()))
+    approx = set(map(tuple, dedup.embedding_near_dup_ivf(
+        ds, threshold=0.9, n_centroids=100, nprobe=4)
+        .to_pandas()[["a", "b"]].to_numpy()))
+    assert approx <= exact
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_ivf_pair_chunking_matches_unchunked(ray_session, monkeypatch):
+    """The tiled in-bucket matmul (memory bounding for skewed buckets) must
+    emit exactly the pairs the one-shot matmul emits — including pairs
+    whose two rows land in different tiles in either id order."""
+    ds, _ = _emb_ds(n=120, d=4, seed=13)
+    full = set(map(tuple, dedup.embedding_near_dup_ivf(
+        ds, threshold=0.8, n_centroids=4, nprobe=2)
+        .to_pandas()[["a", "b"]].to_numpy()))
+    monkeypatch.setattr(dedup, "IVF_PAIR_CHUNK", 17)
+    tiled = set(map(tuple, dedup.embedding_near_dup_ivf(
+        ds, threshold=0.8, n_centroids=4, nprobe=2)
+        .to_pandas()[["a", "b"]].to_numpy()))
+    assert tiled == full
+
+
 def test_token_count_bpe(docs_ds):
     pdf = docs_ds.map_batches(textstats.token_count_bpe_batch,
                               batch_format="pyarrow").to_pandas() \
