@@ -75,6 +75,34 @@ def _shingles(text: str, k: int) -> set[int]:
     return {hash_shingle(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)}
 
 
+def _shingle_strings(text: str, k: int) -> list[str]:
+    toks = _WORD.findall(text.lower())
+    if len(toks) < k:
+        joined = " ".join(toks)
+        return [joined] if joined else []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _shingle_sets_batch(texts: list[str], k: int) -> list[np.ndarray]:
+    """Sorted-unique int64 shingle-hash arrays, one per text — IDENTICAL
+    values to ``_shingles`` but the md5 runs once per batch-wide UNIQUE
+    shingle string (near-dup corpora repeat shingles by construction, so
+    this cuts the dominant md5+join cost of the signature stage)."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_many
+
+    per_doc = [_shingle_strings(x, k) for x in texts]
+    flat = [s for ss in per_doc for s in ss]
+    if not flat:
+        return [np.empty(0, dtype=np.int64) for _ in texts]
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    hs = (md5_u64_lower_many([s.encode("utf-8") for s in uniq])
+          & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    vals = hs[inv]
+    offs = np.cumsum([0] + [len(ss) for ss in per_doc])
+    return [np.unique(vals[offs[i]:offs[i + 1]])
+            for i in range(len(texts))]
+
+
 def hash_shingle(s: str) -> int:
     from ligrust_ray.dataops.hashing import md5_u64_lower
 
@@ -109,13 +137,21 @@ class MinHasher:
         vals = (x[None, :] * self.a[:, None] + self.b[:, None]) % self.MERSENNE
         return np.min(vals, axis=1)
 
+    def _sig_of(self, sh: np.ndarray) -> np.ndarray:
+        if not len(sh):
+            return np.full(self.num_perm, self.MERSENNE, dtype=np.int64)
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % self.MERSENNE
+        return np.min(vals, axis=1)
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        # per-doc permute: each (num_perm, |shingles|) op stays L2-resident
-        # (a batch-wide reduceat variant measured 90x SLOWER — axis-1
-        # ufunc.reduceat strides poorly); the stage cost is dominated by
-        # shingling (regex + md5), not the permute matmul
+        # shingle hashing is batched (_shingle_sets_batch dedupes shingle
+        # strings batch-wide before md5); the per-doc permute stays per-doc
+        # — each (num_perm, |shingles|) op is L2-resident (a batch-wide
+        # reduceat variant measured 90x SLOWER — axis-1 ufunc.reduceat
+        # strides poorly)
         texts = t.column("text").to_pylist()
-        sigs = np.stack([self.signature(x) for x in texts]) if texts else \
+        sets = _shingle_sets_batch(texts, self.k)
+        sigs = np.stack([self._sig_of(s) for s in sets]) if texts else \
             np.zeros((0, self.num_perm), dtype=np.int64)
         return pa.table({
             "doc_id": t.column("doc_id"),
@@ -142,12 +178,10 @@ def _minhash_batches(ds: ray.data.Dataset, num_perm: int, shingle_k: int,
 
 def _shingle_rows_fn(shingle_k: int):
     def shingle_rows(t: pa.Table) -> pa.Table:
-        sets = [np.array(sorted(_shingles(x, shingle_k)), dtype=np.int64)
-                for x in t.column("text").to_pylist()]
+        sets = _shingle_sets_batch(t.column("text").to_pylist(), shingle_k)
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "sh": pa.array([s.tolist() for s in sets],
-                           type=pa.list_(pa.int64()))})
+            "sh": pa.array([s for s in sets], type=pa.list_(pa.int64()))})
 
     return shingle_rows
 
@@ -169,36 +203,46 @@ def _verify_pairs(cand: ray.data.Dataset, shingle_ds: ray.data.Dataset,
     shingle_ds = shingle_ds.materialize()   # consumed by both passes
 
     def attach(lf: pd.DataFrame, rf: pd.DataFrame) -> pa.Table:
-        """Attach sh(a) to each pair row (pass 2 re-keys by b)."""
-        sh_of = dict(zip(rf["doc_id"], rf["sh"]))
-        aa, bb, sh = [], [], []
-        for a, b in zip(lf["a"], lf["b"]):
-            s = sh_of.get(int(a))
-            if s is None:
-                continue   # endpoint not in corpus: cannot verify, drop
-            aa.append(int(a))
-            bb.append(int(b))
-            sh.append(np.asarray(s, dtype=np.int64).tolist())
-        return pa.table({"a": pa.array(aa, type=pa.int64()),
-                         "b": pa.array(bb, type=pa.int64()),
-                         "sh": pa.array(sh, type=pa.list_(pa.int64()))},
-                        schema=_PAIR_SH_SCHEMA)
+        """Attach sh(a) to each pair row (pass 2 re-keys by b) — pandas C
+        merge; endpoints not in the corpus drop (inner)."""
+        j = lf.merge(rf.rename(columns={"doc_id": "a"}), on="a", how="inner")
+        return pa.table(
+            {"a": pa.array(j["a"].to_numpy(dtype=np.int64)),
+             "b": pa.array(j["b"].to_numpy(dtype=np.int64)),
+             "sh": pa.array([np.asarray(x, dtype=np.int64) for x in j["sh"]],
+                            type=pa.list_(pa.int64()))},
+            schema=_PAIR_SH_SCHEMA)
 
     def verify(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        sh_of = dict(zip(rf["doc_id"], rf["sh"]))
-        out_a, out_b = [], []
-        for a, b, sha in zip(lf["a"], lf["b"], lf["sh"]):
-            shb = sh_of.get(int(b))
-            if sha is None or shb is None:
-                continue
-            sa = set(np.asarray(sha).tolist())
-            sb = set(np.asarray(shb).tolist())
-            u = len(sa | sb)
-            if u and len(sa & sb) / u >= threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
-        return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
-                             "b": np.array(out_b, dtype=np.int64)})
+        """Exact Jaccard per pair, vectorised: attach sh(b) by C merge, then
+        one exploded (pair_idx, shingle) self-merge counts intersections for
+        EVERY pair in the partition at once (the SQL oracle's `common` CTE
+        shape) — no per-pair Python set ops."""
+        empty = pd.DataFrame({"a": np.zeros(0, np.int64),
+                              "b": np.zeros(0, np.int64)})
+        j = lf.merge(rf.rename(columns={"doc_id": "b", "sh": "shb"}),
+                     on="b", how="inner")
+        if not len(j):
+            return empty
+        sa, sb = list(j["sh"]), list(j["shb"])
+        na = np.fromiter((len(x) for x in sa), dtype=np.int64, count=len(j))
+        nb = np.fromiter((len(x) for x in sb), dtype=np.int64, count=len(j))
+        fa = pd.DataFrame({"i": np.repeat(np.arange(len(j)), na),
+                           "v": np.concatenate(sa) if na.sum() else
+                           np.zeros(0, np.int64)})
+        fb = pd.DataFrame({"i": np.repeat(np.arange(len(j)), nb),
+                           "v": np.concatenate(sb) if nb.sum() else
+                           np.zeros(0, np.int64)})
+        inter = fa.merge(fb, on=["i", "v"], how="inner")  # shingle sets are
+        common = np.zeros(len(j), dtype=np.int64)         # unique per doc
+        if len(inter):
+            iv, ic = np.unique(inter["i"].to_numpy(), return_counts=True)
+            common[iv] = ic
+        union = na + nb - common
+        # same float op order as the SQL oracle: divide, then compare
+        keep = (union > 0) & (common / np.maximum(union, 1) >= threshold)
+        return pd.DataFrame({"a": j["a"].to_numpy(dtype=np.int64)[keep],
+                             "b": j["b"].to_numpy(dtype=np.int64)[keep]})
 
     with_sh_a = shuffle.co_group(
         cand, shingle_ds, l_on="a", r_on="doc_id", fn=attach,
@@ -317,13 +361,14 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
 
     def propagate(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
         # message: k's label offered to the other endpoint; plus k keeps
-        # its own label (so the grouped min never loses ground)
-        lab_of = dict(zip(rf["doc_id"], rf["label"]))
+        # its own label (so the grouped min never loses ground). Label
+        # lookup is a vectorised get_indexer (C hash probe), not a per-row
+        # dict loop; every endpoint is seeded, so misses cannot occur.
+        pos = pd.Index(rf["doc_id"]).get_indexer(lf["k"])
         out_id = np.concatenate([lf["other"].to_numpy(dtype=np.int64),
                                  rf["doc_id"].to_numpy(dtype=np.int64)])
         out_lab = np.concatenate([
-            np.array([int(lab_of[int(k)]) for k in lf["k"]],
-                     dtype=np.int64),
+            rf["label"].to_numpy(dtype=np.int64)[pos],
             rf["label"].to_numpy(dtype=np.int64)])
         return pd.DataFrame({"doc_id": out_id, "label": out_lab})
 
@@ -357,12 +402,15 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
 
     def jump(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
         # label(label): emit (doc, label_of(label)) + (doc, label) so the
-        # grouped min never loses ground
-        lab_of = dict(zip(rf["lab_key"], rf["lab2"]))
+        # grouped min never loses ground. Vectorised get_indexer lookup;
+        # a label with no mapping row in this partition keeps itself.
         docs_q = lf["doc_id"].to_numpy(dtype=np.int64)
         labs = lf["lab"].to_numpy(dtype=np.int64)
-        jumped = np.array([int(lab_of.get(int(k), k)) for k in labs],
-                          dtype=np.int64)
+        rf = rf.drop_duplicates("lab_key")
+        pos = pd.Index(rf["lab_key"]).get_indexer(lf["lab"])
+        jumped = labs.copy()
+        hit = pos >= 0
+        jumped[hit] = rf["lab2"].to_numpy(dtype=np.int64)[pos[hit]]
         return pd.DataFrame({
             "doc_id": np.concatenate([docs_q, docs_q]),
             "label": np.concatenate([labs, jumped])})
@@ -413,10 +461,12 @@ def _attach_clusters(doc_ids: ray.data.Dataset, labels: ray.data.Dataset,
     one hash shuffle; no driver-side id list."""
 
     def join(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        lab_of = dict(zip(rf["doc_id"], rf["label"]))
+        # vectorised get_indexer lookup (C hash probe); miss -> self
         ks = lf["doc_id"].to_numpy(dtype=np.int64)
-        out = np.array([int(lab_of.get(int(k), k)) for k in ks],
-                       dtype=np.int64)
+        pos = pd.Index(rf["doc_id"]).get_indexer(lf["doc_id"])
+        out = ks.copy()
+        hit = pos >= 0
+        out[hit] = rf["label"].to_numpy(dtype=np.int64)[pos[hit]]
         return pd.DataFrame({"doc_id": ks, "cluster": out})
 
     return shuffle.co_group(
@@ -442,6 +492,13 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
         ids = t.column("doc_id").to_numpy()
         sig = np.stack([np.asarray(s) for s in t.column("sig").to_pylist()]) \
             if t.num_rows else np.zeros((0, num_perm), dtype=np.int64)
+        # zero-shingle docs carry the all-MERSENNE sentinel (every real
+        # minhash is a mod-p residue, strictly < p): emitting their band
+        # rows would funnel ALL empty docs into one bucket and generate
+        # O(s^2) candidate pairs that verify can only throw away
+        if len(ids):
+            real = sig[:, 0] != MinHasher.MERSENNE
+            ids, sig = ids[real], sig[real]
         out_id, out_b, out_h = [], [], []
         for b in range(bands):
             chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
@@ -592,11 +649,38 @@ class SimHasher:
                  << self._bitpos).sum(dtype=np.uint64))
         return u64_to_i64(h)
 
+    def _batch(self, texts: list[str]) -> np.ndarray:
+        """Whole-batch simhash, IDENTICAL values to per-doc ``simhash64``:
+        md5 runs once per batch-wide UNIQUE token (Zipf: unique << total),
+        bit votes accumulate with one reduceat over contiguous per-doc
+        segments."""
+        from ligrust_ray.dataops.hashing import md5_u64_lower_many
+
+        toks_per_doc = [_WORD.findall(x.lower()) for x in texts]
+        counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.int64)      # empty text -> 0
+        nz = np.flatnonzero(counts)
+        if not len(nz):
+            return out
+        flat = [t for ts in toks_per_doc for t in ts]
+        uniq, inv = np.unique(np.array(flat, dtype=object),
+                              return_inverse=True)
+        hs = md5_u64_lower_many([t.encode("utf-8") for t in uniq])[inv]
+        contrib = (2 * ((hs[:, None] >> self._bitpos[None, :])
+                        & np.uint64(1)).astype(np.int64) - 1)  # (ntok, 64)
+        offs = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
+        acc = np.add.reduceat(contrib, offs, axis=0)    # (len(nz), 64)
+        hv = ((acc > 0).astype(np.uint64)
+              << self._bitpos[None, :]).sum(axis=1, dtype=np.uint64)
+        from ligrust_ray.dataops.hashing import u64_to_i64
+
+        out[nz] = [u64_to_i64(int(x)) for x in hv]
+        return out
+
     def __call__(self, t: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "simhash": pa.array([self.simhash64(x)
-                                 for x in t.column("text").to_pylist()],
+            "simhash": pa.array(self._batch(t.column("text").to_pylist()),
                                 type=pa.int64())})
 
 
