@@ -13,16 +13,25 @@ graph algorithms (CC/BFS via recursive CTEs, label propagation unrolled
 to its 20 synchronous rounds, PageRankDelta via its closed form: the
 reference's round-1 output-frontier rule ``|delta| > rank + 0.01`` is
 unsatisfiable for n >= 4, so the frontier empties and the fixed point is
-one gather) and the full minhash-LSH dedup pipeline. Rows-only remain:
-``pages_pagerank`` (its synthesized pages corpus is not a
-driver-registered table; exactness is pytest-oracle-tested) and the two
-IVF ops (k-means centroids are not SQL-expressible; recall is
-pytest-tested against the exact operators)."""
+one gather) and the full minhash-LSH dedup pipeline. ``pages_pagerank``
+is oracled via the graph's persisted int edge table: the query copies it
+(plus the node universe) to the fixed ``PAGES_ORACLE_DIR`` path, which
+the static closed-form SQL reads with ``read_parquet``. Rows-only
+remain: the two IVF ops (k-means centroids are not SQL-expressible;
+recall is pytest-tested against the exact operators)."""
 
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
+
+import os as _os
+import tempfile as _tempfile
+
+# fixed artifact path q_pages_pagerank refreshes for the oracle (same
+# value as ligrust_ray.pipelines.queries.PAGES_ORACLE_DIR; literal here so
+# building the SQL strings needs no heavyweight import)
+_PAGES_ORACLE = _os.path.join(_tempfile.gettempdir(), "ligrust_pages_oracle")
 
 # SQL fragment shared by the events-graph queries (FIXTURES.md F7)
 _EDGES_CTE = ("SELECT user_id AS src, "
@@ -362,6 +371,25 @@ def oracle_sql() -> dict[str, str]:
             "+ 0.5) AS BIGINT) AS rank_ppm "
             "FROM nodes LEFT JOIN gather g ON g.node = nodes.id"),
         "labelprop_events": _labelprop_sql(20),
+        # scored over the SAME int edge table the CSR consumed (multi-edges
+        # preserved): q_pages_pagerank copies it + the node universe to the
+        # fixed PAGES_ORACLE_DIR before returning, so this static SQL reads
+        # the graph for whichever sf the driver just ran
+        "pages_pagerank": (
+            "WITH e AS (SELECT src, dst FROM read_parquet("
+            f"'{_PAGES_ORACLE}/edges/*.parquet')), "
+            "nodes AS (SELECT id FROM read_parquet("
+            f"'{_PAGES_ORACLE}/nodes.parquet')), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+            "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src), "
+            "gather AS (SELECT e.dst AS node, "
+            "SUM((1.0 / nn.n) / deg.d) AS nbr "
+            "FROM e JOIN deg ON deg.src = e.src CROSS JOIN nn "
+            "GROUP BY e.dst) "
+            "SELECT nodes.id AS node_id, "
+            "CAST(FLOOR((COALESCE(g.nbr, 0.0) * 0.85 + 0.15) * 1000000 "
+            "+ 0.5) AS BIGINT) AS rank_ppm "
+            "FROM nodes LEFT JOIN gather g ON g.node = nodes.id"),
         "events_triangles": (
             f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
             "WHERE src <> dst), "

@@ -415,13 +415,20 @@ def build_graph_from_pages(pages_path: str | ray.data.Dataset, out_dir: str,
     else:
         url_universe = page_urls
     mapping, n = assign_ids(url_universe, nbuckets=nbuckets)
-    edges = edges_with_ids(edge_urls, mapping, drop_missing=not include_dangling)
+    edges = edges_with_ids(edge_urls, mapping,
+                           drop_missing=not include_dangling).materialize()
     manifest = build_csr(edges, n, out_dir, num_partitions=num_partitions,
                          meta={"source": "pages",
                                "include_dangling": include_dangling},
                          hub_in_threshold=hub_in_threshold)
-    # persist the url<->id mapping next to the graph for downstream joins
+    # persist the url<->id mapping and the raw int edge table next to the
+    # graph — downstream joins, resumability, and the DuckDB oracle for
+    # pages_pagerank all read these instead of re-extracting
+    import shutil
+
     mapping.write_parquet(os.path.join(out_dir, "url_map"))
+    shutil.rmtree(os.path.join(out_dir, "edges"), ignore_errors=True)
+    edges.write_parquet(os.path.join(out_dir, "edges"))
     return manifest
 
 

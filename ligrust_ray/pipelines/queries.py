@@ -264,22 +264,46 @@ def _sf_of(sf_dir: str) -> float:
         return 0.001
 
 
+PAGES_ORACLE_DIR = os.path.join(tempfile.gettempdir(),
+                                "ligrust_pages_oracle")
+
+
 def q_pages_pagerank(sf_dir: str):
     """Flagship: synthetic Common-Crawl-style corpus (scaled by sf) ->
-    extract -> build CSR -> PageRankDelta -> per-url rank."""
+    extract -> build CSR -> PageRankDelta -> per-url rank (integer
+    micro-units, like pagerank_events, so the value hash is
+    addition-order independent).
+
+    The exact int edge table the CSR was built from (persisted by
+    build_graph_from_pages) plus the node universe are copied to the FIXED
+    path ``PAGES_ORACLE_DIR`` on every call, so the static closed-form SQL
+    in __ray_entry__.oracle_sql can score the same graph in DuckDB."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
     n_pages = max(100, int(20000 * _sf_of(sf_dir)))
     key = ("pages", n_pages)
+    gd = os.path.join(tempfile.gettempdir(), f"ligr_pages_{n_pages}")
     if key not in _GRAPH_CACHE:
-        gd = os.path.join(tempfile.gettempdir(), f"ligr_pages_{n_pages}")
-        if not os.path.exists(os.path.join(gd, "manifest.json")):
+        if not (os.path.exists(os.path.join(gd, "manifest.json"))
+                and os.path.isdir(os.path.join(gd, "edges"))):
             pages = ray.data.from_arrow(generate_pages(n_pages, seed=42))
             build_graph_from_pages(pages, gd, num_partitions=4)
         _GRAPH_CACHE[key] = DistGraph.load(gd)
     g = _GRAPH_CACHE[key]
+
+    shutil.rmtree(PAGES_ORACLE_DIR, ignore_errors=True)
+    shutil.copytree(os.path.join(gd, "edges"),
+                    os.path.join(PAGES_ORACLE_DIR, "edges"))
+    pq.write_table(pa.table({"id": pa.array(np.arange(g.n, dtype=np.int64))}),
+                   os.path.join(PAGES_ORACLE_DIR, "nodes.parquet"))
+
     page_rank_delta(g, max_iterations=50)
     st = g.collect_state(["page_rank"])
+    ppm = np.floor(st["page_rank"] * 1e6 + 0.5).astype(np.int64)
     return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
-                     "rank": pa.array(st["page_rank"])})
+                     "rank_ppm": pa.array(ppm)})
 
 
 # ------------------------------------------------------------ documents ops
