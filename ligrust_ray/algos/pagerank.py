@@ -46,6 +46,14 @@ class PREdge(EdgeKernel):
         np.divide(d, out_deg, out=out, where=out_deg > 0)
         return out
 
+    def source_values_at(self, state, out_deg, idx):
+        # masked: only the frontier's deltas are divided (push path)
+        d = state["deltas"][idx]
+        dg = out_deg[idx]
+        out = np.zeros_like(d)
+        np.divide(d, dg, out=out, where=dg > 0)
+        return out
+
     def apply(self, state, agg, touched, shard):
         # nbr was reset to 0 by the previous round's filter; agg is this
         # round's full gather (zeros where untouched)

@@ -40,6 +40,15 @@ class EdgeKernel:
     def source_values(self, state: dict, out_deg: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
+    def source_values_at(self, state: dict, out_deg: np.ndarray,
+                         idx: np.ndarray) -> np.ndarray:
+        """Masked variant for the sparse push path: values for ``idx``
+        (frontier positions) only. Default gathers from the full-range
+        array; kernels whose source_values ALLOCATES per call (e.g.
+        PageRank's deltas/out_deg divide) override this so a tiny frontier
+        never pays an O(n_local) compute."""
+        return self.source_values(state, out_deg)[idx]
+
     def target_active(self, state: dict):
         return None
 

@@ -551,12 +551,14 @@ class CsrShard:
         ``num_returns=nparts+1`` so each blob routes to its target shard
         without driver materialisation."""
         f_idx = np.flatnonzero(self.frontier)
-        vals_src = kernel.source_values(self.state, self.out_deg)
+        # masked source values: a sparse frontier never pays an O(n_local)
+        # compute (kernels with allocating source_values override _at)
+        vals_f = kernel.source_values_at(self.state, self.out_deg, f_idx)
         starts = self.out_indptr[f_idx]
         lens = self.out_deg[f_idx]
         edge_idx = _multi_range(starts, lens)
         dst = self.out_flat[edge_idx]
-        vals = np.repeat(vals_src[f_idx], lens)
+        vals = np.repeat(vals_f, lens)
         uk, uv = _combine_by_key(kernel.reduce, dst, vals)
         part_of = np.searchsorted(self.bounds, uk, side="right") - 1
         cut = np.searchsorted(part_of, np.arange(self.nparts + 1))
@@ -668,7 +670,7 @@ class DistGraph:
         # would silently pull wrong messages. Any state/frontier mutation
         # outside edge_map invalidates it (init_algo / vertex_map /
         # vertex_filter / set_frontier / restore).
-        self._view_cache: tuple[tuple, np.ndarray, np.ndarray] | None = None
+        self._view_cache: tuple[object, np.ndarray, np.ndarray] | None = None
 
     # threshold() of graph.rs:31-33 — the Ligra dense/sparse switch constant
     @property
@@ -798,8 +800,12 @@ class DistGraph:
                 for a in self.actors]
 
     @staticmethod
-    def _kernel_key(kernel) -> tuple:
-        return (type(kernel), id(kernel))
+    def _kernel_key(kernel):
+        # the KERNEL OBJECT ITSELF is the cache tag, compared by identity:
+        # holding the reference pins its id, so a GC'd kernel's recycled
+        # address can never falsely match a stale cache (a (type, id)
+        # tuple gave weaker protection than it appeared to)
+        return kernel
 
     def _broadcast_views(self, kernel):
         """(frontier_ref|None, values_ref) for a broadcast pull — reused
@@ -809,7 +815,7 @@ class DistGraph:
         so mismatches fall back to a make_view wave."""
         full = self.frontier_count >= self.n
         if (self._view_cache is not None
-                and self._view_cache[0] == self._kernel_key(kernel)):
+                and self._view_cache[0] is self._kernel_key(kernel)):
             _, f, v = self._view_cache
             return (None if full else ray.put(f)), ray.put(v)
         views = ray.get([a.make_view.remote(kernel) for a in self.actors])
