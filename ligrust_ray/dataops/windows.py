@@ -3,9 +3,14 @@
 The classic "streaming window" operator family expressed Ray-Data-first:
 hash-partition by the window key (user), then ONE vectorised pass per
 partition (lexsort + diff — no per-row Python, no per-group calls). The
-partitioning assumption: all events of a key fit one partition (true for
-per-user web sessions at any realistic skew; a pathological key would
-need the same salting as any keyed shuffle).
+default partitioning assumption: all events of a key fit one partition
+(true for per-user web sessions at any realistic skew). For pathological
+keys, ``sessionize(..., salt_slab_us=...)`` switches to the two-phase
+salted plan: phase 1 partitions by (key, time-slab) and emits one partial
+session summary per slab; phase 2 merges slab boundaries per key (a
+boundary join happens exactly when the gap across two adjacent slabs'
+last/first events is within the session gap). Per-partition volume is
+bounded by slab duration x event rate, not by key popularity.
 """
 
 from __future__ import annotations
@@ -20,12 +25,18 @@ from ligrust_ray.stages import shuffle
 SESSION_GAP_US = 30 * 60 * 1_000_000     # 30 min, microseconds
 
 
-def sessionize(events: ray.data.Dataset, gap_us: int = SESSION_GAP_US
-               ) -> ray.data.Dataset:
+def sessionize(events: ray.data.Dataset, gap_us: int = SESSION_GAP_US,
+               salt_slab_us: int | None = None) -> ray.data.Dataset:
     """(user_id, n_sessions, n_events): a new session starts at the first
     event or when the gap to the previous event of the SAME user exceeds
     ``gap_us``. Ties on ts break by event_id (deterministic, shared with
-    the SQL oracle's ORDER BY ts, event_id)."""
+    the SQL oracle's ORDER BY ts, event_id).
+
+    ``salt_slab_us`` (optional) enables the skew-proof two-phase plan for
+    keys whose full history exceeds one partition — see module docstring;
+    results are identical (tested)."""
+    if salt_slab_us is not None:
+        return _sessionize_salted(events, gap_us, salt_slab_us)
 
     def per_partition(part: pd.DataFrame) -> pd.DataFrame:
         if not len(part):
@@ -52,6 +63,80 @@ def sessionize(events: ray.data.Dataset, gap_us: int = SESSION_GAP_US
     return shuffle.grouped_apply(
         events.select_columns(["event_id", "ts", "user_id"]),
         ["user_id"], per_partition)
+
+
+def _sessionize_salted(events: ray.data.Dataset, gap_us: int,
+                       slab_us: int) -> ray.data.Dataset:
+    """Two-phase sessionization: (user, ts//slab_us) partials, then a tiny
+    per-user boundary merge. Within a slab the session rule is applied
+    verbatim (first slab event opens a session); across ADJACENT present
+    slabs, the two sessions merge iff first_ts(next) - last_ts(prev)
+    <= gap_us — subtracting one session per such join reproduces the
+    single-pass count exactly. Phase-2 volume is one summary row per
+    (user, slab), bounded regardless of key popularity."""
+
+    def add_slab(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "ts_us": ts, "slab": ts // slab_us})
+
+    def slab_partial(part: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "slab", "n_sessions", "n_events",
+                "first_ts", "last_ts"]
+        if not len(part):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        u = part["user_id"].to_numpy(dtype=np.int64)
+        sl = part["slab"].to_numpy(dtype=np.int64)
+        ts = part["ts_us"].to_numpy(dtype=np.int64)
+        eid = part["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ts, sl, u))
+        u, sl, ts = u[order], sl[order], ts[order]
+        new_seg = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (sl[1:] != sl[:-1])))
+        gap = np.concatenate(([0], np.diff(ts)))
+        new_session = new_seg | (gap > gap_us)
+        starts = np.flatnonzero(new_seg)
+        counts = np.diff(np.append(starts, len(u)))
+        seg = np.repeat(np.arange(len(starts)), counts)
+        return pd.DataFrame({
+            "user_id": u[starts], "slab": sl[starts],
+            "n_sessions": np.bincount(seg, weights=new_session)
+            .astype(np.int64),
+            "n_events": counts.astype(np.int64),
+            "first_ts": ts[starts],
+            "last_ts": np.maximum.reduceat(ts, starts)})
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_sessions": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64)})
+        part = part.sort_values(["user_id", "slab"])
+        u = part["user_id"].to_numpy(dtype=np.int64)
+        first = part["first_ts"].to_numpy(dtype=np.int64)
+        last = part["last_ts"].to_numpy(dtype=np.int64)
+        joins = np.concatenate(
+            ([False], (u[1:] == u[:-1]) & (first[1:] - last[:-1] <= gap_us)))
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        counts = np.diff(np.append(starts, len(u)))
+        seg = np.repeat(np.arange(len(starts)), counts)
+        ns = part["n_sessions"].to_numpy(dtype=np.int64)
+        ne = part["n_events"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "n_sessions": (np.bincount(seg, weights=ns)
+                           - np.bincount(seg, weights=joins))
+            .astype(np.int64),
+            "n_events": np.bincount(seg, weights=ne).astype(np.int64)})
+
+    partials = shuffle.grouped_apply(
+        events.select_columns(["event_id", "ts", "user_id"]),
+        ["user_id", "slab"], slab_partial, pre=add_slab)
+    return shuffle.grouped_apply(partials, ["user_id"], merge)
 
 
 def tumbling_window_counts(events: ray.data.Dataset,

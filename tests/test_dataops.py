@@ -1,6 +1,7 @@
 """Training-data ops: dedup family, ANN, text stats, multimodal plumbing."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -333,6 +334,37 @@ def test_sessionize_and_windows(ray_session):
     assert w.loc[0, "n_events"] == 2 and w.loc[0, "sum_value_cents"] == 300
     assert w.loc[3600 * us, "n_events"] == 1
     assert w.loc[7200 * us, "sum_value_cents"] == 400
+
+
+def test_sessionize_salted_matches_single_pass(ray_session):
+    """The two-phase salted plan (one hot key spanning MANY time slabs —
+    i.e. far more than one partition's worth under (key, slab) hashing)
+    must reproduce the single-pass counts exactly, including sessions that
+    straddle slab boundaries in both directions (gap <= and > gap_us)."""
+    from ligrust_ray.dataops import windows
+
+    us = 1_000_000
+    rng = np.random.default_rng(8)
+    # one pathological user with 5000 events across ~140 hours plus a few
+    # normal users; gaps straddle the 30-min session threshold both ways
+    gaps = rng.choice([60, 20 * 60, 29 * 60, 31 * 60, 3 * 3600],
+                      size=5000, p=[0.5, 0.25, 0.1, 0.1, 0.05])
+    hot_ts = np.cumsum(gaps).astype(np.int64) * us
+    cold_ts = (np.arange(50, dtype=np.int64) * 45 * 60) * us
+    ts = np.concatenate([hot_ts, cold_ts, cold_ts + 7 * us])
+    uid = np.concatenate([np.full(5000, 7), np.full(50, 1), np.full(50, 2)])
+    t = pa.table({
+        "event_id": pa.array(range(len(ts)), type=pa.int64()),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "user_id": pa.array(uid.astype(np.int64)),
+    })
+    plain = windows.sessionize(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    # 1-hour slabs -> the hot user spans ~140 slabs
+    salted = windows.sessionize(ray.data.from_arrow(t),
+                                salt_slab_us=3_600_000_000).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, salted)
 
 
 def test_embedding_near_dup_multiblock(ray_session):
