@@ -117,26 +117,25 @@ def _distinct_edges(sf_dir: str) -> ray.data.Dataset:
 
 def q_events_mutual_edges(sf_dir: str):
     """Count of unordered pairs {a,b}, a<b, with BOTH directions present.
-    Distinct edges are small (<= n^2); the reverse-key set is broadcast and
-    probed per batch (semi-join via broadcast, SURVEY.md guide pattern)."""
-    dist = _distinct_edges(sf_dir).materialize()
-    keys = np.sort(np.concatenate(
-        [b["src"].astype(np.int64) * N_EVENT_NODES + b["dst"]
-         for b in dist.iter_batches(batch_format="numpy")] or
-        [np.zeros(0, dtype=np.int64)]))
-    keys_ref = ray.put(keys)
-
-    def count_mutual(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
+    Fully distributed (general-graph safe, no broadcast of the edge set):
+    each distinct non-loop edge canonicalises to its unordered pair, one
+    grouped count per pair, and a pair is mutual iff it appears twice
+    (the input is distinct, so twice == both directions). The driver sees
+    only per-partition partial counts."""
+    def canon(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy().astype(np.int64)
         d = t.column("dst").to_numpy().astype(np.int64)
-        sel = s < d
-        rev = d[sel] * N_EVENT_NODES + s[sel]
-        pos = np.minimum(np.searchsorted(ks, rev), max(len(ks) - 1, 0))
-        hit = (ks[pos] == rev) if len(ks) else np.zeros(0, bool)
-        return pa.table({"n_mutual": pa.array([int(hit.sum())], type=pa.int64())})
+        keep = s != d
+        return pa.table({"lo": pa.array(np.minimum(s[keep], d[keep])),
+                         "hi": pa.array(np.maximum(s[keep], d[keep]))})
 
-    parts = dist.map_batches(count_mutual, batch_format="pyarrow").to_pandas()
+    per_pair = shuffle.grouped_agg(
+        _distinct_edges(sf_dir).map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], {"n_dirs": (None, "count")})
+    parts = per_pair.map_batches(
+        lambda df: pd.DataFrame(
+            {"n_mutual": [int((df["n_dirs"].to_numpy() == 2).sum())]}),
+        batch_format="pandas").to_pandas()
     return pa.table({"n_mutual": pa.array([int(parts["n_mutual"].sum())],
                                           type=pa.int64())})
 
