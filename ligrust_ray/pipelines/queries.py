@@ -538,32 +538,11 @@ def q_events_asof_click(sf_dir: str):
     sorted sweep per partition — the canonical as-of-join shape Ray Data
     lacks natively; partitioning assumption: one user's history fits a
     partition."""
+    from ligrust_ray.dataops import windows
+
     ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
                      columns=["event_id", "ts", "user_id", "event_type"])
-
-    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
-        if not len(part):
-            return pd.DataFrame({
-                "event_id": pd.Series([], dtype=np.int64),
-                "last_click_us": pd.Series([], dtype=np.int64)})
-        u = part["user_id"].to_numpy(dtype=np.int64)
-        ts = part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = part["event_id"].to_numpy(dtype=np.int64)
-        is_click = part["event_type"].to_numpy() == "click"
-        order = np.lexsort((eid, ts, u))
-        u, ts, eid, is_click = u[order], ts[order], eid[order], is_click[order]
-        # running last-click ts, reset at each user boundary: prefix-max of
-        # (click ? ts : -1) shifted by one within the user segment
-        click_ts = np.where(is_click, ts, np.int64(-1))
-        prev = np.concatenate(([np.int64(-1)], click_ts[:-1]))
-        new_user = np.concatenate(([True], u[1:] != u[:-1]))
-        prev[new_user] = -1
-        # per-user prefix max (cython groupby cummax — no per-user loop)
-        out = pd.DataFrame({"u": u, "p": prev}).groupby("u")["p"] \
-            .cummax().to_numpy(dtype=np.int64)
-        return pd.DataFrame({"event_id": eid, "last_click_us": out})
-
-    return shuffle.grouped_apply(ev, ["user_id"], per_partition)
+    return windows.asof_last_match(ev, match_value="click")
 
 
 def q_docs_lang_hist(sf_dir: str):

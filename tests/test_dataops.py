@@ -367,6 +367,35 @@ def test_sessionize_salted_matches_single_pass(ray_session):
     pd.testing.assert_frame_equal(plain, salted)
 
 
+def test_asof_salted_matches_single_pass(ray_session):
+    """Two-phase salted as-of join (within-slab sweep + per-user carry
+    prefix + (user, slab)-bucketed attach) must equal the single-pass
+    sweep, including strict precedence at equal timestamps and events whose
+    nearest click sits many slabs back."""
+    from ligrust_ray.dataops import windows
+
+    us = 1_000_000
+    rng = np.random.default_rng(9)
+    n = 4000
+    ts = np.sort(rng.integers(0, 200 * 3600, size=n)).astype(np.int64) * us
+    ts[100] = ts[101]              # equal-ts pair (event_id breaks the tie)
+    uid = np.concatenate([np.full(n - 60, 7),
+                          rng.integers(1, 4, size=60)]).astype(np.int64)
+    et = np.where(rng.random(n) < 0.1, "click", "view")
+    t = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "user_id": pa.array(uid),
+        "event_type": pa.array(et.tolist(), type=pa.string()),
+    })
+    plain = windows.asof_last_match(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    salted = windows.asof_last_match(
+        ray.data.from_arrow(t), salt_slab_us=3_600_000_000).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, salted)
+
+
 def test_embedding_near_dup_multiblock(ray_session):
     """Block-pair decomposition: a multi-block layout must yield exactly
     the single-block pair set (exercises the cross-block canonicalise
