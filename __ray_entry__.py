@@ -97,6 +97,35 @@ def _simhash_sql() -> str:
         "FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id")
 
 
+def _decontam_sql(k: int = 8, eval_mod: int = 97) -> str:
+    """Benchmark-decontamination oracle (dedup.decontaminate spec): word
+    k-grams over lower(text) hashed md5-low-32 (the minhash shingle spec,
+    including the whole-text fallback for docs shorter than k tokens);
+    eval set = doc_id % eval_mod == 0; a training doc is contaminated iff
+    it shares any gram hash with any eval doc."""
+    shingle_concat = " || ' ' || ".join(f"w[i.i + {j}]" for j in range(k))
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+shing AS MATERIALIZED (
+  SELECT DISTINCT doc_id, md5_number_lower(sh) % 4294967296 AS x FROM (
+    SELECT doc_id, CASE WHEN len(w) < {k} THEN array_to_string(w, ' ')
+      ELSE NULL END AS sh FROM toks WHERE len(w) < {k}
+    UNION ALL
+    SELECT t.doc_id, {shingle_concat} AS sh
+    FROM toks t, UNNEST(range(1, len(t.w) - {k} + 2)) AS i(i)
+    WHERE len(t.w) >= {k}
+  ) WHERE sh IS NOT NULL AND sh <> ''
+),
+eg AS MATERIALIZED (SELECT DISTINCT x FROM shing
+                    WHERE doc_id % {eval_mod} = 0),
+tg AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM shing
+                    WHERE doc_id % {eval_mod} <> 0)
+SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.x = t.x"""
+
+
 def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3,
                  threshold: float = 0.8, seed: int = 42,
                  pairs_only: bool = False) -> str:
@@ -308,6 +337,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": Q.q_lineitem_pricing,
         "orders_by_segment": Q.q_orders_by_segment,
         "docs_lang_hist": Q.q_docs_lang_hist,
+        # corpus-pipeline utilities (r3)
+        "docs_sample": Q.q_docs_sample,
+        "docs_repetition": Q.q_docs_repetition,
+        "docs_source_stats": Q.q_docs_source_stats,
+        "docs_top_tokens": Q.q_docs_top_tokens,
+        "docs_decontaminate": Q.q_docs_decontaminate,
         # multimodal plumbing (deterministic stub decode/resize/frame-sample)
         "media_decode": Q.q_media_decode,
         "media_resize": Q.q_media_resize,
@@ -525,6 +560,26 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c.c_mktsegment"),
         "docs_lang_hist": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"),
+        "docs_sample": (
+            "SELECT doc_id FROM documents "
+            "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10"),
+        "docs_repetition": (
+            "SELECT doc_id, "
+            "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, "
+            "CAST(len(string_split(text, chr(10))) "
+            "- len(list_distinct(string_split(text, chr(10)))) AS BIGINT) "
+            "AS n_dup_lines FROM documents"),
+        "docs_source_stats": (
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) "
+            "AS BIGINT) AS sum_tokens FROM documents GROUP BY source"),
+        "docs_top_tokens": (
+            "WITH t AS (SELECT UNNEST(regexp_extract_all(lower(text), "
+            "'\\S+')) AS token FROM documents) "
+            "SELECT token, COUNT(*) AS n FROM t GROUP BY token "
+            "ORDER BY n DESC, token LIMIT 50"),
+        "docs_decontaminate": _decontam_sql(eval_mod=10),
         "media_resize": (
             "SELECT doc_id AS media_id, CAST(224 AS BIGINT) AS width, "
             "CAST(224 AS BIGINT) AS height FROM documents"),

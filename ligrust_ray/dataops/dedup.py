@@ -721,6 +721,60 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, shingle_k: int = 3,
     return clustered.map_batches(rep_pairs, batch_format="pyarrow")
 
 
+def decontaminate(docs: ray.data.Dataset, eval_mod: int = 97,
+                  shingle_k: int = 8, num_partitions: int = 32
+                  ) -> ray.data.Dataset:
+    """Benchmark decontamination: (doc_id) of every TRAINING doc sharing at
+    least one word ``shingle_k``-gram with any EVAL doc (eval set =
+    ``doc_id % eval_mod == 0`` — a deterministic stand-in for a held-out
+    benchmark list). Gram spec is the minhash shingle spec (lowered text,
+    md5-low-32 hashes; docs shorter than k tokens contribute their whole
+    text), so the DuckDB oracle reuses the same CTE shape.
+
+    Scale shape: both sides explode to (doc_id?, gram) rows in
+    ``map_batches`` (per-doc grams are already unique); the eval gram set
+    is globally deduped (it is benchmark-sized), then ONE bucketed
+    co_group on the gram hash semi-joins training grams against it — no
+    broadcast of either side, shuffle volume = gram rows (the LSH-band
+    wire shape)."""
+    train_schema = pa.schema([("doc_id", pa.int64()), ("g", pa.int64())])
+    eval_schema = pa.schema([("g", pa.int64())])
+
+    def gram_rows(keep_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            mask = (ids % eval_mod == 0) == keep_eval
+            sub_ids = ids[mask].astype(np.int64)
+            texts = [x for x, m in zip(t.column("text").to_pylist(), mask)
+                     if m]
+            sets = _shingle_sets_batch(texts, shingle_k)
+            counts = [len(s) for s in sets]
+            g = (np.concatenate(sets) if sets
+                 else np.zeros(0, dtype=np.int64))
+            if keep_eval:
+                return pa.table({"g": pa.array(g)}, schema=eval_schema)
+            return pa.table(
+                {"doc_id": pa.array(np.repeat(sub_ids, counts)),
+                 "g": pa.array(g)}, schema=train_schema)
+        return f
+
+    eval_g = shuffle.distinct(
+        docs.map_batches(gram_rows(True), batch_format="pyarrow"), ["g"],
+        num_partitions=num_partitions)
+    train_g = docs.map_batches(gram_rows(False), batch_format="pyarrow")
+
+    def semi(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        hit = lf["g"].isin(rf["g"])
+        return lf.loc[hit, ["doc_id"]].drop_duplicates()
+
+    contaminated = shuffle.co_group(
+        train_g, eval_g, l_on="g", r_on="g", fn=semi,
+        num_partitions=num_partitions,
+        l_schema=train_schema, r_schema=eval_schema)
+    return shuffle.distinct(contaminated, ["doc_id"],
+                            num_partitions=num_partitions)
+
+
 def _block_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = t.column("vec_id").to_numpy()
     m = np.stack([np.asarray(v) for v in t.column("embedding").to_pylist()]

@@ -151,3 +151,41 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
                          if x.strip() else b"") for x in texts]
     return pa.table({"doc_id": t.column("doc_id"),
                      "fingerprint": pa.array(out, type=pa.int64())})
+
+
+# ---- corpus-pipeline utilities (round 3) ---------------------------------
+
+def hash_mod_sample_batch(t: pa.Table, pct: int = 10, mod: int = 100
+                          ) -> pa.Table:
+    """Deterministic stratified sampling: keep a doc iff
+    ``md5_lower_u64(str(doc_id)) % mod < pct`` — the reproducible,
+    coordination-free sample every large-corpus experiment starts from
+    (same rows on any cluster size / retry). DuckDB-identical:
+    ``md5_number_lower(CAST(doc_id AS VARCHAR)) % mod < pct``."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower
+
+    ids = t.column("doc_id").to_numpy()
+    keep = np.fromiter(
+        (md5_u64_lower(str(int(i)).encode("ascii")) % mod < pct
+         for i in ids), dtype=bool, count=len(ids))
+    return pa.table({"doc_id": pa.array(ids[keep].astype(np.int64))})
+
+
+_LINE_TOKENS = re.compile(r"\S+")
+
+
+def repetition_stats_batch(t: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per doc: line count and duplicate
+    lines beyond first occurrence (``n_lines - n_distinct_lines``) — the
+    cheap boilerplate/spam detector run before expensive dedup. Integer
+    outputs; DuckDB: ``len(string_split(text, chr(10)))`` and
+    ``len(list_distinct(...))``."""
+    texts = t.column("text").to_pylist()
+    n_lines, n_dup = [], []
+    for x in texts:
+        lines = x.split("\n")
+        n_lines.append(len(lines))
+        n_dup.append(len(lines) - len(set(lines)))
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "n_lines": pa.array(n_lines, type=pa.int64()),
+                     "n_dup_lines": pa.array(n_dup, type=pa.int64())})

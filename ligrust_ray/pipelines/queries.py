@@ -11,6 +11,7 @@ engines (identical IEEE double arithmetic).
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 import zlib
 
@@ -32,6 +33,9 @@ from ligrust_ray.stages import shuffle
 from ligrust_ray.state.graph import DistGraph
 
 N_EVENT_NODES = 150          # dst domain: CAST(FLOOR(value*100) AS BIGINT) % 150
+
+_WS_SPLIT = re.compile(r"\s+")   # DuckDB regexp_split_to_array(trim(x),'\s+')
+_WORD_RE = re.compile(r"\S+")    # DuckDB regexp_extract_all(x, '\S+')
 
 _EVENTS_N_CACHE: dict[str, int] = {}
 
@@ -543,6 +547,89 @@ def q_events_asof_click(sf_dir: str):
     ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
                      columns=["event_id", "ts", "user_id", "event_type"])
     return windows.asof_last_match(ev, match_value="click")
+
+
+def q_docs_sample(sf_dir: str):
+    """Deterministic 10% hash-mod sample (coordination-free, reproducible
+    on any cluster size)."""
+    return _docs(sf_dir).map_batches(textstats.hash_mod_sample_batch,
+                                     batch_format="pyarrow")
+
+
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition signals (duplicate-line counts)."""
+    return _docs(sf_dir).map_batches(textstats.repetition_stats_batch,
+                                     batch_format="pyarrow")
+
+
+def q_docs_source_stats(sf_dir: str):
+    """Per-source corpus accounting (the per-domain crawl dashboard):
+    doc count, total chars, total whitespace tokens."""
+    def per_batch(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        toks = [len(_WS_SPLIT.split(x.strip())) for x in texts]
+        return pa.table({"source": t.column("source"),
+                         "n_chars": t.column("n_chars").cast(pa.int64()),
+                         "n_toks": pa.array(toks, type=pa.int64())})
+
+    out = shuffle.grouped_agg(
+        _docs(sf_dir).map_batches(per_batch, batch_format="pyarrow"),
+        ["source"],
+        {"n_docs": (None, "count"), "sum_chars": ("n_chars", "sum"),
+         "sum_tokens": ("n_toks", "sum")})
+    return out.map_batches(
+        lambda t: pa.table({
+            "source": t.column("source"),
+            "n_docs": t.column("n_docs").cast(pa.int64()),
+            "sum_chars": t.column("sum_chars").cast(pa.int64()),
+            "sum_tokens": t.column("sum_tokens").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+TOP_TOKENS_K = 50
+
+
+def q_docs_top_tokens(sf_dir: str):
+    """Global top-K vocabulary by token count (lower(text), \\S+ tokens),
+    ties broken token-ascending. Distributed shape: per-batch token
+    pre-count (np.unique combiner), one grouped sum (each token lands in
+    exactly ONE partition, so per-partition top-K partials are exact),
+    tiny P x K driver merge."""
+    def batch_counts(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t.column("text").to_pylist():
+            toks.extend(_WORD_RE.findall(x.lower()))
+        if not toks:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        u, c = np.unique(np.array(toks, dtype=object), return_counts=True)
+        return pa.table({"token": pa.array(u.tolist(), type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = shuffle.grouped_agg(
+        _docs(sf_dir).map_batches(batch_counts, batch_format="pyarrow"),
+        ["token"], {"n": ("n", "sum")})
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"], ascending=[False, True]) \
+            .head(TOP_TOKENS_K)
+
+    parts = counts.map_batches(partial_topk, batch_format="pandas") \
+        .to_pandas()
+    top = parts.sort_values(["n", "token"], ascending=[False, True]) \
+        .head(TOP_TOKENS_K).reset_index(drop=True)
+    return pa.table({"token": pa.array(top["token"], type=pa.string()),
+                     "n": pa.array(top["n"].to_numpy(dtype=np.int64))})
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: training docs sharing an 8-gram with the
+    deterministic eval subset (doc_id % 10 == 0). Schema coerced so an
+    empty contamination set still carries the doc_id column."""
+    df = dedup.decontaminate(_docs(sf_dir), eval_mod=10).to_pandas()
+    vals = df["doc_id"].to_numpy(dtype=np.int64) if len(df.columns) \
+        else np.zeros(0, dtype=np.int64)
+    return pa.table({"doc_id": pa.array(vals)})
 
 
 def q_docs_lang_hist(sf_dir: str):

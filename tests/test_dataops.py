@@ -336,6 +336,40 @@ def test_sessionize_and_windows(ray_session):
     assert w.loc[7200 * us, "sum_value_cents"] == 400
 
 
+def test_decontaminate_planted(ray_session):
+    """A train doc sharing an 8-gram with an eval doc is flagged; disjoint
+    docs and eval docs themselves are not."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),  # 0 = eval (mod 10)
+        "text": pa.array([
+            base,                                   # eval doc
+            "prefix words " + base,                 # shares 8-grams -> flagged
+            "totally disjoint text with other words here now",  # clean
+            "alpha bravo charlie",                  # <8 tokens, no full match
+        ], type=pa.string()),
+    })
+    out = dedup.decontaminate(ray.data.from_arrow(t), eval_mod=10,
+                              shingle_k=8).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1]
+
+
+def test_hash_mod_sample_deterministic(ray_session):
+    t = pa.table({"doc_id": pa.array(range(1000), type=pa.int64()),
+                  "text": pa.array([""] * 1000, type=pa.string())})
+    a = textstats.hash_mod_sample_batch(t)["doc_id"].to_pylist()
+    b = textstats.hash_mod_sample_batch(t)["doc_id"].to_pylist()
+    assert a == b and 0 < len(a) < 1000          # reproducible, non-trivial
+
+
+def test_repetition_stats(ray_session):
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["a\nb\na\na", "x"], type=pa.string())})
+    r = textstats.repetition_stats_batch(t).to_pandas().set_index("doc_id")
+    assert r.loc[0, "n_lines"] == 4 and r.loc[0, "n_dup_lines"] == 2
+    assert r.loc[1, "n_lines"] == 1 and r.loc[1, "n_dup_lines"] == 0
+
+
 def test_sessionize_salted_matches_single_pass(ray_session):
     """The two-phase salted plan (one hot key spanning MANY time slabs —
     i.e. far more than one partition's worth under (key, slab) hashing)
