@@ -126,6 +126,32 @@ tg AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM shing
 SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.x = t.x"""
 
 
+def _kcore_sql(k: int = 5, rounds: int = 40) -> str:
+    """Undirected simple k-core membership: ``rounds`` unrolled
+    simultaneous-removal peeling rounds (each round keeps nodes with >= k
+    neighbors inside the previous survivor set). The k-core fixpoint is
+    unique and extra rounds are no-ops, so any unroll depth >= the actual
+    round count yields it exactly; the Ray side raises if it needed more
+    (pipelines/queries.KCORE_SQL_ROUNDS)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+        "WHERE src <> dst), "
+        "u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e), "
+        "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+        "UNION ALL SELECT b, a FROM u), "
+        f"a0 AS MATERIALIZED (SELECT id FROM ({_NODES_CTE}))"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT s.v, COUNT(*) AS d FROM sym s "
+            f"JOIN a{i-1} p1 ON p1.id = s.v "
+            f"JOIN a{i-1} p2 ON p2.id = s.w GROUP BY s.v)"
+            f", a{i} AS MATERIALIZED (SELECT a{i-1}.id FROM a{i-1} "
+            f"JOIN d{i} ON d{i}.v = a{i-1}.id WHERE d{i}.d >= {k})")
+    parts.append(f" SELECT id AS node_id FROM a{rounds}")
+    return "".join(parts)
+
+
 def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3,
                  threshold: float = 0.8, seed: int = 42,
                  pairs_only: bool = False) -> str:
@@ -314,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_events": Q.q_cc_events,
         "bfs_events": Q.q_bfs_events,
         "labelprop_events": Q.q_labelprop_events,
+        "events_kcore": Q.q_events_kcore,
         "pages_pagerank": Q.q_pages_pagerank,
         # documents: text analysis + dedup family
         "docs_exact_dedup": Q.q_docs_exact_dedup,
@@ -406,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
             "+ 0.5) AS BIGINT) AS rank_ppm "
             "FROM nodes LEFT JOIN gather g ON g.node = nodes.id"),
         "labelprop_events": _labelprop_sql(20),
+        "events_kcore": _kcore_sql(5, 40),
         # scored over the SAME int edge table the CSR consumed (multi-edges
         # preserved): q_pages_pagerank copies it + the node universe to the
         # fixed PAGES_ORACLE_DIR before returning, so this static SQL reads

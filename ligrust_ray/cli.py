@@ -47,7 +47,7 @@ def main(argv=None):
     s.add_argument("-n", "--pages", type=int, default=10000)
     s.add_argument("--seed", type=int, default=42)
 
-    for name in ("cc", "bfs", "pagerank", "lp"):
+    for name in ("cc", "bfs", "pagerank", "lp", "kcore"):
         a = sub.add_parser(name)
         a.add_argument("graph", help="graph dir from `build`")
         a.add_argument("--checkpoint-dir", default=None)
@@ -60,6 +60,9 @@ def main(argv=None):
         if name in ("pagerank", "lp"):
             a.add_argument("-i", "--max-iterations", type=int,
                            default=100 if name == "pagerank" else 20)
+        if name == "kcore":
+            a.add_argument("-k", "--k", type=int, default=5,
+                           help="core order; graph must be symmetrized")
 
     t = sub.add_parser("triangles")
     t.add_argument("edges", help="edge parquet (src,dst) path/dir")
@@ -171,6 +174,10 @@ def main(argv=None):
         from ligrust_ray.algos.pagerank import page_rank_delta
 
         res = page_rank_delta(g, max_iterations=args.max_iterations, **ck)
+    elif args.cmd == "kcore":
+        from ligrust_ray.algos.kcore import kcore
+
+        res = kcore(g, args.k)
     else:
         from ligrust_ray.algos.labelprop import label_propagation
 

@@ -203,6 +203,59 @@ def events_graph(sf_dir: str) -> DistGraph:
     return _GRAPH_CACHE[key]
 
 
+def events_sym_graph(sf_dir: str) -> DistGraph:
+    """Symmetrized simple events graph (for undirected algorithms like
+    k-core): distinct non-loop undirected edges, stored both directions."""
+    key = ("events_sym", sf_dir)
+    if key not in _GRAPH_CACHE:
+        def sym(t: pa.Table) -> pa.Table:
+            s = t.column("src").to_numpy()
+            d = t.column("dst").to_numpy()
+            keep = s != d
+            a = np.minimum(s[keep], d[keep]).astype(np.int64)
+            b = np.maximum(s[keep], d[keep]).astype(np.int64)
+            k2 = np.unique(np.stack([a, b], axis=1), axis=0)
+            return pa.table({"src": pa.array(np.concatenate([k2[:, 0],
+                                                             k2[:, 1]])),
+                             "dst": pa.array(np.concatenate([k2[:, 1],
+                                                             k2[:, 0]]))})
+
+        und = shuffle.distinct(
+            events_edges_ds(sf_dir).map_batches(sym, batch_format="pyarrow"),
+            ["src", "dst"])
+        tag = zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF
+        gd = os.path.join(tempfile.gettempdir(),
+                          f"ligr_events_sym_{tag:08x}_n{events_n(sf_dir)}")
+        if not os.path.exists(os.path.join(gd, "manifest.json")):
+            build_graph_from_edges(und, gd, n=events_n(sf_dir),
+                                   num_partitions=4)
+        _GRAPH_CACHE[key] = DistGraph.load(gd)
+    return _GRAPH_CACHE[key]
+
+
+KCORE_K = 5
+KCORE_SQL_ROUNDS = 40      # unroll depth of the DuckDB oracle
+
+
+def q_events_kcore(sf_dir: str):
+    """(node_id) members of the undirected 5-core of the simple events
+    graph — classic Ligra KCore peeling through the engine's kernel
+    surface. The SQL oracle unrolls KCORE_SQL_ROUNDS simultaneous-removal
+    rounds; raise rather than return if the engine needed more (peeling's
+    fixpoint is unique, so fewer-or-equal rounds means identical sets)."""
+    from ligrust_ray.algos.kcore import kcore
+
+    g = events_sym_graph(sf_dir)
+    m = kcore(g, KCORE_K)
+    if m["rounds"] > KCORE_SQL_ROUNDS:
+        raise RuntimeError(
+            f"kcore took {m['rounds']} rounds > SQL unroll "
+            f"{KCORE_SQL_ROUNDS}; bump KCORE_SQL_ROUNDS")
+    alive = g.collect_state(["alive"])["alive"]
+    return pa.table({"node_id": pa.array(
+        np.flatnonzero(alive).astype(np.int64))})
+
+
 def q_pagerank_events(sf_dir: str):
     """Reference-semantics PageRankDelta. Emitted as integer micro-units
     (rank_ppm) so the value hash is addition-order independent — the

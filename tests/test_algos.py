@@ -250,3 +250,46 @@ def test_rebuild_clears_stale_hubspill(ray_session, tmp_path):
     cc(g)
     np.testing.assert_array_equal(g.collect_state(["ids"])["ids"],
                                   oracle.cc_oracle(80, src, dst))
+
+
+# ---- k-core (round 3; undirected peeling through the kernel surface) ----
+
+def _kcore_oracle(n, src, dst, k):
+    """Sequential peeling over the symmetrized simple graph."""
+    adj = {v: set() for v in range(n)}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    alive = set(range(n))
+    changed = True
+    while changed:
+        changed = False
+        for v in list(alive):
+            if len(adj[v] & alive) < k:
+                alive.discard(v)
+                changed = True
+    return np.array(sorted(alive), dtype=np.int64)
+
+
+def test_kcore_matches_oracle(ray_session, tmp_path):
+    from ligrust_ray.algos.kcore import kcore
+
+    for i, (n, deg, seed) in enumerate([(60, 4.0, 5), (150, 6.0, 6),
+                                        (200, 8.0, 7)]):
+        src, dst = oracle.random_digraph(n, deg, seed)
+        # symmetrize + simplify (the operator's documented precondition)
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        s2 = np.concatenate([u[:, 0], u[:, 1]])
+        d2 = np.concatenate([u[:, 1], u[:, 0]])
+        g = make_graph(str(tmp_path / f"kc{i}"), s2, d2, n)
+        for k in (2, 3, 5):
+            m = kcore(g, k)
+            alive = g.collect_state(["alive"])["alive"]
+            got = np.flatnonzero(alive)
+            np.testing.assert_array_equal(got, _kcore_oracle(n, src, dst, k),
+                                          err_msg=f"n={n} k={k}")
+            assert m["rounds"] >= 0   # 0 = nothing below k anywhere
