@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_events": Q.q_labelprop_events,
         "events_kcore": Q.q_events_kcore,
         "pages_pagerank": Q.q_pages_pagerank,
+        "pages_domain_graph": Q.q_pages_domain_graph,
         # documents: text analysis + dedup family
         "docs_exact_dedup": Q.q_docs_exact_dedup,
         "docs_token_count": Q.q_docs_token_count,
@@ -432,6 +433,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR((COALESCE(g.nbr, 0.0) * 0.85 + 0.15) * 1000000 "
             "+ 0.5) AS BIGINT) AS rank_ppm "
             "FROM nodes LEFT JOIN gather g ON g.node = nodes.id"),
+        "pages_domain_graph": (
+            "WITH m AS (SELECT id, regexp_extract(url, "
+            "'https://([^/]+)/', 1) AS dom FROM read_parquet("
+            f"'{_PAGES_ORACLE}/url_map/*.parquet')), "
+            "e AS (SELECT src, dst FROM read_parquet("
+            f"'{_PAGES_ORACLE}/edges/*.parquet')) "
+            "SELECT ms.dom AS src_domain, md.dom AS dst_domain, "
+            "COUNT(*) AS n_edges FROM e "
+            "JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst "
+            "GROUP BY ms.dom, md.dom"),
         "labelprop_events": _labelprop_sql(20),
         "events_kcore": _kcore_sql(5, 40),
         # scored over the SAME int edge table the CSR consumed (multi-edges

@@ -324,20 +324,10 @@ PAGES_ORACLE_DIR = os.path.join(tempfile.gettempdir(),
                                 "ligrust_pages_oracle")
 
 
-def q_pages_pagerank(sf_dir: str):
-    """Flagship: synthetic Common-Crawl-style corpus (scaled by sf) ->
-    extract -> build CSR -> PageRankDelta -> per-url rank (integer
-    micro-units, like pagerank_events, so the value hash is
-    addition-order independent).
-
-    The exact int edge table the CSR was built from (persisted by
-    build_graph_from_pages) plus the node universe are copied to the FIXED
-    path ``PAGES_ORACLE_DIR`` on every call, so the static closed-form SQL
-    in __ray_entry__.oracle_sql can score the same graph in DuckDB."""
-    import shutil
-
-    import pyarrow.parquet as pq
-
+def _pages_graph(sf_dir: str) -> tuple[str, DistGraph]:
+    """Build-or-load the cached synthetic pages graph for this sf; returns
+    (graph_dir, DistGraph). The dir carries the persisted ``edges`` and
+    ``url_map`` parquet written by build_graph_from_pages."""
     n_pages = max(100, int(20000 * _sf_of(sf_dir)))
     key = ("pages", n_pages)
     gd = os.path.join(tempfile.gettempdir(), f"ligr_pages_{n_pages}")
@@ -347,19 +337,89 @@ def q_pages_pagerank(sf_dir: str):
             pages = ray.data.from_arrow(generate_pages(n_pages, seed=42))
             build_graph_from_pages(pages, gd, num_partitions=4)
         _GRAPH_CACHE[key] = DistGraph.load(gd)
-    g = _GRAPH_CACHE[key]
+    return gd, _GRAPH_CACHE[key]
+
+
+def _refresh_pages_oracle(gd: str, n: int) -> None:
+    """Copy the graph's edge table, url map and node universe to the FIXED
+    ``PAGES_ORACLE_DIR`` path, so the static SQL strings in
+    __ray_entry__.oracle_sql can score the same graph in DuckDB."""
+    import shutil
+
+    import pyarrow.parquet as pq
 
     shutil.rmtree(PAGES_ORACLE_DIR, ignore_errors=True)
     shutil.copytree(os.path.join(gd, "edges"),
                     os.path.join(PAGES_ORACLE_DIR, "edges"))
-    pq.write_table(pa.table({"id": pa.array(np.arange(g.n, dtype=np.int64))}),
+    shutil.copytree(os.path.join(gd, "url_map"),
+                    os.path.join(PAGES_ORACLE_DIR, "url_map"))
+    pq.write_table(pa.table({"id": pa.array(np.arange(n, dtype=np.int64))}),
                    os.path.join(PAGES_ORACLE_DIR, "nodes.parquet"))
 
+
+def q_pages_pagerank(sf_dir: str):
+    """Flagship: synthetic Common-Crawl-style corpus (scaled by sf) ->
+    extract -> build CSR -> PageRankDelta -> per-url rank (integer
+    micro-units, like pagerank_events, so the value hash is
+    addition-order independent). Oracled via ``_refresh_pages_oracle``."""
+    gd, g = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, g.n)
     page_rank_delta(g, max_iterations=50)
     st = g.collect_state(["page_rank"])
     ppm = np.floor(st["page_rank"] * 1e6 + 0.5).astype(np.int64)
     return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
                      "rank_ppm": pa.array(ppm)})
+
+
+_DOMAIN_RE = re.compile(r"https://([^/]+)/")
+
+
+def q_pages_domain_graph(sf_dir: str):
+    """Domain-level link graph (the host-graph collapse every web-corpus
+    pipeline runs): page edges joined to their endpoint domains, grouped to
+    (src_domain, dst_domain, n_edges). Fully distributed — the (id, domain)
+    map and the edge table co-partition through two co_group passes, then
+    one grouped count; nothing page-graph-sized touches the driver."""
+    gd, g = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, g.n)
+
+    def to_dom(t: pa.Table) -> pa.Table:
+        doms = [(_DOMAIN_RE.match(u) or [None, ""])[1]
+                for u in t.column("url").to_pylist()]
+        return pa.table({"id": t.column("id").cast(pa.int64()),
+                         "dom": pa.array(doms, type=pa.string())})
+
+    dommap = _read_sized(os.path.join(gd, "url_map")).map_batches(
+        to_dom, batch_format="pyarrow")
+    edges = _read_sized(os.path.join(gd, "edges"))
+
+    e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    m_schema = pa.schema([("id", pa.int64()), ("dom", pa.string())])
+    e1_schema = pa.schema([("dst", pa.int64()), ("src_domain", pa.string())])
+
+    def attach(key: str, out: str, keep: list[str]):
+        def f(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+            j = lf.merge(rf.rename(columns={"id": key, "dom": out}),
+                         on=key, how="inner")
+            return j[keep]
+        return f
+
+    e1 = shuffle.co_group(edges, dommap, l_on="src", r_on="id",
+                          fn=attach("src", "src_domain",
+                                    ["dst", "src_domain"]),
+                          l_schema=e_schema, r_schema=m_schema)
+    e2 = shuffle.co_group(e1, dommap, l_on="dst", r_on="id",
+                          fn=attach("dst", "dst_domain",
+                                    ["src_domain", "dst_domain"]),
+                          l_schema=e1_schema, r_schema=m_schema)
+    out = shuffle.grouped_agg(e2, ["src_domain", "dst_domain"],
+                              {"n_edges": (None, "count")})
+    return out.map_batches(
+        lambda t: pa.table({
+            "src_domain": t.column("src_domain"),
+            "dst_domain": t.column("dst_domain"),
+            "n_edges": t.column("n_edges").cast(pa.int64())}),
+        batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ documents ops
