@@ -160,6 +160,22 @@ def run_headline(num_cpus: int) -> dict:
     ann.knn_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=10).materialize()
     q["emb_knn_ivf"] = time.perf_counter() - t0
 
+    # round-3 operators
+    t0 = time.perf_counter()
+    from ligrust_ray.algos.kcore import kcore
+
+    gsym = Q.events_sym_graph(SF_DIR)
+    kcore(gsym, 5)
+    q["events_kcore"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.decontaminate(docs, eval_mod=10).materialize()
+    q["docs_decontaminate"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_docs_top_tokens(SF_DIR)
+    q["docs_top_tokens"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,
