@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": Q.q_orders_by_segment,
         "docs_lang_hist": Q.q_docs_lang_hist,
         # corpus-pipeline utilities (r3)
+        "events_distinct_users": Q.q_events_distinct_users,
+        "events_user_hll": Q.q_events_user_hll,
         "docs_sample": Q.q_docs_sample,
         "docs_repetition": Q.q_docs_repetition,
         "docs_source_stats": Q.q_docs_source_stats,
@@ -599,6 +601,20 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c.c_mktsegment"),
         "docs_lang_hist": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"),
+        "events_distinct_users": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_users FROM events GROUP BY event_type"),
+        # HLL registers, p=12: reg = top 12 bits of md5-lower-u64(user_id),
+        # rho = leading zeros of the low 52 bits + 1 (bin() gives the exact
+        # integer bit length — no float log2)
+        "events_user_hll": (
+            "SELECT event_type, "
+            "CAST(hv // 4503599627370496 AS BIGINT) AS reg, "
+            "MAX(CASE WHEN hv % 4503599627370496 = 0 THEN 53 "
+            "ELSE 53 - length(bin(CAST(hv % 4503599627370496 AS BIGINT))) "
+            "END) AS rho FROM (SELECT event_type, "
+            "md5_number_lower(CAST(user_id AS VARCHAR)) AS hv FROM events) "
+            "GROUP BY event_type, reg"),
         "docs_sample": (
             "SELECT doc_id FROM documents "
             "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10"),

@@ -1,0 +1,91 @@
+"""Mergeable cardinality sketches (HyperLogLog) — the bounded-state
+aggregation family a 100-TB pipeline uses where exact distinct counts
+would shuffle every key.
+
+Design: the SKETCH IS DATA. ``hll_registers`` returns the (group,
+register, max_rho) table — a pure-integer, order-insensitive, exactly
+DuckDB-replicable object (the driver hash-checks the registers; the float
+estimator is pytest-checked against exact counts). Registers max-merge
+through the standard grouped_agg combiner, so sketch state is bounded at
+``2^p`` rows per group no matter how many raw rows stream through — the
+canonical mergeable-sketch wire shape (partial registers move, raw keys
+don't).
+
+Hash spec (DuckDB-replicable): h = md5-lower-u64 of ``str(value)``;
+register = top ``p`` bits; rho = leading-zero count of the remaining
+``64-p`` bits + 1 (== ``53 - length(bin(rem))`` for p=12 in DuckDB, with
+the rem==0 sentinel at ``64-p+1``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ligrust_ray.stages import shuffle
+
+HLL_P = 12
+
+
+def _bitlen_u64(v: np.ndarray) -> np.ndarray:
+    """Exact integer bit length per element (0 for 0) — branchless shift
+    cascade, no float log2 (whose rounding flips at powers of two)."""
+    x = v.astype(np.uint64).copy()
+    b = np.zeros(x.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = x >= np.uint64(1 << shift)
+        b[m] += shift
+        x[m] >>= np.uint64(shift)
+    b += (x > 0).astype(np.int64)
+    return b
+
+
+def hll_registers(ds: ray.data.Dataset, value_col: str, group_col: str,
+                  p: int = HLL_P, num_partitions: int = 32
+                  ) -> ray.data.Dataset:
+    """(group_col, reg, rho): per-group HLL registers, max-merged. Only
+    non-zero registers are emitted (absent register == 0)."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_many
+
+    rem_bits = 64 - p
+    rem_mask = np.uint64((1 << rem_bits) - 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_pylist()
+        h = md5_u64_lower_many([str(v).encode("utf-8") for v in vals])
+        reg = (h >> np.uint64(rem_bits)).astype(np.int64)
+        rem = h & rem_mask
+        rho = rem_bits + 1 - _bitlen_u64(rem)
+        df = pd.DataFrame({group_col: t.column(group_col).to_pandas(),
+                           "reg": reg, "rho": rho})
+        r = df.groupby([group_col, "reg"], as_index=False)["rho"].max()
+        return pa.Table.from_pandas(r, preserve_index=False)
+
+    return shuffle.grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "reg"], {"rho": ("rho", "max")},
+        num_partitions=num_partitions)
+
+
+def hll_estimate(registers: pd.DataFrame, group_col: str,
+                 p: int = HLL_P) -> pd.DataFrame:
+    """(group_col, estimate) from a registers table — standard HLL
+    harmonic-mean estimator with the small-range linear-counting
+    correction. Deterministic; accuracy ~1.04/sqrt(2^p) rel. error
+    (pytest-checked against exact counts)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out_g, out_e = [], []
+    for g, sub in registers.groupby(group_col, sort=True):
+        rho = np.zeros(m, dtype=np.int64)
+        rho[sub["reg"].to_numpy(dtype=np.int64)] = \
+            sub["rho"].to_numpy(dtype=np.int64)
+        e = alpha * m * m / np.sum(np.exp2(-rho.astype(np.float64)))
+        zeros = int((rho == 0).sum())
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)
+        out_g.append(g)
+        out_e.append(float(e))
+    return pd.DataFrame({group_col: out_g, "estimate": out_e})

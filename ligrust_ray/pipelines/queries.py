@@ -662,6 +662,38 @@ def q_events_asof_click(sf_dir: str):
     return windows.asof_last_match(ev, match_value="click")
 
 
+def q_events_distinct_users(sf_dir: str):
+    """Exact distinct users per event type (the ground truth the HLL
+    sketch approximates): distinct (type, user) pairs, then a grouped
+    count — two bounded shuffles, no raw-row fan-in."""
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_type", "user_id"])
+    dist = shuffle.distinct(ev, ["event_type", "user_id"])
+    out = shuffle.grouped_agg(dist, ["event_type"],
+                              {"n_users": (None, "count")})
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "n_users": t.column("n_users").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_events_user_hll(sf_dir: str):
+    """Per-event-type HyperLogLog registers over user_id (p=12). The
+    registers ARE the contract output — pure integers, order-insensitive,
+    exactly replicated by the DuckDB oracle; the float estimator is
+    pytest-checked (dataops/sketch.py)."""
+    from ligrust_ray.dataops import sketch
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_type", "user_id"])
+    out = sketch.hll_registers(ev, "user_id", "event_type")
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "reg": t.column("reg").cast(pa.int64()),
+                            "rho": t.column("rho").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic 10% hash-mod sample (coordination-free, reproducible
     on any cluster size)."""

@@ -336,6 +336,48 @@ def test_sessionize_and_windows(ray_session):
     assert w.loc[7200 * us, "sum_value_cents"] == 400
 
 
+def test_hll_estimate_accuracy(ray_session):
+    """HLL estimate within ~3x the theoretical 1.04/sqrt(m) rel. error of
+    the exact distinct count, across cardinalities spanning the
+    linear-counting and harmonic-mean regimes."""
+    from ligrust_ray.dataops import sketch
+
+    rng = np.random.default_rng(5)
+    for true_n in (50, 1000, 20000):
+        vals = rng.integers(0, 10**12, size=true_n * 3) % (10**9)
+        vals = np.unique(vals)[:true_n]          # exactly true_n distinct
+        t = pa.table({"v": pa.array(np.repeat(vals, 2).astype(np.int64)),
+                      "g": pa.array(["x"] * (2 * len(vals)),
+                                    type=pa.string())})
+        regs = sketch.hll_registers(ray.data.from_arrow(t), "v", "g") \
+            .to_pandas()
+        est = sketch.hll_estimate(regs, "g")["estimate"].iloc[0]
+        rel = abs(est - len(vals)) / len(vals)
+        assert rel < 3 * 1.04 / np.sqrt(1 << sketch.HLL_P), \
+            f"n={true_n}: est {est:.0f} rel {rel:.3f}"
+
+
+def test_hll_registers_merge(ray_session):
+    """Sketching two halves separately and max-merging the registers must
+    equal sketching the whole (the mergeable-sketch property that makes
+    the operator shuffle-safe)."""
+    from ligrust_ray.dataops import sketch
+
+    rng = np.random.default_rng(6)
+    vals = rng.integers(0, 10**9, size=5000).astype(np.int64)
+    g = pa.array(["a"] * len(vals), type=pa.string())
+
+    def regs_of(v):
+        t = pa.table({"v": pa.array(v), "g": g.slice(0, len(v))})
+        return sketch.hll_registers(ray.data.from_arrow(t), "v", "g") \
+            .to_pandas()
+
+    whole = regs_of(vals).set_index("reg")["rho"].sort_index()
+    h1, h2 = regs_of(vals[:2500]), regs_of(vals[2500:])
+    merged = pd.concat([h1, h2]).groupby("reg")["rho"].max().sort_index()
+    pd.testing.assert_series_equal(whole, merged, check_names=False)
+
+
 def test_decontaminate_planted(ray_session):
     """A train doc sharing an 8-gram with an eval doc is flagged; disjoint
     docs and eval docs themselves are not."""
