@@ -83,3 +83,48 @@ def test_determinism_across_partition_counts(ray_session, tmp_path, nparts):
     pr = g.collect_state(["page_rank"])["page_rank"]
     exp, _, _ = oracle.page_rank_delta_oracle(120, src, dst, max_iterations=60)
     np.testing.assert_allclose(pr, exp, atol=1e-6)
+
+
+# ---- round 3: salted two-phase plans == single-pass plans ----------------
+
+event_streams = st.lists(
+    st.tuples(st.integers(0, 4),                       # user
+              st.integers(0, 60 * 3600),               # ts seconds
+              st.booleans()),                          # is-click
+    min_size=1, max_size=120)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(event_streams, st.sampled_from([600, 3600, 7200]))
+def test_salted_windows_match_single_pass(ray_session, evs, slab_s):
+    """Random event streams, random slab sizes: the two-phase salted
+    sessionize and as-of plans must equal the single-pass sweeps exactly
+    (boundary joins, equal timestamps, empty slabs, single-event users)."""
+    import pandas as pd
+    import ray.data
+
+    from ligrust_ray.dataops import windows
+
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array(range(len(evs)), type=pa.int64()),
+        "ts": pa.array(np.array([e[1] for e in evs], dtype=np.int64) * us
+                       ).cast(pa.timestamp("us")),
+        "user_id": pa.array([e[0] for e in evs], type=pa.int64()),
+        "event_type": pa.array(["click" if e[2] else "view" for e in evs],
+                               type=pa.string()),
+    })
+    plain_s = windows.sessionize(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    salt_s = windows.sessionize(ray.data.from_arrow(t),
+                                salt_slab_us=slab_s * us).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain_s, salt_s)
+
+    plain_a = windows.asof_last_match(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    salt_a = windows.asof_last_match(ray.data.from_arrow(t),
+                                     salt_slab_us=slab_s * us).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain_a, salt_a)
