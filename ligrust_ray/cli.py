@@ -41,6 +41,10 @@ def main(argv=None):
     b.add_argument("--hub-threshold", type=int, default=None,
                    help="split in-lists longer than this across holder "
                         "partitions (skew mitigation; default: no split)")
+    b.add_argument("--symmetrize", action="store_true",
+                   help="undirected simplification (dedupe unordered "
+                        "pairs, drop self-loops, store both directions) — "
+                        "required before `kcore`")
 
     s = sub.add_parser("synth", help="generate the synthetic pages corpus")
     s.add_argument("-o", "--output", required=True)
@@ -50,11 +54,12 @@ def main(argv=None):
     for name in ("cc", "bfs", "pagerank", "lp", "kcore"):
         a = sub.add_parser(name)
         a.add_argument("graph", help="graph dir from `build`")
-        a.add_argument("--checkpoint-dir", default=None)
-        a.add_argument("--checkpoint-every", type=int, default=1)
-        a.add_argument("--no-resume", action="store_true")
         a.add_argument("-o", "--output", default=None,
                        help="write result parquet here")
+        if name != "kcore":          # kcore has no checkpoint support —
+            a.add_argument("--checkpoint-dir", default=None)   # don't
+            a.add_argument("--checkpoint-every", type=int, default=1)
+            a.add_argument("--no-resume", action="store_true")  # advertise
         if name == "bfs":
             a.add_argument("-s", "--source", type=int, default=0)
         if name in ("pagerank", "lp"):
@@ -62,7 +67,8 @@ def main(argv=None):
                            default=100 if name == "pagerank" else 20)
         if name == "kcore":
             a.add_argument("-k", "--k", type=int, default=5,
-                           help="core order; graph must be symmetrized")
+                           help="core order; build the graph with "
+                                "--symmetrize first")
 
     t = sub.add_parser("triangles")
     t.add_argument("edges", help="edge parquet (src,dst) path/dir")
@@ -99,7 +105,8 @@ def main(argv=None):
         if args.format == "pages":
             man = build_graph_from_pages(args.input, args.output,
                                          num_partitions=args.partitions,
-                                         hub_in_threshold=args.hub_threshold)
+                                         hub_in_threshold=args.hub_threshold,
+                                         symmetrize=args.symmetrize)
         elif args.format == "adjacency":
             import os
 
@@ -117,12 +124,14 @@ def main(argv=None):
                 e = adjacency_text_to_edges(args.input)
                 n = read_adjacency_text(args.input)[0]
             man = build_graph_from_edges(e, args.output, n=n,
-                                         num_partitions=args.partitions)
+                                         num_partitions=args.partitions,
+                                         symmetrize=args.symmetrize)
         else:
             man = build_graph_from_edges(ray.data.read_parquet(args.input),
                                          args.output,
                                          num_partitions=args.partitions,
-                                         hub_in_threshold=args.hub_threshold)
+                                         hub_in_threshold=args.hub_threshold,
+                                         symmetrize=args.symmetrize)
         print(json.dumps({"n": man["n"], "m": man["m"],
                           "partitions": man["num_partitions"]}))
         return 0
@@ -159,9 +168,9 @@ def main(argv=None):
     from ligrust_ray.state.graph import DistGraph
 
     g = DistGraph.load(args.graph)
-    ck = dict(checkpoint_dir=args.checkpoint_dir,
-              checkpoint_every=args.checkpoint_every,
-              resume=not args.no_resume)
+    ck = dict(checkpoint_dir=getattr(args, "checkpoint_dir", None),
+              checkpoint_every=getattr(args, "checkpoint_every", 1),
+              resume=not getattr(args, "no_resume", False))
     if args.cmd == "cc":
         from ligrust_ray.algos.cc import cc
 

@@ -363,8 +363,13 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
         # message: k's label offered to the other endpoint; plus k keeps
         # its own label (so the grouped min never loses ground). Label
         # lookup is a vectorised get_indexer (C hash probe), not a per-row
-        # dict loop; every endpoint is seeded, so misses cannot occur.
+        # dict loop; every endpoint is seeded, so misses cannot occur —
+        # assert loudly rather than let -1 fancy-index the last row and
+        # silently corrupt component labels
         pos = pd.Index(rf["doc_id"]).get_indexer(lf["k"])
+        if len(pos) and pos.min() < 0:
+            raise RuntimeError("propagate: pair endpoint missing from the "
+                               "seeded label set (invariant violation)")
         out_id = np.concatenate([lf["other"].to_numpy(dtype=np.int64),
                                  rf["doc_id"].to_numpy(dtype=np.int64)])
         out_lab = np.concatenate([
@@ -649,12 +654,18 @@ class SimHasher:
                  << self._bitpos).sum(dtype=np.uint64))
         return u64_to_i64(h)
 
+    # bound on the (tokens, 64) int64 vote matrix held at once (~32 MB);
+    # doc segments are processed in chunks under it so one huge batch
+    # cannot blow a worker's heap (the per-doc path it replaced only ever
+    # held a single doc's matrix)
+    _VOTE_CHUNK_TOKENS = 1 << 16
+
     def _batch(self, texts: list[str]) -> np.ndarray:
         """Whole-batch simhash, IDENTICAL values to per-doc ``simhash64``:
-        md5 runs once per batch-wide UNIQUE token (Zipf: unique << total),
-        bit votes accumulate with one reduceat over contiguous per-doc
-        segments."""
-        from ligrust_ray.dataops.hashing import md5_u64_lower_many
+        md5 runs once per batch-wide UNIQUE token (Zipf: unique << total);
+        bit votes accumulate with reduceat over contiguous per-doc
+        segments, chunked by token count to bound memory."""
+        from ligrust_ray.dataops.hashing import md5_u64_lower_many, u64_to_i64
 
         toks_per_doc = [_WORD.findall(x.lower()) for x in texts]
         counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
@@ -666,15 +677,24 @@ class SimHasher:
         uniq, inv = np.unique(np.array(flat, dtype=object),
                               return_inverse=True)
         hs = md5_u64_lower_many([t.encode("utf-8") for t in uniq])[inv]
-        contrib = (2 * ((hs[:, None] >> self._bitpos[None, :])
-                        & np.uint64(1)).astype(np.int64) - 1)  # (ntok, 64)
-        offs = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
-        acc = np.add.reduceat(contrib, offs, axis=0)    # (len(nz), 64)
-        hv = ((acc > 0).astype(np.uint64)
-              << self._bitpos[None, :]).sum(axis=1, dtype=np.uint64)
-        from ligrust_ray.dataops.hashing import u64_to_i64
-
-        out[nz] = [u64_to_i64(int(x)) for x in hv]
+        ends = np.cumsum(counts[nz])
+        starts = ends - counts[nz]
+        d0 = 0
+        while d0 < len(nz):
+            # take whole docs until the token chunk bound (>=1 doc always)
+            d1 = d0 + 1
+            while (d1 < len(nz)
+                   and ends[d1 - 1] - starts[d0] < self._VOTE_CHUNK_TOKENS):
+                d1 += 1
+            seg = hs[starts[d0]:ends[d1 - 1]]
+            contrib = (2 * ((seg[:, None] >> self._bitpos[None, :])
+                            & np.uint64(1)).astype(np.int64) - 1)
+            offs = starts[d0:d1] - starts[d0]
+            acc = np.add.reduceat(contrib, offs, axis=0)   # (d1-d0, 64)
+            hv = ((acc > 0).astype(np.uint64)
+                  << self._bitpos[None, :]).sum(axis=1, dtype=np.uint64)
+            out[nz[d0:d1]] = [u64_to_i64(int(x)) for x in hv]
+            d0 = d1
         return out
 
     def __call__(self, t: pa.Table) -> pa.Table:

@@ -414,18 +414,43 @@ def build_csr(edges: ray.data.Dataset, n: int, out_dir: str,
     return manifest
 
 
+def symmetrize_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Undirected simplification: drop self-loops, dedupe unordered pairs,
+    emit BOTH directions — the precondition of undirected algorithms
+    (k-core) where out-CSR must carry the full adjacency and out_deg the
+    undirected degree."""
+    from ligrust_ray.stages import shuffle
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        keep = s != d
+        a = np.minimum(s[keep], d[keep]).astype(np.int64)
+        b = np.maximum(s[keep], d[keep]).astype(np.int64)
+        k = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"src": pa.array(np.concatenate([k[:, 0], k[:, 1]])),
+                         "dst": pa.array(np.concatenate([k[:, 1], k[:, 0]]))})
+
+    return shuffle.distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["src", "dst"])
+
+
 def build_graph_from_pages(pages_path: str | ray.data.Dataset, out_dir: str,
                            num_partitions: int = 32,
                            include_dangling: bool = True,
                            nbuckets: int = 64,
-                           hub_in_threshold: int | None = None) -> dict:
+                           hub_in_threshold: int | None = None,
+                           symmetrize: bool = False) -> dict:
     """Full ETL: pages parquet -> CSR graph dir. Returns the manifest."""
     if isinstance(pages_path, str):
         # block count sized for the CPU-bound extract stage: at least ~2
         # blocks per CPU (parallelism = block count for task-based
-        # map_batches), at most one block per ~8 MiB of input
-        size = sum(os.path.getsize(os.path.join(dp, f))
-                   for dp, _, fs in os.walk(pages_path) for f in fs)
+        # map_batches), at most one block per ~8 MiB of input. A single
+        # parquet FILE path must use getsize — os.walk on a file yields
+        # nothing, and size=0 would collapse extract to one serial task.
+        size = os.path.getsize(pages_path) if os.path.isfile(pages_path) \
+            else sum(os.path.getsize(os.path.join(dp, f))
+                     for dp, _, fs in os.walk(pages_path) for f in fs)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         nblocks = max(min(2 * ncpu, -(-size // (1 << 23))), 1)
         pages = ray.data.read_parquet(pages_path, columns=["url", "html"],
@@ -441,7 +466,10 @@ def build_graph_from_pages(pages_path: str | ray.data.Dataset, out_dir: str,
         url_universe = page_urls
     mapping, n = assign_ids(url_universe, nbuckets=nbuckets)
     edges = edges_with_ids(edge_urls, mapping,
-                           drop_missing=not include_dangling).materialize()
+                           drop_missing=not include_dangling)
+    if symmetrize:
+        edges = symmetrize_edges(edges)
+    edges = edges.materialize()
     manifest = build_csr(edges, n, out_dir, num_partitions=num_partitions,
                          meta={"source": "pages",
                                "include_dangling": include_dangling},
@@ -459,7 +487,8 @@ def build_graph_from_pages(pages_path: str | ray.data.Dataset, out_dir: str,
 
 def build_graph_from_edges(edges: pa.Table | ray.data.Dataset, out_dir: str,
                            n: int | None = None, num_partitions: int = 8,
-                           hub_in_threshold: int | None = None) -> dict:
+                           hub_in_threshold: int | None = None,
+                           symmetrize: bool = False) -> dict:
     """Build a graph dir straight from an int edge table (tests, events graph,
     AdjacencyGraph text fixtures)."""
     if isinstance(edges, pa.Table):
@@ -470,6 +499,8 @@ def build_graph_from_edges(edges: pa.Table | ray.data.Dataset, out_dir: str,
     elif n is None:
         mx = edges.max(["src", "dst"])
         n = int(max(mx["max(src)"], mx["max(dst)"])) + 1
+    if symmetrize:
+        edges = symmetrize_edges(edges)
     return build_csr(edges, n, out_dir, num_partitions=num_partitions,
                      meta={"source": "edges"},
                      hub_in_threshold=hub_in_threshold)

@@ -208,27 +208,13 @@ def events_sym_graph(sf_dir: str) -> DistGraph:
     k-core): distinct non-loop undirected edges, stored both directions."""
     key = ("events_sym", sf_dir)
     if key not in _GRAPH_CACHE:
-        def sym(t: pa.Table) -> pa.Table:
-            s = t.column("src").to_numpy()
-            d = t.column("dst").to_numpy()
-            keep = s != d
-            a = np.minimum(s[keep], d[keep]).astype(np.int64)
-            b = np.maximum(s[keep], d[keep]).astype(np.int64)
-            k2 = np.unique(np.stack([a, b], axis=1), axis=0)
-            return pa.table({"src": pa.array(np.concatenate([k2[:, 0],
-                                                             k2[:, 1]])),
-                             "dst": pa.array(np.concatenate([k2[:, 1],
-                                                             k2[:, 0]]))})
-
-        und = shuffle.distinct(
-            events_edges_ds(sf_dir).map_batches(sym, batch_format="pyarrow"),
-            ["src", "dst"])
         tag = zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF
         gd = os.path.join(tempfile.gettempdir(),
                           f"ligr_events_sym_{tag:08x}_n{events_n(sf_dir)}")
         if not os.path.exists(os.path.join(gd, "manifest.json")):
-            build_graph_from_edges(und, gd, n=events_n(sf_dir),
-                                   num_partitions=4)
+            build_graph_from_edges(events_edges_ds(sf_dir), gd,
+                                   n=events_n(sf_dir), num_partitions=4,
+                                   symmetrize=True)
         _GRAPH_CACHE[key] = DistGraph.load(gd)
     return _GRAPH_CACHE[key]
 
@@ -343,11 +329,22 @@ def _pages_graph(sf_dir: str) -> tuple[str, DistGraph]:
 def _refresh_pages_oracle(gd: str, n: int) -> None:
     """Copy the graph's edge table, url map and node universe to the FIXED
     ``PAGES_ORACLE_DIR`` path, so the static SQL strings in
-    __ray_entry__.oracle_sql can score the same graph in DuckDB."""
+    __ray_entry__.oracle_sql can score the same graph in DuckDB. A marker
+    records (source dir, manifest mtime); matching markers skip the copy
+    (both pages queries call this per run)."""
     import shutil
 
     import pyarrow.parquet as pq
 
+    manifest = os.path.join(gd, "manifest.json")
+    stamp = f"{gd}:{os.path.getmtime(manifest)}:{n}"
+    marker = os.path.join(PAGES_ORACLE_DIR, "SOURCE")
+    try:
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return
+    except OSError:
+        pass
     shutil.rmtree(PAGES_ORACLE_DIR, ignore_errors=True)
     shutil.copytree(os.path.join(gd, "edges"),
                     os.path.join(PAGES_ORACLE_DIR, "edges"))
@@ -355,6 +352,8 @@ def _refresh_pages_oracle(gd: str, n: int) -> None:
                     os.path.join(PAGES_ORACLE_DIR, "url_map"))
     pq.write_table(pa.table({"id": pa.array(np.arange(n, dtype=np.int64))}),
                    os.path.join(PAGES_ORACLE_DIR, "nodes.parquet"))
+    with open(marker, "w") as fh:
+        fh.write(stamp)
 
 
 def q_pages_pagerank(sf_dir: str):
@@ -384,7 +383,9 @@ def q_pages_domain_graph(sf_dir: str):
     _refresh_pages_oracle(gd, g.n)
 
     def to_dom(t: pa.Table) -> pa.Table:
-        doms = [(_DOMAIN_RE.match(u) or [None, ""])[1]
+        # UNANCHORED search — DuckDB regexp_extract also searches, so a
+        # url embedding 'https://...' mid-string must match identically
+        doms = [(lambda m: m[1] if m else "")(_DOMAIN_RE.search(u))
                 for u in t.column("url").to_pylist()]
         return pa.table({"id": t.column("id").cast(pa.int64()),
                          "dom": pa.array(doms, type=pa.string())})
