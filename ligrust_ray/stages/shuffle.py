@@ -106,6 +106,27 @@ def _part_of(key_arr: pa.ChunkedArray | pa.Array, num_partitions: int
     return pa.array((h % num_partitions).astype(np.int64))
 
 
+def _sentinel_fill(n: int, typ: pa.DataType) -> pa.Array:
+    """Typed non-null filler column (zeros / empty strings / empty lists)
+    for the absent side of a co_group union block — see tag() for why
+    nulls are unsafe here."""
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), type=typ)
+    if pa.types.is_boolean(typ):
+        return pa.array(np.zeros(n, dtype=bool))
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, type=typ)
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        off_t = pa.int64() if pa.types.is_large_list(typ) else pa.int32()
+        cls = pa.LargeListArray if pa.types.is_large_list(typ) \
+            else pa.ListArray
+        return cls.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=off_t.to_pandas_dtype()),
+                     type=off_t),
+            pa.array([], type=typ.value_type))
+    return pa.nulls(n, typ)        # exotic types: fall back (documented)
+
+
 def co_group(left: ray.data.Dataset, right: ray.data.Dataset,
              l_on: str, r_on: str, fn, num_partitions: int = 32,
              l_schema: pa.Schema | None = None,
@@ -146,7 +167,13 @@ def co_group(left: ray.data.Dataset, right: ray.data.Dataset,
             for c in cols:
                 arrays[f"{prefix}{c}"] = t.column(c)
             for c in other_cols:
-                arrays[f"{other_prefix}{c}"] = pa.nulls(
+                # SENTINEL fill, not nulls: Ray passes rare zero-column
+                # empty blocks (map_groups partitions with no groups)
+                # through shuffles untouched, which forces the union onto
+                # the pandas block format — and int64-with-null would then
+                # widen to float64 corpus-wide. Sentinels survive any
+                # format coercion; apply() never reads the absent side.
+                arrays[f"{other_prefix}{c}"] = _sentinel_fill(
                     n, union_schema.field(f"{other_prefix}{c}").type)
             arrays["__side"] = pa.array(np.full(n, side, dtype=np.int8))
             arrays["__part"] = _part_of(t.column(on), num_partitions)

@@ -336,6 +336,37 @@ def test_sessionize_and_windows(ray_session):
     assert w.loc[7200 * us, "sum_value_cents"] == 400
 
 
+def test_minhash_rep_collapse_matches_classic(ray_session):
+    """The exact-dup rep-collapse path must produce IDENTICAL clusters to
+    the classic whole-corpus pipeline on a corpus mixing exact replicas,
+    near-dups and singletons (replica families attach through their rep)."""
+    base = ["the quick brown fox jumps over the lazy dog again and again",
+            "pack my box with five dozen liquor jugs before noon today ok",
+            "completely unrelated text about distributed graph processing"]
+    texts, ids = [], []
+    nid = 0
+    for b in base:
+        for r in range(6):                      # 6 exact replicas each
+            texts.append(b)
+            ids.append(nid)
+            nid += 1
+        texts.append(b + " extra")              # one near-dup per family
+        ids.append(nid)
+        nid += 1
+    texts.append("a lone singleton document with no relatives anywhere")
+    ids.append(nid)
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    ds = ray.data.from_arrow(t)
+    classic = dedup._minhash_lsh_core(ds, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    collapsed = dedup.minhash_lsh_dedup(ds, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(classic, collapsed)
+    # sanity: the rep path actually engaged (dup ratio ~78%)
+    assert len(set(collapsed["cluster"])) < len(collapsed)
+
+
 def test_hll_estimate_accuracy(ray_session):
     """HLL estimate within ~3x the theoretical 1.04/sqrt(m) rel. error of
     the exact distinct count, across cardinalities spanning the
