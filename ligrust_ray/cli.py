@@ -60,6 +60,9 @@ def main(argv=None):
             a.add_argument("--checkpoint-dir", default=None)   # don't
             a.add_argument("--checkpoint-every", type=int, default=1)
             a.add_argument("--no-resume", action="store_true")  # advertise
+        else:                        # one source of truth for defaults
+            a.set_defaults(checkpoint_dir=None, checkpoint_every=1,
+                           no_resume=False)
         if name == "bfs":
             a.add_argument("-s", "--source", type=int, default=0)
         if name in ("pagerank", "lp"):
@@ -168,9 +171,9 @@ def main(argv=None):
     from ligrust_ray.state.graph import DistGraph
 
     g = DistGraph.load(args.graph)
-    ck = dict(checkpoint_dir=getattr(args, "checkpoint_dir", None),
-              checkpoint_every=getattr(args, "checkpoint_every", 1),
-              resume=not getattr(args, "no_resume", False))
+    ck = dict(checkpoint_dir=args.checkpoint_dir,
+              checkpoint_every=args.checkpoint_every,
+              resume=not args.no_resume)
     if args.cmd == "cc":
         from ligrust_ray.algos.cc import cc
 

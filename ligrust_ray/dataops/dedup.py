@@ -50,16 +50,34 @@ def _content_hash(texts: list[str]) -> list[str]:
     return [hashlib.sha1(t.encode("utf-8")).hexdigest() for t in texts]
 
 
+def _sha1_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, h=sha1(text)) batch hasher — the ONE content-hash spec
+    shared by exact_dedup and the minhash rep collapse (a normalization
+    change must hit both or families desynchronize)."""
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "h": pa.array(_content_hash(
+                         t.column("text").to_pylist()))})
+
+
+def _broadcast_id_filter(ds: ray.data.Dataset, id_ref) -> ray.data.Dataset:
+    """Keep rows whose doc_id is in the broadcast sorted int64 id array
+    (bounded semi-join; used by the candidate prefilter and the rep
+    selector — both gated by CAND_BROADCAST_MAX)."""
+
+    def semi(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vs = pa.array(ray.get(id_ref), type=pa.int64())
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=vs))
+
+    return ds.map_batches(semi, batch_format="pyarrow")
+
+
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id) of the minimal doc_id per distinct text — matches
     ``SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text``.
     Grouping key is sha1(text): the shuffle moves 20-byte keys, not bodies."""
-
-    def hash_batch(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "h": pa.array(_content_hash(t.column("text").to_pylist()))})
-
-    hashed = docs.map_batches(hash_batch, batch_format="pyarrow")
+    hashed = docs.map_batches(_sha1_rows, batch_format="pyarrow")
     return (shuffle.grouped_agg(hashed, ["h"], {"doc_id": ("doc_id", "min")})
             .select_columns(["doc_id"]))
 
@@ -508,12 +526,24 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
     semi-join; above the gate (or at negligible dup ratio) the classic
     whole-corpus path runs."""
 
-    def sha1_rows(t: pa.Table) -> pa.Table:
+    def sha1_rows_nonempty(t: pa.Table) -> pa.Table:
+        """Content hash, EXCEPT whitespace-only docs get a per-doc unique
+        key: zero-shingle docs never verify against anything (Jaccard
+        union 0 — the classic path and the SQL oracle leave each as its
+        own cluster), so collapsing identical empty texts into one family
+        would diverge from both."""
+        h = _content_hash(t.column("text").to_pylist())
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        h = [hx if tx.strip() else f"__empty__{i}"
+             for hx, tx, i in zip(h, texts, ids)]
         return pa.table({"doc_id": t.column("doc_id"),
-                         "h": pa.array(_content_hash(
-                             t.column("text").to_pylist()))})
+                         "h": pa.array(h, type=pa.string())})
 
-    hashed = docs.map_batches(sha1_rows, batch_format="pyarrow")
+    # materialized: consumed by BOTH the rep grouped_agg and the doc_rep
+    # co_group (lazy would sha1 the whole corpus twice)
+    hashed = docs.map_batches(sha1_rows_nonempty,
+                              batch_format="pyarrow").materialize()
     rep_map = shuffle.grouped_agg(hashed, ["h"],
                                   {"rep": ("doc_id", "min")}).materialize()
     n_docs = docs.count()
@@ -535,15 +565,7 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, num_perm: int = 64,
         [b["rep"] for b in rep_map.select_columns(["rep"])
          .iter_batches(batch_format="numpy")] or
         [np.zeros(0, dtype=np.int64)]))
-    rep_ref = ray.put(rep_arr)
-
-    def keep_reps(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        vs = pa.array(ray.get(rep_ref), type=pa.int64())
-        return t.filter(pc.is_in(t.column("doc_id"), value_set=vs))
-
-    rep_docs = docs.map_batches(keep_reps, batch_format="pyarrow")
+    rep_docs = _broadcast_id_filter(docs, ray.put(rep_arr))
     rep_clusters = _minhash_lsh_core(rep_docs, num_perm, bands, shingle_k,
                                      threshold, seed)
 
@@ -661,15 +683,7 @@ def _minhash_lsh_core(docs: ray.data.Dataset, num_perm: int = 64,
         id_arr = np.sort(np.concatenate(
             [b["doc_id"] for b in cand_ids.iter_batches(batch_format="numpy")]
             or [np.zeros(0, dtype=np.int64)]))
-        id_ref = ray.put(id_arr)
-
-        def semi(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            vs = pa.array(ray.get(id_ref), type=pa.int64())
-            return t.filter(pc.is_in(t.column("doc_id"), value_set=vs))
-
-        docs_sel = docs_sel.map_batches(semi, batch_format="pyarrow")
+        docs_sel = _broadcast_id_filter(docs_sel, ray.put(id_arr))
     shingle_ds = docs_sel.map_batches(
         _shingle_rows_fn(shingle_k), batch_format="pyarrow")
 

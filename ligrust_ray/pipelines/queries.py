@@ -339,10 +339,12 @@ def _refresh_pages_oracle(gd: str, n: int) -> None:
     manifest = os.path.join(gd, "manifest.json")
     stamp = f"{gd}:{os.path.getmtime(manifest)}:{n}"
     marker = os.path.join(PAGES_ORACLE_DIR, "SOURCE")
+    payload_ok = all(os.path.exists(os.path.join(PAGES_ORACLE_DIR, p))
+                     for p in ("edges", "url_map", "nodes.parquet"))
     try:
         with open(marker) as fh:
-            if fh.read() == stamp:
-                return
+            if fh.read() == stamp and payload_ok:   # self-heal if a tmp
+                return                              # cleaner ate payloads
     except OSError:
         pass
     shutil.rmtree(PAGES_ORACLE_DIR, ignore_errors=True)

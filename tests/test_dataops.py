@@ -367,6 +367,25 @@ def test_minhash_rep_collapse_matches_classic(ray_session):
     assert len(set(collapsed["cluster"])) < len(collapsed)
 
 
+def test_minhash_rep_collapse_empty_texts(ray_session):
+    """Byte-identical EMPTY/whitespace docs must each stay their own
+    cluster on the rep path too — zero-shingle docs never verify (Jaccard
+    union 0), and the classic path / SQL oracle leave them alone."""
+    t = pa.table({"doc_id": pa.array(range(6), type=pa.int64()),
+                  "text": pa.array(["", "", "   ",
+                                    "real text here one", "real text here one",
+                                    "other doc entirely"], type=pa.string())})
+    ds = ray.data.from_arrow(t)
+    classic = dedup._minhash_lsh_core(ds, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    collapsed = dedup.minhash_lsh_dedup(ds, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(classic, collapsed)
+    cl = dict(zip(collapsed["doc_id"], collapsed["cluster"]))
+    assert cl[0] == 0 and cl[1] == 1 and cl[2] == 2   # empties untouched
+    assert cl[3] == cl[4] == 3                        # real dups cluster
+
+
 def test_hll_estimate_accuracy(ray_session):
     """HLL estimate within ~3x the theoretical 1.04/sqrt(m) rel. error of
     the exact distinct count, across cardinalities spanning the
