@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_events": Q.q_bfs_events,
         "labelprop_events": Q.q_labelprop_events,
         "events_kcore": Q.q_events_kcore,
+        "events_radii": Q.q_events_radii,
         "pages_pagerank": Q.q_pages_pagerank,
         "pages_domain_graph": Q.q_pages_domain_graph,
         # documents: text analysis + dedup family
@@ -447,6 +448,23 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY ms.dom, md.dom"),
         "labelprop_events": _labelprop_sql(20),
         "events_kcore": _kcore_sql(5, 40),
+        # K=8 multi-source BFS: same recursive-CTE shape as bfs_events,
+        # seeded at (i*n)//8, radius = MAX over sources of min distance
+        "events_radii": (
+            f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+            f"nodes AS ({_NODES_CTE}), "
+            "nn AS (SELECT COUNT(*) AS cnt FROM nodes), "
+            "srcs AS (SELECT DISTINCT CAST((t.i * nn.cnt) // 8 AS BIGINT) "
+            "AS s FROM UNNEST(range(8)) AS t(i) CROSS JOIN nn), "
+            "b(s, node, lvl) AS (SELECT s, s, CAST(0 AS BIGINT) FROM srcs "
+            "UNION SELECT b.s, e.dst, b.lvl + 1 FROM b "
+            "JOIN e ON e.src = b.node "
+            "WHERE b.lvl < (SELECT cnt FROM nn)), "
+            "d AS (SELECT s, node, MIN(lvl) AS dist FROM b GROUP BY s, node) "
+            "SELECT nodes.id AS node_id, "
+            "CAST(COALESCE(MAX(d.dist), -1) AS BIGINT) AS radius "
+            "FROM nodes LEFT JOIN d ON d.node = nodes.id "
+            "GROUP BY nodes.id"),
         # scored over the SAME int edge table the CSR consumed (multi-edges
         # preserved): q_pages_pagerank copies it + the node universe to the
         # fixed PAGES_ORACLE_DIR before returning, so this static SQL reads

@@ -242,6 +242,20 @@ def q_events_kcore(sf_dir: str):
         np.flatnonzero(alive).astype(np.int64))})
 
 
+def q_events_radii(sf_dir: str):
+    """Ligra-paper Radii estimation: K=8 bit-parallel simultaneous BFS
+    waves over one int64 bitmask per vertex (reduce='or' edgeMap);
+    radius = max over sampled sources reaching v of dist(s, v), -1 when
+    none does. Oracle: per-source recursive-CTE BFS, MAX over sources."""
+    from ligrust_ray.algos.radii import radii
+
+    g = events_graph(sf_dir)
+    radii(g, k=8)
+    st = g.collect_state(["radii"])
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "radius": pa.array(st["radii"].astype(np.int64))})
+
+
 def q_pagerank_events(sf_dir: str):
     """Reference-semantics PageRankDelta. Emitted as integer micro-units
     (rank_ppm) so the value hash is addition-order independent — the

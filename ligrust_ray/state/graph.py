@@ -101,6 +101,14 @@ def _segment_reduce(reduce: str, indptr: np.ndarray, w: np.ndarray,
         if w.size:
             agg[ne] = np.minimum.reduceat(w, starts)
         touched = agg < INT_SENTINEL
+    elif reduce == "or":
+        # bitwise OR (bit-parallel multi-source algorithms, e.g. Radii):
+        # identity 0, associative, order-free
+        if contrib_mask is not None:
+            w = np.where(contrib_mask, w, 0)
+        agg = np.zeros(nloc, dtype=np.int64)
+        if w.size:
+            agg[ne] = np.bitwise_or.reduceat(w.astype(np.int64), starts)
     elif reduce == "mode":
         # most frequent value with smallest-value tiebreak, per target.
         # Single np.sort of a composite (target, label) key — we never need
@@ -174,6 +182,12 @@ def _merge_hub_partials_rows(reduce: str, parts: list, lo: int, hi: int
         elif reduce == "min":
             vals = [v for v, t in ps if t]
             out[hub] = (min(vals) if vals else INT_SENTINEL, bool(vals))
+        elif reduce == "or":
+            vals = [v for v, t in ps if t]
+            acc = 0
+            for v in vals:
+                acc |= int(v)
+            out[hub] = (acc, bool(vals))
         else:  # mode: merge label counts, argmax w/ min-label tiebreak
             lab = np.concatenate([p[0] for p in ps])
             cnt = np.concatenate([p[1] for p in ps])
@@ -208,6 +222,8 @@ def _combine_by_key(reduce: str, keys: np.ndarray, vals: np.ndarray
         uv = np.add.reduceat(v, starts)
     elif reduce == "min":
         uv = np.minimum.reduceat(v, starts)
+    elif reduce == "or":
+        uv = np.bitwise_or.reduceat(v.astype(np.int64), starts)
     else:
         raise ValueError(f"reduce {reduce} cannot be pushed (not associative "
                          "over partial frontiers); use dense/pull mode")
@@ -487,6 +503,9 @@ class CsrShard:
         if kernel.reduce == "min":
             return (int(active.min()), True) if len(active) else \
                 (INT_SENTINEL, False)
+        if kernel.reduce == "or":
+            return (int(np.bitwise_or.reduce(active.astype(np.int64))),
+                    True) if len(active) else (0, False)
         if kernel.reduce == "mode":
             lab, cnt = np.unique(active.astype(np.int64), return_counts=True)
             return (lab, cnt)
@@ -587,6 +606,8 @@ class CsrShard:
         touched = np.zeros(nloc, dtype=bool)
         if kernel.reduce == "sum":
             agg = np.zeros(nloc, dtype=np.float64)
+        elif kernel.reduce == "or":
+            agg = np.zeros(nloc, dtype=np.int64)
         else:
             agg = np.full(nloc, INT_SENTINEL, dtype=np.int64)
         if uk.size:

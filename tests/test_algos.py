@@ -293,3 +293,41 @@ def test_kcore_matches_oracle(ray_session, tmp_path):
             np.testing.assert_array_equal(got, _kcore_oracle(n, src, dst, k),
                                           err_msg=f"n={n} k={k}")
             assert m["rounds"] >= 0   # 0 = nothing below k anywhere
+
+
+# ---- Radii (round 3; bit-parallel multi-source BFS, reduce="or") --------
+
+def _radii_oracle(n, src, dst, srcs):
+    from collections import deque
+    adj = {v: [] for v in range(n)}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].append(d)
+    rad = np.full(n, -1, dtype=np.int64)
+    for s in srcs:
+        dist = np.full(n, -1, dtype=np.int64)
+        dist[s] = 0
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        reach = dist >= 0
+        rad[reach] = np.maximum(rad[reach], dist[reach])
+    return rad
+
+
+def test_radii_matches_oracle(ray_session, tmp_path):
+    from ligrust_ray.algos.radii import radii, sample_sources
+
+    for i, (n, deg, seed) in enumerate([(40, 2.0, 11), (120, 4.0, 12),
+                                        (200, 1.0, 13)]):
+        src, dst = oracle.random_digraph(n, deg, seed)
+        g = make_graph(str(tmp_path / f"rad{i}"), src, dst, n)
+        for k in (1, 8, 17):
+            m = radii(g, k=k)
+            got = g.collect_state(["radii"])["radii"]
+            exp = _radii_oracle(n, src, dst, sample_sources(n, k))
+            np.testing.assert_array_equal(got, exp, err_msg=f"n={n} k={k}")
+            assert m["rounds"] >= 1
