@@ -331,3 +331,26 @@ def test_radii_matches_oracle(ray_session, tmp_path):
             exp = _radii_oracle(n, src, dst, sample_sources(n, k))
             np.testing.assert_array_equal(got, exp, err_msg=f"n={n} k={k}")
             assert m["rounds"] >= 1
+
+
+def test_radii_hub_splitting_matches_oracle(ray_session, tmp_path):
+    """reduce='or' through the hub-partials wave: a split mega-hub build
+    must equal both the unsplit build and the multi-BFS oracle."""
+    from ligrust_ray.algos.radii import radii, sample_sources
+
+    src, dst = oracle.random_digraph(120, 4.0, seed=23)
+    hub_src = np.arange(0, 120, dtype=np.int64)
+    src = np.concatenate([src, hub_src])
+    dst = np.concatenate([dst, np.full(120, 7, dtype=np.int64)])
+    g1 = make_graph(str(tmp_path / "rh1"), src, dst, 120, nparts=4)
+    t = pa.table({"src": pa.array(src, type=pa.int64()),
+                  "dst": pa.array(dst, type=pa.int64())})
+    build_graph_from_edges(t, str(tmp_path / "rh2"), n=120,
+                           num_partitions=4, hub_in_threshold=8)
+    g2 = DistGraph.load(str(tmp_path / "rh2"))
+    assert g2.has_hubs
+    exp = _radii_oracle(120, src, dst, sample_sources(120, 8))
+    for g in (g1, g2):
+        radii(g, k=8)
+        np.testing.assert_array_equal(
+            g.collect_state(["radii"])["radii"], exp)
