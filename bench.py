@@ -169,6 +169,12 @@ def run_headline(num_cpus: int) -> dict:
     q["events_kcore"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    from ligrust_ray.algos.radii import radii
+
+    radii(g, k=8)          # bit-parallel multi-source BFS (reduce="or")
+    q["radii"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     dedup.decontaminate(docs, eval_mod=10).materialize()
     q["docs_decontaminate"] = time.perf_counter() - t0
 

@@ -8,9 +8,11 @@ associative reduce plus a vectorised apply:
 - ``source_values(state, out_deg)``: per-source message value (the payload
   of ``update``'s read side) — e.g. ``deltas/out_degree`` for PageRank
   (algos.rs:225-231), ``ids`` for CC, the node id itself for BFS.
-- ``reduce``: ``"sum" | "min" | "mode"`` — replaces ``fetch_add`` /
-  CAS-write-min / CAS-claim. ``mode`` (label frequency argmax) is pull-only:
-  it is not associative over partial frontiers.
+- ``reduce``: ``"sum" | "min" | "or" | "mode"`` — replaces ``fetch_add`` /
+  CAS-write-min / atomic-OR / CAS-claim. ``mode`` (label frequency argmax)
+  is pull-only: it is not associative over partial frontiers; the other
+  three work on both push and pull paths. ``"or"`` is bitwise int64
+  (identity 0) — the bit-parallel multi-source family (algos/radii.py).
 - ``target_active(state)``: the ``check(target)`` pre-filter
   (ligra.rs:41-43); None = always true.
 - ``apply(state, agg, touched, shard)``: the write side; returns

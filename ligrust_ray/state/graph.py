@@ -439,6 +439,8 @@ class CsrShard:
                 kernel.reduce, sub_indptr, w, contrib, kernel.value_dtype)
             if kernel.reduce == "sum":
                 agg = np.zeros(self.nloc, dtype=np.float64)
+            elif kernel.reduce == "or":
+                agg = np.zeros(self.nloc, dtype=np.int64)  # OR identity
             else:
                 agg = np.full(self.nloc, INT_SENTINEL, dtype=np.int64)
             touched = np.zeros(self.nloc, dtype=bool)
