@@ -126,6 +126,48 @@ tg AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM shing
 SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.x = t.x"""
 
 
+def _mis_sql(rounds: int = 24) -> str:
+    """Maximal-independent-set oracle (algos.mis spec): ``rounds`` unrolled
+    Luby rounds over the symmetrized simple events graph. Per-round
+    priority = md5_number_lower(round || ':' || id) % 2^63 (verified
+    bit-identical to hashing.md5_u64_lower & (2^63-1)); a node is selected
+    iff active and a STRICT minimum over its active neighbourhood (nodes
+    with no active neighbour always select); selected nodes and their
+    neighbours then leave the active set. Because the priority sequence is
+    deterministic and shared, the oracle reproduces the engine's EXACT set
+    (not merely some valid MIS). Rounds after the active set drains are
+    no-ops, so any unroll >= the engine's round count (which raises above
+    queries.MIS_SQL_ROUNDS = this default) yields the identical set."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+        "WHERE src <> dst), "
+        "u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e), "
+        "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+        "UNION ALL SELECT b, a FROM u), "
+        f"a0 AS MATERIALIZED (SELECT id FROM ({_NODES_CTE}))"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", p{i} AS MATERIALIZED (SELECT id, "
+            f"CAST(md5_number_lower('{i}:' || CAST(id AS VARCHAR)) "
+            "% 9223372036854775808 AS BIGINT) AS p "
+            f"FROM a{i-1})"
+            f", m{i} AS MATERIALIZED (SELECT s.v, MIN(pw.p) AS mp "
+            f"FROM sym s JOIN p{i} pv ON pv.id = s.v "
+            f"JOIN p{i} pw ON pw.id = s.w GROUP BY s.v)"
+            f", sel{i} AS MATERIALIZED (SELECT pv.id FROM p{i} pv "
+            f"LEFT JOIN m{i} ON m{i}.v = pv.id "
+            f"WHERE m{i}.mp IS NULL OR pv.p < m{i}.mp)"
+            f", a{i} AS MATERIALIZED (SELECT id FROM a{i-1} "
+            f"WHERE id NOT IN (SELECT id FROM sel{i}) "
+            f"AND id NOT IN (SELECT s.v FROM sym s "
+            f"JOIN sel{i} ON sel{i}.id = s.w))")
+    union = " UNION ALL ".join(f"SELECT id FROM sel{i}"
+                               for i in range(1, rounds + 1))
+    parts.append(f" SELECT id AS node_id FROM ({union})")
+    return "".join(parts)
+
+
 def _kcore_sql(k: int = 5, rounds: int = 40) -> str:
     """Undirected simple k-core membership: ``rounds`` unrolled
     simultaneous-removal peeling rounds (each round keeps nodes with >= k
@@ -341,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_events": Q.q_bfs_events,
         "labelprop_events": Q.q_labelprop_events,
         "events_kcore": Q.q_events_kcore,
+        "events_mis": Q.q_events_mis,
         "events_radii": Q.q_events_radii,
         "pages_pagerank": Q.q_pages_pagerank,
         "pages_domain_graph": Q.q_pages_domain_graph,
@@ -448,6 +491,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY ms.dom, md.dom"),
         "labelprop_events": _labelprop_sql(20),
         "events_kcore": _kcore_sql(5, 40),
+        # Luby MIS, 24 unrolled rounds (= queries.MIS_SQL_ROUNDS; the Ray
+        # side raises if it needed more, extra rounds are no-ops)
+        "events_mis": _mis_sql(24),
         # K=8 multi-source BFS: same recursive-CTE shape as bfs_events,
         # seeded at (i*n)//8, radius = MAX over sources of min distance
         "events_radii": (

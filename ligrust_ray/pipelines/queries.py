@@ -242,6 +242,26 @@ def q_events_kcore(sf_dir: str):
         np.flatnonzero(alive).astype(np.int64))})
 
 
+MIS_SQL_ROUNDS = 24    # unroll depth of the DuckDB oracle = engine round cap
+
+
+def q_events_mis(sf_dir: str):
+    """(node_id) members of a maximal independent set of the simple
+    undirected events graph — Luby rounds with deterministic md5-derived
+    per-round priorities through the engine's kernel surface. The SQL
+    oracle unrolls MIS_SQL_ROUNDS rounds with the SAME priority sequence,
+    so the sets match exactly (not just "some valid MIS"); the engine
+    raises rather than return if it needed more rounds (rounds after the
+    active set drains are no-ops on both sides)."""
+    from ligrust_ray.algos.mis import mis
+
+    g = events_sym_graph(sf_dir)
+    mis(g, max_rounds=MIS_SQL_ROUNDS)
+    in_mis = g.collect_state(["in_mis"])["in_mis"]
+    return pa.table({"node_id": pa.array(
+        np.flatnonzero(in_mis).astype(np.int64))})
+
+
 def q_events_radii(sf_dir: str):
     """Ligra-paper Radii estimation: K=8 bit-parallel simultaneous BFS
     waves over one int64 bitmask per vertex (reduce='or' edgeMap);

@@ -354,3 +354,60 @@ def test_radii_hub_splitting_matches_oracle(ray_session, tmp_path):
         radii(g, k=8)
         np.testing.assert_array_equal(
             g.collect_state(["radii"])["radii"], exp)
+
+
+# ---- MIS (round 3; Luby rounds with deterministic priorities) ------------
+
+def _mis_oracle(n, a, b):
+    """Sequential replica of the algos.mis round semantics over unique
+    undirected non-loop edges (a[i], b[i])."""
+    from ligrust_ray.algos.mis import round_priorities
+
+    active = np.ones(n, dtype=bool)
+    in_mis = np.zeros(n, dtype=bool)
+    r = 0
+    while active.any():
+        r += 1
+        assert r <= 200
+        p = round_priorities(r, np.arange(n, dtype=np.int64))
+        live = active[a] & active[b]
+        mn = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, a[live], p[b[live]])
+        np.minimum.at(mn, b[live], p[a[live]])
+        sel = active & (p < mn)
+        in_mis |= sel
+        active &= ~sel
+        kill = sel[a] | sel[b]
+        active[a[kill]] = False
+        active[b[kill]] = False
+        # selected nodes stay out of active; in_mis untouched by kills
+        active &= ~sel
+    return in_mis
+
+
+def test_mis_matches_oracle_and_is_maximal(ray_session, tmp_path):
+    from ligrust_ray.algos.mis import mis
+
+    for i, (n, deg, seed) in enumerate([(60, 4.0, 11), (150, 6.0, 12),
+                                        (200, 2.0, 13)]):
+        src, dst = oracle.random_digraph(n, deg, seed)
+        keep = src != dst
+        ua = np.minimum(src[keep], dst[keep])
+        ub = np.maximum(src[keep], dst[keep])
+        u = np.unique(np.stack([ua, ub], axis=1), axis=0)
+        s2 = np.concatenate([u[:, 0], u[:, 1]])
+        d2 = np.concatenate([u[:, 1], u[:, 0]])
+        g = make_graph(str(tmp_path / f"mis{i}"), s2, d2, n)
+        m = mis(g)
+        got = g.collect_state(["in_mis"])["in_mis"]
+        # exact parity with the sequential replica (same priority sequence)
+        np.testing.assert_array_equal(got, _mis_oracle(n, u[:, 0], u[:, 1]),
+                                      err_msg=f"n={n}")
+        # independence: no edge inside the set
+        assert not np.any(got[u[:, 0]] & got[u[:, 1]])
+        # maximality: every non-member has a member neighbour
+        covered = np.zeros(n, dtype=bool)
+        covered[u[:, 0][got[u[:, 1]]]] = True
+        covered[u[:, 1][got[u[:, 0]]]] = True
+        assert np.all(got | covered), f"non-maximal at n={n}"
+        assert m["rounds"] >= 1
