@@ -126,6 +126,32 @@ tg AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM shing
 SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.x = t.x"""
 
 
+def _sssp_sql(rounds: int = 32) -> str:
+    """Bellman-Ford oracle (algos.bellman_ford spec): ``rounds`` unrolled
+    synchronous relaxation rounds from source 0 over the DISTINCT directed
+    events edges, with the derived edge weight rendered by
+    state/weights.weight_sql_expr — the same expression the engine's
+    shards evaluate (through in-process DuckDB), so parity holds by
+    construction. Weights are positive ints, so every distance is an exact
+    BIGINT; rounds after the fixpoint are no-ops, and the engine raises
+    above queries.SSSP_SQL_ROUNDS = this default rather than return."""
+    from ligrust_ray.state.weights import weight_sql_expr
+
+    w = weight_sql_expr("md5:32", "e.src", "e.dst")
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+        f"w AS MATERIALIZED (SELECT e.src, e.dst, {w} AS w FROM e0 e), "
+        "d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT id, MIN(d) AS d FROM ("
+            f"SELECT id, d FROM d{i-1} "
+            f"UNION ALL SELECT w.dst, d{i-1}.d + w.w "
+            f"FROM w JOIN d{i-1} ON d{i-1}.id = w.src) GROUP BY id)")
+    parts.append(f" SELECT id AS node_id, d AS dist FROM d{rounds}")
+    return "".join(parts)
+
+
 def _mis_sql(rounds: int = 24) -> str:
     """Maximal-independent-set oracle (algos.mis spec): ``rounds`` unrolled
     Luby rounds over the symmetrized simple events graph. Per-round
@@ -384,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_events": Q.q_labelprop_events,
         "events_kcore": Q.q_events_kcore,
         "events_mis": Q.q_events_mis,
+        "events_sssp": Q.q_events_sssp,
         "events_radii": Q.q_events_radii,
         "pages_pagerank": Q.q_pages_pagerank,
         "pages_domain_graph": Q.q_pages_domain_graph,
@@ -494,6 +521,8 @@ def oracle_sql() -> dict[str, str]:
         # Luby MIS, 24 unrolled rounds (= queries.MIS_SQL_ROUNDS; the Ray
         # side raises if it needed more, extra rounds are no-ops)
         "events_mis": _mis_sql(24),
+        # Bellman-Ford, 32 unrolled relaxation rounds (= SSSP_SQL_ROUNDS)
+        "events_sssp": _sssp_sql(32),
         # K=8 multi-source BFS: same recursive-CTE shape as bfs_events,
         # seeded at (i*n)//8, radius = MAX over sources of min distance
         "events_radii": (

@@ -262,6 +262,26 @@ def q_events_mis(sf_dir: str):
         np.flatnonzero(in_mis).astype(np.int64))})
 
 
+SSSP_SQL_ROUNDS = 32   # unroll depth of the DuckDB oracle = engine round cap
+
+
+def q_events_sssp(sf_dir: str):
+    """(node_id, dist) exact md5-weighted shortest distances from node 0
+    over the directed events graph — Ligra-paper Bellman-Ford through the
+    weighted edgeMap (derived integer weights, state/weights.py). The SQL
+    oracle unrolls SSSP_SQL_ROUNDS relaxation rounds with the same weight
+    hash; the engine raises rather than return if it needed more (extra
+    rounds are no-ops on both sides), so distances match bit-for-bit."""
+    from ligrust_ray.algos.bellman_ford import UNREACHED, bellman_ford
+
+    g = events_graph(sf_dir)
+    bellman_ford(g, source=0, max_rounds=SSSP_SQL_ROUNDS)
+    dist = g.collect_state(["dist"])["dist"]
+    ids = np.flatnonzero(dist < UNREACHED)
+    return pa.table({"node_id": pa.array(ids.astype(np.int64)),
+                     "dist": pa.array(dist[ids])})
+
+
 def q_events_radii(sf_dir: str):
     """Ligra-paper Radii estimation: K=8 bit-parallel simultaneous BFS
     waves over one int64 bitmask per vertex (reduce='or' edgeMap);

@@ -296,6 +296,41 @@ class CsrShard:
         self.compact_size = int(sizes.sum())
         self.state: dict[str, np.ndarray] = {}
         self.frontier = np.zeros(self.nloc, dtype=bool)
+        # derived per-edge weights, (spec, layout) -> int64 per-edge array
+        # aligned with that layout's flat edge order (state/weights.py)
+        self._ew_cache: dict[tuple[str, str], np.ndarray] = {}
+
+    def _edge_weights(self, spec: str, layout: str) -> np.ndarray:
+        """Cached w(src, dst) for one of this shard's edge layouts:
+        ``"in"`` (target-segment order, aligned with in_flat), ``"out"``
+        (source-segment order, aligned with out_flat), ``"hub"`` (the
+        concatenation of held hub-spill chunks, hub_chunk_ptr-aligned).
+        Computed ONCE per (spec, layout) — the derived-weight analog of
+        loading a stored weight column at shard init."""
+        key = (spec, layout)
+        if key not in self._ew_cache:
+            from ligrust_ray.state.weights import edge_weights
+
+            rng = np.arange(self.lo, self.hi, dtype=np.int64)
+            if layout == "in":
+                src = self.in_flat
+                dst = np.repeat(rng, np.diff(self.in_indptr))
+            elif layout == "out":
+                src = np.repeat(rng, self.out_deg)
+                dst = self.out_flat
+            elif layout == "hub":
+                if self.hub_chunks:
+                    src = np.concatenate([c for _, c in self.hub_chunks])
+                    dst = np.repeat(
+                        np.asarray([h for h, _ in self.hub_chunks],
+                                   dtype=np.int64),
+                        np.diff(self.hub_chunk_ptr))
+                else:
+                    src = dst = np.zeros(0, dtype=np.int64)
+            else:  # pragma: no cover
+                raise ValueError(layout)
+            self._ew_cache[key] = edge_weights(spec, src, dst)
+        return self._ew_cache[key]
 
     def in_tgt_idx(self) -> np.ndarray:
         if self._in_tgt_idx is None:
@@ -435,6 +470,9 @@ class CsrShard:
                 frontier_arr[sel] if sel.size else np.zeros(0, dtype=bool))
             w = values_arr[sel] if sel.size else \
                 np.zeros(0, dtype=values_arr.dtype)
+            if kernel.weight_spec and w.size:
+                w = w + self._edge_weights(kernel.weight_spec,
+                                           "in")[edge_idx]
             sub_agg, sub_touched = _segment_reduce(
                 kernel.reduce, sub_indptr, w, contrib, kernel.value_dtype)
             if kernel.reduce == "sum":
@@ -452,6 +490,8 @@ class CsrShard:
             frontier_arr[idx] if idx.size else np.zeros(0, dtype=bool))
         w = values_arr[idx] if idx.size else \
             np.zeros(0, dtype=values_arr.dtype)
+        if kernel.weight_spec and w.size:
+            w = w + self._edge_weights(kernel.weight_spec, "in")
         agg, touched = _segment_reduce(kernel.reduce, self.in_indptr, w,
                                        contrib, kernel.value_dtype,
                                        self.in_tgt_idx()
@@ -519,8 +559,11 @@ class CsrShard:
         the BROADCAST views. sum/min: (hub, partial, touched);
         mode: (hub, labels, counts)."""
         out = []
-        for hub, srcs in self.hub_chunks:
+        for i, (hub, srcs) in enumerate(self.hub_chunks):
             w = values_full[srcs]
+            if kernel.weight_spec and w.size:
+                ew = self._edge_weights(kernel.weight_spec, "hub")
+                w = w + ew[self.hub_chunk_ptr[i]:self.hub_chunk_ptr[i + 1]]
             active = w if frontier_full is None else w[frontier_full[srcs]]
             out.append((hub, *self._chunk_partial(kernel, active)))
         return out
@@ -539,6 +582,9 @@ class CsrShard:
             idx = self.hub_srcs_compact[
                 self.hub_chunk_ptr[i]:self.hub_chunk_ptr[i + 1]]
             w = values_c[idx]
+            if kernel.weight_spec and w.size:
+                ew = self._edge_weights(kernel.weight_spec, "hub")
+                w = w + ew[self.hub_chunk_ptr[i]:self.hub_chunk_ptr[i + 1]]
             active = w[frontier_c[idx]]
             out.append((hub, *self._chunk_partial(kernel, active)))
         return out
@@ -580,6 +626,9 @@ class CsrShard:
         edge_idx = _multi_range(starts, lens)
         dst = self.out_flat[edge_idx]
         vals = np.repeat(vals_f, lens)
+        if kernel.weight_spec and vals.size:
+            vals = vals + self._edge_weights(kernel.weight_spec,
+                                             "out")[edge_idx]
         uk, uv = _combine_by_key(kernel.reduce, dst, vals)
         part_of = np.searchsorted(self.bounds, uk, side="right") - 1
         cut = np.searchsorted(part_of, np.arange(self.nparts + 1))
@@ -764,6 +813,9 @@ class DistGraph:
     def edge_map(self, kernel) -> dict:
         """relationship_map (/root/reference/src/ligra.rs:58-88): dense pull
         when Σ out_degree(frontier) > m/20, else sparse push."""
+        if kernel.weight_spec and kernel.reduce == "mode":
+            raise ValueError("weighted edgeMap is not defined for "
+                             "reduce='mode' (labels + weights)")
         if self.frontier_degree_sum > self.threshold:
             if self.n <= self.PULL_BROADCAST_MAX_NODES:
                 f_ref, v_ref = self._broadcast_views(kernel)
@@ -851,6 +903,9 @@ class DistGraph:
         only; falls back to the two separate primitives otherwise). The
         wave also returns next-iteration source values, so steady-state
         iterations cost one dispatch + one broadcast."""
+        if kernel.weight_spec and kernel.reduce == "mode":
+            raise ValueError("weighted edgeMap is not defined for "
+                             "reduce='mode' (labels + weights)")
         dense = self.frontier_degree_sum > self.threshold
         if not (dense and self.n <= self.PULL_BROADCAST_MAX_NODES):
             self.edge_map(kernel)

@@ -411,3 +411,90 @@ def test_mis_matches_oracle_and_is_maximal(ray_session, tmp_path):
         covered[u[:, 1][got[u[:, 0]]]] = True
         assert np.all(got | covered), f"non-maximal at n={n}"
         assert m["rounds"] >= 1
+
+
+# ---- Bellman-Ford (round 3; weighted edgeMap over derived weights) -------
+
+def test_edge_weights_match_hashlib():
+    """Pin the DuckDB-evaluated weight expression byte-for-byte against
+    the repo's verified md5_u64_lower byte-order."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower
+    from ligrust_ray.state.weights import edge_weights
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 10**7, 300).astype(np.int64)
+    d = rng.integers(0, 10**7, 300).astype(np.int64)
+    got = edge_weights("md5:32", s, d)
+    exp = np.array([int(md5_u64_lower(f"w:{a}:{b}".encode())) % 32 + 1
+                    for a, b in zip(s, d)], dtype=np.int64)
+    np.testing.assert_array_equal(got, exp)
+    assert got.min() >= 1 and got.max() <= 32
+
+
+def _bf_oracle(n, src, dst):
+    """Synchronous (Jacobi) relaxation with the same md5 weights; the
+    engine's frontier-based rounds reach the identical fixpoint."""
+    from ligrust_ray.algos.bellman_ford import UNREACHED, WEIGHT_SPEC
+    from ligrust_ray.state.weights import edge_weights
+
+    w = edge_weights(WEIGHT_SPEC, src, dst)
+    dist = np.full(n, int(UNREACHED), dtype=np.int64)
+    dist[0] = 0
+    for _ in range(n + 1):
+        nd = dist.copy()
+        if len(src):
+            np.minimum.at(nd, dst, dist[src] + w)
+        if np.array_equal(nd, dist):
+            return dist
+        dist = nd
+    raise AssertionError("oracle did not converge")
+
+
+@pytest.mark.parametrize("name", [g[0] for g in GRAPHS])
+def test_bellman_ford_matches_oracle(graphs, name):
+    from ligrust_ray.algos.bellman_ford import bellman_ford
+
+    g, n, src, dst = graphs[name]
+    m = bellman_ford(g, source=0)
+    got = g.collect_state(["dist"])["dist"]
+    np.testing.assert_array_equal(got, _bf_oracle(n, src, dst))
+    assert got[0] == 0 and m["rounds"] >= 0
+
+
+def test_bellman_ford_push_pull_agree(ray_session, tmp_path):
+    """Weighted relaxation through BOTH edgeMap modes (mirrors the
+    reference's threshold branch) plus the default mixed schedule."""
+    from ligrust_ray.algos.bellman_ford import bellman_ford
+
+    src, dst = oracle.random_digraph(200, 3.0, seed=31)
+    exp = _bf_oracle(200, src, dst)
+    g = make_graph(str(tmp_path / "bf"), src, dst, 200, nparts=4)
+    for forced_m in (None, 10**12, 0):   # mixed, always-push, always-pull
+        if forced_m is not None:
+            g.m = forced_m
+        bellman_ford(g, source=0)
+        np.testing.assert_array_equal(
+            g.collect_state(["dist"])["dist"], exp, err_msg=f"m={forced_m}")
+
+
+def test_bellman_ford_hub_splitting_matches_oracle(ray_session, tmp_path):
+    """Weighted min through the hub-partials wave: a split mega-hub build
+    must equal both the unsplit build and the oracle (hub weights use the
+    per-chunk 'hub' layout cache)."""
+    from ligrust_ray.algos.bellman_ford import bellman_ford
+
+    src, dst = oracle.random_digraph(120, 4.0, seed=37)
+    hub_src = np.arange(0, 120, dtype=np.int64)
+    src = np.concatenate([src, hub_src])
+    dst = np.concatenate([dst, np.full(120, 7, dtype=np.int64)])
+    g1 = make_graph(str(tmp_path / "bfh1"), src, dst, 120, nparts=4)
+    t = pa.table({"src": pa.array(src, type=pa.int64()),
+                  "dst": pa.array(dst, type=pa.int64())})
+    build_graph_from_edges(t, str(tmp_path / "bfh2"), n=120,
+                           num_partitions=4, hub_in_threshold=8)
+    g2 = DistGraph.load(str(tmp_path / "bfh2"))
+    assert g2.has_hubs
+    exp = _bf_oracle(120, src, dst)
+    for g in (g1, g2):
+        bellman_ford(g, source=0)
+        np.testing.assert_array_equal(g.collect_state(["dist"])["dist"], exp)
