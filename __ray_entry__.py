@@ -126,6 +126,64 @@ tg AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM shing
 SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.x = t.x"""
 
 
+def _bc_sql(rounds: int = 24) -> str:
+    """Single-source Brandes oracle (algos.betweenness spec) over the
+    symmetrized simple events graph, root 0. Forward: ``rounds`` unrolled
+    BFS levels where sigma(v) = SUM of previous-level neighbour sigmas
+    (exact BIGINTs). Backward: per-level dependency tables from the
+    deepest possible level down —
+    delta(v) = sigma(v) * SUM((1 + delta(w)) / sigma(w)) over neighbours
+    one level deeper (nodes with no deeper neighbour keep delta 0, the
+    engine's untouched-target semantics). level/sigma compare exactly;
+    delta is emitted as floor(delta*1e6 + 0.5), the same rounding
+    function the engine applies, so only SUM-order last-ulp coincidences
+    at a boundary could differ. The engine raises above
+    queries.BC_SQL_ROUNDS = this default; deeper unroll rounds are
+    no-ops."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+        "WHERE src <> dst), "
+        "u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e), "
+        "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+        "UNION ALL SELECT b, a FROM u), "
+        "lv0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, "
+        "CAST(1 AS BIGINT) AS sigma), "
+        "all0 AS MATERIALIZED (SELECT id FROM lv0)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", lv{i} AS MATERIALIZED (SELECT s.w AS id, "
+            f"CAST(SUM(p.sigma) AS BIGINT) AS sigma "
+            f"FROM sym s JOIN lv{i-1} p ON p.id = s.v "
+            f"WHERE s.w NOT IN (SELECT id FROM all{i-1}) GROUP BY s.w)"
+            f", all{i} AS MATERIALIZED (SELECT id FROM all{i-1} "
+            f"UNION ALL SELECT id FROM lv{i})")
+    lvl_union = " UNION ALL ".join(
+        f"SELECT id, {i} AS level, sigma FROM lv{i}"
+        for i in range(0, rounds + 1))
+    parts.append(f", lvl AS MATERIALIZED ({lvl_union})")
+    # backward: dl{i} = delta for nodes AT level i (deepest first);
+    # dl{rounds} is all-zero (nothing deeper can exist)
+    parts.append(f", dl{rounds} AS MATERIALIZED (SELECT id, "
+                 f"CAST(0 AS DOUBLE) AS delta FROM lv{rounds})")
+    for i in range(rounds - 1, -1, -1):
+        parts.append(
+            f", dl{i} AS MATERIALIZED (SELECT v.id, "
+            f"v.sigma * COALESCE(SUM((1 + w.delta) / wl.sigma), 0) AS delta "
+            f"FROM lv{i} v "
+            f"LEFT JOIN sym s ON s.v = v.id "
+            f"LEFT JOIN dl{i+1} w ON w.id = s.w "
+            f"LEFT JOIN lv{i+1} wl ON wl.id = s.w "
+            f"GROUP BY v.id, v.sigma)")
+    dl_union = " UNION ALL ".join(f"SELECT id, delta FROM dl{i}"
+                                  for i in range(0, rounds + 1))
+    parts.append(
+        f" SELECT l.id AS node_id, l.level, l.sigma, "
+        f"CAST(FLOOR(d.delta * 1000000 + 0.5) AS BIGINT) AS delta_ppm "
+        f"FROM lvl l JOIN ({dl_union}) d ON d.id = l.id")
+    return "".join(parts)
+
+
 def _sssp_sql(rounds: int = 32) -> str:
     """Bellman-Ford oracle (algos.bellman_ford spec): ``rounds`` unrolled
     synchronous relaxation rounds from source 0 over the DISTINCT directed
@@ -411,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kcore": Q.q_events_kcore,
         "events_mis": Q.q_events_mis,
         "events_sssp": Q.q_events_sssp,
+        "events_bc": Q.q_events_bc,
         "events_radii": Q.q_events_radii,
         "pages_pagerank": Q.q_pages_pagerank,
         "pages_domain_graph": Q.q_pages_domain_graph,
@@ -523,6 +582,8 @@ def oracle_sql() -> dict[str, str]:
         "events_mis": _mis_sql(24),
         # Bellman-Ford, 32 unrolled relaxation rounds (= SSSP_SQL_ROUNDS)
         "events_sssp": _sssp_sql(32),
+        # Brandes BC, 24 unrolled BFS levels + per-level dependency tables
+        "events_bc": _bc_sql(24),
         # K=8 multi-source BFS: same recursive-CTE shape as bfs_events,
         # seeded at (i*n)//8, radius = MAX over sources of min distance
         "events_radii": (

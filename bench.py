@@ -175,6 +175,26 @@ def run_headline(num_cpus: int) -> dict:
     q["radii"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    from ligrust_ray.algos.bellman_ford import bellman_ford
+
+    # weighted edgeMap over the full pages graph; includes the one-time
+    # per-shard derived-weight computation (state/weights.py)
+    bellman_ford(g, source=0)
+    q["sssp"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ligrust_ray.algos.betweenness import betweenness
+
+    betweenness(gsym)      # sum-edgeMap both directions (Brandes)
+    q["events_bc"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ligrust_ray.algos.mis import mis
+
+    mis(gsym)              # Luby rounds, strict-local-min select
+    q["events_mis"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     dedup.decontaminate(docs, eval_mod=10).materialize()
     q["docs_decontaminate"] = time.perf_counter() - t0
 

@@ -262,6 +262,31 @@ def q_events_mis(sf_dir: str):
         np.flatnonzero(in_mis).astype(np.int64))})
 
 
+BC_SQL_ROUNDS = 24     # unroll depth of the DuckDB oracle = engine level cap
+
+
+def q_events_bc(sf_dir: str):
+    """(node_id, level, sigma, delta_ppm) single-source Brandes
+    betweenness from node 0 over the symmetrized simple events graph —
+    Ligra-paper BC through two sum-edgeMap phases (algos/betweenness.py).
+    level/sigma are exact integers; delta is float64 whose contract
+    rendering is floor(delta*1e6 + 0.5) — the identical rounding function
+    the SQL oracle applies, so only a last-ulp SUM-order coincidence at a
+    rounding boundary could ever differ (see the algo module docstring)."""
+    from ligrust_ray.algos.betweenness import betweenness
+
+    g = events_sym_graph(sf_dir)
+    betweenness(g, root=0, max_levels=BC_SQL_ROUNDS)
+    st = g.collect_state(["level", "sigma", "delta"])
+    ids = np.flatnonzero(st["level"] >= 0)
+    return pa.table({
+        "node_id": pa.array(ids.astype(np.int64)),
+        "level": pa.array(st["level"][ids]),
+        "sigma": pa.array(st["sigma"][ids].astype(np.int64)),
+        "delta_ppm": pa.array(
+            np.floor(st["delta"][ids] * 1e6 + 0.5).astype(np.int64))})
+
+
 SSSP_SQL_ROUNDS = 32   # unroll depth of the DuckDB oracle = engine round cap
 
 

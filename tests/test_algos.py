@@ -498,3 +498,85 @@ def test_bellman_ford_hub_splitting_matches_oracle(ray_session, tmp_path):
     for g in (g1, g2):
         bellman_ford(g, source=0)
         np.testing.assert_array_equal(g.collect_state(["dist"])["dist"], exp)
+
+
+# ---- Betweenness centrality (round 3; Brandes via two sum-edgeMaps) ------
+
+def _bc_oracle(n, a, b):
+    """Sequential Brandes over unique undirected non-loop edges
+    (a[i], b[i]) from root 0: returns (level, sigma, delta)."""
+    s = np.concatenate([a, b])
+    d = np.concatenate([b, a])
+    level = np.full(n, -1, dtype=np.int64)
+    sigma = np.zeros(n, dtype=np.float64)
+    delta = np.zeros(n, dtype=np.float64)
+    level[0] = 0
+    sigma[0] = 1.0
+    lvl = 0
+    while True:
+        fr = level == lvl
+        contrib = fr[s] if len(s) else np.zeros(0, dtype=bool)
+        agg = np.zeros(n)
+        cnt = np.zeros(n, dtype=np.int64)
+        np.add.at(agg, d[contrib], sigma[s[contrib]])
+        np.add.at(cnt, d[contrib], 1)
+        new = (level < 0) & (cnt > 0)
+        if not new.any():
+            break
+        level[new] = lvl + 1
+        sigma[new] = agg[new]
+        lvl += 1
+    for back in range(lvl, 0, -1):
+        fr = level == back
+        contrib = fr[s] if len(s) else np.zeros(0, dtype=bool)
+        agg = np.zeros(n)
+        np.add.at(agg, d[contrib],
+                  (1.0 + delta[s[contrib]]) / sigma[s[contrib]])
+        tgt = level == back - 1
+        delta[tgt] = sigma[tgt] * agg[tgt]
+    return level, sigma, delta
+
+
+def _sym_unique(src, dst):
+    keep = src != dst
+    ua = np.minimum(src[keep], dst[keep])
+    ub = np.maximum(src[keep], dst[keep])
+    u = np.unique(np.stack([ua, ub], axis=1), axis=0)
+    return u[:, 0], u[:, 1]
+
+
+def test_betweenness_matches_oracle(ray_session, tmp_path):
+    from ligrust_ray.algos.betweenness import betweenness
+
+    for i, (n, deg, seed) in enumerate([(60, 3.0, 41), (150, 5.0, 42),
+                                        (200, 1.5, 43)]):
+        src, dst = oracle.random_digraph(n, deg, seed)
+        a, b = _sym_unique(src, dst)
+        g = make_graph(str(tmp_path / f"bc{i}"),
+                       np.concatenate([a, b]), np.concatenate([b, a]), n,
+                       nparts=4)
+        m = betweenness(g)
+        st = g.collect_state(["level", "sigma", "delta"])
+        lv, sg, dl = _bc_oracle(n, a, b)
+        np.testing.assert_array_equal(st["level"], lv, err_msg=f"n={n}")
+        np.testing.assert_array_equal(st["sigma"], sg, err_msg=f"n={n}")
+        np.testing.assert_allclose(st["delta"], dl, rtol=1e-12, atol=1e-12)
+        assert m["levels"] == int(lv.max())
+
+
+def test_betweenness_push_pull_agree(ray_session, tmp_path):
+    from ligrust_ray.algos.betweenness import betweenness
+
+    src, dst = oracle.random_digraph(150, 2.0, seed=44)
+    a, b = _sym_unique(src, dst)
+    g = make_graph(str(tmp_path / "bcpp"),
+                   np.concatenate([a, b]), np.concatenate([b, a]), 150,
+                   nparts=4)
+    lv, sg, dl = _bc_oracle(150, a, b)
+    for forced_m in (10**12, 0):   # always-push, always-pull
+        g.m = forced_m
+        betweenness(g)
+        st = g.collect_state(["level", "sigma", "delta"])
+        np.testing.assert_array_equal(st["level"], lv)
+        np.testing.assert_array_equal(st["sigma"], sg)
+        np.testing.assert_allclose(st["delta"], dl, rtol=1e-12, atol=1e-12)
