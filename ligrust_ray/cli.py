@@ -51,19 +51,20 @@ def main(argv=None):
     s.add_argument("-n", "--pages", type=int, default=10000)
     s.add_argument("--seed", type=int, default=42)
 
-    for name in ("cc", "bfs", "pagerank", "lp", "kcore"):
+    for name in ("cc", "bfs", "pagerank", "lp", "kcore", "mis", "sssp",
+                 "bc"):
         a = sub.add_parser(name)
         a.add_argument("graph", help="graph dir from `build`")
         a.add_argument("-o", "--output", default=None,
                        help="write result parquet here")
-        if name != "kcore":          # kcore has no checkpoint support —
-            a.add_argument("--checkpoint-dir", default=None)   # don't
+        if name in ("cc", "bfs", "pagerank", "lp"):
+            a.add_argument("--checkpoint-dir", default=None)
             a.add_argument("--checkpoint-every", type=int, default=1)
-            a.add_argument("--no-resume", action="store_true")  # advertise
-        else:                        # one source of truth for defaults
+            a.add_argument("--no-resume", action="store_true")
+        else:                        # no checkpoint support — one source
             a.set_defaults(checkpoint_dir=None, checkpoint_every=1,
-                           no_resume=False)
-        if name == "bfs":
+                           no_resume=False)   # of truth for the defaults
+        if name in ("bfs", "sssp", "bc"):
             a.add_argument("-s", "--source", type=int, default=0)
         if name in ("pagerank", "lp"):
             a.add_argument("-i", "--max-iterations", type=int,
@@ -72,6 +73,9 @@ def main(argv=None):
             a.add_argument("-k", "--k", type=int, default=5,
                            help="core order; build the graph with "
                                 "--symmetrize first")
+        if name in ("kcore", "mis", "bc"):
+            a.description = ("requires a graph built with --symmetrize "
+                             "(undirected simple semantics)")
 
     t = sub.add_parser("triangles")
     t.add_argument("edges", help="edge parquet (src,dst) path/dir")
@@ -190,6 +194,18 @@ def main(argv=None):
         from ligrust_ray.algos.kcore import kcore
 
         res = kcore(g, args.k)
+    elif args.cmd == "mis":
+        from ligrust_ray.algos.mis import mis
+
+        res = mis(g)
+    elif args.cmd == "sssp":
+        from ligrust_ray.algos.bellman_ford import bellman_ford
+
+        res = bellman_ford(g, source=args.source)
+    elif args.cmd == "bc":
+        from ligrust_ray.algos.betweenness import betweenness
+
+        res = betweenness(g, root=args.source)
     else:
         from ligrust_ray.algos.labelprop import label_propagation
 
