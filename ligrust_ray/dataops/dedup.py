@@ -955,9 +955,16 @@ def ivf_bucketize(emb: ray.data.Dataset, n_centroids: int | None = None,
     return bucketed, n_buckets
 
 
+# above this bucket count, per-group map_groups dispatch (one Ray task
+# per bucket) costs more than the work inside; switch to grouped_apply
+# (hash-partition by bucket, loop the partition's buckets in one task)
+IVF_GROUP_DISPATCH_MAX = 4096
+
+
 def embedding_near_dup_ivf(emb: ray.data.Dataset, threshold: float = 0.95,
                            n_centroids: int | None = None, nprobe: int = 2,
-                           seed: int = 42, train_sample: int = 4096
+                           seed: int = 42, train_sample: int = 4096,
+                           group_dispatch_max: int = IVF_GROUP_DISPATCH_MAX
                            ) -> ray.data.Dataset:
     """Approximate near-dup pairs: vectors are IVF-bucketed (nearest
     ``nprobe`` centroids — multi-assignment recovers most cross-boundary
@@ -992,10 +999,26 @@ def embedding_near_dup_ivf(emb: ray.data.Dataset, threshold: float = 0.95,
         return pd.DataFrame({"a": np.concatenate(outs_a),
                              "b": np.concatenate(outs_b)}).drop_duplicates()
 
-    bucketed, _ = ivf_bucketize(emb, n_centroids=n_centroids, nprobe=nprobe,
-                                seed=seed, train_sample=train_sample)
-    pairs = (bucketed.groupby("bucket")
-             .map_groups(pairs_in_bucket, batch_format="pandas"))
+    bucketed, n_buckets = ivf_bucketize(emb, n_centroids=n_centroids,
+                                        nprobe=nprobe, seed=seed,
+                                        train_sample=train_sample)
+    if n_buckets <= group_dispatch_max:
+        pairs = (bucketed.groupby("bucket")
+                 .map_groups(pairs_in_bucket, batch_format="pandas"))
+    else:
+        # B ~ sqrt(n) grows unboundedly; per-bucket task dispatch would
+        # dominate at B~1e5, so hash-partition buckets and loop each
+        # partition's buckets inside one task (same kernel per bucket)
+        def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+            outs = [pairs_in_bucket(g)
+                    for _, g in df.groupby("bucket", sort=False)]
+            return (pd.concat(outs, ignore_index=True) if outs else
+                    pd.DataFrame({"a": np.zeros(0, np.int64),
+                                  "b": np.zeros(0, np.int64)}))
+
+        pairs = shuffle.grouped_apply(
+            bucketed, ["bucket"], per_partition,
+            num_partitions=min(512, max(32, n_buckets // 64)))
     # multi-probe puts a vector in nprobe buckets -> a pair can appear in
     # more than one bucket: global dedup
     return shuffle.distinct(pairs, ["a", "b"])

@@ -547,3 +547,20 @@ def test_pair_components_deep_chain(ray_session):
     labels = dedup._pair_components(pairs, max_rounds=16).to_pandas()
     assert len(labels) == n
     assert (labels["label"].to_numpy() == 1000).all()
+
+
+def test_ivf_grouped_apply_path_matches_per_group(ray_session):
+    """Above IVF_GROUP_DISPATCH_MAX buckets the pair stage switches from
+    per-bucket map_groups tasks to grouped_apply (buckets looped inside
+    hash partitions); both dispatch plans must emit the identical pair
+    set. group_dispatch_max=0 forces the partitioned path."""
+    ds, _ = _emb_ds(n=400, d=8, seed=14)
+    per_group = set(map(tuple, dedup.embedding_near_dup_ivf(
+        ds, threshold=0.85, n_centroids=12, nprobe=2)
+        .to_pandas()[["a", "b"]].to_numpy()))
+    partitioned = set(map(tuple, dedup.embedding_near_dup_ivf(
+        ds, threshold=0.85, n_centroids=12, nprobe=2,
+        group_dispatch_max=0)
+        .to_pandas()[["a", "b"]].to_numpy()))
+    assert partitioned == per_group and len(per_group) > 0
+
