@@ -126,6 +126,30 @@ tg AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM shing
 SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.x = t.x"""
 
 
+def _pii_sql() -> str:
+    """PII-scrub oracle built from the SAME textstats.PII_PATTERNS list
+    the engine applies — one CTE per type, counting on the text as
+    redacted so far then replacing (identical order). DuckDB's regexp_*
+    and pyarrow.compute's regex kernels are both RE2, so matching
+    semantics agree by construction."""
+    from ligrust_ray.dataops.textstats import PII_PATTERNS
+
+    parts = ["WITH s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    carry = []
+    for i, (name, pat, token) in enumerate(PII_PATTERNS, 1):
+        p = pat.replace("'", "''")
+        cols = ("".join(c + ", " for c in carry))
+        parts.append(
+            f", s{i} AS (SELECT doc_id, {cols}"
+            f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) "
+            f"AS n_{name}, "
+            f"regexp_replace(t, '{p}', '{token}', 'g') AS t FROM s{i-1})")
+        carry.append(f"n_{name}")
+    parts.append(f" SELECT doc_id, t AS text_clean, {', '.join(carry)} "
+                 f"FROM s{len(PII_PATTERNS)}")
+    return "".join(parts)
+
+
 def _bc_sql(rounds: int = 24) -> str:
     """Single-source Brandes oracle (algos.betweenness spec) over the
     symmetrized simple events graph, root 0. Forward: ``rounds`` unrolled
@@ -500,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hll": Q.q_events_user_hll,
         "docs_sample": Q.q_docs_sample,
         "docs_repetition": Q.q_docs_repetition,
+        "docs_pii_scrub": Q.q_docs_pii_scrub,
         "docs_source_stats": Q.q_docs_source_stats,
         "docs_top_tokens": Q.q_docs_top_tokens,
         "docs_decontaminate": Q.q_docs_decontaminate,
@@ -778,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(text, chr(10))) "
             "- len(list_distinct(string_split(text, chr(10)))) AS BIGINT) "
             "AS n_dup_lines FROM documents"),
+        "docs_pii_scrub": _pii_sql(),
         "docs_source_stats": (
             "SELECT source, COUNT(*) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "

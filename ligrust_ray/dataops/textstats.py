@@ -11,6 +11,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[.,!?]")
@@ -189,3 +190,32 @@ def repetition_stats_batch(t: pa.Table) -> pa.Table:
     return pa.table({"doc_id": t.column("doc_id"),
                      "n_lines": pa.array(n_lines, type=pa.int64()),
                      "n_dup_lines": pa.array(n_dup, type=pa.int64())})
+
+
+# ---- PII scrubbing (round 3) ---------------------------------------------
+# Both sides of the contract run RE2: pyarrow.compute's regex kernels here,
+# DuckDB's regexp_* in the oracle — identical leftmost-first matching by
+# construction. Patterns stay ASCII-class-only ([0-9], not \d) so neither
+# engine's unicode mode can diverge. Applied IN ORDER (email, ip, phone):
+# each type counts matches on the text as redacted so far, then replaces.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]([ .-]?[0-9]){7,14}", "<PHONE>"),
+]
+
+
+def pii_scrub_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, text_clean, n_email, n_ip, n_phone): redact emails, IPv4
+    addresses and phone-like digit runs with typed tokens, counting each.
+    Vectorised RE2 kernels (count_substring_regex / replace_substring_regex)
+    — no per-row Python regex loop."""
+    txt = t.column("text").cast(pa.string())
+    cols = {"doc_id": t.column("doc_id")}
+    for name, pat, token in PII_PATTERNS:
+        cols[f"n_{name}"] = pc.count_substring_regex(txt, pat).cast(pa.int64())
+        txt = pc.replace_substring_regex(txt, pattern=pat, replacement=token)
+    cols["text_clean"] = txt
+    return pa.table({"doc_id": cols["doc_id"], "text_clean": txt,
+                     "n_email": cols["n_email"], "n_ip": cols["n_ip"],
+                     "n_phone": cols["n_phone"]})

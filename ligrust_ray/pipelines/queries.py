@@ -789,6 +789,15 @@ def q_docs_repetition(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+def q_docs_pii_scrub(sf_dir: str):
+    """(doc_id, text_clean, n_email, n_ip, n_phone) — typed-token PII
+    redaction (emails, IPv4, phone-like digit runs) with per-type match
+    counts. Engine and oracle both run RE2 (pyarrow.compute regex kernels
+    vs DuckDB regexp_*), patterns shared from textstats.PII_PATTERNS."""
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        textstats.pii_scrub_batch, batch_format="pyarrow")
+
+
 def q_docs_source_stats(sf_dir: str):
     """Per-source corpus accounting (the per-domain crawl dashboard):
     doc count, total chars, total whitespace tokens."""

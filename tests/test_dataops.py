@@ -564,3 +564,37 @@ def test_ivf_grouped_apply_path_matches_per_group(ray_session):
         .to_pandas()[["a", "b"]].to_numpy()))
     assert partitioned == per_group and len(per_group) > 0
 
+
+
+def test_pii_scrub_planted(ray_session):
+    """Planted PII: known emails/IPs/phones must be counted and redacted;
+    the same batch is cross-checked against the DuckDB rendering of the
+    oracle (both engines run RE2, so outputs must be identical)."""
+    import duckdb
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "mail bob.smith+x@corp.example.org or admin@sub.dom.io now",
+            "server 10.0.0.1 and 192.168.255.3; port 8080",
+            "call +1 555-123-4567 or 0123456789",
+            "in 1984. 2000 people came",         # NOT a phone (see pattern)
+            "plain text, no pii at all"])})
+    got = textstats.pii_scrub_batch(docs).to_pandas()
+    assert got["n_email"].tolist() == [2, 0, 0, 0, 0]
+    assert got["n_ip"].tolist() == [0, 2, 0, 0, 0]
+    assert got["n_phone"].tolist() == [0, 0, 2, 0, 0]
+    assert got["text_clean"][0] == "mail <EMAIL> or <EMAIL> now"
+    assert got["text_clean"][1] == "server <IP> and <IP>; port 8080"
+    assert got["text_clean"][2] == "call <PHONE> or <PHONE>"
+    assert got["text_clean"][3] == "in 1984. 2000 people came"
+    # DuckDB cross-check with the contract oracle SQL (documents view)
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(E._pii_sql()).fetchdf().sort_values("doc_id")
+    for c in ("text_clean", "n_email", "n_ip", "n_phone"):
+        assert exp[c].tolist() == got[c].tolist(), c
