@@ -126,6 +126,32 @@ tg AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM shing
 SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.x = t.x"""
 
 
+def _line_dedup_sql(min_count: int = 3) -> str:
+    """Corpus-level line-dedup oracle (dedup.line_dedup spec): explode to
+    (doc_id, position, line) via zipped unnests, count by
+    md5_number_lower(line) — the SAME hash key the engine shuffles, so
+    the two sides agree exactly even on a collision — and reassemble kept
+    lines with an ordered string_agg (all-lines-removed docs coalesce to
+    '')."""
+    return (
+        "WITH d AS (SELECT doc_id, COALESCE(text, '') AS text "
+        "FROM documents), "
+        "l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d), "
+        "e AS (SELECT doc_id, unnest(ls) AS line, "
+        "unnest(range(len(ls))) AS i FROM l), "
+        "h AS (SELECT doc_id, i, line, md5_number_lower(line) AS lh "
+        "FROM e), "
+        f"c AS (SELECT lh FROM h GROUP BY lh "
+        f"HAVING COUNT(*) >= {min_count}), "
+        "m AS (SELECT h.doc_id, h.i, h.line, (c.lh IS NOT NULL) AS rm "
+        "FROM h LEFT JOIN c ON c.lh = h.lh) "
+        "SELECT doc_id, COALESCE(string_agg("
+        "CASE WHEN NOT rm THEN line END, chr(10) ORDER BY i), '') "
+        "AS text_clean, "
+        "CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed "
+        "FROM m GROUP BY doc_id")
+
+
 def _pii_sql() -> str:
     """PII-scrub oracle built from the SAME textstats.PII_PATTERNS list
     the engine applies — one CTE per type, counting on the text as
@@ -525,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": Q.q_docs_sample,
         "docs_repetition": Q.q_docs_repetition,
         "docs_pii_scrub": Q.q_docs_pii_scrub,
+        "docs_line_dedup": Q.q_docs_line_dedup,
         "docs_source_stats": Q.q_docs_source_stats,
         "docs_top_tokens": Q.q_docs_top_tokens,
         "docs_decontaminate": Q.q_docs_decontaminate,
@@ -804,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
             "- len(list_distinct(string_split(text, chr(10)))) AS BIGINT) "
             "AS n_dup_lines FROM documents"),
         "docs_pii_scrub": _pii_sql(),
+        "docs_line_dedup": _line_dedup_sql(3),
         "docs_source_stats": (
             "SELECT source, COUNT(*) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "

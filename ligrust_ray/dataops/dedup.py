@@ -1044,3 +1044,83 @@ def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
             outs.append(_near_dup_block_pair.remote(
                 refs[i], refs[j], threshold, i == j))
     return ray.data.from_arrow_refs(outs)
+
+
+# ---- corpus-level line dedup (round 3; CCNet-style boilerplate removal) --
+
+def line_dedup(docs: ray.data.Dataset, min_count: int = 3,
+               num_partitions: int = 32) -> ray.data.Dataset:
+    """(doc_id, text_clean, n_removed): remove every line that appears at
+    least ``min_count`` times across the WHOLE corpus (CCNet / RefinedWeb
+    boilerplate removal — nav bars, cookie banners, repeated footers).
+
+    The removal key is ``md5_number_lower(line)`` — hashes (8 bytes), not
+    line strings, ride the counting shuffle, and the DuckDB oracle groups
+    by the same function, so engine and oracle agree EXACTLY even on a
+    hash collision (the spec is hash-keyed, not string-keyed). Hashing is
+    evaluated by in-process DuckDB (hashing.md5_u64_lower_arrow): oracle
+    parity by construction.
+
+    Scale shape: explode to (doc_id, i, line, lh) rows in map_batches;
+    ONE grouped count over lh; the frequent-hash set (boilerplate-sized,
+    but never assumed driver-small) semi-joins back via ONE bucketed
+    co_group; reassembly is a grouped_apply keyed by doc_id (ordered
+    string_agg). No broadcast, no driver materialisation."""
+    import pyarrow.compute as pc
+
+    from ligrust_ray.dataops import hashing
+
+    line_schema = pa.schema([("doc_id", pa.int64()), ("i", pa.int64()),
+                             ("line", pa.string()), ("lh", pa.int64())])
+    common_schema = pa.schema([("lh", pa.int64())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = t.column("text").cast(pa.string())
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.coalesce(txt, "")      # oracle mirrors COALESCE(text, '')
+        parts = pc.split_pattern(txt, "\n")
+        offs = parts.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offs)
+        flat = parts.values
+        doc = t.column("doc_id").to_numpy().astype(np.int64)
+        pos = (np.arange(int(offs[-1]), dtype=np.int64)
+               - np.repeat(offs[:-1], lens))
+        lh = hashing.md5_u64_lower_arrow(flat).view(np.int64)
+        return pa.table({"doc_id": pa.array(np.repeat(doc, lens)),
+                         "i": pa.array(pos), "line": flat,
+                         "lh": pa.array(lh)}, schema=line_schema)
+
+    lines = docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+    counts = shuffle.grouped_agg(lines.select_columns(["lh"]), ["lh"],
+                                 {"n": ("lh", "count")},
+                                 num_partitions=num_partitions)
+
+    def frequent(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["n"] >= min_count, ["lh"]]
+
+    common = counts.map_batches(frequent, batch_format="pandas")
+
+    def mark(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        out = lf[["doc_id", "i", "line"]].copy()
+        out["rm"] = lf["lh"].isin(rf["lh"]).to_numpy()
+        return out
+
+    marked = shuffle.co_group(lines, common, l_on="lh", r_on="lh", fn=mark,
+                              num_partitions=num_partitions,
+                              l_schema=line_schema, r_schema=common_schema)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "i"], kind="stable")
+        nrem = df.groupby("doc_id", sort=False)["rm"].sum()
+        kept = df[~df["rm"]]
+        txt = kept.groupby("doc_id", sort=False)["line"].agg("\n".join)
+        return pd.DataFrame({
+            "doc_id": nrem.index.to_numpy(dtype=np.int64),
+            "text_clean": txt.reindex(nrem.index).fillna("").to_numpy(),
+            "n_removed": nrem.to_numpy(dtype=np.int64)})
+
+    return shuffle.grouped_apply(marked, ["doc_id"], reassemble,
+                                 num_partitions=num_partitions)

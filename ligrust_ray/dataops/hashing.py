@@ -46,3 +46,41 @@ def md5_u64_lower_many(items: list[bytes]) -> np.ndarray:
     relative to hashing)."""
     return np.fromiter((md5_u64_lower(b) for b in items), dtype=np.uint64,
                        count=len(items))
+
+
+_ARROW_CHUNK = 1 << 21
+_duck_con = None
+
+
+def md5_u64_lower_arrow(arr) -> np.ndarray:
+    """uint64 md5_number_lower over an Arrow string array, evaluated by
+    IN-PROCESS DuckDB — one vectorised C++ call per chunk instead of a
+    per-item hashlib loop (~9x faster at 1M+ strings), and parity with
+    the SQL oracles by construction (it IS the oracle function). Rejects
+    nulls loudly (null hashes would silently drop rows in group-bys)."""
+    import duckdb
+    import pyarrow as pa
+
+    global _duck_con
+    if _duck_con is None:
+        _duck_con = duckdb.connect()
+        _duck_con.execute("SET threads=2")   # actors run fractional CPUs
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(arr, type=pa.string())
+    if arr.null_count:
+        raise ValueError("md5_u64_lower_arrow: null strings")
+    n = len(arr)
+    out = np.empty(n, dtype=np.uint64)
+    for a in range(0, n, _ARROW_CHUNK):
+        sl = arr.slice(a, min(_ARROW_CHUNK, n - a))
+        batch = pa.table({"i": np.arange(len(sl), dtype=np.int64), "s": sl})
+        _duck_con.register("_h_batch", batch)
+        # explicit positional id + scatter: SQL result order is not
+        # guaranteed without ORDER BY
+        res = _duck_con.execute(
+            "SELECT i, md5_number_lower(s) AS h FROM _h_batch"
+        ).fetch_arrow_table()
+        _duck_con.unregister("_h_batch")
+        out[a:a + len(sl)][res.column("i").to_numpy()] = \
+            res.column("h").to_numpy()
+    return out

@@ -789,6 +789,23 @@ def q_docs_repetition(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+LINE_DEDUP_MIN_COUNT = 3
+
+
+def q_docs_line_dedup(sf_dir: str):
+    """(doc_id, text_clean, n_removed) — CCNet-style corpus-level line
+    dedup: lines occurring >= LINE_DEDUP_MIN_COUNT times corpus-wide are
+    removed. The spec is md5-HASH-keyed (dedup.line_dedup), so the DuckDB
+    oracle's GROUP BY md5_number_lower(line) replicates the engine
+    exactly even on a collision. (The synthetic documents are single-line
+    and unique, so the sf contract checks plumbing — the planted
+    multi-line pytest with an in-test DuckDB cross-check carries the
+    removal semantics.)"""
+    from ligrust_ray.dataops.dedup import line_dedup
+
+    return line_dedup(_docs(sf_dir), min_count=LINE_DEDUP_MIN_COUNT)
+
+
 def q_docs_pii_scrub(sf_dir: str):
     """(doc_id, text_clean, n_email, n_ip, n_phone) — typed-token PII
     redaction (emails, IPv4, phone-like digit runs) with per-type match

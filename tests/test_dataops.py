@@ -598,3 +598,42 @@ def test_pii_scrub_planted(ray_session):
     exp = con.execute(E._pii_sql()).fetchdf().sort_values("doc_id")
     for c in ("text_clean", "n_email", "n_ip", "n_phone"):
         assert exp[c].tolist() == got[c].tolist(), c
+
+
+def test_line_dedup_planted(ray_session):
+    """Planted boilerplate: a cookie-banner line shared by 3 docs must be
+    removed everywhere (min_count=3), a line shared by 2 kept; order and
+    blank lines preserved; an all-boilerplate doc collapses to ''. The
+    same table is cross-checked against the oracle SQL in-process."""
+    import duckdb
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    banner = "We use cookies to improve your experience."
+    pair = "Subscribe to our newsletter!"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            f"{banner}\nUnique article zero.\n\nThe end.",
+            f"Intro one.\n{banner}\n{pair}",
+            f"{pair}\nBody two.\n{banner}",
+            banner,                                   # all-boilerplate
+            "Entirely unique text four."])})
+    ds = ray.data.from_arrow(docs)
+    got = (dedup.line_dedup(ds, min_count=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["text_clean"].tolist() == [
+        "Unique article zero.\n\nThe end.",
+        f"Intro one.\n{pair}",
+        f"{pair}\nBody two.",
+        "",
+        "Entirely unique text four."]
+    assert got["n_removed"].tolist() == [1, 1, 1, 1, 0]
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = (con.execute(E._line_dedup_sql(3)).fetchdf()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in ("text_clean", "n_removed"):
+        assert exp[c].tolist() == got[c].tolist(), c
