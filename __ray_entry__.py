@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed / sessionized aggregates (streaming-window family)
         "events_sessions": Q.q_events_sessions,
         "events_windows": Q.q_events_windows,
+        "events_hopping": Q.q_events_hopping,
         "events_asof_click": Q.q_events_asof_click,
         "order_revenue_by_priority": Q.q_order_revenue_by_priority,
         # iterative graph algorithms (rows-only; exactness in pytest oracle)
@@ -695,6 +696,16 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) "
             "AS BIGINT) AS sum_value_cents FROM events GROUP BY 1"),
+        # hopping windows: every event fans out to window_us/hop_us = 4
+        # overlapping starts (start = floor(ts/hop)*hop - j*hop)
+        "events_hopping": (
+            "SELECT CAST((epoch_us(ts) // 900000000) * 900000000 "
+            "- g.j * 900000000 AS BIGINT) AS window_start_us, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_value_cents "
+            "FROM events CROSS JOIN generate_series(0, 3) AS g(j) "
+            "GROUP BY 1"),
         "events_asof_click": (
             "SELECT event_id, CAST(COALESCE(MAX(CASE WHEN "
             "event_type = 'click' THEN epoch_us(ts) END) OVER ("

@@ -301,3 +301,44 @@ def tumbling_window_counts(events: ray.data.Dataset,
             "sum_value_cents":
                 t.column("sum_value_cents").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def hopping_window_counts(events: ray.data.Dataset,
+                          window_us: int = 3_600_000_000,
+                          hop_us: int = 900_000_000) -> ray.data.Dataset:
+    """(window_start_us, n_events, sum_value_cents): HOPPING (sliding)
+    time windows of length ``window_us`` advancing every ``hop_us`` —
+    each event lands in window_us/hop_us overlapping windows. Stateless
+    fan-out per batch (every start is a pure function of ts), then the
+    same partial-combined grouped aggregate as the tumbling variant; the
+    shuffle carries k pre-combined rows per (batch, window), never k
+    copies of the events."""
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        base = (ts // hop_us) * hop_us
+        # event ts belongs to starts {base - j*hop : j < k}; every one
+        # satisfies start <= ts < start + window by construction
+        j = np.tile(np.arange(k, dtype=np.int64) * hop_us, len(ts))
+        w = np.repeat(base, k) - j
+        cents = np.floor(t.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"window_start_us": pa.array(w),
+                         "cents": pa.array(np.repeat(cents, k))})
+
+    out = shuffle.grouped_agg(
+        events.select_columns(["ts", "value"]).map_batches(
+            bucket, batch_format="pyarrow"),
+        ["window_start_us"],
+        {"n_events": (None, "count"), "sum_value_cents": ("cents", "sum")})
+    return out.map_batches(
+        lambda t: pa.table({
+            "window_start_us": t.column("window_start_us").cast(pa.int64()),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "sum_value_cents":
+                t.column("sum_value_cents").cast(pa.int64())}),
+        batch_format="pyarrow")

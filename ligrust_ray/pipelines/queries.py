@@ -377,6 +377,16 @@ def q_events_windows(sf_dir: str):
     return windows.tumbling_window_counts(ev)
 
 
+def q_events_hopping(sf_dir: str):
+    """1-hour windows hopping every 15 minutes (4 overlapping windows per
+    event) — the sliding-window counterpart of events_windows."""
+    from ligrust_ray.dataops import windows
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts", "value"])
+    return windows.hopping_window_counts(ev)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:

@@ -637,3 +637,20 @@ def test_line_dedup_planted(ray_session):
            .sort_values("doc_id").reset_index(drop=True))
     for c in ("text_clean", "n_removed"):
         assert exp[c].tolist() == got[c].tolist(), c
+
+
+def test_hopping_windows_planted(ray_session):
+    """Each event must appear in exactly window/hop = 4 overlapping
+    windows, and the hop-aligned window covering a tumbling hour must
+    equal that hour's tumbling aggregate."""
+    ts = np.array(["2026-01-01T10:07:00", "2026-01-01T10:20:00",
+                   "2026-01-01T11:59:59"], dtype="datetime64[us]")
+    t = pa.table({"ts": pa.array(ts), "value": pa.array([1.0, 2.0, 4.0])})
+    from ligrust_ray.dataops import windows
+
+    w = windows.hopping_window_counts(ray.data.from_arrow(t)).to_pandas()
+    assert int(w["n_events"].sum()) == 3 * 4       # 4 windows per event
+    hour = int(ts[0].astype(np.int64) // 3_600_000_000 * 3_600_000_000)
+    row = w[w["window_start_us"] == hour]
+    assert row["n_events"].tolist() == [2]         # the 10:00 hour
+    assert row["sum_value_cents"].tolist() == [300]
