@@ -26,6 +26,7 @@ import time
 import numpy as np
 
 from ligrust_ray.stages.kernels import EdgeKernel, VertexKernel
+from ligrust_ray.state import checkpoint as ckpt
 
 WEIGHT_SPEC = "md5:32"          # w(s, d) in [1, 32] — see state/weights.py
 UNREACHED = np.int64(1) << 62   # overflow-safe "infinity"
@@ -58,28 +59,45 @@ class _Relax(EdgeKernel):
         return improved, {"relaxed": int(improved.sum())}
 
 
-def bellman_ford(graph, source: int = 0, max_rounds: int | None = None
-                 ) -> dict:
+def bellman_ford(graph, source: int = 0, max_rounds: int | None = None,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 1, resume: bool = True) -> dict:
     """Run to fixpoint; afterwards ``state['dist']`` holds exact shortest
     md5-weighted distances from ``source`` (UNREACHED where no path).
     ``max_rounds`` caps the relaxation rounds and RAISES when exceeded
     (used to keep the engine inside the SQL oracle's unroll depth);
     default n — the classic n-1 improvement rounds plus the final
-    empty-result wave that drains the frontier."""
+    empty-result wave that drains the frontier. Checkpoint/resume follows
+    the bfs/cc pattern (state + frontier per round; resume is bitwise
+    because distances are exact ints)."""
     t0 = time.perf_counter()
     if max_rounds is None:
         max_rounds = max(1, graph.n)
     graph.init_algo({"dist": (np.int64, UNREACHED)})
-    graph.vertex_map(_SetSource(source), over="all")
-    graph.set_frontier("ids", np.asarray([source], dtype=np.int64))
+    rounds = 0
+    man = ckpt.latest_checkpoint(checkpoint_dir, "sssp") if (
+        checkpoint_dir and resume) else None
+    if man is not None:
+        ckpt.restore_checkpoint(graph, man)
+        rounds = man["loop_state"]["rounds"]
+    else:
+        graph.vertex_map(_SetSource(source), over="all")
+        graph.set_frontier("ids", np.asarray([source], dtype=np.int64))
     kernel = _Relax()
     graph.edges_scanned = 0
-    rounds = 0
     while graph.frontier_count != 0:
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError(
                 f"bellman_ford did not converge in {max_rounds} rounds")
         graph.edge_map(kernel)
+        if checkpoint_dir and checkpoint_every \
+                and rounds % checkpoint_every == 0:
+            ckpt.write_checkpoint(
+                graph, checkpoint_dir, "sssp", rounds, ["dist"],
+                {"frontier_size": graph.frontier_count,
+                 "edges_scanned": graph.edges_scanned,
+                 "wall_s": time.perf_counter() - t0},
+                {"rounds": rounds})
     return {"rounds": rounds, "edges_scanned": graph.edges_scanned,
             "wall_s": time.perf_counter() - t0, "state_names": ["dist"]}

@@ -57,7 +57,7 @@ def main(argv=None):
         a.add_argument("graph", help="graph dir from `build`")
         a.add_argument("-o", "--output", default=None,
                        help="write result parquet here")
-        if name in ("cc", "bfs", "pagerank", "lp"):
+        if name in ("cc", "bfs", "pagerank", "lp", "sssp"):
             a.add_argument("--checkpoint-dir", default=None)
             a.add_argument("--checkpoint-every", type=int, default=1)
             a.add_argument("--no-resume", action="store_true")
@@ -201,7 +201,7 @@ def main(argv=None):
     elif args.cmd == "sssp":
         from ligrust_ray.algos.bellman_ford import bellman_ford
 
-        res = bellman_ford(g, source=args.source)
+        res = bellman_ford(g, source=args.source, **ck)
     elif args.cmd == "bc":
         from ligrust_ray.algos.betweenness import betweenness
 

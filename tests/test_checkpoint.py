@@ -95,3 +95,38 @@ def test_result_dataset(ray_session, tmp_path):
     pdf = ds.to_pandas().sort_values("node_id")
     np.testing.assert_array_equal(pdf["ids"].to_numpy(),
                                   oracle.cc_oracle(50, src, dst))
+
+
+def test_sssp_resume_bitwise(ray_session, tmp_path):
+    """Weighted Bellman-Ford interrupted after 2 rounds resumes to the
+    identical exact-int distance array (and the derived edge weights are
+    recomputed identically by the fresh actors)."""
+    from ligrust_ray.algos.bellman_ford import bellman_ford
+
+    src, dst = oracle.random_digraph(200, 3.0, seed=6)
+    g1 = _graph(tmp_path, src, dst, 200, "sa")
+    bellman_ford(g1, source=0)
+    want = g1.collect_state(["dist"])["dist"]
+
+    g2 = _graph(tmp_path, src, dst, 200, "sb")
+    cdir = str(tmp_path / "sck")
+    real_edge_map = g2.edge_map
+    calls = {"k": 0}
+
+    def bomb(kernel):
+        if calls["k"] == 2:
+            raise _Bomb()
+        calls["k"] += 1
+        return real_edge_map(kernel)
+
+    g2.edge_map = bomb
+    try:
+        bellman_ford(g2, source=0, checkpoint_dir=cdir)
+    except _Bomb:
+        pass
+    man = ckpt.latest_checkpoint(cdir, "sssp")
+    assert man is not None and man["iteration"] == 2
+
+    g3 = _graph(tmp_path, src, dst, 200, "sc")
+    bellman_ford(g3, source=0, checkpoint_dir=cdir, resume=True)
+    np.testing.assert_array_equal(g3.collect_state(["dist"])["dist"], want)
