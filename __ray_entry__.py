@@ -152,15 +152,16 @@ def _line_dedup_sql(min_count: int = 3) -> str:
         "FROM m GROUP BY doc_id")
 
 
-def _pii_sql() -> str:
+def _pii_sql(source: str = "documents") -> str:
     """PII-scrub oracle built from the SAME textstats.PII_PATTERNS list
     the engine applies — one CTE per type, counting on the text as
     redacted so far then replacing (identical order). DuckDB's regexp_*
     and pyarrow.compute's regex kernels are both RE2, so matching
-    semantics agree by construction."""
+    semantics agree by construction. ``source`` must expose (doc_id,
+    text) — the preprocess composite feeds it the line-dedup CTE."""
     from ligrust_ray.dataops.textstats import PII_PATTERNS
 
-    parts = ["WITH s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    parts = [f"WITH s0 AS (SELECT doc_id, text AS t FROM {source})"]
     carry = []
     for i, (name, pat, token) in enumerate(PII_PATTERNS, 1):
         p = pat.replace("'", "''")
@@ -553,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": Q.q_docs_repetition,
         "docs_pii_scrub": Q.q_docs_pii_scrub,
         "docs_line_dedup": Q.q_docs_line_dedup,
+        "docs_preprocess": Q.q_docs_preprocess,
         "docs_source_stats": Q.q_docs_source_stats,
         "docs_top_tokens": Q.q_docs_top_tokens,
         "docs_decontaminate": Q.q_docs_decontaminate,
@@ -843,6 +845,14 @@ def oracle_sql() -> dict[str, str]:
             "AS n_dup_lines FROM documents"),
         "docs_pii_scrub": _pii_sql(),
         "docs_line_dedup": _line_dedup_sql(3),
+        # composed cleaning pipeline: the two oracles nested as CTEs
+        "docs_preprocess": (
+            "WITH ld AS (" + _line_dedup_sql(3) + "), "
+            "p AS (" + _pii_sql(
+                "(SELECT doc_id, text_clean AS text FROM ld) ldt") + ") "
+            "SELECT p.doc_id, p.text_clean, ld.n_removed, "
+            "p.n_email, p.n_ip, p.n_phone "
+            "FROM p JOIN ld ON ld.doc_id = p.doc_id"),
         "docs_source_stats": (
             "SELECT source, COUNT(*) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "

@@ -825,6 +825,25 @@ def q_docs_pii_scrub(sf_dir: str):
         textstats.pii_scrub_batch, batch_format="pyarrow")
 
 
+def q_docs_preprocess(sf_dir: str):
+    """(doc_id, text_clean, n_removed, n_email, n_ip, n_phone) — the
+    composed cleaning pipeline: corpus-level line dedup feeding PII
+    scrubbing, one streaming chain (the line-dedup output batches flow
+    straight into the RE2 redaction kernel; no intermediate
+    materialisation). Oracle = the two oracles nested as CTEs."""
+    from ligrust_ray.dataops.dedup import line_dedup
+
+    ld = line_dedup(_docs(sf_dir), min_count=LINE_DEDUP_MIN_COUNT)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        p = textstats.pii_scrub_batch(pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": t.column("text_clean")}))
+        return p.append_column("n_removed", t.column("n_removed"))
+
+    return ld.map_batches(scrub, batch_format="pyarrow")
+
+
 def q_docs_source_stats(sf_dir: str):
     """Per-source corpus accounting (the per-domain crawl dashboard):
     doc count, total chars, total whitespace tokens."""

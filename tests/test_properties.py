@@ -128,3 +128,40 @@ def test_salted_windows_match_single_pass(ray_session, evs, slab_s):
                                      salt_slab_us=slab_s * us).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(plain_a, salt_a)
+
+
+# random multi-line corpora: engine line_dedup == the DuckDB oracle SQL
+# (the synthetic sf documents are single-line, so this property test is
+# where the removal/reassembly semantics actually get exercised)
+_line = st.sampled_from(
+    ["", "cookie banner", "nav", "footer (c) corp", "unique-",
+     "body text", "A", "the end"])
+_doc = st.lists(_line, min_size=0, max_size=6).map("\n".join)
+_corpus = st.lists(_doc, min_size=1, max_size=12)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_corpus, st.integers(2, 4))
+def test_line_dedup_matches_duckdb_oracle(ray_session, texts, k):
+    import sys
+
+    import duckdb
+    import ray.data
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    from ligrust_ray.dataops.dedup import line_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string())})
+    got = (line_dedup(ray.data.from_arrow(docs), min_count=k)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = (con.execute(E._line_dedup_sql(k)).fetchdf()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["text_clean"].tolist() == exp["text_clean"].tolist()
+    assert got["n_removed"].tolist() == exp["n_removed"].tolist()
