@@ -261,6 +261,56 @@ def _sssp_sql(rounds: int = 32) -> str:
     return "".join(parts)
 
 
+def _coloring_sql(rounds: int = 100) -> str:
+    """Jones-Plassmann oracle (algos.coloring spec): ``rounds`` unrolled
+    rounds sharing MIS's strict-local-min selection CTE shape (identical
+    per-round priorities); each selected node then takes the smallest
+    color absent from its already-colored neighbourhood (anti-join
+    against a candidate series bounded by n — the smallest absent value
+    never exceeds the neighbour count). Deterministic, so the engine's
+    EXACT coloring is replicated; the engine raises above
+    queries.COLORING_SQL_ROUNDS = this default, surplus rounds no-op."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+        "WHERE src <> dst), "
+        "u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e), "
+        "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+        "UNION ALL SELECT b, a FROM u), "
+        f"n0 AS MATERIALIZED (SELECT id FROM ({_NODES_CTE})), "
+        "gs AS MATERIALIZED (SELECT UNNEST(range("
+        "(SELECT COUNT(*) FROM n0))) AS g), "
+        "unc0 AS MATERIALIZED (SELECT id FROM n0), "
+        "col0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, "
+        "CAST(NULL AS BIGINT) AS c WHERE 1=0)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", p{i} AS MATERIALIZED (SELECT id, "
+            f"CAST(md5_number_lower('{i}:' || CAST(id AS VARCHAR)) "
+            "% 9223372036854775808 AS BIGINT) AS p "
+            f"FROM unc{i-1})"
+            f", m{i} AS MATERIALIZED (SELECT s.v, MIN(pw.p) AS mp "
+            f"FROM sym s JOIN p{i} pv ON pv.id = s.v "
+            f"JOIN p{i} pw ON pw.id = s.w GROUP BY s.v)"
+            f", sel{i} AS MATERIALIZED (SELECT pv.id FROM p{i} pv "
+            f"LEFT JOIN m{i} ON m{i}.v = pv.id "
+            f"WHERE m{i}.mp IS NULL OR pv.p < m{i}.mp)"
+            f", used{i} AS MATERIALIZED (SELECT DISTINCT y.v, cc.c "
+            f"FROM sym y JOIN sel{i} se ON se.id = y.v "
+            f"JOIN col{i-1} cc ON cc.id = y.w)"
+            f", newc{i} AS MATERIALIZED (SELECT se.id, MIN(g.g) AS c "
+            f"FROM sel{i} se CROSS JOIN gs g "
+            f"LEFT JOIN used{i} uu ON uu.v = se.id AND uu.c = g.g "
+            f"WHERE uu.v IS NULL GROUP BY se.id)"
+            f", col{i} AS MATERIALIZED (SELECT id, c FROM col{i-1} "
+            f"UNION ALL SELECT id, c FROM newc{i})"
+            f", unc{i} AS MATERIALIZED (SELECT id FROM unc{i-1} "
+            f"WHERE id NOT IN (SELECT id FROM sel{i}))")
+    parts.append(f" SELECT id AS node_id, CAST(c AS BIGINT) AS color "
+                 f"FROM col{rounds}")
+    return "".join(parts)
+
+
 def _mis_sql(rounds: int = 24) -> str:
     """Maximal-independent-set oracle (algos.mis spec): ``rounds`` unrolled
     Luby rounds over the symmetrized simple events graph. Per-round
@@ -522,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mis": Q.q_events_mis,
         "events_sssp": Q.q_events_sssp,
         "events_bc": Q.q_events_bc,
+        "events_coloring": Q.q_events_coloring,
         "events_radii": Q.q_events_radii,
         "pages_pagerank": Q.q_pages_pagerank,
         "pages_domain_graph": Q.q_pages_domain_graph,
@@ -639,6 +690,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sssp": _sssp_sql(32),
         # Brandes BC, 24 unrolled BFS levels + per-level dependency tables
         "events_bc": _bc_sql(24),
+        # Jones-Plassmann coloring, 100 unrolled rounds (81 used at sf0.01)
+        "events_coloring": _coloring_sql(100),
         # K=8 multi-source BFS: same recursive-CTE shape as bfs_events,
         # seeded at (i*n)//8, radius = MAX over sources of min distance
         "events_radii": (

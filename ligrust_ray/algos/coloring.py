@@ -1,0 +1,201 @@
+"""Greedy graph coloring (Jones & Plassmann 1993) — NEW vs the reference,
+expressed through the engine's kernel surface; the GBBS/Ligra-family
+benchmark suite's coloring application.
+
+Runs on a SYMMETRIZED simple graph (like k-core/MIS/BC). Each round:
+
+1. Still-uncolored nodes draw the SAME deterministic per-round priorities
+   as MIS (``md5("{round}:{id}") % 2^63`` — algos/mis.round_priorities),
+   and a node is SELECTED iff it is a strict priority minimum over its
+   uncolored neighbourhood (no two adjacent nodes can both be selected,
+   so same-round color choices never conflict; ties select neither and
+   redraw — no livelock).
+2. Selected nodes take the smallest color absent from their
+   already-colored neighbourhood. Neighbour color sets travel as W
+   63-bit OR-reduce bitmask words (bits 0..62 per word keep every mask
+   non-negative in both numpy int64 and the oracle's BIGINT): one
+   ``reduce="or"`` edgeMap per word, sources = colored nodes, targets =
+   the selected set — the dense-mode early-exit makes each wave cost
+   O(edges incident to the selected set), not O(m).
+
+Because any new color is at most (current max color + 1) — the smallest
+ABSENT value cannot skip past it — ``W = cur_max//63 + 2`` words always
+cover the next assignment, so W grows with the palette, not the degree
+bound. Colors are exact ints; the unrolled DuckDB oracle replicates the
+priority sequence and the smallest-absent rule, reproducing the EXACT
+same coloring (not merely some proper coloring).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ligrust_ray.algos.mis import round_priorities
+from ligrust_ray.stages.kernels import EdgeKernel, VertexKernel
+
+STATE = ["color", "prio"]
+_BITS = 63                      # bits per mask word (sign bit never set)
+
+
+class _DrawPriorities(VertexKernel):
+    def __init__(self, round_no: int):
+        self.round_no = round_no
+
+    def update(self, state, mask, shard):
+        ids = np.arange(shard.lo, shard.hi, dtype=np.int64)
+        state["prio"] = round_priorities(self.round_no, ids)
+        return None, {}
+
+
+class _SelectUncolored(VertexKernel):
+    """frontier := still-uncolored nodes."""
+
+    def update(self, state, mask, shard):
+        unc = state["color"] < 0
+        return unc, {"uncolored": int(unc.sum())}
+
+
+class _SelectMinima(EdgeKernel):
+    """agg = min over UNCOLORED neighbours' priorities; a node becomes
+    PENDING iff uncolored and (untouched or a strict minimum). Pending is
+    marked as color == -2 (distinct from uncolored -1)."""
+
+    reduce = "min"
+    value_dtype = np.int64
+
+    def source_values(self, state, out_deg):
+        return state["prio"]
+
+    def source_values_at(self, state, out_deg, idx):
+        return state["prio"][idx]
+
+    def target_active(self, state):
+        return state["color"] < 0
+
+    def apply(self, state, agg, touched, shard):
+        unc = state["color"] < 0
+        sel = unc & (~touched | (state["prio"] < agg))
+        state["color"][sel] = -2
+        return sel, {"selected": int(sel.sum())}
+
+
+class _SelectColored(VertexKernel):
+    """frontier := colored nodes (the mask-wave sources)."""
+
+    def update(self, state, mask, shard):
+        return state["color"] >= 0, {}
+
+
+class _GatherMaskWord(EdgeKernel):
+    """OR of (1 << (color - 63*word)) over colored neighbours, applied to
+    the pending (-2) targets; the result lands in state['nbmask{w}']."""
+
+    reduce = "or"
+    value_dtype = np.int64
+    has_output_frontier = False
+
+    def __init__(self, word: int):
+        self.word = word
+
+    def _mask(self, color: np.ndarray) -> np.ndarray:
+        rel = color - self.word * _BITS
+        inw = (rel >= 0) & (rel < _BITS) & (color >= 0)
+        out = np.zeros(len(color), dtype=np.int64)
+        out[inw] = np.int64(1) << rel[inw]
+        return out
+
+    def source_values(self, state, out_deg):
+        return self._mask(state["color"])
+
+    def source_values_at(self, state, out_deg, idx):
+        return self._mask(state["color"][idx])
+
+    def target_active(self, state):
+        return state["color"] == -2
+
+    def apply(self, state, agg, touched, shard):
+        pend = state["color"] == -2
+        state[f"nbmask{self.word}"][pend] = agg[pend]
+        return None, {}
+
+
+class _AssignColors(VertexKernel):
+    """Pending nodes take the smallest absent color across the W gathered
+    words: lowest zero bit of the first non-full word."""
+
+    def __init__(self, n_words: int):
+        self.n_words = n_words
+
+    def update(self, state, mask, shard):
+        pend = np.flatnonzero(state["color"] == -2)
+        if len(pend):
+            color = np.full(len(pend), -1, dtype=np.int64)
+            full = np.int64((1 << _BITS) - 1)
+            for w in range(self.n_words):
+                m = state[f"nbmask{w}"][pend]
+                mu = m.astype(np.uint64)      # uint64: no overflow warning
+                low = (~mu) & (mu + np.uint64(1))   # lowest zero bit
+                cand = w * _BITS + np.log2(
+                    low.astype(np.float64)).round().astype(np.int64)
+                take = (color < 0) & (m != full)
+                color[take] = cand[take]
+            if (color < 0).any():
+                raise RuntimeError("coloring: mask words exhausted "
+                                   "(W sizing bug)")  # pragma: no cover
+            state["color"][pend] = color
+        return None, {}
+
+
+class _MaxColor(VertexKernel):
+    """Per-shard palette max, keyed by partition (driver scalars are
+    SUMMED across shards, so a shared key would add maxes together)."""
+
+    def update(self, state, mask, shard):
+        c = state["color"]
+        return None, {f"maxc_{shard.part}": int(c.max()) if len(c) else -1}
+
+
+def color_graph(graph, max_rounds: int = 200) -> dict:
+    """Run to fixpoint; afterwards ``state['color']`` is a proper greedy
+    coloring (exactly replicated by the SQL oracle). ``graph`` MUST be
+    symmetrized and simple. Raises past ``max_rounds`` (keeps the engine
+    inside the oracle's unroll depth)."""
+    t0 = time.perf_counter()
+    graph.init_algo({"color": (np.int64, -1), "prio": (np.int64, 0)})
+    graph.edges_scanned = 0
+    rounds = 0
+    # Monotone palette bound that never reads results back: a round's new
+    # colors cannot exceed (bound + 1), so bumping by one per assigning
+    # round over-covers the true max (W grows a word every 63 rounds)
+    cur_bound = -1
+    words_alloc = 0
+    graph.vertex_filter(_SelectUncolored(), over="all")
+    while graph.frontier_count != 0:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"coloring did not converge in {max_rounds} rounds")
+        n_words = (cur_bound + 1) // _BITS + 1
+        if n_words > words_alloc:
+            # init_state only ASSIGNS the named entries — existing
+            # color/prio state is untouched by the added mask words
+            graph.init_algo({f"nbmask{w}": (np.int64, 0)
+                             for w in range(words_alloc, n_words)})
+            words_alloc = n_words
+        graph.vertex_map(_DrawPriorities(rounds), over="all")
+        graph.vertex_filter(_SelectUncolored(), over="all")
+        graph.edge_map(_SelectMinima())     # frontier -> pending set
+        if graph.frontier_count:
+            for w in range(n_words):
+                graph.vertex_filter(_SelectColored(), over="all")
+                graph.edge_map(_GatherMaskWord(w))
+            graph.vertex_map(_AssignColors(n_words), over="all")
+            cur_bound += 1
+        graph.vertex_filter(_SelectUncolored(), over="all")
+    s = graph.vertex_map(_MaxColor(), over="all")
+    n_colors = 1 + max(v for k, v in s.items() if k.startswith("maxc_"))
+    return {"rounds": rounds, "colors": n_colors,
+            "edges_scanned": graph.edges_scanned,
+            "wall_s": time.perf_counter() - t0, "state_names": ["color"]}

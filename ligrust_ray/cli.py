@@ -52,7 +52,7 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=42)
 
     for name in ("cc", "bfs", "pagerank", "lp", "kcore", "mis", "sssp",
-                 "bc"):
+                 "bc", "coloring"):
         a = sub.add_parser(name)
         a.add_argument("graph", help="graph dir from `build`")
         a.add_argument("-o", "--output", default=None,
@@ -73,7 +73,7 @@ def main(argv=None):
             a.add_argument("-k", "--k", type=int, default=5,
                            help="core order; build the graph with "
                                 "--symmetrize first")
-        if name in ("kcore", "mis", "bc"):
+        if name in ("kcore", "mis", "bc", "coloring"):
             a.description = ("requires a graph built with --symmetrize "
                              "(undirected simple semantics)")
 
@@ -206,6 +206,10 @@ def main(argv=None):
         from ligrust_ray.algos.betweenness import betweenness
 
         res = betweenness(g, root=args.source)
+    elif args.cmd == "coloring":
+        from ligrust_ray.algos.coloring import color_graph
+
+        res = color_graph(g)
     else:
         from ligrust_ray.algos.labelprop import label_propagation
 

@@ -287,6 +287,27 @@ def q_events_bc(sf_dir: str):
             np.floor(st["delta"][ids] * 1e6 + 0.5).astype(np.int64))})
 
 
+COLORING_SQL_ROUNDS = 100   # oracle unroll depth = engine round cap
+
+
+def q_events_coloring(sf_dir: str):
+    """(node_id, color) Jones-Plassmann greedy coloring of the symmetrized
+    simple events graph — MIS-style strict-min selection on the shared
+    deterministic priority sequence, smallest-absent-color assignment via
+    multi-word or-reduce masks (algos/coloring.py). The SQL oracle unrolls
+    COLORING_SQL_ROUNDS rounds with the same priorities and rule, so the
+    EXACT coloring is replicated (rounds are deterministic: 81 at sf0.01,
+    21 at sf0.001; the engine raises past the cap, surplus rounds are
+    no-ops)."""
+    from ligrust_ray.algos.coloring import color_graph
+
+    g = events_sym_graph(sf_dir)
+    color_graph(g, max_rounds=COLORING_SQL_ROUNDS)
+    st = g.collect_state(["color"])["color"]
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "color": pa.array(st)})
+
+
 SSSP_SQL_ROUNDS = 32   # unroll depth of the DuckDB oracle = engine round cap
 
 

@@ -580,3 +580,68 @@ def test_betweenness_push_pull_agree(ray_session, tmp_path):
         np.testing.assert_array_equal(st["level"], lv)
         np.testing.assert_array_equal(st["sigma"], sg)
         np.testing.assert_allclose(st["delta"], dl, rtol=1e-12, atol=1e-12)
+
+
+# ---- Graph coloring (round 3; Jones-Plassmann via or-reduce masks) -------
+
+def _coloring_oracle(n, a, b):
+    """Sequential replica of algos.coloring round semantics over unique
+    undirected non-loop edges (a[i], b[i])."""
+    from ligrust_ray.algos.mis import round_priorities
+
+    s = np.concatenate([a, b])
+    d = np.concatenate([b, a])
+    color = np.full(n, -1, dtype=np.int64)
+    r = 0
+    while (color < 0).any():
+        r += 1
+        assert r <= 400
+        p = round_priorities(r, np.arange(n, dtype=np.int64))
+        unc = color < 0
+        live = unc[s] & unc[d] if len(s) else np.zeros(0, dtype=bool)
+        mn = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, d[live], p[s[live]])
+        sel = unc & (p < mn)
+        for v in np.flatnonzero(sel):
+            used = set(color[d[s == v]][color[d[s == v]] >= 0].tolist())
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+    return color
+
+
+def test_coloring_matches_oracle_and_is_proper(ray_session, tmp_path):
+    from ligrust_ray.algos.coloring import color_graph
+
+    cases = [(60, 4.0, 51), (150, 6.0, 52), (120, 1.5, 53)]
+    for i, (n, deg, seed) in enumerate(cases):
+        src, dst = oracle.random_digraph(n, deg, seed)
+        a, b = _sym_unique(src, dst)
+        g = make_graph(str(tmp_path / f"col{i}"),
+                       np.concatenate([a, b]), np.concatenate([b, a]), n,
+                       nparts=4)
+        m = color_graph(g)
+        got = g.collect_state(["color"])["color"]
+        np.testing.assert_array_equal(got, _coloring_oracle(n, a, b),
+                                      err_msg=f"n={n}")
+        assert not np.any(got[a] == got[b])          # proper coloring
+        assert m["colors"] == int(got.max()) + 1
+
+
+def test_coloring_clique_multiword(ray_session, tmp_path):
+    """A 70-clique forces colors 0..69 — past the 63-bit word boundary —
+    so the second mask word (and the W growth path) is exercised; the
+    engine must still match the sequential replica exactly."""
+    from ligrust_ray.algos.coloring import color_graph
+
+    n = 70
+    iu = np.triu_indices(n, k=1)
+    a, b = iu[0].astype(np.int64), iu[1].astype(np.int64)
+    g = make_graph(str(tmp_path / "colq"),
+                   np.concatenate([a, b]), np.concatenate([b, a]), n,
+                   nparts=3)
+    m = color_graph(g, max_rounds=400)
+    got = g.collect_state(["color"])["color"]
+    assert m["colors"] == 70 and sorted(got.tolist()) == list(range(70))
+    np.testing.assert_array_equal(got, _coloring_oracle(n, a, b))
