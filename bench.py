@@ -195,6 +195,21 @@ def run_headline(num_cpus: int) -> dict:
     q["events_mis"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    from ligrust_ray.algos.coloring import color_graph
+
+    color_graph(gsym, max_rounds=400)   # JP, or-reduce color masks
+    q["events_coloring"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.line_dedup(docs).materialize()
+    q["docs_line_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docs.map_batches(textstats.pii_scrub_batch,
+                     batch_format="pyarrow").materialize()
+    q["docs_pii_scrub"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     dedup.decontaminate(docs, eval_mod=10).materialize()
     q["docs_decontaminate"] = time.perf_counter() - t0
 

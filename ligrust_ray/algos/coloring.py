@@ -121,11 +121,16 @@ class _GatherMaskWord(EdgeKernel):
         return None, {}
 
 
-class _AssignColors(VertexKernel):
-    """Pending nodes take the smallest absent color across the W gathered
-    words: lowest zero bit of the first non-full word."""
+class _FinishRound(VertexKernel):
+    """One fused vertex pass closing a round: pending nodes take the
+    smallest absent color across the W gathered words (lowest zero bit of
+    the first non-full word), priorities for the NEXT round are drawn,
+    and the returned keep-mask = still-uncolored is the next frontier —
+    riding the same actor wave as the final mask gather
+    (edge_map_fused)."""
 
-    def __init__(self, n_words: int):
+    def __init__(self, next_round: int, n_words: int):
+        self.next_round = next_round
         self.n_words = n_words
 
     def update(self, state, mask, shard):
@@ -145,7 +150,10 @@ class _AssignColors(VertexKernel):
                 raise RuntimeError("coloring: mask words exhausted "
                                    "(W sizing bug)")  # pragma: no cover
             state["color"][pend] = color
-        return None, {}
+        ids = np.arange(shard.lo, shard.hi, dtype=np.int64)
+        state["prio"] = round_priorities(self.next_round, ids)
+        unc = state["color"] < 0
+        return unc, {"uncolored": int(unc.sum())}
 
 
 class _MaxColor(VertexKernel):
@@ -171,7 +179,12 @@ def color_graph(graph, max_rounds: int = 200) -> dict:
     # round over-covers the true max (W grows a word every 63 rounds)
     cur_bound = -1
     words_alloc = 0
+    graph.vertex_map(_DrawPriorities(1), over="all")
     graph.vertex_filter(_SelectUncolored(), over="all")
+    # Per-round wave budget is the scaling cost on small graphs, so the
+    # round is packed into 2 + (W-1) fused dispatches: [select minima +
+    # switch frontier to colored] then [last mask gather + assign + draw
+    # next priorities + uncolored re-filter], each one actor wave.
     while graph.frontier_count != 0:
         rounds += 1
         if rounds > max_rounds:
@@ -184,16 +197,12 @@ def color_graph(graph, max_rounds: int = 200) -> dict:
             graph.init_algo({f"nbmask{w}": (np.int64, 0)
                              for w in range(words_alloc, n_words)})
             words_alloc = n_words
-        graph.vertex_map(_DrawPriorities(rounds), over="all")
-        graph.vertex_filter(_SelectUncolored(), over="all")
-        graph.edge_map(_SelectMinima())     # frontier -> pending set
-        if graph.frontier_count:
-            for w in range(n_words):
-                graph.vertex_filter(_SelectColored(), over="all")
-                graph.edge_map(_GatherMaskWord(w))
-            graph.vertex_map(_AssignColors(n_words), over="all")
-            cur_bound += 1
-        graph.vertex_filter(_SelectUncolored(), over="all")
+        graph.edge_map_fused(_SelectMinima(), _SelectColored(), over="all")
+        for w in range(n_words - 1):
+            graph.edge_map(_GatherMaskWord(w))
+        graph.edge_map_fused(_GatherMaskWord(n_words - 1),
+                             _FinishRound(rounds + 1, n_words), over="all")
+        cur_bound += 1
     s = graph.vertex_map(_MaxColor(), over="all")
     n_colors = 1 + max(v for k, v in s.items() if k.startswith("maxc_"))
     return {"rounds": rounds, "colors": n_colors,
