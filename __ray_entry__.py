@@ -379,6 +379,56 @@ def _kcore_sql(k: int = 5, rounds: int = 40) -> str:
     return "".join(parts)
 
 
+def _densest_sql(rounds: int = 24) -> str:
+    """Approximately-densest subgraph (algos/densest.py spec): ``rounds``
+    unrolled batched-peeling rounds — round r removes every survivor with
+    alive-internal degree <= floor(3 * m_r / n_r) — plus an
+    exact-integer-rational argmax over start-of-round densities (earliest
+    round wins ties, same as the engine's strict-> update). Output = the
+    nodes dying at/after the best round = the best start-of-round set.
+    The dynamics are deterministic, so the sets match exactly; the Ray
+    side raises if it needed more rounds (every node is removed within
+    ~log_1.5 n rounds, so all died-rounds are covered)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+        "WHERE src <> dst), "
+        "u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e), "
+        "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+        "UNION ALL SELECT b, a FROM u), "
+        f"a0 AS MATERIALIZED (SELECT id FROM ({_NODES_CTE}))"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT av.id, "
+            f"COALESCE(dd.d, 0) AS deg FROM a{i-1} av LEFT JOIN "
+            f"(SELECT s.v, COUNT(*) AS d FROM sym s "
+            f"JOIN a{i-1} p1 ON p1.id = s.v "
+            f"JOIN a{i-1} p2 ON p2.id = s.w GROUP BY s.v) dd "
+            f"ON dd.v = av.id)"
+            f", c{i} AS MATERIALIZED (SELECT COUNT(*) AS n, "
+            f"COALESCE(SUM(deg), 0) // 2 AS m FROM d{i})"
+            f", x{i} AS MATERIALIZED (SELECT d.id FROM d{i} d "
+            f"CROSS JOIN c{i} c WHERE c.n > 0 "
+            f"AND d.deg <= (3 * c.m) // c.n)"
+            f", a{i} AS MATERIALIZED (SELECT id FROM d{i} "
+            f"EXCEPT SELECT id FROM x{i})")
+    stats = " UNION ALL ".join(
+        f"SELECT {i} AS r, n, m FROM c{i} WHERE n > 0"
+        for i in range(1, rounds + 1))
+    died = " UNION ALL ".join(
+        f"SELECT id, {i} AS r FROM x{i}" for i in range(1, rounds + 1))
+    parts.append(
+        f", stats AS MATERIALIZED ({stats})"
+        f", best AS MATERIALIZED (SELECT s.r FROM stats s "
+        "WHERE NOT EXISTS (SELECT 1 FROM stats t "
+        "WHERE t.m * s.n > s.m * t.n "
+        "OR (t.m * s.n = s.m * t.n AND t.r < s.r)))"
+        f", died AS MATERIALIZED ({died}) "
+        "SELECT d.id AS node_id FROM died d CROSS JOIN best b "
+        "WHERE d.r >= b.r")
+    return "".join(parts)
+
+
 def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3,
                  threshold: float = 0.8, seed: int = 42,
                  pairs_only: bool = False) -> str:
@@ -569,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_events": Q.q_bfs_events,
         "labelprop_events": Q.q_labelprop_events,
         "events_kcore": Q.q_events_kcore,
+        "events_densest": Q.q_events_densest,
         "events_mis": Q.q_events_mis,
         "events_sssp": Q.q_events_sssp,
         "events_bc": Q.q_events_bc,
@@ -683,6 +734,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY ms.dom, md.dom"),
         "labelprop_events": _labelprop_sql(20),
         "events_kcore": _kcore_sql(5, 40),
+        # Charikar/Bahmani densest-subgraph peeling, 24 unrolled rounds
+        # (= queries.DENSEST_SQL_ROUNDS; Ray raises if it needed more)
+        "events_densest": _densest_sql(24),
         # Luby MIS, 24 unrolled rounds (= queries.MIS_SQL_ROUNDS; the Ray
         # side raises if it needed more, extra rounds are no-ops)
         "events_mis": _mis_sql(24),

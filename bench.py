@@ -195,6 +195,12 @@ def run_headline(num_cpus: int) -> dict:
     q["events_mis"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    from ligrust_ray.algos.densest import densest_subgraph
+
+    densest_subgraph(gsym)   # Charikar/Bahmani batched peeling
+    q["events_densest"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     from ligrust_ray.algos.coloring import color_graph
 
     color_graph(gsym, max_rounds=400)   # JP, or-reduce color masks

@@ -242,6 +242,26 @@ def q_events_kcore(sf_dir: str):
         np.flatnonzero(alive).astype(np.int64))})
 
 
+DENSEST_SQL_ROUNDS = 24   # unroll depth of the oracle = engine round cap
+
+
+def q_events_densest(sf_dir: str):
+    """(node_id) members of the approximately-densest subgraph of the
+    simple undirected events graph — deterministic Charikar/Bahmani
+    batched peeling (threshold floor(3m/n), exact-rational best-round
+    argmax) through the engine's kernel surface. The SQL oracle unrolls
+    DENSEST_SQL_ROUNDS rounds of the SAME dynamics, so the member set
+    matches exactly; the engine raises rather than return if it needed
+    more (the n/1.5-per-round shrink makes 24 ample for any sf here)."""
+    from ligrust_ray.algos.densest import densest_subgraph
+
+    g = events_sym_graph(sf_dir)
+    m = densest_subgraph(g, max_rounds=DENSEST_SQL_ROUNDS)
+    died = g.collect_state(["died"])["died"]
+    ids = np.flatnonzero(died >= m["best_round"])
+    return pa.table({"node_id": pa.array(ids.astype(np.int64))})
+
+
 MIS_SQL_ROUNDS = 24    # unroll depth of the DuckDB oracle = engine round cap
 
 

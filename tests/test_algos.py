@@ -645,3 +645,117 @@ def test_coloring_clique_multiword(ray_session, tmp_path):
     got = g.collect_state(["color"])["color"]
     assert m["colors"] == 70 and sorted(got.tolist()) == list(range(70))
     np.testing.assert_array_equal(got, _coloring_oracle(n, a, b))
+
+
+# ---- Densest subgraph (round 3; Charikar/Bahmani batched peeling) --------
+
+def _densest_oracle(n, a, b):
+    """Sequential replica of the deterministic peeling: returns the member
+    mask of the best start-of-round alive set (exact rational argmax,
+    earliest round on ties)."""
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, a, 1)
+    np.add.at(deg, b, 1)
+    alive = np.ones(n, dtype=bool)
+    died = np.full(n, 1 << 62, dtype=np.int64)
+    n_alive, m_alive = n, len(a)
+    best_m, best_n, best_round = m_alive, n_alive, 1
+    r = 0
+    while n_alive > 0:
+        r += 1
+        if m_alive * best_n > best_m * n_alive:
+            best_m, best_n, best_round = m_alive, n_alive, r
+        thr = (3 * m_alive) // n_alive
+        dying = alive & (deg <= thr)
+        alive &= ~dying
+        died[dying] = r
+        live_edge = alive[a] & alive[b]
+        a, b = a[live_edge], b[live_edge]
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, a, 1)
+        np.add.at(deg, b, 1)
+        n_alive, m_alive = int(alive.sum()), len(a)
+    return died >= best_round, r, best_round
+
+
+def test_densest_matches_oracle(ray_session, tmp_path):
+    from ligrust_ray.algos.densest import densest_subgraph
+
+    cases = [(60, 4.0, 61), (150, 6.0, 62), (200, 1.5, 63),
+             (120, 0, 64), (100, 1.0, 65)]
+    exercised_late_best = False
+    for i, (n, deg, seed) in enumerate(cases):
+        src, dst = oracle.random_digraph(n, deg, seed,
+                                         zipf=(deg == 0))
+        if i == 4:
+            # plant a 20-clique on a sparse background: peeling strips the
+            # background first, so the best round is LATE (argmax path)
+            iu = np.triu_indices(20, k=1)
+            src = np.concatenate([src, iu[0].astype(np.int64)])
+            dst = np.concatenate([dst, iu[1].astype(np.int64)])
+        a, b = _sym_unique(src, dst)
+        g = make_graph(str(tmp_path / f"dsg{i}"),
+                       np.concatenate([a, b]), np.concatenate([b, a]), n,
+                       nparts=4)
+        m = densest_subgraph(g)
+        died = g.collect_state(["died"])["died"]
+        want, want_rounds, want_best = _densest_oracle(n, a, b)
+        np.testing.assert_array_equal(died >= m["best_round"], want,
+                                      err_msg=f"n={n}")
+        assert m["rounds"] == want_rounds and m["best_round"] == want_best
+        # density of the reported set really is max over rounds (sanity:
+        # best_m/best_n vs the full graph's density)
+        assert m["best_m"] * n >= len(a) * m["best_n"]
+        exercised_late_best |= want_best > 1
+    assert exercised_late_best, "no case exercised a late best round"
+
+
+def test_densest_empty_and_isolated(ray_session, tmp_path):
+    from ligrust_ray.algos.densest import densest_subgraph
+
+    # no edges at all: every node dies in round 1, best set = full graph
+    g = make_graph(str(tmp_path / "dsg_e"),
+                   np.array([], dtype=np.int64),
+                   np.array([], dtype=np.int64), 7, nparts=2)
+    m = densest_subgraph(g)
+    died = g.collect_state(["died"])["died"]
+    assert m["rounds"] == 1 and m["best_round"] == 1
+    assert np.all(died >= m["best_round"])
+
+
+def test_densest_sql_oracle_late_best_round(ray_session, tmp_path):
+    """The driver's sf tables peel to best_round == 1 (the whole graph is
+    the densest prefix), leaving the oracle's rational-argmax + died-round
+    SQL unexercised — so drive _densest_sql directly on a synthetic
+    events table with a planted 20-clique (best round is LATE) and check
+    it matches the engine exactly."""
+    import duckdb
+
+    from ligrust_ray.algos.densest import densest_subgraph
+    import __ray_entry__ as E
+
+    rng = np.random.default_rng(7)
+    n_bg = 140
+    src = rng.integers(0, 150, size=n_bg).astype(np.int64)
+    dst = rng.integers(0, 150, size=n_bg).astype(np.int64)
+    iu = np.triu_indices(20, k=1)
+    src = np.concatenate([src, iu[0].astype(np.int64)])
+    dst = np.concatenate([dst, iu[1].astype(np.int64)])
+    # encode as an events table: edge (u, v) <- user_id=u,
+    # value=(v+0.5)/100 so FLOOR(value*100) % 150 == v exactly
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events AS SELECT * FROM (SELECT "
+                "UNNEST(?::BIGINT[]) AS user_id, "
+                "UNNEST(?::DOUBLE[]) AS value)",
+                [src.tolist(), ((dst + 0.5) / 100).tolist()])
+    want = con.execute(E._densest_sql(24)).df()["node_id"].to_numpy()
+
+    a, b = _sym_unique(src, dst)
+    g = make_graph(str(tmp_path / "dsgsql"),
+                   np.concatenate([a, b]), np.concatenate([b, a]), 150,
+                   nparts=3)
+    m = densest_subgraph(g)
+    died = g.collect_state(["died"])["died"]
+    got = np.flatnonzero(died >= m["best_round"])
+    assert m["best_round"] > 1, "planted clique should move the best round"
+    np.testing.assert_array_equal(np.sort(got), np.sort(want))
