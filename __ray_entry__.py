@@ -625,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bc": Q.q_events_bc,
         "events_coloring": Q.q_events_coloring,
         "events_radii": Q.q_events_radii,
+        "events_harmonic": Q.q_events_harmonic,
         "pages_pagerank": Q.q_pages_pagerank,
         "pages_domain_graph": Q.q_pages_domain_graph,
         # documents: text analysis + dedup family
@@ -761,6 +762,25 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT s, node, MIN(lvl) AS dist FROM b GROUP BY s, node) "
             "SELECT nodes.id AS node_id, "
             "CAST(COALESCE(MAX(d.dist), -1) AS BIGINT) AS radius "
+            "FROM nodes LEFT JOIN d ON d.node = nodes.id "
+            "GROUP BY nodes.id"),
+        # same K=8 multi-source BFS distances; harmonic_ppm = per-node
+        # SUM over sources s != v of 1e6 // dist(s, v) (integer division,
+        # matching the engine's per-round 1e6 // r accumulation)
+        "events_harmonic": (
+            f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+            f"nodes AS ({_NODES_CTE}), "
+            "nn AS (SELECT COUNT(*) AS cnt FROM nodes), "
+            "srcs AS (SELECT DISTINCT CAST((t.i * nn.cnt) // 8 AS BIGINT) "
+            "AS s FROM UNNEST(range(8)) AS t(i) CROSS JOIN nn), "
+            "b(s, node, lvl) AS (SELECT s, s, CAST(0 AS BIGINT) FROM srcs "
+            "UNION SELECT b.s, e.dst, b.lvl + 1 FROM b "
+            "JOIN e ON e.src = b.node "
+            "WHERE b.lvl < (SELECT cnt FROM nn)), "
+            "d AS (SELECT s, node, MIN(lvl) AS dist FROM b GROUP BY s, node) "
+            "SELECT nodes.id AS node_id, "
+            "CAST(COALESCE(SUM(CASE WHEN d.dist > 0 "
+            "THEN 1000000 // d.dist END), 0) AS BIGINT) AS harmonic_ppm "
             "FROM nodes LEFT JOIN d ON d.node = nodes.id "
             "GROUP BY nodes.id"),
         # scored over the SAME int edge table the CSR consumed (multi-edges

@@ -362,6 +362,22 @@ def q_events_radii(sf_dir: str):
                      "radius": pa.array(st["radii"].astype(np.int64))})
 
 
+def q_events_harmonic(sf_dir: str):
+    """(node_id, harmonic_ppm) sampled harmonic centrality over the
+    directed events graph: K=8 evenly-spaced sources, harmonic_ppm =
+    SUM over sources s != v reaching v of 1e6 // dist(s, v) — integer
+    micro-units so the hash compare is exact. Rides the SAME bit-parallel
+    multi-source BFS waves as events_radii (algos/radii.HarmonicEdge):
+    a new source bit arriving in round r contributes 1e6 // r."""
+    from ligrust_ray.algos.radii import radii
+
+    g = events_graph(sf_dir)
+    radii(g, k=8, harmonic=True)
+    st = g.collect_state(["harm"])
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "harmonic_ppm": pa.array(st["harm"].astype(np.int64))})
+
+
 def q_pagerank_events(sf_dir: str):
     """Reference-semantics PageRankDelta. Emitted as integer micro-units
     (rank_ppm) so the value hash is addition-order independent — the

@@ -759,3 +759,46 @@ def test_densest_sql_oracle_late_best_round(ray_session, tmp_path):
     got = np.flatnonzero(died >= m["best_round"])
     assert m["best_round"] > 1, "planted clique should move the best round"
     np.testing.assert_array_equal(np.sort(got), np.sort(want))
+
+
+# ---- Harmonic centrality (round 3; rides the radii bit-parallel BFS) -----
+
+def _harmonic_oracle(n, src, dst, srcs):
+    from collections import deque
+    adj = {v: [] for v in range(n)}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].append(d)
+    harm = np.zeros(n, dtype=np.int64)
+    for s in srcs:
+        dist = np.full(n, -1, dtype=np.int64)
+        dist[s] = 0
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        pos = dist > 0
+        harm[pos] += 1_000_000 // dist[pos]
+    return harm
+
+
+def test_harmonic_matches_oracle(ray_session, tmp_path):
+    from ligrust_ray.algos.radii import radii, sample_sources
+
+    for i, (n, deg, seed) in enumerate([(40, 2.0, 71), (120, 4.0, 72),
+                                        (200, 1.0, 73)]):
+        src, dst = oracle.random_digraph(n, deg, seed)
+        g = make_graph(str(tmp_path / f"harm{i}"), src, dst, n)
+        for k in (1, 8, 17):
+            m = radii(g, k=k, harmonic=True)
+            st = g.collect_state(["radii", "harm"])
+            ss = sample_sources(n, k)
+            np.testing.assert_array_equal(
+                st["harm"], _harmonic_oracle(n, src, dst, ss),
+                err_msg=f"n={n} k={k}")
+            # the radii estimate is unchanged by the harmonic piggyback
+            np.testing.assert_array_equal(
+                st["radii"], _radii_oracle(n, src, dst, ss))
+            assert "harm" in m["state_names"]
