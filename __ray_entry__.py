@@ -41,6 +41,21 @@ _EDGES_CTE = ("SELECT user_id AS src, "
 _NODES_CTE = ("SELECT UNNEST(range(GREATEST(150, "
               "(SELECT MAX(user_id) + 1 FROM events)))) AS id")
 
+# K=8 bit-parallel multi-source BFS distances (shared by events_radii and
+# events_harmonic — both ride the exact same engine waves): sources at
+# (i*n)//8 per algos/radii.sample_sources, d = per-(source, node) min level
+_MULTIBFS_CTE = (
+    f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+    f"nodes AS ({_NODES_CTE}), "
+    "nn AS (SELECT COUNT(*) AS cnt FROM nodes), "
+    "srcs AS (SELECT DISTINCT CAST((t.i * nn.cnt) // 8 AS BIGINT) "
+    "AS s FROM UNNEST(range(8)) AS t(i) CROSS JOIN nn), "
+    "b(s, node, lvl) AS (SELECT s, s, CAST(0 AS BIGINT) FROM srcs "
+    "UNION SELECT b.s, e.dst, b.lvl + 1 FROM b "
+    "JOIN e ON e.src = b.node "
+    "WHERE b.lvl < (SELECT cnt FROM nn)), "
+    "d AS (SELECT s, node, MIN(lvl) AS dist FROM b GROUP BY s, node) ")
+
 
 def _signed64(expr: str) -> str:
     """UBIGINT expression -> two's-complement BIGINT (DuckDB CAST raises
@@ -388,7 +403,8 @@ def _densest_sql(rounds: int = 24) -> str:
     nodes dying at/after the best round = the best start-of-round set.
     The dynamics are deterministic, so the sets match exactly; the Ray
     side raises if it needed more rounds (every node is removed within
-    ~log_1.5 n rounds, so all died-rounds are covered)."""
+    ~log_1.5 n rounds — 32 covers n up to ~300k; all died-rounds are
+    then inside the unroll)."""
     parts = [
         f"WITH e AS MATERIALIZED (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
         "WHERE src <> dst), "
@@ -735,9 +751,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY ms.dom, md.dom"),
         "labelprop_events": _labelprop_sql(20),
         "events_kcore": _kcore_sql(5, 40),
-        # Charikar/Bahmani densest-subgraph peeling, 24 unrolled rounds
+        # Charikar/Bahmani densest-subgraph peeling, 32 unrolled rounds
         # (= queries.DENSEST_SQL_ROUNDS; Ray raises if it needed more)
-        "events_densest": _densest_sql(24),
+        "events_densest": _densest_sql(32),
         # Luby MIS, 24 unrolled rounds (= queries.MIS_SQL_ROUNDS; the Ray
         # side raises if it needed more, extra rounds are no-ops)
         "events_mis": _mis_sql(24),
@@ -750,16 +766,7 @@ def oracle_sql() -> dict[str, str]:
         # K=8 multi-source BFS: same recursive-CTE shape as bfs_events,
         # seeded at (i*n)//8, radius = MAX over sources of min distance
         "events_radii": (
-            f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
-            f"nodes AS ({_NODES_CTE}), "
-            "nn AS (SELECT COUNT(*) AS cnt FROM nodes), "
-            "srcs AS (SELECT DISTINCT CAST((t.i * nn.cnt) // 8 AS BIGINT) "
-            "AS s FROM UNNEST(range(8)) AS t(i) CROSS JOIN nn), "
-            "b(s, node, lvl) AS (SELECT s, s, CAST(0 AS BIGINT) FROM srcs "
-            "UNION SELECT b.s, e.dst, b.lvl + 1 FROM b "
-            "JOIN e ON e.src = b.node "
-            "WHERE b.lvl < (SELECT cnt FROM nn)), "
-            "d AS (SELECT s, node, MIN(lvl) AS dist FROM b GROUP BY s, node) "
+            _MULTIBFS_CTE +
             "SELECT nodes.id AS node_id, "
             "CAST(COALESCE(MAX(d.dist), -1) AS BIGINT) AS radius "
             "FROM nodes LEFT JOIN d ON d.node = nodes.id "
@@ -768,16 +775,7 @@ def oracle_sql() -> dict[str, str]:
         # SUM over sources s != v of 1e6 // dist(s, v) (integer division,
         # matching the engine's per-round 1e6 // r accumulation)
         "events_harmonic": (
-            f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
-            f"nodes AS ({_NODES_CTE}), "
-            "nn AS (SELECT COUNT(*) AS cnt FROM nodes), "
-            "srcs AS (SELECT DISTINCT CAST((t.i * nn.cnt) // 8 AS BIGINT) "
-            "AS s FROM UNNEST(range(8)) AS t(i) CROSS JOIN nn), "
-            "b(s, node, lvl) AS (SELECT s, s, CAST(0 AS BIGINT) FROM srcs "
-            "UNION SELECT b.s, e.dst, b.lvl + 1 FROM b "
-            "JOIN e ON e.src = b.node "
-            "WHERE b.lvl < (SELECT cnt FROM nn)), "
-            "d AS (SELECT s, node, MIN(lvl) AS dist FROM b GROUP BY s, node) "
+            _MULTIBFS_CTE +
             "SELECT nodes.id AS node_id, "
             "CAST(COALESCE(SUM(CASE WHEN d.dist > 0 "
             "THEN 1000000 // d.dist END), 0) AS BIGINT) AS harmonic_ppm "

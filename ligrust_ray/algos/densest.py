@@ -15,7 +15,7 @@ m_r = undirected edges inside S_r):
    2(1+eps) = 3-approximation and n_{r+1} < n_r / (1+eps), so the loop
    ends within ~log_1.5 n rounds). Since min degree <= average
    2*m_r/n_r <= threshold, every round removes at least one node and the
-   loop always terminates with S empty.
+   loop always terminates with S empty within ~log_1.5 n rounds.
 3. removed nodes push one decrement per incident edge (sum-reduce
    edgeMap, targets = still-alive); the same wave's apply reports the
    per-shard alive census (count + remaining degree sum), so a round
@@ -41,7 +41,7 @@ NEVER_DIED = np.int64(1) << np.int64(62)
 
 class _InitDeg(VertexKernel):
     def update(self, state, mask, shard):
-        state["deg"] = shard.out_deg.astype(np.int64).copy()
+        state["deg"] = shard.out_deg.astype(np.int64)   # astype = fresh copy
         return None, {}
 
 

@@ -242,7 +242,7 @@ def q_events_kcore(sf_dir: str):
         np.flatnonzero(alive).astype(np.int64))})
 
 
-DENSEST_SQL_ROUNDS = 24   # unroll depth of the oracle = engine round cap
+DENSEST_SQL_ROUNDS = 32   # unroll depth of the oracle = engine round cap
 
 
 def q_events_densest(sf_dir: str):
@@ -252,7 +252,9 @@ def q_events_densest(sf_dir: str):
     argmax) through the engine's kernel surface. The SQL oracle unrolls
     DENSEST_SQL_ROUNDS rounds of the SAME dynamics, so the member set
     matches exactly; the engine raises rather than return if it needed
-    more (the n/1.5-per-round shrink makes 24 ample for any sf here)."""
+    more (the n/1.5-per-round shrink bounds rounds by ~log_1.5 n, so 32
+    covers n up to ~300k — far past any sf the driver runs; at larger n
+    raise both caps together)."""
     from ligrust_ray.algos.densest import densest_subgraph
 
     g = events_sym_graph(sf_dir)

@@ -748,7 +748,7 @@ def test_densest_sql_oracle_late_best_round(ray_session, tmp_path):
                 "UNNEST(?::BIGINT[]) AS user_id, "
                 "UNNEST(?::DOUBLE[]) AS value)",
                 [src.tolist(), ((dst + 0.5) / 100).tolist()])
-    want = con.execute(E._densest_sql(24)).df()["node_id"].to_numpy()
+    want = con.execute(E._densest_sql(32)).df()["node_id"].to_numpy()
 
     a, b = _sym_unique(src, dst)
     g = make_graph(str(tmp_path / "dsgsql"),
