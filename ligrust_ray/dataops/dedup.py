@@ -349,6 +349,17 @@ def _attach_clusters_broadcast(doc_ids: ray.data.Dataset, labels_ref
     return doc_ids.map_batches(attach, batch_format="pyarrow")
 
 
+@ray.remote(num_cpus=0)
+def _label_sum_block(t: pa.Table) -> int:
+    """Per-block label checksum partial (trivial compute: num_cpus=0 so
+    the tasks never queue behind real work). Raw block refs — unlike
+    map_batches UDFs — DO see the zero-column empty blocks grouped_agg
+    emits for group-less partitions, so guard for the column."""
+    if t.num_rows == 0 or "label" not in t.column_names:
+        return 0
+    return int(pa.compute.sum(t.column("label")).as_py() or 0)
+
+
 def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
                      num_partitions: int = 32) -> ray.data.Dataset:
     """(doc_id, label) for every doc in a pair; label = min doc_id of the
@@ -448,12 +459,11 @@ def _pair_components(pairs: ray.data.Dataset, max_rounds: int = 64,
     prev_sum = None
     converged = False
     for _ in range(max_rounds):
-        sums = labels.map_batches(
-            lambda t: pa.table({"s": pa.array(
-                [int(pa.compute.sum(t.column("label")).as_py() or 0)])}),
-            batch_format="pyarrow")
-        cur_sum = sum(int(x) for b in sums.iter_batches(batch_format="numpy")
-                      for x in b["s"])
+        # convergence checksum over the ALREADY-materialized label blocks:
+        # zero-copy block refs + trivial per-block sum tasks, so the check
+        # costs no extra Dataset job (streaming-executor spin-up) per round
+        cur_sum = sum(ray.get([_label_sum_block.remote(r)
+                               for r in labels.to_arrow_refs()]))
         if prev_sum is not None and cur_sum == prev_sum:
             converged = True
             break
