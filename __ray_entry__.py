@@ -676,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_preprocess": Q.q_docs_preprocess,
         "docs_source_stats": Q.q_docs_source_stats,
         "docs_top_tokens": Q.q_docs_top_tokens,
+        "docs_tfidf": Q.q_docs_tfidf,
         "docs_decontaminate": Q.q_docs_decontaminate,
         # multimodal plumbing (deterministic stub decode/resize/frame-sample)
         "media_decode": Q.q_media_decode,
@@ -988,6 +989,21 @@ def oracle_sql() -> dict[str, str]:
             "'\\S+')) AS token FROM documents) "
             "SELECT token, COUNT(*) AS n FROM t GROUP BY token "
             "ORDER BY n DESC, token LIMIT 50"),
+        # K=3 most distinctive terms per doc (integer TF-IDF shape):
+        # rank by tf DESC, df ASC, token ASC — total order per doc since
+        # tokens are unique within a doc, so ROW_NUMBER is deterministic
+        "docs_tfidf": (
+            "WITH toks AS (SELECT doc_id, "
+            "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS token "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks "
+            "GROUP BY doc_id, token), "
+            "df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token), "
+            "ranked AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+            "ROW_NUMBER() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rn "
+            "FROM tf JOIN df USING (token)) "
+            "SELECT doc_id, token, tf, df FROM ranked WHERE rn <= 3"),
         "docs_decontaminate": _decontam_sql(eval_mod=10),
         "media_resize": (
             "SELECT doc_id AS media_id, CAST(224 AS BIGINT) AS width, "

@@ -223,6 +223,10 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_docs_top_tokens(SF_DIR)
     q["docs_top_tokens"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_docs_tfidf(SF_DIR).materialize()
+    q["docs_tfidf"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

@@ -18,6 +18,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -961,6 +962,105 @@ def q_docs_top_tokens(sf_dir: str):
         .head(TOP_TOKENS_K).reset_index(drop=True)
     return pa.table({"token": pa.array(top["token"], type=pa.string()),
                      "n": pa.array(top["n"].to_numpy(dtype=np.int64))})
+
+
+TFIDF_K = 3
+TFIDF_SALT = 16
+
+
+def q_docs_tfidf(sf_dir: str):
+    """(doc_id, token, tf, df) — the K=3 most distinctive terms per doc:
+    TF-IDF-shaped but fully integer-deterministic (no float idf), ranked
+    by tf DESC (occurrences in the doc), df ASC (corpus document
+    frequency — rarer = more distinctive), token ASC. Distributed shape:
+    per-batch (doc, token, tf) explode (np.unique per doc), one
+    token-keyed grouped count for df (each (doc, token) row appears
+    exactly once, so COUNT = document frequency), a bucketed co_group
+    join of df back onto the pairs — SALTED (token#doc%S, df replicated
+    S ways) so stopword-grade hot tokens spread over S partitions instead
+    of one — then a doc-keyed grouped_apply top-K."""
+    pair_schema = pa.schema([("tk", pa.string()), ("doc_id", pa.int64()),
+                             ("token", pa.string()), ("tf", pa.int64())])
+    df_schema = pa.schema([("tk", pa.string()), ("df", pa.int64())])
+
+    def batch_pairs(t: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            w = _WORD_RE.findall(x.lower())
+            if not w:
+                continue
+            u, c = np.unique(np.array(w, dtype=object), return_counts=True)
+            ids.append(np.full(len(u), d, dtype=np.int64))
+            toks.append(u)
+            tfs.append(c)
+        if not ids:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids)),
+            "token": pa.array(np.concatenate(toks).tolist(),
+                              type=pa.string()),
+            "tf": pa.array(np.concatenate(tfs).astype(np.int64))})
+
+    pairs = _docs(sf_dir).select_columns(["doc_id", "text"]) \
+        .map_batches(batch_pairs, batch_format="pyarrow").materialize()
+    dfreq = shuffle.grouped_agg(pairs, ["token"],
+                                {"df": (None, "count")})
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        # arrow-native key build (TFIDF_SALT is a power of two)
+        salt = pc.cast(pc.bit_wise_and(t.column("doc_id"),
+                                       TFIDF_SALT - 1), pa.string())
+        tk = pc.binary_join_element_wise(
+            pc.cast(t.column("token"), pa.string()), salt, "#")
+        return pa.table({
+            "tk": tk, "doc_id": t.column("doc_id"),
+            "token": t.column("token"), "tf": t.column("tf")},
+            schema=pair_schema)
+
+    def tag_df(t: pa.Table) -> pa.Table:
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), TFIDF_SALT)
+        tok16 = pc.cast(pc.take(t.column("token"), pa.array(idx)),
+                        pa.string())
+        salt16 = pa.array(
+            np.tile(np.arange(TFIDF_SALT).astype(str), len(t)))
+        return pa.table({
+            "tk": pc.binary_join_element_wise(tok16, salt16, "#"),
+            "df": pa.array(np.repeat(t.column("df").to_numpy(),
+                                     TFIDF_SALT).astype(np.int64))},
+            schema=df_schema)
+
+    def join(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        rf = rf.drop_duplicates("tk")
+        pos = pd.Index(rf["tk"]).get_indexer(lf["tk"])
+        if len(pos) and pos.min() < 0:
+            raise RuntimeError("tfidf: token missing its df row")
+        return pd.DataFrame({
+            "doc_id": lf["doc_id"].to_numpy(dtype=np.int64),
+            "token": lf["token"].to_numpy(dtype=object),
+            "tf": lf["tf"].to_numpy(dtype=np.int64),
+            "df": rf["df"].to_numpy(dtype=np.int64)[pos]})
+
+    joined = shuffle.co_group(
+        pairs.map_batches(tag_pairs, batch_format="pyarrow"),
+        dfreq.map_batches(tag_df, batch_format="pyarrow"),
+        l_on="tk", r_on="tk", fn=join,
+        l_schema=pair_schema, r_schema=df_schema)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "tf", "df", "token"],
+                            ascending=[True, False, True, True])
+        return df.groupby("doc_id", sort=False).head(TFIDF_K)
+
+    out = shuffle.grouped_apply(joined, ["doc_id"], topk)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                            "token": t.column("token").cast(pa.string()),
+                            "tf": t.column("tf").cast(pa.int64()),
+                            "df": t.column("df").cast(pa.int64())}),
+        batch_format="pyarrow")
 
 
 def q_docs_decontaminate(sf_dir: str):

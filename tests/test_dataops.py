@@ -654,3 +654,40 @@ def test_hopping_windows_planted(ray_session):
     row = w[w["window_start_us"] == hour]
     assert row["n_events"].tolist() == [2]         # the 10:00 hour
     assert row["sum_value_cents"].tolist() == [300]
+
+
+def test_docs_tfidf_vs_duckdb(ray_session):
+    """K=3 distinctive-terms (integer TF-IDF shape) vs DuckDB on sf0.001:
+    full-row equality after canonical sort, plus the planted invariant
+    that every doc contributes at most K rows."""
+    import duckdb
+
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = (Q.q_docs_tfidf(sf).to_pandas()
+           .sort_values(["doc_id", "tf", "df", "token"],
+                        ascending=[True, False, True, True])
+           .reset_index(drop=True))
+    exp = duckdb.sql(f"""
+        WITH toks AS (SELECT doc_id,
+            UNNEST(regexp_extract_all(lower(text), '\\S+')) AS token
+            FROM '{sf}/documents.parquet'),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+            GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        ranked AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+            ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rn
+            FROM tf JOIN df USING (token))
+        SELECT doc_id, token, tf, df FROM ranked WHERE rn <= 3
+        ORDER BY doc_id, tf DESC, df ASC, token ASC""").df()
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["doc_id"].to_numpy(dtype=np.int64),
+                                  exp["doc_id"].to_numpy(dtype=np.int64))
+    assert got["token"].tolist() == exp["token"].tolist()
+    np.testing.assert_array_equal(got["tf"].to_numpy(dtype=np.int64),
+                                  exp["tf"].to_numpy(dtype=np.int64))
+    np.testing.assert_array_equal(got["df"].to_numpy(dtype=np.int64),
+                                  exp["df"].to_numpy(dtype=np.int64))
+    assert got.groupby("doc_id").size().max() <= Q.TFIDF_K
