@@ -636,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_events": Q.q_labelprop_events,
         "events_kcore": Q.q_events_kcore,
         "events_densest": Q.q_events_densest,
+        "events_forest": Q.q_events_forest,
         "events_mis": Q.q_events_mis,
         "events_sssp": Q.q_events_sssp,
         "events_bc": Q.q_events_bc,
@@ -755,6 +756,37 @@ def oracle_sql() -> dict[str, str]:
         # Charikar/Bahmani densest-subgraph peeling, 32 unrolled rounds
         # (= queries.DENSEST_SQL_ROUNDS; Ray raises if it needed more)
         "events_densest": _densest_sql(32),
+        # spanning forest: undirected component closure -> min-id roots ->
+        # multi-source BFS levels -> parent = min neighbour at level-1
+        # (algos/forest.py spec; roots keep parent = self, level = 0)
+        "events_forest": (
+            f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            f"nodes AS ({_NODES_CTE}), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "r(node, reach) AS (SELECT id, id FROM nodes "
+            "UNION SELECT s.w, r.reach FROM r JOIN sym s ON s.v = r.node), "
+            "comp AS (SELECT node, MIN(reach) AS root FROM r GROUP BY node), "
+            "roots AS (SELECT DISTINCT root FROM comp), "
+            "lvl(node, l) AS (SELECT root, CAST(0 AS BIGINT) FROM roots "
+            "UNION SELECT s.w, lvl.l + 1 FROM lvl "
+            "JOIN sym s ON s.v = lvl.node "
+            "WHERE lvl.l < (SELECT COUNT(*) FROM nodes)), "
+            "d AS (SELECT node, MIN(l) AS level FROM lvl GROUP BY node), "
+            "par AS (SELECT dv.node, MIN(s.v) AS parent FROM d dv "
+            "JOIN sym s ON s.w = dv.node "
+            "JOIN d du ON du.node = s.v AND du.level = dv.level - 1 "
+            "GROUP BY dv.node) "
+            "SELECT nodes.id AS node_id, "
+            "CAST(CASE WHEN c.root = nodes.id THEN nodes.id "
+            "ELSE p.parent END AS BIGINT) AS parent, "
+            "CAST(d.level AS BIGINT) AS level "
+            "FROM nodes JOIN comp c ON c.node = nodes.id "
+            "JOIN d ON d.node = nodes.id "
+            "LEFT JOIN par p ON p.node = nodes.id"),
         # Luby MIS, 24 unrolled rounds (= queries.MIS_SQL_ROUNDS; the Ray
         # side raises if it needed more, extra rounds are no-ops)
         "events_mis": _mis_sql(24),

@@ -195,6 +195,12 @@ def run_headline(num_cpus: int) -> dict:
     q["events_mis"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    from ligrust_ray.algos.forest import spanning_forest
+
+    spanning_forest(gsym)   # CC roots + multi-source BFS parents
+    q["events_forest"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     from ligrust_ray.algos.densest import densest_subgraph
 
     densest_subgraph(gsym)   # Charikar/Bahmani batched peeling

@@ -265,6 +265,24 @@ def q_events_densest(sf_dir: str):
     return pa.table({"node_id": pa.array(ids.astype(np.int64))})
 
 
+def q_events_forest(sf_dir: str):
+    """(node_id, parent, level) deterministic spanning forest of the
+    simple undirected events graph — connected components pick each
+    component's root (min node id), then ONE multi-source BFS wave from
+    all roots claims parent = min same-level neighbour (algos/forest.py;
+    roots keep parent = self, level = 0). Oracle: recursive component
+    closure -> roots -> multi-source BFS levels -> min parent at
+    level-1."""
+    from ligrust_ray.algos.forest import spanning_forest
+
+    g = events_sym_graph(sf_dir)
+    spanning_forest(g)
+    st = g.collect_state(["parent", "level"])
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "parent": pa.array(st["parent"].astype(np.int64)),
+                     "level": pa.array(st["level"].astype(np.int64))})
+
+
 MIS_SQL_ROUNDS = 24    # unroll depth of the DuckDB oracle = engine round cap
 
 

@@ -802,3 +802,72 @@ def test_harmonic_matches_oracle(ray_session, tmp_path):
             np.testing.assert_array_equal(
                 st["radii"], _radii_oracle(n, src, dst, ss))
             assert "harm" in m["state_names"]
+
+
+# ---- Spanning forest (round 3; CC roots + multi-source BFS parents) ------
+
+def _forest_oracle(n, a, b):
+    from collections import deque
+    adj = {v: [] for v in range(n)}
+    for s, d in zip(a.tolist(), b.tolist()):
+        adj[s].append(d)
+        adj[d].append(s)
+    comp = np.full(n, -1, dtype=np.int64)
+    for v in range(n):
+        if comp[v] < 0:
+            comp[v] = v
+            q = deque([v])
+            while q:
+                u = q.popleft()
+                for w in adj[u]:
+                    if comp[w] < 0:
+                        comp[w] = v
+                        q.append(w)
+    parent = np.full(n, -1, dtype=np.int64)
+    level = np.full(n, -1, dtype=np.int64)
+    roots = np.flatnonzero(comp == np.arange(n))
+    parent[roots] = roots
+    level[roots] = 0
+    frontier, l = set(roots.tolist()), 0
+    while frontier:
+        l += 1
+        claims = {}
+        for u in frontier:
+            for w in adj[u]:
+                if parent[w] < 0:
+                    claims[w] = min(claims.get(w, u), u)
+        for w, p in claims.items():
+            parent[w] = p
+            level[w] = l
+        frontier = set(claims)
+    return comp, parent, level
+
+
+def test_spanning_forest_matches_oracle(ray_session, tmp_path):
+    from ligrust_ray.algos.forest import spanning_forest
+
+    for i, (n, deg, seed) in enumerate([(60, 4.0, 81), (150, 1.2, 82),
+                                        (200, 0, 83)]):
+        src, dst = oracle.random_digraph(n, deg, seed, zipf=(deg == 0))
+        a, b = _sym_unique(src, dst)
+        g = make_graph(str(tmp_path / f"sf{i}"),
+                       np.concatenate([a, b]), np.concatenate([b, a]), n,
+                       nparts=4)
+        spanning_forest(g)
+        st = g.collect_state(["ids", "parent", "level"])
+        comp, parent, level = _forest_oracle(n, a, b)
+        np.testing.assert_array_equal(st["parent"], parent, err_msg=f"n={n}")
+        np.testing.assert_array_equal(st["level"], level)
+        # forest invariants: every node claimed; roots = components;
+        # non-root parent is a real neighbour one level up
+        assert np.all(st["parent"] >= 0) and np.all(st["level"] >= 0)
+        ids = np.arange(n)
+        roots = st["parent"] == ids
+        assert int(roots.sum()) == len(np.unique(comp))
+        edge_set = set(zip(a.tolist(), b.tolist())) \
+            | set(zip(b.tolist(), a.tolist()))
+        nr = ~roots
+        assert all((p, v) in edge_set
+                   for v, p in zip(ids[nr], st["parent"][nr]))
+        np.testing.assert_array_equal(st["level"][st["parent"][nr]],
+                                      st["level"][nr] - 1)
