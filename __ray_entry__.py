@@ -643,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_coloring": Q.q_events_coloring,
         "events_radii": Q.q_events_radii,
         "events_harmonic": Q.q_events_harmonic,
+        "events_scc": Q.q_events_scc,
         "pages_pagerank": Q.q_pages_pagerank,
         "pages_domain_graph": Q.q_pages_domain_graph,
         # documents: text analysis + dedup family
@@ -752,6 +753,18 @@ def oracle_sql() -> dict[str, str]:
             "JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst "
             "GROUP BY ms.dom, md.dom"),
         "labelprop_events": _labelprop_sql(20),
+        # SCC: both-ways reachability closure — scc(v) = MIN(u) such that
+        # u ->* v AND v ->* u (the self pair (v, v) is in the closure base,
+        # so every node gets a label; matches algos/scc.py's FB-Trim
+        # min-member-id output exactly)
+        "events_scc": (
+            f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+            f"nodes AS ({_NODES_CTE}), "
+            "r(node, reach) AS (SELECT id, id FROM nodes "
+            "UNION SELECT e.dst, r.reach FROM r JOIN e ON e.src = r.node) "
+            "SELECT a.node AS node_id, CAST(MIN(a.reach) AS BIGINT) AS scc "
+            "FROM r a JOIN r b ON b.node = a.reach AND b.reach = a.node "
+            "GROUP BY a.node"),
         "events_kcore": _kcore_sql(5, 40),
         # Charikar/Bahmani densest-subgraph peeling, 32 unrolled rounds
         # (= queries.DENSEST_SQL_ROUNDS; Ray raises if it needed more)

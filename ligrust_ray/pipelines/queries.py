@@ -220,6 +220,42 @@ def events_sym_graph(sf_dir: str) -> DistGraph:
     return _GRAPH_CACHE[key]
 
 
+def events_rev_graph(sf_dir: str) -> DistGraph:
+    """The events graph with every edge reversed, built over the same
+    (n, num_partitions) so partition bounds match the forward graph —
+    the backward-propagation twin for SCC / HITS (algos/scc.py's
+    transfer_state moves state between the aligned shard actors)."""
+    key = ("events_rev", sf_dir)
+    if key not in _GRAPH_CACHE:
+        tag = zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF
+        gd = os.path.join(tempfile.gettempdir(),
+                          f"ligr_events_rev_{tag:08x}_n{events_n(sf_dir)}")
+        if not os.path.exists(os.path.join(gd, "manifest.json")):
+            rev = events_edges_ds(sf_dir).map_batches(
+                lambda t: pa.table({"src": t.column("dst"),
+                                    "dst": t.column("src")}),
+                batch_format="pyarrow")
+            build_graph_from_edges(rev, gd, n=events_n(sf_dir),
+                                   num_partitions=4)
+        _GRAPH_CACHE[key] = DistGraph.load(gd)
+    return _GRAPH_CACHE[key]
+
+
+def q_events_scc(sf_dir: str):
+    """(node_id, scc) strongly connected component ids (min member id)
+    over the directed events graph — forward-backward min-label with
+    trimming across the twin forward/reversed graphs (algos/scc.py).
+    Oracle: recursive both-ways reachability closure; scc(v) =
+    MIN(u : u ->* v AND v ->* u)."""
+    from ligrust_ray.algos.scc import scc
+
+    g = events_graph(sf_dir)
+    scc(g, events_rev_graph(sf_dir))
+    st = g.collect_state(["scc"])["scc"]
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "scc": pa.array(st)})
+
+
 KCORE_K = 5
 KCORE_SQL_ROUNDS = 40      # unroll depth of the DuckDB oracle
 

@@ -184,3 +184,18 @@ def page_rank_classic_oracle(n: int, src: np.ndarray, dst: np.ndarray,
         if error < tol:
             break
     return pr, it, error
+
+
+def scc_oracle(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Exact SCC ids: scc(v) = min{u : u ->* v and v ->* u} (v included).
+    Dense boolean closure by repeated squaring — fine at test n."""
+    reach = np.eye(n, dtype=bool)
+    if len(src):
+        reach[src, dst] = True
+    for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+        new = reach | (reach @ reach)
+        if np.array_equal(new, reach):
+            break
+        reach = new
+    both = reach & reach.T        # both[u, v] = same SCC
+    return np.argmax(both, axis=0).astype(np.int64)  # first True = min id

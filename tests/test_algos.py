@@ -871,3 +871,33 @@ def test_spanning_forest_matches_oracle(ray_session, tmp_path):
                    for v, p in zip(ids[nr], st["parent"][nr]))
         np.testing.assert_array_equal(st["level"][st["parent"][nr]],
                                       st["level"][nr] - 1)
+
+
+def test_scc_matches_oracle(ray_session, tmp_path):
+    """FB-Trim SCC vs the dense-closure oracle: scc(v) = min member id,
+    over shapes that exercise trim-only graphs (chains/DAGs), single big
+    cycles, interlocking SCCs bridged by a DAG, self-loops, empty edges,
+    and random digraphs with a giant SCC + periphery."""
+    from ligrust_ray.algos.scc import scc
+
+    cases = [
+        ("chain", 10, np.arange(9), np.arange(1, 10)),
+        ("cycle", 6, np.arange(6), (np.arange(6) + 1) % 6),
+        ("two-sccs-bridge", 7,
+         np.array([0, 1, 2, 2, 4, 5, 6]), np.array([1, 2, 0, 4, 5, 6, 4])),
+        ("self-loop", 3, np.array([1]), np.array([1])),
+        ("empty", 5, np.array([], dtype=np.int64), np.array([], dtype=np.int64)),
+        ("er-64", 64, *oracle.random_digraph(64, 3.0, seed=11)),
+        ("er-200-sparse", 200, *oracle.random_digraph(200, 1.2, seed=12)),
+        ("zipf-100", 100, *oracle.random_digraph(100, 0, seed=13, zipf=True)),
+    ]
+    for name, n, src, dst in cases:
+        src = src.astype(np.int64)
+        dst = dst.astype(np.int64)
+        g = make_graph(str(tmp_path / f"f_{name}"), src, dst, n, nparts=3)
+        grev = make_graph(str(tmp_path / f"r_{name}"), dst, src, n, nparts=3)
+        m = scc(g, grev)
+        got = g.collect_state(["scc"])["scc"]
+        exp = oracle.scc_oracle(n, src, dst)
+        np.testing.assert_array_equal(got, exp, err_msg=name)
+        assert m["rounds"] >= 1
