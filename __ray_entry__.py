@@ -368,6 +368,35 @@ def _mis_sql(rounds: int = 24) -> str:
     return "".join(parts)
 
 
+def _hits_sql(rounds: int = 3) -> str:
+    """Unnormalised HITS oracle (algos/hits.py spec) over the raw directed
+    events multigraph: a0 = 1; h_t(v) = SUM over out-edges (v, w) of
+    a_{t-1}(w); a_t(v) = SUM over in-edges (u, v) of h_t(u). All BIGINT —
+    the engine keeps scores integer-exact (raises at the 2^53 float64
+    bound), so values match bit-for-bit."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES_CTE}), "
+        f"nodes AS MATERIALIZED ({_NODES_CTE}), "
+        "a0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS v FROM nodes)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", h{t} AS MATERIALIZED (SELECT n.id, "
+            f"CAST(COALESCE(s.v, 0) AS BIGINT) AS v FROM nodes n LEFT JOIN "
+            f"(SELECT e.src AS id, SUM(p.v) AS v FROM e "
+            f"JOIN a{t-1} p ON p.id = e.dst GROUP BY e.src) s "
+            f"ON s.id = n.id)"
+            f", a{t} AS MATERIALIZED (SELECT n.id, "
+            f"CAST(COALESCE(s.v, 0) AS BIGINT) AS v FROM nodes n LEFT JOIN "
+            f"(SELECT e.dst AS id, SUM(p.v) AS v FROM e "
+            f"JOIN h{t} p ON p.id = e.src GROUP BY e.dst) s "
+            f"ON s.id = n.id)")
+    parts.append(
+        f" SELECT h{rounds}.id AS node_id, h{rounds}.v AS hub, "
+        f"a{rounds}.v AS auth FROM h{rounds} "
+        f"JOIN a{rounds} ON a{rounds}.id = h{rounds}.id")
+    return "".join(parts)
+
+
 def _kcore_sql(k: int = 5, rounds: int = 40) -> str:
     """Undirected simple k-core membership: ``rounds`` unrolled
     simultaneous-removal peeling rounds (each round keeps nodes with >= k
@@ -621,8 +650,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_out_degree": Q.q_events_out_degree,
         "events_degree_histogram": Q.q_events_degree_histogram,
         "events_mutual_edges": Q.q_events_mutual_edges,
+        "events_graph_stats": Q.q_events_graph_stats,
         "events_triangles": Q.q_events_triangles,
         "events_triangles_per_node": Q.q_events_triangles_per_node,
+        "events_lcc": Q.q_events_lcc,
+        "events_common_neighbors": Q.q_events_common_neighbors,
         # windowed / sessionized aggregates (streaming-window family)
         "events_sessions": Q.q_events_sessions,
         "events_windows": Q.q_events_windows,
@@ -644,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_radii": Q.q_events_radii,
         "events_harmonic": Q.q_events_harmonic,
         "events_scc": Q.q_events_scc,
+        "events_hits": Q.q_events_hits,
         "pages_pagerank": Q.q_pages_pagerank,
         "pages_domain_graph": Q.q_pages_domain_graph,
         # documents: text analysis + dedup family
@@ -766,6 +799,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM r a JOIN r b ON b.node = a.reach AND b.reach = a.node "
             "GROUP BY a.node"),
         "events_kcore": _kcore_sql(5, 40),
+        # HITS, 3 unrolled unnormalised rounds, integer-exact BIGINT sums
+        "events_hits": _hits_sql(3),
         # Charikar/Bahmani densest-subgraph peeling, 32 unrolled rounds
         # (= queries.DENSEST_SQL_ROUNDS; Ray raises if it needed more)
         "events_densest": _densest_sql(32),
@@ -934,6 +969,57 @@ def oracle_sql() -> dict[str, str]:
             "JOIN l ON l.doc_id = d.doc_id "
             "WHERE q.quality_1e6 >= 500000 AND l.pred_lang = 'en' "
             "GROUP BY d.text"),
+        "events_graph_stats": (
+            f"WITH e AS MATERIALIZED ({_EDGES_CTE}), "
+            "o AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src) "
+            "SELECT (SELECT COUNT(*) FROM e) AS n_edges, "
+            "(SELECT COUNT(*) FROM (SELECT DISTINCT * FROM e)) "
+            "AS n_distinct_edges, "
+            "(SELECT COUNT(*) FROM e WHERE src = dst) AS n_self_loops, "
+            "(SELECT COUNT(*) FROM o) AS n_src_nodes, "
+            "(SELECT CAST(COALESCE(MAX(c), 0) AS BIGINT) FROM o) "
+            "AS max_out_degree"),
+        # local clustering coefficient: integer-division micro-units over
+        # the simple undirected graph (nodes with degree >= 1)
+        "events_lcc": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT v AS node_id, COUNT(*) AS degree FROM sym "
+            "GROUP BY v), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1 "
+            "JOIN u e2 ON e1.b = e2.a "
+            "JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "members AS (SELECT x AS node_id FROM tri "
+            "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+            "tc AS (SELECT node_id, COUNT(*) AS t FROM members "
+            "GROUP BY node_id) "
+            "SELECT d.node_id, CAST(d.degree AS BIGINT) AS degree, "
+            "CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles, "
+            "CAST(CASE WHEN d.degree >= 2 THEN "
+            "(2 * COALESCE(tc.t, 0) * 1000000) "
+            "// (d.degree * (d.degree - 1)) ELSE 0 END AS BIGINT) "
+            "AS lcc_ppm "
+            "FROM deg d LEFT JOIN tc ON tc.node_id = d.node_id"),
+        # common-neighbour link prediction: wedges through centers of
+        # degree <= 500 (the hub filter queries.CN_DEGREE_CAP), pairs with
+        # >= 2 such common neighbours
+        "events_common_neighbors": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v), "
+            "low AS MATERIALIZED (SELECT s.v, s.w FROM sym s "
+            "JOIN deg dv ON dv.v = s.v WHERE dv.d <= 500) "
+            "SELECT l1.w AS a, l2.w AS b, COUNT(*) AS n_common "
+            "FROM low l1 JOIN low l2 ON l1.v = l2.v AND l1.w < l2.w "
+            "GROUP BY l1.w, l2.w HAVING COUNT(*) >= 2"),
         "events_triangles_per_node": (
             f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
             "WHERE src <> dst), "

@@ -213,6 +213,28 @@ def run_headline(num_cpus: int) -> dict:
     q["events_coloring"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    from ligrust_ray.algos.scc import scc
+
+    # FB-Trim SCC over the directed events graph + its reversed twin
+    # (includes the one-time reversed-graph build on a cold /tmp)
+    scc(Q.events_graph(SF_DIR), Q.events_rev_graph(SF_DIR))
+    q["events_scc"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ligrust_ray.algos.hits import hits
+
+    hits(Q.events_graph(SF_DIR), Q.events_rev_graph(SF_DIR))
+    q["events_hits"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_events_lcc(SF_DIR).materialize()
+    q["events_lcc"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_events_common_neighbors(SF_DIR).materialize()
+    q["events_common_neighbors"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     dedup.line_dedup(docs).materialize()
     q["docs_line_dedup"] = time.perf_counter() - t0
 

@@ -158,6 +158,168 @@ def q_events_triangles_per_node(sf_dir: str):
     return pern
 
 
+def _und_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Distinct undirected non-loop pairs (lo < hi) of the events graph."""
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        keep = s != d
+        return pa.table({"lo": pa.array(np.minimum(s[keep], d[keep])),
+                         "hi": pa.array(np.maximum(s[keep], d[keep]))})
+
+    return shuffle.distinct(
+        events_edges_ds(sf_dir).map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"])
+
+
+def _sym_simple(sf_dir: str) -> ray.data.Dataset:
+    """Both directions of the simple undirected events graph: (v, w)."""
+    def both(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy()
+        hi = t.column("hi").to_numpy()
+        return pa.table({"v": pa.array(np.concatenate([lo, hi])),
+                         "w": pa.array(np.concatenate([hi, lo]))})
+
+    return _und_pairs(sf_dir).map_batches(both, batch_format="pyarrow")
+
+
+def _simple_degree(sf_dir: str) -> ray.data.Dataset:
+    """(node_id, degree) over the simple undirected events graph."""
+    deg = shuffle.grouped_agg(_sym_simple(sf_dir), ["v"],
+                              {"degree": (None, "count")})
+    return deg.map_batches(
+        lambda t: pa.table({"node_id": t.column("v"),
+                            "degree": t.column("degree")}),
+        batch_format="pyarrow")
+
+
+def q_events_graph_stats(sf_dir: str):
+    """One-row summary of the raw directed events multigraph: edge count,
+    distinct-edge count, self-loops, distinct sources, max out-degree.
+    Everything is a per-block partial folded on the driver (O(#blocks)
+    tiny rows — no full materialisation)."""
+    e = events_edges_ds(sf_dir)
+
+    def raw_part(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table({"n_edges": pa.array([len(s)], type=pa.int64()),
+                         "n_self_loops": pa.array([int((s == d).sum())],
+                                                  type=pa.int64())})
+
+    raw = e.map_batches(raw_part, batch_format="pyarrow").to_pandas()
+    dist = shuffle.distinct(e, ["src", "dst"]).map_batches(
+        lambda t: pa.table({"c": pa.array([t.num_rows], type=pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+
+    def od_part(t: pa.Table) -> pa.Table:
+        od = t.column("out_degree").to_numpy()
+        return pa.table({
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "mx": pa.array([int(od.max()) if len(od) else 0],
+                           type=pa.int64())})
+
+    od = q_events_out_degree(sf_dir).map_batches(
+        od_part, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "n_edges": pa.array([int(raw["n_edges"].sum())], type=pa.int64()),
+        "n_distinct_edges": pa.array([int(dist["c"].sum())],
+                                     type=pa.int64()),
+        "n_self_loops": pa.array([int(raw["n_self_loops"].sum())],
+                                 type=pa.int64()),
+        "n_src_nodes": pa.array([int(od["n"].sum())], type=pa.int64()),
+        "max_out_degree": pa.array([int(od["mx"].max()) if len(od) else 0],
+                                   type=pa.int64())})
+
+
+def q_events_lcc(sf_dir: str):
+    """(node_id, degree, triangles, lcc_ppm) local clustering coefficient
+    over nodes of the simple undirected events graph (degree >= 1):
+    lcc_ppm = (2 * T * 1e6) // (deg * (deg - 1)), 0 when deg < 2 — integer
+    division on both sides, so the hash compare is exact. Degrees and
+    per-node triangle counts are both Datasets joined by one co_group;
+    nothing n-length touches the driver."""
+    deg = _simple_degree(sf_dir)
+    _, tri = triangle_count(events_edges_ds(sf_dir), n=events_n(sf_dir),
+                            per_node=True)
+
+    def lcc_fn(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        j = lf.merge(rf, on="node_id", how="left")
+        t = j["triangles"].fillna(0).astype(np.int64).to_numpy()
+        d = j["degree"].to_numpy().astype(np.int64)
+        denom = d * (d - 1)
+        lcc = np.where(denom > 0,
+                       (2 * t * 1_000_000) // np.where(denom > 0, denom, 1),
+                       0).astype(np.int64)
+        return pd.DataFrame({
+            "node_id": j["node_id"].to_numpy().astype(np.int64),
+            "degree": d, "triangles": t, "lcc_ppm": lcc})
+
+    i64 = pa.int64()
+    return shuffle.co_group(
+        deg, tri, "node_id", "node_id", lcc_fn,
+        l_schema=pa.schema([("node_id", i64), ("degree", i64)]),
+        r_schema=pa.schema([("node_id", i64), ("triangles", i64)]))
+
+
+CN_DEGREE_CAP = 500    # hub filter: only centers (= the common neighbour
+                       # itself) below this degree generate wedges
+CN_MIN_COMMON = 2
+
+
+def q_events_common_neighbors(sf_dir: str):
+    """(a, b, n_common) link-prediction candidates over the simple
+    undirected events graph: unordered pairs sharing >= CN_MIN_COMMON
+    common neighbours of degree <= CN_DEGREE_CAP. The degree cap bounds
+    wedge volume at sum over low-degree centers of deg^2 (the standard
+    hub filter — a hub as common neighbour carries ~no signal, the same
+    rationale as Adamic-Adar's 1/log weighting) and is replicated in the
+    SQL oracle."""
+    sym = _sym_simple(sf_dir)
+    low_deg = _simple_degree(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.less_equal(t.column("degree"), CN_DEGREE_CAP)),
+        batch_format="pyarrow")
+    # keep only wedges whose CENTER v is low-degree
+    low = shuffle.hash_join(
+        sym.map_batches(lambda t: pa.table({"node_id": t.column("v"),
+                                            "w": t.column("w")}),
+                        batch_format="pyarrow"),
+        low_deg, on="node_id", l_cols=["w"], r_cols=["degree"])
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["node_id", "w"])
+        v = df["node_id"].to_numpy()
+        w = df["w"].to_numpy().astype(np.int64)
+        seg = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
+        sizes = np.diff(np.append(seg, len(v)))
+        outs_a: list[np.ndarray] = []
+        outs_b: list[np.ndarray] = []
+        for s, k in zip(seg, sizes):
+            if k < 2:
+                continue
+            nb = w[s:s + k]          # unique + sorted within a group
+            i, j = np.triu_indices(int(k), 1)
+            outs_a.append(nb[i])
+            outs_b.append(nb[j])
+        if not outs_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(outs_a),
+                             "b": np.concatenate(outs_b)})
+
+    wedges = shuffle.grouped_apply(low, ["node_id"], pairs_fn)
+    counts = shuffle.grouped_agg(wedges, ["a", "b"],
+                                 {"n_common": (None, "count")})
+    return counts.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("n_common"), CN_MIN_COMMON)),
+        batch_format="pyarrow")
+
+
 def q_docs_clean(sf_dir: str):
     """Composite corpus-cleaning pipeline (the realistic end-to-end
     training-data prep): predicted-English docs above a quality floor,
@@ -254,6 +416,24 @@ def q_events_scc(sf_dir: str):
     st = g.collect_state(["scc"])["scc"]
     return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
                      "scc": pa.array(st)})
+
+
+HITS_ROUNDS = 3
+
+
+def q_events_hits(sf_dir: str):
+    """(node_id, hub, auth) after HITS_ROUNDS unnormalised HITS rounds
+    over the directed events multigraph (algos/hits.py) — h/a stay exact
+    non-negative integers, so the contract hash compare is exact. The SQL
+    oracle unrolls the same rounds with BIGINT sums."""
+    from ligrust_ray.algos.hits import hits
+
+    g = events_graph(sf_dir)
+    hits(g, events_rev_graph(sf_dir), rounds=HITS_ROUNDS)
+    st = g.collect_state(["h", "a"])
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "hub": pa.array(st["h"].astype(np.int64)),
+                     "auth": pa.array(st["a"].astype(np.int64))})
 
 
 KCORE_K = 5

@@ -199,3 +199,18 @@ def scc_oracle(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
         reach = new
     both = reach & reach.T        # both[u, v] = same SCC
     return np.argmax(both, axis=0).astype(np.int64)  # first True = min id
+
+
+def hits_oracle(n: int, src: np.ndarray, dst: np.ndarray, rounds: int = 3
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Mirror of ligrust_ray.algos.hits.hits: unnormalised integer HITS."""
+    a = np.ones(n, dtype=np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for _ in range(rounds):
+        h = np.zeros(n, dtype=np.int64)
+        if len(src):
+            np.add.at(h, src, a[dst])
+        a = np.zeros(n, dtype=np.int64)
+        if len(src):
+            np.add.at(a, dst, h[src])
+    return h, a

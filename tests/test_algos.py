@@ -901,3 +901,25 @@ def test_scc_matches_oracle(ray_session, tmp_path):
         exp = oracle.scc_oracle(n, src, dst)
         np.testing.assert_array_equal(got, exp, err_msg=name)
         assert m["rounds"] >= 1
+
+
+def test_hits_matches_oracle(ray_session, tmp_path):
+    from ligrust_ray.algos.hits import hits
+
+    for name, n, (src, dst) in [
+            ("er-64", 64, oracle.random_digraph(64, 3.0, seed=21)),
+            ("zipf-120", 120, oracle.random_digraph(120, 0, seed=22,
+                                                    zipf=True)),
+            ("empty", 5, (np.array([], dtype=np.int64),
+                          np.array([], dtype=np.int64)))]:
+        src = src.astype(np.int64)
+        dst = dst.astype(np.int64)
+        g = make_graph(str(tmp_path / f"hf_{name}"), src, dst, n, nparts=3)
+        grev = make_graph(str(tmp_path / f"hr_{name}"), dst, src, n, nparts=3)
+        hits(g, grev, rounds=3)
+        st = g.collect_state(["h", "a"])
+        eh, ea = oracle.hits_oracle(n, src, dst, rounds=3)
+        np.testing.assert_array_equal(st["h"].astype(np.int64), eh,
+                                      err_msg=name)
+        np.testing.assert_array_equal(st["a"].astype(np.int64), ea,
+                                      err_msg=name)

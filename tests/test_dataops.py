@@ -691,3 +691,33 @@ def test_docs_tfidf_vs_duckdb(ray_session):
     np.testing.assert_array_equal(got["df"].to_numpy(dtype=np.int64),
                                   exp["df"].to_numpy(dtype=np.int64))
     assert got.groupby("doc_id").size().max() <= Q.TFIDF_K
+
+
+def test_graph_dataset_ops_vs_duckdb(ray_session):
+    """events_graph_stats / events_lcc / events_common_neighbors vs their
+    contract SQL on sf0.001 — in-repo mirror of the driver compare."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    sqls = E.oracle_sql()
+    for name, fn in [("events_graph_stats", Q.q_events_graph_stats),
+                     ("events_lcc", Q.q_events_lcc),
+                     ("events_common_neighbors",
+                      Q.q_events_common_neighbors)]:
+        got = fn(sf)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        exp = con.execute(sqls[name]).df()
+        cols = sorted(exp.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        exp = exp[cols].sort_values(cols).reset_index(drop=True)
+        assert len(got) == len(exp), name
+        for c in cols:
+            np.testing.assert_array_equal(
+                got[c].to_numpy(dtype=np.int64),
+                exp[c].to_numpy(dtype=np.int64), err_msg=f"{name}.{c}")
