@@ -368,6 +368,57 @@ def _mis_sql(rounds: int = 24) -> str:
     return "".join(parts)
 
 
+def _ppr_sql(rounds: int = 4, source: int = 0) -> str:
+    """Personalized PageRank oracle (algos/ppr.py spec): ``rounds``
+    unrolled gathers p_{t+1} = 0.15 * e_s + 0.85 * SUM(p_t(u)/outdeg(u))
+    over the raw directed events multigraph, ppm-rendered with the shared
+    floor(x*1e6+0.5) convention."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES_CTE}), "
+        f"nodes AS MATERIALIZED ({_NODES_CTE}), "
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e "
+        "GROUP BY src), "
+        f"p0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} "
+        "THEN 1.0 ELSE 0.0 END AS v FROM nodes)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", p{t} AS MATERIALIZED (SELECT n.id, "
+            f"0.15 * (CASE WHEN n.id = {source} THEN 1.0 ELSE 0.0 END) "
+            "+ 0.85 * COALESCE(s.v, 0.0) AS v FROM nodes n LEFT JOIN "
+            f"(SELECT e.dst AS id, SUM(p.v / deg.d) AS v FROM e "
+            f"JOIN p{t-1} p ON p.id = e.src "
+            "JOIN deg ON deg.src = e.src GROUP BY e.dst) s "
+            "ON s.id = n.id)")
+    parts.append(
+        f" SELECT id AS node_id, CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) "
+        f"AS ppr_ppm FROM p{rounds}")
+    return "".join(parts)
+
+
+def _simhash_dupes_sql(max_hamming: int = 3) -> str:
+    """Manku simhash near-dup pairs oracle (dedup.simhash_dup_pairs
+    spec): nonzero signatures from the simhash CTE, 4x16-bit band join
+    (lossless for hamming <= 15 by pigeonhole — same banding as the
+    engine), verify bit_count(xor) <= max_hamming."""
+    band_exprs = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"CAST((u // {1 << (16 * b)}) % 65536 AS BIGINT) AS key FROM ne"
+        for b in range(4))
+    return (
+        f"WITH sh AS MATERIALIZED ({_simhash_sql()}), "
+        "ne AS MATERIALIZED (SELECT doc_id, simhash, "
+        "CAST(simhash AS HUGEINT) + (CASE WHEN simhash < 0 "
+        "THEN 18446744073709551616 ELSE 0 END) AS u "
+        "FROM sh WHERE simhash <> 0), "
+        f"b AS MATERIALIZED ({band_exprs}), "
+        "cand AS MATERIALIZED (SELECT DISTINCT b1.doc_id AS a, "
+        "b2.doc_id AS b, b1.simhash AS sa, b2.simhash AS sb "
+        "FROM b b1 JOIN b b2 ON b1.band = b2.band AND b1.key = b2.key "
+        "AND b1.doc_id < b2.doc_id) "
+        "SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}")
+
+
 def _hits_sql(rounds: int = 3) -> str:
     """Unnormalised HITS oracle (algos/hits.py spec) over the raw directed
     events multigraph: a0 = 1; h_t(v) = SUM over out-edges (v, w) of
@@ -677,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_harmonic": Q.q_events_harmonic,
         "events_scc": Q.q_events_scc,
         "events_hits": Q.q_events_hits,
+        "events_ppr": Q.q_events_ppr,
         "pages_pagerank": Q.q_pages_pagerank,
         "pages_domain_graph": Q.q_pages_domain_graph,
         # documents: text analysis + dedup family
@@ -691,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean": Q.q_docs_clean,
         "docs_minhash_dedup": Q.q_docs_minhash_dedup,
         "docs_simhash": Q.q_docs_simhash,
+        "docs_simhash_dupes": Q.q_docs_simhash_dupes,
         "docs_ngram_dupes": Q.q_docs_ngram_dupes,
         # embeddings: similarity search + near-dup
         "emb_knn": Q.q_emb_knn,
@@ -1033,6 +1086,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node_id, COUNT(*) AS triangles FROM members "
             "GROUP BY node_id"),
         "docs_simhash": _simhash_sql(),
+        "docs_simhash_dupes": _simhash_dupes_sql(3),
+        # personalized PageRank from seed 0, 4 unrolled gathers
+        "events_ppr": _ppr_sql(4, 0),
         "docs_minhash_dedup": _minhash_sql(),
         "docs_ngram_dupes": _minhash_sql(bands=32, threshold=0.5,
                                          pairs_only=True),

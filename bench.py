@@ -235,6 +235,16 @@ def run_headline(num_cpus: int) -> dict:
     q["events_common_neighbors"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    from ligrust_ray.algos.ppr import personalized_page_rank
+
+    personalized_page_rank(Q.events_graph(SF_DIR), source=0, rounds=4)
+    q["events_ppr"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.simhash_dup_pairs(docs).materialize()
+    q["docs_simhash_dupes"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     dedup.line_dedup(docs).materialize()
     q["docs_line_dedup"] = time.perf_counter() - t0
 

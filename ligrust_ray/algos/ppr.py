@@ -1,0 +1,69 @@
+"""Personalized PageRank — fixed-round power iteration from one seed.
+
+The random-walk-with-restart scoring used for seed-based page discovery:
+p_0 = e_s;  p_{t+1}(v) = 0.15 * e_s(v) + 0.85 * sum over in-edges (u, v)
+of p_t(u) / outdeg(u) (multi-edges contribute multiplicity, dangling mass
+vanishes — both exactly as the reference-semantics PageRank gather,
+algos/pagerank.py / reference algos.rs:225-231). Fixed ``rounds`` rather
+than convergence so the SQL oracle can unroll the identical computation;
+the contract renders floor(p * 1e6 + 0.5), the rounding convention shared
+with pagerank_events / events_bc, so only a last-ulp sum-order
+coincidence at a .5 ppm boundary could ever differ.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ligrust_ray.stages.kernels import EdgeKernel
+
+STATE = ["p"]
+DAMPING = 0.85
+ALPHA = 1.0 - DAMPING
+
+
+class PPREdge(EdgeKernel):
+    reduce = "sum"
+    value_dtype = np.float64
+    has_output_frontier = False
+
+    def __init__(self, source: int):
+        self.source = source
+
+    def source_values(self, state, out_deg):
+        return np.where(out_deg > 0,
+                        state["p"] / np.maximum(out_deg, 1), 0.0)
+
+    def source_values_at(self, state, out_deg, idx):
+        od = out_deg[idx]
+        return np.where(od > 0, state["p"][idx] / np.maximum(od, 1), 0.0)
+
+    def apply(self, state, agg, touched, shard):
+        nbr = np.where(touched, agg, 0.0)
+        e_s = np.zeros(shard.nloc, dtype=np.float64)
+        if shard.lo <= self.source < shard.hi:
+            e_s[self.source - shard.lo] = 1.0
+        state["p"] = ALPHA * e_s + DAMPING * nbr
+        return None, {}
+
+
+def personalized_page_rank(g, source: int = 0, rounds: int = 4) -> dict:
+    """Run ``rounds`` synchronous PPR gathers; scores land in state 'p'."""
+    t0 = time.perf_counter()
+    src = int(source)
+
+    def seed(lo: int, hi: int) -> np.ndarray:
+        p = np.zeros(hi - lo, dtype=np.float64)
+        if lo <= src < hi:
+            p[src - lo] = 1.0
+        return p
+
+    g.init_algo({"p": seed})
+    kernel = PPREdge(src)
+    for _ in range(rounds):
+        g.set_frontier("all")
+        g.edge_map(kernel)
+    return {"rounds": rounds, "wall_s": time.perf_counter() - t0,
+            "state_names": STATE}

@@ -824,6 +824,100 @@ def simhash_dataset(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(f, batch_format="pyarrow", batch_size=512)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of an int64/uint64 array (numpy<2 has no
+    bitwise_count; unpackbits over the byte view is exact regardless of
+    byte order — we only ever SUM the bits)."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unpackbits(np.ascontiguousarray(x).view(np.uint8)) \
+        .reshape(-1, 64).sum(axis=1).astype(np.int64)
+
+
+SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BANDS = 4     # 64 bits / 4 bands of 16: any pair at hamming <= 3
+                       # agrees exactly on >= 1 band (pigeonhole), so the
+                       # banding loses NO qualifying pair
+
+
+def simhash_dup_pairs(docs: ray.data.Dataset,
+                      max_hamming: int = SIMHASH_MAX_HAMMING
+                      ) -> ray.data.Dataset:
+    """Manku-style simhash near-dup pairs (the classic web-crawl dedup:
+    Manku, Jain & Das Sarma, WWW'07): all unordered pairs (a < b) of
+    docs with nonzero simhash whose signatures differ in <= max_hamming
+    of 64 bits.
+
+    Shape: per-doc signatures stream out of ``simhash_dataset``; each doc
+    emits 4 (band, 16-bit key) rows; candidates co-locate via ONE
+    grouped_apply shuffle keyed by (band, key) — bucket sizes are bounded
+    by near-dup family sizes plus 16-bit random collisions, so no hub
+    risk; hamming verification is a vectorised XOR+popcount per bucket;
+    a final grouped min dedups pairs that matched in several bands.
+    Docs with simhash == 0 (no tokens) are excluded on BOTH engine and
+    oracle sides — at corpus scale the empty class would otherwise emit
+    O(empties^2) degenerate pairs."""
+    if max_hamming >= 16:
+        raise ValueError("4x16 banding only guarantees recall for "
+                         "max_hamming <= 15 (and is sized for <= 3)")
+    sig = simhash_dataset(docs)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        s = t.column("simhash").to_numpy().astype(np.int64)
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        keep = s != 0
+        s, d = s[keep], d[keep]
+        u = s.view(np.uint64)
+        bands = []
+        for b in range(_SIMHASH_BANDS):
+            key = ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)) \
+                .astype(np.int64)
+            bands.append(pa.table({
+                "band": pa.array(np.full(len(d), b, dtype=np.int64)),
+                "key": pa.array(key),
+                "doc_id": pa.array(d),
+                "simhash": pa.array(s)}))
+        return pa.concat_tables(bands) if bands else pa.table(
+            {"band": pa.array([], type=pa.int64()),
+             "key": pa.array([], type=pa.int64()),
+             "doc_id": pa.array([], type=pa.int64()),
+             "simhash": pa.array([], type=pa.int64())})
+
+    rows = sig.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
+        if not len(df):
+            return empty
+        df = df.sort_values(["band", "key", "doc_id"])
+        bk = (df["band"].to_numpy() << np.int64(16)) | df["key"].to_numpy()
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        sims = df["simhash"].to_numpy().astype(np.int64)
+        seg = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
+        sizes = np.diff(np.append(seg, len(bk)))
+        outs = []
+        for s0, k in zip(seg, sizes):
+            if k < 2:
+                continue
+            i, j = np.triu_indices(int(k), 1)
+            a = ids[s0:s0 + k]
+            v = sims[s0:s0 + k]
+            h = _popcount64(v[i] ^ v[j])
+            ok = h <= max_hamming
+            if ok.any():
+                outs.append(pd.DataFrame({"a": a[i[ok]], "b": a[j[ok]],
+                                          "hamming": h[ok]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    cand = shuffle.grouped_apply(rows, ["band", "key"], pairs_fn)
+    # a pair verified in several bands has the SAME hamming everywhere;
+    # grouped min is just the dedup
+    return shuffle.grouped_agg(cand, ["a", "b"],
+                               {"hamming": ("hamming", "min")})
+
+
 def ngram_jaccard_pairs(docs: ray.data.Dataset, shingle_k: int = 3,
                         threshold: float = 0.5, num_perm: int = 64,
                         bands: int = 32, seed: int = 42) -> ray.data.Dataset:

@@ -418,6 +418,25 @@ def q_events_scc(sf_dir: str):
                      "scc": pa.array(st)})
 
 
+PPR_ROUNDS = 4
+PPR_SOURCE = 0
+
+
+def q_events_ppr(sf_dir: str):
+    """(node_id, ppr_ppm) personalized PageRank from seed node 0 after
+    PPR_ROUNDS synchronous gathers over the directed events multigraph
+    (algos/ppr.py) — the SQL oracle unrolls the identical rounds; ppm
+    rendering shares the pagerank_events convention."""
+    from ligrust_ray.algos.ppr import personalized_page_rank
+
+    g = events_graph(sf_dir)
+    personalized_page_rank(g, source=PPR_SOURCE, rounds=PPR_ROUNDS)
+    st = g.collect_state(["p"])["p"]
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "ppr_ppm": pa.array(
+                         np.floor(st * 1e6 + 0.5).astype(np.int64))})
+
+
 HITS_ROUNDS = 3
 
 
@@ -888,6 +907,13 @@ def q_docs_minhash_dedup(sf_dir: str):
 
 def q_docs_simhash(sf_dir: str):
     return dedup.simhash_dataset(_docs(sf_dir))
+
+
+def q_docs_simhash_dupes(sf_dir: str):
+    """(a, b, hamming) Manku-style simhash near-dup pairs: hamming <= 3
+    over the 64-bit signatures (4x16-bit band LSH, exact recall by
+    pigeonhole; docs with simhash == 0 excluded on both sides)."""
+    return dedup.simhash_dup_pairs(_docs(sf_dir))
 
 
 def q_docs_ngram_dupes(sf_dir: str):

@@ -214,3 +214,18 @@ def hits_oracle(n: int, src: np.ndarray, dst: np.ndarray, rounds: int = 3
         if len(src):
             np.add.at(a, dst, h[src])
     return h, a
+
+
+def ppr_oracle(n: int, src: np.ndarray, dst: np.ndarray, source: int = 0,
+               rounds: int = 4) -> np.ndarray:
+    """Mirror of ligrust_ray.algos.ppr.personalized_page_rank."""
+    outdeg = out_degrees(n, src)
+    p = np.zeros(n)
+    p[source] = 1.0
+    e_s = (np.arange(n) == source).astype(np.float64)
+    for _ in range(rounds):
+        contrib = np.zeros(n)
+        if len(src):
+            np.add.at(contrib, dst, p[src] / np.maximum(outdeg[src], 1))
+        p = 0.15 * e_s + 0.85 * contrib
+    return p

@@ -923,3 +923,14 @@ def test_hits_matches_oracle(ray_session, tmp_path):
                                       err_msg=name)
         np.testing.assert_array_equal(st["a"].astype(np.int64), ea,
                                       err_msg=name)
+
+
+def test_ppr_matches_oracle(graphs, name="er-64"):
+    from ligrust_ray.algos.ppr import personalized_page_rank
+
+    for nm in ("fixture", "path", "empty-edges", "er-64", "zipf-200"):
+        g, n, src, dst = graphs[nm]
+        personalized_page_rank(g, source=0, rounds=4)
+        got = g.collect_state(["p"])["p"]
+        exp = oracle.ppr_oracle(n, src, dst, source=0, rounds=4)
+        np.testing.assert_allclose(got, exp, atol=1e-12, err_msg=nm)

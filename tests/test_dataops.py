@@ -721,3 +721,40 @@ def test_graph_dataset_ops_vs_duckdb(ray_session):
             np.testing.assert_array_equal(
                 got[c].to_numpy(dtype=np.int64),
                 exp[c].to_numpy(dtype=np.int64), err_msg=f"{name}.{c}")
+
+
+def test_simhash_dup_pairs_matches_bruteforce(ray_session):
+    """Banding recall is lossless for hamming <= 3 (pigeonhole): the
+    grouped pair op must equal brute-force popcount over all nonzero-sig
+    pairs — planted exact dups (hamming 0), one-token swaps (small
+    hamming), empties excluded."""
+    import ray.data
+
+    from ligrust_ray.dataops import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet hills before dawn")
+    texts = [base, base,                                   # exact dup
+             base.replace("quick", "swift"),               # near dup
+             base.replace("dog", "cat").replace("far", "near"),
+             "completely different content about graph engines and ray",
+             "", "   ",                                    # empty -> sig 0
+             "unrelated short doc"]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)}))
+    got = (dedup.simhash_dup_pairs(docs).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    sig = dedup.simhash_dataset(docs).to_pandas()
+    sig = sig[sig["simhash"] != 0].sort_values("doc_id")
+    ids = sig["doc_id"].to_numpy()
+    v = sig["simhash"].to_numpy().astype(np.int64)
+    i, j = np.triu_indices(len(ids), 1)
+    h = dedup._popcount64(v[i] ^ v[j])
+    ok = h <= dedup.SIMHASH_MAX_HAMMING
+    exp = (pd.DataFrame({"a": ids[i[ok]], "b": ids[j[ok]],
+                         "hamming": h[ok]})
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(exp) >= 1                  # the exact dup at minimum
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), exp.astype(np.int64))
