@@ -419,6 +419,22 @@ def _simhash_dupes_sql(max_hamming: int = 3) -> str:
         f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}")
 
 
+def _simhash_clusters_sql(max_hamming: int = 3) -> str:
+    """Simhash near-dup clusters oracle (dedup.simhash_clusters spec):
+    the pair graph from the dupes oracle, connected components (min
+    doc_id) via recursive CTE, unpaired docs self-clustered."""
+    return (
+        f"WITH RECURSIVE pr AS MATERIALIZED ({_simhash_dupes_sql(max_hamming)}), "
+        "und AS MATERIALIZED (SELECT a AS s, b AS d FROM pr "
+        "UNION SELECT b, a FROM pr), "
+        "r(node, reach) AS (SELECT s, s FROM und "
+        "UNION SELECT und.d, r.reach FROM r JOIN und ON und.s = r.node), "
+        "comp AS MATERIALIZED (SELECT node, MIN(reach) AS label FROM r "
+        "GROUP BY node) "
+        "SELECT d.doc_id, CAST(COALESCE(c.label, d.doc_id) AS BIGINT) "
+        "AS cluster FROM documents d LEFT JOIN comp c ON c.node = d.doc_id")
+
+
 def _hits_sql(rounds: int = 3) -> str:
     """Unnormalised HITS oracle (algos/hits.py spec) over the raw directed
     events multigraph: a0 = 1; h_t(v) = SUM over out-edges (v, w) of
@@ -744,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_dedup": Q.q_docs_minhash_dedup,
         "docs_simhash": Q.q_docs_simhash,
         "docs_simhash_dupes": Q.q_docs_simhash_dupes,
+        "docs_simhash_clusters": Q.q_docs_simhash_clusters,
         "docs_ngram_dupes": Q.q_docs_ngram_dupes,
         # embeddings: similarity search + near-dup
         "emb_knn": Q.q_emb_knn,
@@ -1087,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY node_id"),
         "docs_simhash": _simhash_sql(),
         "docs_simhash_dupes": _simhash_dupes_sql(3),
+        "docs_simhash_clusters": _simhash_clusters_sql(3),
         # personalized PageRank from seed 0, 4 unrolled gathers
         "events_ppr": _ppr_sql(4, 0),
         "docs_minhash_dedup": _minhash_sql(),

@@ -245,6 +245,10 @@ def run_headline(num_cpus: int) -> dict:
     q["docs_simhash_dupes"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    dedup.simhash_clusters(docs).materialize()
+    q["docs_simhash_clusters"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     dedup.line_dedup(docs).materialize()
     q["docs_line_dedup"] = time.perf_counter() - t0
 

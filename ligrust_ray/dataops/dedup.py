@@ -328,6 +328,37 @@ def _block_refs(ds: ray.data.Dataset) -> list:
     return [r for bu in ds.iter_internal_ref_bundles() for r in bu.block_refs]
 
 
+@ray.remote(num_cpus=1)
+def _cluster_pairs_small(pair_blocks: list) -> pa.Table:
+    """Small-side fast path over an ALREADY-VERIFIED pair graph: union-find
+    in one Ray task (not on the driver) when the pair set fits one worker,
+    returning the sorted (doc_id, label) table `_attach_clusters_broadcast`
+    expects. Replaces the per-round shuffle fixed cost of
+    `_pair_components` at typical dup rates; that remains the scale path."""
+    blocks = [pa.Table.from_pandas(b, preserve_index=False)
+              if isinstance(b, pd.DataFrame) else b
+              for b in ray.get(list(pair_blocks))]
+    blocks = [t for t in blocks if t.num_rows and "a" in t.schema.names]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for t in blocks:
+        for a, b in zip(t.column("a").to_pylist(),
+                        t.column("b").to_pylist()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    ids = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "label": pa.array([find(i) for i in ids], type=pa.int64())})
+
+
 def _attach_clusters_broadcast(doc_ids: ray.data.Dataset, labels_ref
                                ) -> ray.data.Dataset:
     """cluster = label (or self) via a broadcast of the bounded label
@@ -916,6 +947,26 @@ def simhash_dup_pairs(docs: ray.data.Dataset,
     # grouped min is just the dedup
     return shuffle.grouped_agg(cand, ["a", "b"],
                                {"hamming": ("hamming", "min")})
+
+
+def simhash_clusters(docs: ray.data.Dataset,
+                     max_hamming: int = SIMHASH_MAX_HAMMING
+                     ) -> ray.data.Dataset:
+    """(doc_id, cluster) near-dup cluster assignment from the simhash pair
+    graph: cluster = min doc_id of the connected component of
+    ``simhash_dup_pairs``; unpaired docs (including the zero-signature
+    empties) cluster to themselves — the same output contract as
+    ``minhash_lsh_dedup``, with simhash hamming distance replacing
+    Jaccard as the near-dup relation. Components via the shared
+    min-label + pointer-jumping propagation (no driver union-find)."""
+    pairs = simhash_dup_pairs(docs, max_hamming=max_hamming) \
+        .select_columns(["a", "b"]).materialize()
+    if pairs.count() <= CAND_BROADCAST_MAX:
+        labels_ref = _cluster_pairs_small.remote(_block_refs(pairs))
+        return _attach_clusters_broadcast(
+            docs.select_columns(["doc_id"]), labels_ref)
+    labels = _pair_components(pairs)
+    return _attach_clusters(docs.select_columns(["doc_id"]), labels)
 
 
 def ngram_jaccard_pairs(docs: ray.data.Dataset, shingle_k: int = 3,

@@ -916,6 +916,14 @@ def q_docs_simhash_dupes(sf_dir: str):
     return dedup.simhash_dup_pairs(_docs(sf_dir))
 
 
+def q_docs_simhash_clusters(sf_dir: str):
+    """(doc_id, cluster) connected-component near-dup clusters over the
+    simhash pair graph (cluster = min member doc_id; unpaired docs map to
+    themselves) — the minhash dedup output contract with hamming <= 3 as
+    the duplicate relation."""
+    return dedup.simhash_clusters(_docs(sf_dir))
+
+
 def q_docs_ngram_dupes(sf_dir: str):
     return dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
 

@@ -758,3 +758,33 @@ def test_simhash_dup_pairs_matches_bruteforce(ray_session):
     assert len(exp) >= 1                  # the exact dup at minimum
     pd.testing.assert_frame_equal(
         got.astype(np.int64), exp.astype(np.int64))
+
+    # clusters = min-id connected components of those pairs; unpaired
+    # docs (incl. the sig==0 empties) self-cluster
+    cl = (dedup.simhash_clusters(docs).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    lab = {int(d): int(d) for d in range(len(texts))}
+
+    def find(x):
+        while lab[x] != x:
+            lab[x] = lab[lab[x]]
+            x = lab[x]
+        return x
+
+    for a, b in zip(exp["a"], exp["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        lab[max(ra, rb)] = min(ra, rb)
+    want = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "cluster": np.array([find(d) for d in
+                                              range(len(texts))],
+                                             dtype=np.int64)})
+    assert want["cluster"].lt(want["doc_id"]).any()   # a real merge
+    pd.testing.assert_frame_equal(cl.astype(np.int64), want)
+
+    # the distributed label-propagation path must agree with the
+    # single-task union-find fast path
+    import unittest.mock as mock
+    with mock.patch.object(dedup, "CAND_BROADCAST_MAX", -1):
+        cl2 = (dedup.simhash_clusters(docs).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(cl2.astype(np.int64), want)
