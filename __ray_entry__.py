@@ -32,6 +32,9 @@ import tempfile as _tempfile
 # value as ligrust_ray.pipelines.queries.PAGES_ORACLE_DIR; literal here so
 # building the SQL strings needs no heavyweight import)
 _PAGES_ORACLE = _os.path.join(_tempfile.gettempdir(), "ligrust_pages_oracle")
+# same mechanism for the anchor-text rows q_pages_anchor_text persists
+_ANCHOR_ORACLE = _os.path.join(_tempfile.gettempdir(),
+                               "ligrust_anchor_oracle")
 
 # SQL fragment shared by the events-graph queries (FIXTURES.md F7)
 _EDGES_CTE = ("SELECT user_id AS src, "
@@ -419,6 +422,48 @@ def _simhash_dupes_sql(max_hamming: int = 3) -> str:
         f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}")
 
 
+def _truss_sql(rounds: int = 16) -> str:
+    """Truss-peel oracle (algos/truss.py spec): distinct canonical
+    undirected simple edges; per-round per-edge triangle support via the
+    id-oriented triple self-join (each triangle a<b<c contributes 1 to
+    edges (a,b), (b,c), (a,c)); threshold = quantile_disc(initial
+    supports incl. implicit zeros, 0.5) — the lower median, exactly the
+    engine's sorted[(m-1)//2]; ``rounds`` unrolled synchronous peels;
+    died_round = 0 for survivors."""
+
+    def sup(name: str, er: str) -> str:
+        tri = (f"FROM {er} x JOIN {er} y ON x.b = y.a "
+               f"JOIN {er} z ON z.a = x.a AND z.b = y.b")
+        return (f"{name} AS MATERIALIZED (SELECT a, b, COUNT(*) AS s FROM ("
+                f"SELECT x.a AS a, x.b AS b {tri} "
+                f"UNION ALL SELECT y.a, y.b {tri} "
+                f"UNION ALL SELECT z.a, z.b {tri}) GROUP BY a, b)")
+
+    parts = [
+        f"WITH e1 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        f"GREATEST(src, dst) AS b FROM ({_EDGES_CTE}) WHERE src <> dst), "
+        + sup("sup0", "e1")
+        + ", thr AS MATERIALIZED (SELECT quantile_disc(COALESCE(s.s, 0), "
+        "0.5) AS t FROM e1 e LEFT JOIN sup0 s ON s.a = e.a AND s.b = e.b)"]
+    for r in range(1, rounds + 1):
+        er = f"e{r}"
+        parts.append(
+            ", " + sup(f"sup{r}", er)
+            + f", d{r} AS MATERIALIZED (SELECT e.a, e.b FROM {er} e "
+            f"LEFT JOIN sup{r} s ON s.a = e.a AND s.b = e.b "
+            "WHERE COALESCE(s.s, 0) < (SELECT t FROM thr))"
+            + f", e{r+1} AS MATERIALIZED (SELECT e.a, e.b FROM {er} e "
+            f"LEFT JOIN sup{r} s ON s.a = e.a AND s.b = e.b "
+            "WHERE COALESCE(s.s, 0) >= (SELECT t FROM thr))")
+    unions = " UNION ALL ".join(
+        [f"SELECT a, b, {r} AS died_round FROM d{r}"
+         for r in range(1, rounds + 1)]
+        + [f"SELECT a, b, 0 AS died_round FROM e{rounds + 1}"])
+    parts.append(f" SELECT a, b, CAST(died_round AS BIGINT) AS died_round "
+                 f"FROM ({unions})")
+    return "".join(parts)
+
+
 def _simhash_clusters_sql(max_hamming: int = 3) -> str:
     """Simhash near-dup clusters oracle (dedup.simhash_clusters spec):
     the pair graph from the dupes oracle, connected components (min
@@ -745,8 +790,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scc": Q.q_events_scc,
         "events_hits": Q.q_events_hits,
         "events_ppr": Q.q_events_ppr,
+        "events_truss": Q.q_events_truss,
         "pages_pagerank": Q.q_pages_pagerank,
         "pages_domain_graph": Q.q_pages_domain_graph,
+        "pages_anchor_text": Q.q_pages_anchor_text,
         # documents: text analysis + dedup family
         "docs_exact_dedup": Q.q_docs_exact_dedup,
         "docs_token_count": Q.q_docs_token_count,
@@ -855,6 +902,19 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_edges FROM e "
             "JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst "
             "GROUP BY ms.dom, md.dom"),
+        # anchor-text profile: tokenize + count + top-3 over the engine's
+        # persisted (dst_url, anchor) rows (extraction pytest-pinned);
+        # ROW_NUMBER is deterministic — (dst_url, token) rows are unique,
+        # so (n DESC, token ASC) totally orders each partition
+        "pages_anchor_text": (
+            "WITH a AS (SELECT dst_url, UNNEST(regexp_extract_all("
+            "lower(anchor), '\\S+')) AS token FROM read_parquet("
+            f"'{_ANCHOR_ORACLE}/anchors/*.parquet')), "
+            "c AS (SELECT dst_url, token, COUNT(*) AS n FROM a "
+            "GROUP BY dst_url, token) "
+            "SELECT dst_url, token, CAST(n AS BIGINT) AS n FROM c "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY dst_url "
+            "ORDER BY n DESC, token) <= 3"),
         "labelprop_events": _labelprop_sql(20),
         # SCC: both-ways reachability closure — scc(v) = MIN(u) such that
         # u ->* v AND v ->* u (the self pair (v, v) is in the closure base,
@@ -1107,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_clusters": _simhash_clusters_sql(3),
         # personalized PageRank from seed 0, 4 unrolled gathers
         "events_ppr": _ppr_sql(4, 0),
+        "events_truss": _truss_sql(16),
         "docs_minhash_dedup": _minhash_sql(),
         "docs_ngram_dupes": _minhash_sql(bands=32, threshold=0.5,
                                          pairs_only=True),

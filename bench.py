@@ -135,6 +135,13 @@ def run_headline(num_cpus: int) -> dict:
     triangle_count(Q.events_edges_ds(SF_DIR), probe_mode="bucketed")
     q["triangles_events_bucketed"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    from ligrust_ray.algos.truss import truss_peel
+
+    # median-threshold truss peel (single-task path below 2^22 edges)
+    truss_peel(Q.events_edges_ds(SF_DIR)).materialize()
+    q["events_truss"] = time.perf_counter() - t0
+
     docs = Q._docs(SF_DIR)   # byte-sized block count (see queries._read_sized)
     t0 = time.perf_counter()
     docs.map_batches(textstats.doc_stats_batch,
@@ -268,6 +275,10 @@ def run_headline(num_cpus: int) -> dict:
     t0 = time.perf_counter()
     Q.q_docs_tfidf(SF_DIR).materialize()
     q["docs_tfidf"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_pages_anchor_text(SF_DIR).materialize()
+    q["pages_anchor_text"] = time.perf_counter() - t0
 
     return {
         "queries": q,

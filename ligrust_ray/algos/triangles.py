@@ -93,17 +93,10 @@ def _per_node_rows(ids: np.ndarray, total: int) -> pd.DataFrame:
         "triangles": np.append(cnt.astype(np.int64), np.int64(total))})
 
 
-def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
-                   per_node: bool = False, num_partitions: int = 16,
-                   probe_mode: str = "auto", deg_mode: str = "auto"):
-    """Returns total int, or ``(total, Dataset[node_id, triangles])`` (nodes
-    in >=1 triangle) when ``per_node``."""
-    if probe_mode not in ("auto", "broadcast", "bucketed"):
-        raise ValueError(f"probe_mode must be auto|broadcast|bucketed, "
-                         f"got {probe_mode!r}")
-    if deg_mode not in ("auto", "broadcast", "dataset"):
-        raise ValueError(f"deg_mode must be auto|broadcast|dataset, "
-                         f"got {deg_mode!r}")
+def canon_undirected(edges: ray.data.Dataset | pa.Table) -> ray.data.Dataset:
+    """Distinct canonical undirected simple edges (src < dst, self-loops
+    dropped): in-batch pre-dedup then one distinct shuffle. Shared by the
+    triangle and truss operators."""
     if isinstance(edges, pa.Table):
         edges = ray.data.from_arrow(edges)
 
@@ -116,23 +109,30 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
         k = np.unique(np.stack([a, b], axis=1), axis=0)  # in-batch pre-dedup
         return pa.table({"src": k[:, 0], "dst": k[:, 1]}, schema=_EDGE_SCHEMA)
 
-    und = shuffle.distinct(edges.map_batches(canon, batch_format="pyarrow"),
-                           ["src", "dst"]).materialize()
-    if und.count() == 0:
-        empty = ray.data.from_arrow(pa.table(
-            {"node_id": pa.array([], type=pa.int64()),
-             "triangles": pa.array([], type=pa.int64())}))
-        return (0, empty) if per_node else 0
+    return shuffle.distinct(edges.map_batches(canon, batch_format="pyarrow"),
+                            ["src", "dst"]).materialize()
 
-    if n is None:
-        # per-batch scalar max partials -> driver max over O(#blocks) rows
-        vmax_parts = und.map_batches(
-            lambda t: pa.table({"m": pa.array(
-                [max(int(np.max(t.column("src").to_numpy())),
-                     int(np.max(t.column("dst").to_numpy())))],
-                type=pa.int64())}),
-            batch_format="pyarrow").to_pandas()
-        n = int(vmax_parts["m"].max()) + 1
+
+def infer_n(und: ray.data.Dataset) -> int:
+    """max endpoint + 1 via per-batch scalar partials -> driver max over
+    O(#blocks) rows."""
+    vmax_parts = und.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [max(int(np.max(t.column("src").to_numpy())),
+                 int(np.max(t.column("dst").to_numpy())))],
+            type=pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    return int(vmax_parts["m"].max()) + 1
+
+
+def orient_edges(und: ray.data.Dataset, n: int, deg_mode: str = "auto",
+                 num_partitions: int = 16) -> ray.data.Dataset:
+    """(deg, id)-rank orientation of a canonical undirected edge set:
+    emits (src, dst, vdeg, part) with src the rank-smaller endpoint (so
+    oriented out-degree is O(sqrt(m))), vdeg = degree of the oriented dst
+    (per-apex neighbor rank order), part = src % num_partitions. Degrees
+    broadcast under ``DEG_BROADCAST_MAX`` nodes, Dataset + two co_group
+    attaches above (the 10^10-node path). Materialized."""
     if deg_mode == "auto":
         deg_mode = "broadcast" if n <= DEG_BROADCAST_MAX else "dataset"
 
@@ -204,6 +204,30 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
                               t.column("sdeg").to_numpy(),
                               t.column("ddeg").to_numpy()),
             batch_format="pyarrow").materialize()
+    return oriented
+
+
+def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
+                   per_node: bool = False, num_partitions: int = 16,
+                   probe_mode: str = "auto", deg_mode: str = "auto"):
+    """Returns total int, or ``(total, Dataset[node_id, triangles])`` (nodes
+    in >=1 triangle) when ``per_node``."""
+    if probe_mode not in ("auto", "broadcast", "bucketed"):
+        raise ValueError(f"probe_mode must be auto|broadcast|bucketed, "
+                         f"got {probe_mode!r}")
+    if deg_mode not in ("auto", "broadcast", "dataset"):
+        raise ValueError(f"deg_mode must be auto|broadcast|dataset, "
+                         f"got {deg_mode!r}")
+    und = canon_undirected(edges)
+    if und.count() == 0:
+        empty = ray.data.from_arrow(pa.table(
+            {"node_id": pa.array([], type=pa.int64()),
+             "triangles": pa.array([], type=pa.int64())}))
+        return (0, empty) if per_node else 0
+    if n is None:
+        n = infer_n(und)
+    oriented = orient_edges(und, n, deg_mode=deg_mode,
+                            num_partitions=num_partitions)
 
     m_oriented = oriented.count()
     if probe_mode == "auto":

@@ -143,6 +143,98 @@ def extract_links(html: bytes, base_url: str = "") -> list[str]:
     return [urljoin(base_url, h) if base_url else h for h in p.hrefs]
 
 
+class _AnchorParser(HTMLParser):
+    """(href, anchor-text) harvester. The href rule is IDENTICAL to
+    ``_LinksParser`` (one pair per ``<a href>`` start tag, document order,
+    duplicates kept — the pair list is parallel to ``extract_links``,
+    tested), plus the text: whitespace-collapsed concatenation of the text
+    nodes seen while that anchor is the most recent open ``<a>``. A new
+    ``<a>`` implicitly closes the previous (nested anchors are invalid
+    HTML and browsers do the same); skip-tag contents are excluded with
+    ``_PageParser``'s depth rule."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._chunks: list[str] = []
+        self._skip_depth = 0
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            text = " ".join("".join(self._chunks).split())
+            self.pairs.append((self._href, text))
+        self._href = None
+        self._chunks = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag == "a":
+            self._flush()
+            for k, v in attrs:
+                if k == "href" and v:
+                    self._href = v
+                    break
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            if self._skip_depth > 0:
+                self._skip_depth -= 1
+            return
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and self._href is not None and data:
+            self._chunks.append(data)
+
+
+def extract_anchors(html: bytes, base_url: str = ""
+                    ) -> tuple[list[str], list[str]]:
+    """Pure function: html bytes -> (resolved hrefs, anchor texts), two
+    parallel lists in document order, duplicates kept. The href list
+    equals ``extract_links(html, base_url)`` exactly (tested) — this is
+    the same edge extraction, carrying what the linking page SAYS about
+    the target."""
+    p = _AnchorParser()
+    try:
+        p.feed(html.decode("utf-8", errors="replace"))
+        p.close()
+    except Exception:
+        pass  # salvage whatever was harvested before the error
+    p._flush()   # an <a href> left open at EOF still yields its pair
+    hrefs = [urljoin(base_url, h) if base_url else h for h, _ in p.pairs]
+    return hrefs, [t for _, t in p.pairs]
+
+
+class ExtractAnchors:
+    """Actor-pool batch UDF: pages batch -> anchor-edge batch.
+
+    In:  pyarrow batch with columns ``url`` (string) and ``html`` (binary).
+    Out: ``(src_url, dst_url, anchor)`` — one row per href occurrence
+    (parallel edges preserved), ``anchor`` = the link's display text.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        all_links: list[str] = []
+        all_anchors: list[str] = []
+        offsets = [0]
+        for u, h in zip(urls, htmls):
+            hrefs, texts = extract_anchors(h, base_url=u)
+            all_links.extend(hrefs)
+            all_anchors.extend(texts)
+            offsets.append(len(all_links))
+        counts = np.diff(np.asarray(offsets, dtype=np.int64))
+        src_arr = pa.array(np.repeat(np.asarray(urls, dtype=object), counts))
+        return pa.table({"src_url": src_arr.cast(pa.string()),
+                         "dst_url": pa.array(all_links, type=pa.string()),
+                         "anchor": pa.array(all_anchors, type=pa.string())})
+
+
 class ExtractLinks:
     """Actor-pool batch UDF: pages batch -> edge-url batch.
 

@@ -158,6 +158,21 @@ def q_events_triangles_per_node(sf_dir: str):
     return pern
 
 
+TRUSS_SQL_ROUNDS = 16   # unroll depth of the DuckDB oracle = engine cap
+
+
+def q_events_truss(sf_dir: str):
+    """(a, b, died_round) truss peel of the canonical undirected simple
+    events graph (algos/truss.py): threshold = lower median of initial
+    per-edge triangle supports, TRUSS_SQL_ROUNDS synchronous peel rounds,
+    died_round = 0 for survivors. The SQL oracle unrolls the identical
+    rounds (surplus rounds after the fixed point are no-ops on both
+    sides)."""
+    from ligrust_ray.algos.truss import truss_peel
+
+    return truss_peel(events_edges_ds(sf_dir), rounds=TRUSS_SQL_ROUNDS)
+
+
 def _und_pairs(sf_dir: str) -> ray.data.Dataset:
     """Distinct undirected non-loop pairs (lo < hi) of the events graph."""
     def canon(t: pa.Table) -> pa.Table:
@@ -824,6 +839,85 @@ def q_pages_domain_graph(sf_dir: str):
             "src_domain": t.column("src_domain"),
             "dst_domain": t.column("dst_domain"),
             "n_edges": t.column("n_edges").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+ANCHOR_ORACLE_DIR = os.path.join(tempfile.gettempdir(),
+                                 "ligrust_anchor_oracle")
+ANCHOR_TOP_K = 3
+
+
+def q_pages_anchor_text(sf_dir: str):
+    """Per-target anchor-text profile — the classic web-corpus op (what do
+    OTHER pages call this url?): parse ``(src, dst, anchor)`` from the
+    synthetic pages html (stateless task parse, same economics as the
+    build's edge extraction), tokenize the anchor strings (lower, \\S+ —
+    the repo token spec), one grouped count per (dst_url, token), then a
+    dst-keyed grouped_apply top-K (n DESC, token ASC). Oracled: the raw
+    (dst_url, anchor) rows persist to a fixed /tmp artifact and the static
+    SQL tokenizes + aggregates THE SAME rows, so tokenize/count/rank math
+    is hash-verified; extraction itself is pytest-pinned (href parity with
+    extract_links, determinism, nested/EOF anchors)."""
+    from ligrust_ray.functions.extract import ExtractAnchors
+
+    n_pages = max(100, int(20000 * _sf_of(sf_dir)))
+    pages = ray.data.from_arrow(generate_pages(n_pages, seed=42))
+    anchors = pages.map_batches(
+        ExtractAnchors(), batch_format="pyarrow",
+        batch_size=256).select_columns(["dst_url", "anchor"]).materialize()
+
+    # refresh the SQL-side artifact (marker-skipped when current)
+    marker = os.path.join(ANCHOR_ORACLE_DIR, "SOURCE")
+    stamp = f"pages:{n_pages}:seed42"
+    ok = os.path.isdir(os.path.join(ANCHOR_ORACLE_DIR, "anchors"))
+    try:
+        with open(marker) as fh:
+            ok = ok and fh.read() == stamp
+    except OSError:
+        ok = False
+    if not ok:
+        import shutil
+
+        shutil.rmtree(ANCHOR_ORACLE_DIR, ignore_errors=True)
+        os.makedirs(ANCHOR_ORACLE_DIR)
+        anchors.write_parquet(os.path.join(ANCHOR_ORACLE_DIR, "anchors"))
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        dsts, toks = [], []
+        for d, a in zip(t.column("dst_url").to_pylist(),
+                        t.column("anchor").to_pylist()):
+            w = _WORD_RE.findall(a.lower())
+            if w:
+                dsts.append(np.full(len(w), d, dtype=object))
+                toks.append(np.array(w, dtype=object))
+        if not dsts:
+            return pa.table({"dst_url": pa.array([], type=pa.string()),
+                             "token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({"dst_url": np.concatenate(dsts),
+                           "token": np.concatenate(toks)})
+        g = df.groupby(["dst_url", "token"], as_index=False, sort=False) \
+            .size()     # map-side combiner: bounds shuffle volume
+        return pa.table({"dst_url": pa.array(g["dst_url"], type=pa.string()),
+                         "token": pa.array(g["token"], type=pa.string()),
+                         "n": pa.array(g["size"].to_numpy(dtype=np.int64))})
+
+    counts = shuffle.grouped_agg(
+        anchors.map_batches(batch_counts, batch_format="pyarrow"),
+        ["dst_url", "token"], {"n": ("n", "sum")})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dst_url", "n", "token"],
+                            ascending=[True, False, True])
+        return df.groupby("dst_url", sort=False).head(ANCHOR_TOP_K)
+
+    out = shuffle.grouped_apply(counts, ["dst_url"], topk)
+    return out.map_batches(
+        lambda t: pa.table({"dst_url": t.column("dst_url").cast(pa.string()),
+                            "token": t.column("token").cast(pa.string()),
+                            "n": t.column("n").cast(pa.int64())}),
         batch_format="pyarrow")
 
 

@@ -68,10 +68,17 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
 
 def _empty_like(df: pd.DataFrame, keys: list[str],
                 aggs: dict[str, tuple[str | None, str]]) -> pd.DataFrame:
-    cols = {k: df[k] for k in keys}
-    for out, (col, kind) in aggs.items():
+    # upstream map_groups emits ZERO-COLUMN empty pandas blocks for
+    # partitions with no groups — those reach this partial too, so a
+    # missing column falls back to an int64 empty (zero rows: the final
+    # concat takes dtype from the real blocks)
+    def col(c):
+        return df[c] if c in df.columns else pd.Series([], dtype=np.int64)
+
+    cols = {k: col(k) for k in keys}
+    for out, (src_col, kind) in aggs.items():
         cols[out] = pd.Series([], dtype=(np.int64 if kind == "count"
-                                         else df[col].dtype))
+                                         else col(src_col).dtype))
     cols["__part"] = pd.Series([], dtype=np.int64)
     return pd.DataFrame(cols)
 
@@ -81,6 +88,11 @@ def distinct(ds: ray.data.Dataset, keys: list[str],
     """Distinct rows over ``keys`` (hash-partitioned exact dedup)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) and not set(keys) <= set(df.columns):
+            # zero-column empty block (map_groups, see _empty_like)
+            return pd.DataFrame({**{k: pd.Series([], dtype=np.int64)
+                                    for k in keys},
+                                 "__part": pd.Series([], dtype=np.int64)})
         r = df[keys].drop_duplicates()
         h = pd.util.hash_pandas_object(r[keys], index=False).to_numpy()
         r = r.assign(__part=(h % num_partitions).astype(np.int64))

@@ -216,6 +216,51 @@ def hits_oracle(n: int, src: np.ndarray, dst: np.ndarray, rounds: int = 3
     return h, a
 
 
+def truss_oracle(src: np.ndarray, dst: np.ndarray, rounds: int = 16,
+                 threshold: int | None = None) -> "pd.DataFrame":
+    """Independent mirror of ligrust_ray.algos.truss.truss_peel: support
+    via per-edge neighbor-set intersection (no orientation machinery),
+    threshold = lower median of initial supports, synchronous peel."""
+    import pandas as pd
+
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    edges = sorted(set(zip(a.tolist(), b.tolist())))
+    if not edges:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "died_round": pd.Series([], dtype=np.int64)})
+    died = {e: 0 for e in edges}
+    alive = set(edges)
+
+    def supports():
+        nbrs: dict[int, set] = {}
+        for (x, y) in alive:
+            nbrs.setdefault(x, set()).add(y)
+            nbrs.setdefault(y, set()).add(x)
+        return {(x, y): len(nbrs[x] & nbrs[y]) for (x, y) in alive}
+
+    T = threshold
+    for r in range(1, rounds + 1):
+        sup = supports()
+        if T is None:
+            svals = sorted(sup[e] for e in edges)   # round 1: all alive
+            T = svals[(len(svals) - 1) // 2]
+        kill = {e for e in alive if sup[e] < T}
+        if not kill:
+            break
+        for e in kill:
+            died[e] = r
+        alive -= kill
+        if not alive:
+            break
+    return pd.DataFrame({"a": [e[0] for e in edges],
+                         "b": [e[1] for e in edges],
+                         "died_round": [died[e] for e in edges]}) \
+        .astype(np.int64)
+
+
 def ppr_oracle(n: int, src: np.ndarray, dst: np.ndarray, source: int = 0,
                rounds: int = 4) -> np.ndarray:
     """Mirror of ligrust_ray.algos.ppr.personalized_page_rank."""

@@ -77,3 +77,57 @@ def test_extract_links_batchfn():
         exp_dst += links
     assert out.column("src_url").to_pylist() == exp_src
     assert out.column("dst_url").to_pylist() == exp_dst
+
+
+def test_extract_anchors_href_parity_and_text():
+    """extract_anchors: href list equals extract_links exactly on the
+    synthetic corpus and on adversarial HTML; anchor texts are
+    whitespace-collapsed, skip-tag-excluded, nested/EOF-safe."""
+    from ligrust_ray.functions.extract import extract_anchors, extract_links
+
+    t = generate_pages(60, seed=11)
+    for i in range(60):
+        u = t.column("url")[i].as_py()
+        html = t.column("html")[i].as_py()
+        hrefs, texts = extract_anchors(html, base_url=u)
+        assert hrefs == extract_links(html, base_url=u)
+        assert len(hrefs) == len(texts)
+        assert all(tx == " ".join(tx.split()) for tx in texts)
+
+    cases = {
+        b'<a href="/x">hello  world</a>': [("B/x", "hello world")],
+        # a new <a> implicitly closes the previous (invalid nesting)
+        b'<a href="/x">first <a href="/y">second</a>':
+            [("B/x", "first"), ("B/y", "second")],
+        b'<a href="/eof">left open': [("B/eof", "left open")],
+        b'<a>no href</a><a href="/z"></a>': [("B/z", "")],
+        b'<script><a href="/s">x</a></script><a href="/r">r</a>':
+            [("B/r", "r")],
+        b'<a href="/b">foo <b>bar</b> baz</a>': [("B/b", "foo bar baz")],
+    }
+    for html, exp in cases.items():
+        hrefs, texts = extract_anchors(html, base_url="http://B/")
+        assert hrefs == extract_links(html, base_url="http://B/"), html
+        got = [(h.replace("http://B", "B"), tx)
+               for h, tx in zip(hrefs, texts)]
+        assert got == exp, (html, got)
+
+
+def test_pages_anchor_text_vs_duckdb(ray_session):
+    """Contract query vs its SQL oracle — in-repo mirror of the driver
+    compare (the SQL reads the artifact the query persists)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    got = E.queries()["pages_anchor_text"]("/root/testdata/sf0.001")
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = duckdb.sql(E.oracle_sql()["pages_anchor_text"]).df()
+    cols = sorted(exp.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    got["n"] = got["n"].astype(np.int64)
+    exp["n"] = exp["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+    assert got.groupby("dst_url").size().max() <= 3
