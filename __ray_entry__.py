@@ -422,6 +422,49 @@ def _simhash_dupes_sql(max_hamming: int = 3) -> str:
         f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}")
 
 
+def _walks_sql(length: int = 4) -> str:
+    """Random-walk oracle (algos/walks.py spec): DISTINCT directed edges,
+    neighbors ROW_NUMBER-indexed dst-ascending per source, next hop =
+    neighbor at index ((start*2654435761 + cur*40503 + t*104729) % 2^32)
+    % outdeg(cur), dead ends terminate; ``length`` unrolled steps; starts
+    = every node id of the standard node domain (starts beyond the edge
+    id range have out-degree 0 and emit nothing, matching the engine)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e "
+        "GROUP BY src), "
+        "adj AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx FROM e), "
+        f"nodes AS ({_NODES_CTE}), "
+        "w0 AS (SELECT id AS start, id AS node FROM nodes)"]
+    for t in range(1, length + 1):
+        parts.append(
+            f", w{t} AS MATERIALIZED (SELECT w.start, a.dst AS node "
+            f"FROM w{t-1} w JOIN deg d ON d.src = w.node "
+            "JOIN adj a ON a.src = w.node AND a.idx = "
+            f"((w.start * 2654435761 + w.node * 40503 + {t} * 104729) "
+            "% 4294967296) % d.deg)")
+    unions = " UNION ALL ".join(
+        f"SELECT start, {t} AS step, node FROM w{t}"
+        for t in range(1, length + 1))
+    parts.append(f" SELECT start, CAST(step AS BIGINT) AS step, node "
+                 f"FROM ({unions})")
+    return "".join(parts)
+
+
+def _skipgrams_sql(length: int = 4, window: int = 2) -> str:
+    """Skip-gram pair oracle (walks.skipgram_pairs spec): directed
+    position pairs within ``window`` steps of the same walk over the
+    _walks_sql corpus, grouped count."""
+    walks = _walks_sql(length)
+    return (f"WITH w AS MATERIALIZED ({walks}) "
+            "SELECT a.node AS center, b.node AS context, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM w a JOIN w b ON a.start = b.start "
+            f"AND a.step <> b.step AND abs(a.step - b.step) <= {window} "
+            "GROUP BY a.node, b.node")
+
+
 def _truss_sql(rounds: int = 16) -> str:
     """Truss-peel oracle (algos/truss.py spec): distinct canonical
     undirected simple edges; per-round per-edge triangle support via the
@@ -791,6 +834,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hits": Q.q_events_hits,
         "events_ppr": Q.q_events_ppr,
         "events_truss": Q.q_events_truss,
+        "events_walks": Q.q_events_walks,
+        "events_skipgrams": Q.q_events_skipgrams,
+        "events_props_agg": Q.q_events_props_agg,
         "pages_pagerank": Q.q_pages_pagerank,
         "pages_domain_graph": Q.q_pages_domain_graph,
         "pages_anchor_text": Q.q_pages_anchor_text,
@@ -1168,6 +1214,19 @@ def oracle_sql() -> dict[str, str]:
         # personalized PageRank from seed 0, 4 unrolled gathers
         "events_ppr": _ppr_sql(4, 0),
         "events_truss": _truss_sql(16),
+        "events_walks": _walks_sql(4),
+        "events_skipgrams": _skipgrams_sql(4, 2),
+        # semi-structured ETL: integer field k of the props JSON, per-type
+        # aggregate; json_valid + json_type guard matches the engine's
+        # parse-and-skip (ints only, bools/floats/strings excluded)
+        "events_props_agg": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(j AS BIGINT)) AS BIGINT) AS k_sum, "
+            "CAST(MAX(CAST(j AS BIGINT)) AS BIGINT) AS k_max FROM ("
+            "SELECT event_type, json_extract(props, '$.k') AS j "
+            "FROM events WHERE json_valid(props)) "
+            "WHERE json_type(j) IN ('BIGINT', 'UBIGINT') "
+            "GROUP BY event_type"),
         "docs_minhash_dedup": _minhash_sql(),
         "docs_ngram_dupes": _minhash_sql(bands=32, threshold=0.5,
                                          pairs_only=True),

@@ -280,6 +280,18 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_pages_anchor_text(SF_DIR).materialize()
     q["pages_anchor_text"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_events_walks(SF_DIR).materialize()
+    q["events_walks"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_events_skipgrams(SF_DIR).materialize()
+    q["events_skipgrams"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_events_props_agg(SF_DIR).materialize()
+    q["events_props_agg"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

@@ -1,0 +1,203 @@
+"""Deterministic random-walk corpus generation — the DeepWalk/node2vec
+front-end (Perozzi et al. KDD'14): one fixed-length walk per start node
+over the distinct directed edge set, emitted as (start, step, node) rows.
+This is the op a 100 TB embedding pipeline runs to turn a link graph into
+a token corpus; a NEW operator, not in the reference (which has no walk
+sampler), built on the repo's shuffle algebra.
+
+Spec (SQL-replicable, see __ray_entry__._walks_sql):
+1. adjacency = DISTINCT directed edges; per source, neighbors indexed
+   0..deg-1 in dst-ascending order (SQL ROW_NUMBER - 1);
+2. the walk from ``start`` at node ``cur`` on step ``t`` (1-based) moves to
+   the neighbor with index ``_hash_step(start, cur, t) % deg(cur)`` — a
+   pure integer hash, so engine and oracle pick the SAME pseudo-random
+   neighbor with no RNG state;
+3. a walk reaching a node with out-degree 0 terminates (no row emitted for
+   that or later steps);
+4. output: (start, step, node) for step = 1..length, one row per surviving
+   walk-step; starts = every node id in [0, n).
+
+Scale shape: the adjacency is hash-partitioned by source once; each step is
+ONE bucketed co_group (walk frontier keyed by current node vs adjacency
+keyed by source) with a vectorised in-partition chooser (group offsets +
+searchsorted, no per-row Python); the frontier is rebuilt as <= P Arrow
+blocks per step via zero-job block-ref coalesce tasks (same machinery as
+algos/truss.py — co_group unions otherwise compound block counts per
+round). Hub skew bounds: a hot CURRENT node funnels its walkers to one
+partition; walkers-per-node is bounded by n (one walk per start), and the
+chooser is O(rows) — for walk corpora with many walks per start, salt the
+frontier key (documented extension).
+
+Node ids must be < 2^31 so the hash arithmetic stays in exact int64/BIGINT
+range on both sides (raised, not silent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ligrust_ray.stages import shuffle
+
+WALK_LENGTH = 4
+
+# mixing constants: Knuth multiplicative + two primes; every intermediate
+# fits int64 for ids < 2^31 (max term 2^31 * 2654435761 < 2^63)
+_A, _B, _C = 2654435761, 40503, 104729
+_MOD = 1 << 32
+
+_FRONTIER_SCHEMA = pa.schema([("start", pa.int64()), ("cur", pa.int64())])
+_ADJ_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+_OUT_SCHEMA = pa.schema([("start", pa.int64()), ("step", pa.int64()),
+                         ("node", pa.int64())])
+
+
+def _hash_step(start: np.ndarray, cur: np.ndarray, t: int) -> np.ndarray:
+    """The shared engine/SQL chooser hash (exact int64 arithmetic)."""
+    return (start * _A + cur * _B + np.int64(t) * _C) % _MOD
+
+
+def _empty_out() -> pa.Table:
+    return _OUT_SCHEMA.empty_table()
+
+
+@ray.remote(num_cpus=1)
+def _frontier_coalesce(block_refs: list) -> pa.Table:
+    """Rebuild a step's frontier as one Arrow block per task (bounds the
+    loop's block count at <= P; see module docstring)."""
+    tabs = []
+    for b in ray.get(list(block_refs)):
+        t = (pa.Table.from_pandas(b, preserve_index=False)
+             if isinstance(b, pd.DataFrame) else b)
+        if t.num_rows and "start" in t.column_names:
+            tabs.append(t.select(["start", "cur"]).cast(_FRONTIER_SCHEMA))
+    if not tabs:
+        return _FRONTIER_SCHEMA.empty_table()
+    return pa.concat_tables(tabs).combine_chunks()
+
+
+def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
+                 length: int = WALK_LENGTH, num_partitions: int = 16
+                 ) -> ray.data.Dataset:
+    """(start, step, node) walk corpus per the module spec."""
+    from ligrust_ray.algos.triangles import infer_n
+    from ligrust_ray.dataops.dedup import _block_refs
+
+    if isinstance(edges, pa.Table):
+        edges = ray.data.from_arrow(edges)
+    adj = shuffle.distinct(edges.select_columns(["src", "dst"]),
+                           ["src", "dst"]).materialize()
+    if adj.count() == 0:
+        return ray.data.from_arrow(_empty_out())
+    if n is None:
+        n = infer_n(adj)
+    if n >= (1 << 31):
+        raise ValueError("random_walks: node ids >= 2^31 overflow the "
+                         "exact-int64 chooser hash; shard the id space")
+
+    def starts_block(lo: int, hi: int) -> pa.Table:
+        ids = np.arange(lo, hi, dtype=np.int64)
+        return pa.table({"start": pa.array(ids), "cur": pa.array(ids)},
+                        schema=_FRONTIER_SCHEMA)
+
+    bounds = np.linspace(0, n, num_partitions + 1, dtype=np.int64)
+    frontier = ray.data.from_arrow(
+        [starts_block(int(a), int(b)) for a, b in zip(bounds, bounds[1:])
+         if b > a])
+
+    step_parts: list[ray.data.Dataset] = []
+    for t in range(1, length + 1):
+        def advance(lf: pd.DataFrame, rf: pd.DataFrame,
+                    _t=t) -> pd.DataFrame:
+            # vectorised chooser: sort this partition's adjacency by
+            # (src, dst) -> per-src offsets; neighbor = dst[off + h % deg]
+            if not len(lf) or not len(rf):
+                return pd.DataFrame({"start": pd.Series([], dtype=np.int64),
+                                     "cur": pd.Series([], dtype=np.int64)})
+            rf = rf.sort_values(["src", "dst"], kind="mergesort")
+            srcs = rf["src"].to_numpy(dtype=np.int64)
+            dsts = rf["dst"].to_numpy(dtype=np.int64)
+            u, off = np.unique(srcs, return_index=True)
+            deg = np.diff(np.append(off, len(srcs)))
+            cur = lf["cur"].to_numpy(dtype=np.int64)
+            start = lf["start"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(u, cur)
+            pos = np.minimum(pos, max(len(u) - 1, 0))
+            alive = len(u) > 0
+            hit = (u[pos] == cur) if alive else np.zeros(len(cur), bool)
+            k = _hash_step(start[hit], cur[hit], _t) % deg[pos[hit]]
+            nxt = dsts[off[pos[hit]] + k]
+            return pd.DataFrame({"start": start[hit], "cur": nxt})
+
+        stepped = shuffle.co_group(
+            frontier, adj, l_on="cur", r_on="src", fn=advance,
+            num_partitions=num_partitions,
+            l_schema=_FRONTIER_SCHEMA, r_schema=_ADJ_SCHEMA).materialize()
+
+        def out_rows(tb: pa.Table, _t=t) -> pa.Table:
+            return pa.table({
+                "start": tb.column("start").cast(pa.int64()),
+                "step": pa.array(np.full(tb.num_rows, _t, dtype=np.int64)),
+                "node": tb.column("cur").cast(pa.int64())},
+                schema=_OUT_SCHEMA)
+
+        # lazy over the materialized step snapshot; executed in the one
+        # job that consumes the final union
+        step_parts.append(stepped.map_batches(out_rows,
+                                              batch_format="pyarrow"))
+        if t < length:
+            refs = _block_refs(stepped)
+            if not refs:
+                break
+            groups = np.array_split(np.arange(len(refs)),
+                                    min(num_partitions, len(refs)))
+            frontier = ray.data.from_arrow_refs(
+                [_frontier_coalesce.remote([refs[i] for i in g])
+                 for g in groups if len(g)])
+
+    out = step_parts[0]
+    for d in step_parts[1:]:
+        out = out.union(d)
+    return out
+
+
+SKIPGRAM_WINDOW = 2
+
+_PAIR_SCHEMA = pa.schema([("center", pa.int64()), ("context", pa.int64()),
+                          ("n", pa.int64())])
+
+
+def skipgram_pairs(walks: ray.data.Dataset, window: int = SKIPGRAM_WINDOW,
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """(center, context, n) — the word2vec training pairs of a walk corpus
+    (directed: every ordered position pair within ``window`` steps of the
+    same walk, 0 < |i - j| <= window, over the emitted steps). Input is
+    ``random_walks`` output (start, step, node); each walk's positions
+    co-locate via ONE start-keyed shuffle, pair generation is a vectorised
+    in-partition self-merge, then one grouped count."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"center": pd.Series([], dtype=np.int64),
+                                 "context": pd.Series([], dtype=np.int64)})
+        j = df.merge(df, on="start", suffixes=("_a", "_b"))
+        d = (j["step_a"] - j["step_b"]).abs()
+        j = j[(d > 0) & (d <= window)]
+        return pd.DataFrame({
+            "center": j["node_a"].to_numpy(dtype=np.int64),
+            "context": j["node_b"].to_numpy(dtype=np.int64)})
+
+    raw = shuffle.grouped_apply(walks, ["start"], pairs,
+                                num_partitions=num_partitions)
+    out = shuffle.grouped_agg(raw, ["center", "context"],
+                              {"n": (None, "count")},
+                              num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table({"center": t.column("center").cast(pa.int64()),
+                            "context": t.column("context").cast(pa.int64()),
+                            "n": t.column("n").cast(pa.int64())},
+                           schema=_PAIR_SCHEMA),
+        batch_format="pyarrow")

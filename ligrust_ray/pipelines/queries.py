@@ -158,6 +158,29 @@ def q_events_triangles_per_node(sf_dir: str):
     return pern
 
 
+WALKS_SQL_LENGTH = 4   # unroll depth of the DuckDB oracle = walk length
+
+
+def q_events_walks(sf_dir: str):
+    """(start, step, node) — one deterministic 4-step random walk per node
+    of the distinct directed events graph (algos/walks.py): next hop =
+    neighbor at index hash(start, cur, step) % outdeg in dst-ascending
+    order; dead ends terminate. The SQL oracle unrolls the identical 4
+    chooser joins."""
+    from ligrust_ray.algos.walks import random_walks
+
+    return random_walks(events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH)
+
+
+def q_events_skipgrams(sf_dir: str):
+    """(center, context, n) word2vec training pairs of the events walk
+    corpus (walks.skipgram_pairs over q_events_walks, window 2)."""
+    from ligrust_ray.algos.walks import random_walks, skipgram_pairs
+
+    return skipgram_pairs(
+        random_walks(events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH))
+
+
 TRUSS_SQL_ROUNDS = 16   # unroll depth of the DuckDB oracle = engine cap
 
 
@@ -695,6 +718,46 @@ def q_events_sessions(sf_dir: str):
     ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
                      columns=["event_id", "ts", "user_id"])
     return windows.sessionize(ev)
+
+
+def q_events_props_agg(sf_dir: str):
+    """Semi-structured ETL: parse the ``props`` JSON column, extract the
+    integer field ``k``, aggregate per event_type (n, k_sum, k_max; rows
+    with no parseable ``k`` excluded). Per-batch json.loads is the
+    inherent per-document cost (like the HTML parse); everything after is
+    one grouped_agg. SQL oracle: DuckDB json_extract."""
+    import json
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        types, ks = [], []
+        for et, p in zip(t.column("event_type").to_pylist(),
+                         t.column("props").to_pylist()):
+            try:
+                v = json.loads(p).get("k")
+            except (ValueError, AttributeError):
+                continue
+            if isinstance(v, bool) or not isinstance(v, int):
+                continue
+            types.append(et)
+            ks.append(v)
+        return pa.table({
+            "event_type": pa.array(types, type=pa.string()),
+            "k": pa.array(np.asarray(ks, dtype=np.int64))})
+
+    agg = shuffle.grouped_agg(
+        ev.map_batches(parse, batch_format="pyarrow"), ["event_type"],
+        {"n": (None, "count"), "k_sum": ("k", "sum"),
+         "k_max": ("k", "max")})
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t.column("event_type").cast(pa.string()),
+            "n": t.column("n").cast(pa.int64()),
+            "k_sum": t.column("k_sum").cast(pa.int64()),
+            "k_max": t.column("k_max").cast(pa.int64())}),
+        batch_format="pyarrow")
 
 
 def q_events_windows(sf_dir: str):

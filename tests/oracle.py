@@ -274,3 +274,53 @@ def ppr_oracle(n: int, src: np.ndarray, dst: np.ndarray, source: int = 0,
             np.add.at(contrib, dst, p[src] / np.maximum(outdeg[src], 1))
         p = 0.15 * e_s + 0.85 * contrib
     return p
+
+
+def walks_oracle(n: int, src: np.ndarray, dst: np.ndarray, length: int = 4
+                 ) -> "pd.DataFrame":
+    """Independent mirror of ligrust_ray.algos.walks.random_walks: dict-of-
+    sorted-neighbor-lists adjacency, per-step chooser hash, dead ends
+    terminate."""
+    import pandas as pd
+
+    adj: dict[int, list] = {}
+    for a, b in sorted(set(zip(src.tolist(), dst.tolist()))):
+        adj.setdefault(int(a), []).append(int(b))
+    rows = []
+    for start in range(n):
+        cur = start
+        for t in range(1, length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            h = (start * 2654435761 + cur * 40503 + t * 104729) % (1 << 32)
+            cur = nbrs[h % len(nbrs)]
+            rows.append((start, t, cur))
+    return pd.DataFrame(rows, columns=["start", "step", "node"]) \
+        .astype(np.int64) if rows else pd.DataFrame(
+        {c: pd.Series([], dtype=np.int64)
+         for c in ("start", "step", "node")})
+
+
+def skipgrams_oracle(walks: "pd.DataFrame", window: int = 2
+                     ) -> "pd.DataFrame":
+    """Mirror of ligrust_ray.algos.walks.skipgram_pairs over a walks
+    (start, step, node) frame: per-walk ordered position pairs within
+    ``window``, counted."""
+    import pandas as pd
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for _, g in walks.groupby("start"):
+        steps = g["step"].to_numpy()
+        nodes = g["node"].to_numpy()
+        for i in range(len(g)):
+            for j in range(len(g)):
+                if i != j and abs(int(steps[i]) - int(steps[j])) <= window:
+                    cnt[(int(nodes[i]), int(nodes[j]))] += 1
+    if not cnt:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("center", "context", "n")})
+    rows = [(a, b, n) for (a, b), n in cnt.items()]
+    return pd.DataFrame(rows, columns=["center", "context", "n"]) \
+        .astype(np.int64)

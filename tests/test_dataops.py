@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 import ray.data
 
@@ -788,3 +789,36 @@ def test_simhash_dup_pairs_matches_bruteforce(ray_session):
         cl2 = (dedup.simhash_clusters(docs).to_pandas()
                .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(cl2.astype(np.int64), want)
+
+
+def test_events_props_agg_adversarial_json(ray_session, tmp_path):
+    """JSON-extraction semantics pinned against DuckDB on adversarial
+    props: malformed JSON, floats, bools, strings, missing k, negatives —
+    the engine's parse-and-skip must equal the SQL's json_valid +
+    json_type('BIGINT'/'UBIGINT') guard."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from ligrust_ray.pipelines import queries as Q
+
+    props = ['{"k": 87}', '{"k": 0}', '{"k": -5}', '{"k": 1.5}',
+             '{"k": true}', '{"k": "9"}', '{"j": 3}', 'not json', '',
+             '{"k": null}', '[1, 2]', '{"k": 9007199254740993}']
+    t = pa.table({
+        "event_type": pa.array([f"t{i % 3}" for i in range(len(props))]),
+        "props": pa.array(props, type=pa.string())})
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+
+    got = Q.q_events_props_agg(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    exp = con.execute(E.oracle_sql()["events_props_agg"]).df()
+    cols = sorted(exp.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ("n", "k_sum", "k_max"):
+        np.testing.assert_array_equal(got[c].to_numpy(dtype=np.int64),
+                                      exp[c].to_numpy(dtype=np.int64), c)
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
