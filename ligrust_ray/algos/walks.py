@@ -98,15 +98,14 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
         raise ValueError("random_walks: node ids >= 2^31 overflow the "
                          "exact-int64 chooser hash; shard the id space")
 
-    def starts_block(lo: int, hi: int) -> pa.Table:
-        ids = np.arange(lo, hi, dtype=np.int64)
-        return pa.table({"start": pa.array(ids), "cur": pa.array(ids)},
+    def starts_block(t: pa.Table) -> pa.Table:
+        ids = t.column("id").cast(pa.int64())
+        return pa.table({"start": ids, "cur": ids},
                         schema=_FRONTIER_SCHEMA)
 
-    bounds = np.linspace(0, n, num_partitions + 1, dtype=np.int64)
-    frontier = ray.data.from_arrow(
-        [starts_block(int(a), int(b)) for a, b in zip(bounds, bounds[1:])
-         if b > a])
+    # distributed start generation: no O(n) driver array (range is lazy)
+    frontier = (ray.data.range(n, override_num_blocks=num_partitions)
+                .map_batches(starts_block, batch_format="pyarrow"))
 
     step_parts: list[ray.data.Dataset] = []
     for t in range(1, length + 1):

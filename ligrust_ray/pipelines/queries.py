@@ -922,9 +922,18 @@ def q_pages_anchor_text(sf_dir: str):
     is hash-verified; extraction itself is pytest-pinned (href parity with
     extract_links, determinism, nested/EOF anchors)."""
     from ligrust_ray.functions.extract import ExtractAnchors
+    from ligrust_ray.sources.synth import write_pages_corpus
 
     n_pages = max(100, int(20000 * _sf_of(sf_dir)))
-    pages = ray.data.from_arrow(generate_pages(n_pages, seed=42))
+    # Ray-task-parallel, resumable corpus generation (cached across calls;
+    # page bytes are a pure function of (seed, i) so chunking is
+    # byte-stable) — driver-side generate_pages here cost ~6 s of the
+    # 11.7 s sf0.1 bench entry
+    corpus = os.path.join(tempfile.gettempdir(),
+                          f"ligr_pagescorpus_{n_pages}")
+    write_pages_corpus(corpus, n_pages, seed=42,
+                       rows_per_file=max(200, n_pages // 16))
+    pages = _read_sized(corpus)
     anchors = pages.map_batches(
         ExtractAnchors(), batch_format="pyarrow",
         batch_size=256).select_columns(["dst_url", "anchor"]).materialize()
