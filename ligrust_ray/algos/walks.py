@@ -14,8 +14,11 @@ Spec (SQL-replicable, see __ray_entry__._walks_sql):
    neighbor with no RNG state;
 3. a walk reaching a node with out-degree 0 terminates (no row emitted for
    that or later steps);
-4. output: (start, step, node) for step = 1..length, one row per surviving
-   walk-step; starts = every node id in [0, n).
+4. output: (start, wid, step, node) for step = 1..length, one row per
+   surviving walk-step; starts = every node id in [0, n) times
+   walks_per_node walk ids (wid joins the chooser hash, weight _D — the
+   SQL-oracled contract query runs walks_per_node=1, where the wid term
+   is 0 and the column is constant).
 
 Scale shape: the adjacency is hash-partitioned by source once; each step is
 ONE bucketed co_group (walk frontier keyed by current node vs adjacency
@@ -24,9 +27,10 @@ searchsorted, no per-row Python); the frontier is rebuilt as <= P Arrow
 blocks per step via zero-job block-ref coalesce tasks (same machinery as
 algos/truss.py — co_group unions otherwise compound block counts per
 round). Hub skew bounds: a hot CURRENT node funnels its walkers to one
-partition; walkers-per-node is bounded by n (one walk per start), and the
-chooser is O(rows) — for walk corpora with many walks per start, salt the
-frontier key (documented extension).
+partition; the chooser is O(rows) and walkers-per-node is bounded by
+n * walks_per_node in the worst case — for heavy multi-walk corpora over
+hub-dominated graphs, key the frontier by (cur, wid % S) with the
+adjacency replicated S ways (the docs_tfidf salted-join shape).
 
 Node ids must be < 2^31 so the hash arithmetic stays in exact int64/BIGINT
 range on both sides (raised, not silent).
@@ -44,20 +48,26 @@ from ligrust_ray.stages import shuffle
 
 WALK_LENGTH = 4
 
-# mixing constants: Knuth multiplicative + two primes; every intermediate
+# mixing constants: Knuth multiplicative + three primes; every intermediate
 # fits int64 for ids < 2^31 (max term 2^31 * 2654435761 < 2^63)
-_A, _B, _C = 2654435761, 40503, 104729
+_A, _B, _C, _D = 2654435761, 40503, 104729, 7919
+
 _MOD = 1 << 32
 
-_FRONTIER_SCHEMA = pa.schema([("start", pa.int64()), ("cur", pa.int64())])
+_FRONTIER_SCHEMA = pa.schema([("start", pa.int64()), ("wid", pa.int64()),
+                              ("cur", pa.int64())])
 _ADJ_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
-_OUT_SCHEMA = pa.schema([("start", pa.int64()), ("step", pa.int64()),
-                         ("node", pa.int64())])
+_OUT_SCHEMA = pa.schema([("start", pa.int64()), ("wid", pa.int64()),
+                         ("step", pa.int64()), ("node", pa.int64())])
 
 
-def _hash_step(start: np.ndarray, cur: np.ndarray, t: int) -> np.ndarray:
-    """The shared engine/SQL chooser hash (exact int64 arithmetic)."""
-    return (start * _A + cur * _B + np.int64(t) * _C) % _MOD
+def _hash_step(start: np.ndarray, cur: np.ndarray, t: int,
+               wid: np.ndarray | int = 0) -> np.ndarray:
+    """The shared engine/SQL chooser hash (exact int64 arithmetic);
+    ``wid`` (walk id within a start) decorrelates multi-walk corpora and
+    contributes 0 for the SQL-oracled single-walk case."""
+    return (start * _A + cur * _B + np.int64(t) * _C
+            + wid * np.int64(_D)) % _MOD
 
 
 def _empty_out() -> pa.Table:
@@ -73,16 +83,21 @@ def _frontier_coalesce(block_refs: list) -> pa.Table:
         t = (pa.Table.from_pandas(b, preserve_index=False)
              if isinstance(b, pd.DataFrame) else b)
         if t.num_rows and "start" in t.column_names:
-            tabs.append(t.select(["start", "cur"]).cast(_FRONTIER_SCHEMA))
+            tabs.append(t.select(["start", "wid", "cur"])
+                        .cast(_FRONTIER_SCHEMA))
     if not tabs:
         return _FRONTIER_SCHEMA.empty_table()
     return pa.concat_tables(tabs).combine_chunks()
 
 
 def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
-                 length: int = WALK_LENGTH, num_partitions: int = 16
-                 ) -> ray.data.Dataset:
-    """(start, step, node) walk corpus per the module spec."""
+                 length: int = WALK_LENGTH, walks_per_node: int = 1,
+                 num_partitions: int = 16) -> ray.data.Dataset:
+    """(start, wid, step, node) walk corpus per the module spec —
+    ``walks_per_node`` independent walks per start (wid = 0..W-1 enters
+    the chooser hash, so walks from the same start decorrelate after the
+    first step-from-identical-state; W*n start rows are generated
+    distributed)."""
     from ligrust_ray.algos.triangles import infer_n
     from ligrust_ray.dataops.dedup import _block_refs
 
@@ -98,13 +113,17 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
         raise ValueError("random_walks: node ids >= 2^31 overflow the "
                          "exact-int64 chooser hash; shard the id space")
 
+    W = int(walks_per_node)
+
     def starts_block(t: pa.Table) -> pa.Table:
-        ids = t.column("id").cast(pa.int64())
-        return pa.table({"start": ids, "cur": ids},
+        ids = t.column("id").cast(pa.int64()).to_numpy()
+        return pa.table({"start": pa.array(ids // W),
+                         "wid": pa.array(ids % W),
+                         "cur": pa.array(ids // W)},
                         schema=_FRONTIER_SCHEMA)
 
     # distributed start generation: no O(n) driver array (range is lazy)
-    frontier = (ray.data.range(n, override_num_blocks=num_partitions)
+    frontier = (ray.data.range(n * W, override_num_blocks=num_partitions)
                 .map_batches(starts_block, batch_format="pyarrow"))
 
     step_parts: list[ray.data.Dataset] = []
@@ -114,8 +133,9 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
             # vectorised chooser: sort this partition's adjacency by
             # (src, dst) -> per-src offsets; neighbor = dst[off + h % deg]
             if not len(lf) or not len(rf):
-                return pd.DataFrame({"start": pd.Series([], dtype=np.int64),
-                                     "cur": pd.Series([], dtype=np.int64)})
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype=np.int64)
+                     for c in ("start", "wid", "cur")})
             rf = rf.sort_values(["src", "dst"], kind="mergesort")
             srcs = rf["src"].to_numpy(dtype=np.int64)
             dsts = rf["dst"].to_numpy(dtype=np.int64)
@@ -123,13 +143,16 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
             deg = np.diff(np.append(off, len(srcs)))
             cur = lf["cur"].to_numpy(dtype=np.int64)
             start = lf["start"].to_numpy(dtype=np.int64)
+            wid = lf["wid"].to_numpy(dtype=np.int64)
             pos = np.searchsorted(u, cur)
             pos = np.minimum(pos, max(len(u) - 1, 0))
             alive = len(u) > 0
             hit = (u[pos] == cur) if alive else np.zeros(len(cur), bool)
-            k = _hash_step(start[hit], cur[hit], _t) % deg[pos[hit]]
+            k = _hash_step(start[hit], cur[hit], _t,
+                           wid[hit]) % deg[pos[hit]]
             nxt = dsts[off[pos[hit]] + k]
-            return pd.DataFrame({"start": start[hit], "cur": nxt})
+            return pd.DataFrame({"start": start[hit], "wid": wid[hit],
+                                 "cur": nxt})
 
         stepped = shuffle.co_group(
             frontier, adj, l_on="cur", r_on="src", fn=advance,
@@ -139,6 +162,7 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
         def out_rows(tb: pa.Table, _t=t) -> pa.Table:
             return pa.table({
                 "start": tb.column("start").cast(pa.int64()),
+                "wid": tb.column("wid").cast(pa.int64()),
                 "step": pa.array(np.full(tb.num_rows, _t, dtype=np.int64)),
                 "node": tb.column("cur").cast(pa.int64())},
                 schema=_OUT_SCHEMA)
@@ -182,7 +206,7 @@ def skipgram_pairs(walks: ray.data.Dataset, window: int = SKIPGRAM_WINDOW,
         if not len(df):
             return pd.DataFrame({"center": pd.Series([], dtype=np.int64),
                                  "context": pd.Series([], dtype=np.int64)})
-        j = df.merge(df, on="start", suffixes=("_a", "_b"))
+        j = df.merge(df, on=["start", "wid"], suffixes=("_a", "_b"))
         d = (j["step_a"] - j["step_b"]).abs()
         j = j[(d > 0) & (d <= window)]
         return pd.DataFrame({

@@ -169,7 +169,8 @@ def q_events_walks(sf_dir: str):
     chooser joins."""
     from ligrust_ray.algos.walks import random_walks
 
-    return random_walks(events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH)
+    w = random_walks(events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH)
+    return w.select_columns(["start", "step", "node"])   # wid == 0 at W=1
 
 
 def q_events_skipgrams(sf_dir: str):

@@ -276,8 +276,8 @@ def ppr_oracle(n: int, src: np.ndarray, dst: np.ndarray, source: int = 0,
     return p
 
 
-def walks_oracle(n: int, src: np.ndarray, dst: np.ndarray, length: int = 4
-                 ) -> "pd.DataFrame":
+def walks_oracle(n: int, src: np.ndarray, dst: np.ndarray, length: int = 4,
+                 walks: int = 1) -> "pd.DataFrame":
     """Independent mirror of ligrust_ray.algos.walks.random_walks: dict-of-
     sorted-neighbor-lists adjacency, per-step chooser hash, dead ends
     terminate."""
@@ -288,18 +288,20 @@ def walks_oracle(n: int, src: np.ndarray, dst: np.ndarray, length: int = 4
         adj.setdefault(int(a), []).append(int(b))
     rows = []
     for start in range(n):
-        cur = start
-        for t in range(1, length + 1):
-            nbrs = adj.get(cur)
-            if not nbrs:
-                break
-            h = (start * 2654435761 + cur * 40503 + t * 104729) % (1 << 32)
-            cur = nbrs[h % len(nbrs)]
-            rows.append((start, t, cur))
-    return pd.DataFrame(rows, columns=["start", "step", "node"]) \
+        for wid in range(walks):
+            cur = start
+            for t in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                h = (start * 2654435761 + cur * 40503 + t * 104729
+                     + wid * 7919) % (1 << 32)
+                cur = nbrs[h % len(nbrs)]
+                rows.append((start, wid, t, cur))
+    return pd.DataFrame(rows, columns=["start", "wid", "step", "node"]) \
         .astype(np.int64) if rows else pd.DataFrame(
         {c: pd.Series([], dtype=np.int64)
-         for c in ("start", "step", "node")})
+         for c in ("start", "wid", "step", "node")})
 
 
 def skipgrams_oracle(walks: "pd.DataFrame", window: int = 2
@@ -311,7 +313,8 @@ def skipgrams_oracle(walks: "pd.DataFrame", window: int = 2
     from collections import Counter
 
     cnt: Counter = Counter()
-    for _, g in walks.groupby("start"):
+    keys = ["start", "wid"] if "wid" in walks.columns else ["start"]
+    for _, g in walks.groupby(keys):
         steps = g["step"].to_numpy()
         nodes = g["node"].to_numpy()
         for i in range(len(g)):

@@ -26,11 +26,15 @@ def _ds(src, dst):
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = (["start", "step", "node"]
+            if len(df) and "wid" not in df.columns
+            else ["start", "wid", "step", "node"])
     if not len(df):
+        # Ray to_pandas() drops columns on a fully-empty dataset
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                             for c in ("start", "step", "node")})
-    return (df[["start", "step", "node"]].astype(np.int64)
-            .sort_values(["start", "step"]).reset_index(drop=True))
+                             for c in cols})
+    return (df[cols].astype(np.int64)
+            .sort_values(cols[:-1]).reset_index(drop=True))
 
 
 @pytest.mark.parametrize("name,src,dst", CASES, ids=[c[0] for c in CASES])
@@ -40,6 +44,23 @@ def test_walks_match_oracle(ray_session, name, src, dst):
     exp = _norm(oracle.walks_oracle(n, src.astype(np.int64),
                                     dst.astype(np.int64)))
     pd.testing.assert_frame_equal(got, exp)
+    assert (got["wid"] == 0).all()
+
+
+def test_multi_walks_match_oracle(ray_session):
+    """walks_per_node=3: wid enters the chooser, walks decorrelate, and
+    the engine still equals the oracle walk-for-walk."""
+    _, src, dst = CASES[0]
+    got = _norm(random_walks(_ds(src, dst), walks_per_node=3).to_pandas())
+    n = int(max(src.max(), dst.max())) + 1
+    exp = _norm(oracle.walks_oracle(n, src.astype(np.int64),
+                                    dst.astype(np.int64), walks=3))
+    pd.testing.assert_frame_equal(got, exp)
+    assert set(got["wid"].unique()) == {0, 1, 2}
+    # walks from the same start diverge somewhere (hash decorrelation)
+    by = got.pivot_table(index=["start", "step"], columns="wid",
+                         values="node", aggfunc="first")
+    assert (by[0] != by[1]).any()
 
 
 def test_walks_length_and_determinism(ray_session):
@@ -48,8 +69,8 @@ def test_walks_length_and_determinism(ray_session):
     b = _norm(random_walks(_ds(src, dst), length=2).to_pandas())
     pd.testing.assert_frame_equal(a, b)          # pure function of input
     assert set(a["step"].unique()) <= {1, 2}
-    # each (start, step) appears at most once: one walk per start
-    assert not a.duplicated(["start", "step"]).any()
+    # each (start, wid, step) appears at most once: one walk per start
+    assert not a.duplicated(["start", "wid", "step"]).any()
 
 
 def test_walks_id_overflow_guard(ray_session):
