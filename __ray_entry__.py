@@ -810,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_triangles_per_node": Q.q_events_triangles_per_node,
         "events_lcc": Q.q_events_lcc,
         "events_common_neighbors": Q.q_events_common_neighbors,
+        "events_link_pred": Q.q_events_link_pred,
         # windowed / sessionized aggregates (streaming-window family)
         "events_sessions": Q.q_events_sessions,
         "events_windows": Q.q_events_windows,
@@ -868,6 +869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": Q.q_events_distinct_users,
         "events_user_hll": Q.q_events_user_hll,
         "docs_sample": Q.q_docs_sample,
+        "docs_pack": Q.q_docs_pack,
+        "docs_stratified_sample": Q.q_docs_stratified_sample,
         "docs_repetition": Q.q_docs_repetition,
         "docs_pii_scrub": Q.q_docs_pii_scrub,
         "docs_line_dedup": Q.q_docs_line_dedup,
@@ -1196,6 +1199,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l1.w AS a, l2.w AS b, COUNT(*) AS n_common "
             "FROM low l1 JOIN low l2 ON l1.v = l2.v AND l1.w < l2.w "
             "GROUP BY l1.w, l2.w HAVING COUNT(*) >= 2"),
+        # resource-allocation link prediction: same capped wedges, score =
+        # SUM(1e9 // deg(center)) in exact integer arithmetic
+        "events_link_pred": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v), "
+            "low AS MATERIALIZED (SELECT s.v, s.w, dv.d FROM sym s "
+            "JOIN deg dv ON dv.v = s.v WHERE dv.d <= 500) "
+            "SELECT l1.w AS a, l2.w AS b, COUNT(*) AS n_common, "
+            "CAST(SUM(1000000000 // l1.d) AS BIGINT) AS ra_ppb "
+            "FROM low l1 JOIN low l2 ON l1.v = l2.v AND l1.w < l2.w "
+            "GROUP BY l1.w, l2.w HAVING COUNT(*) >= 2"),
         "events_triangles_per_node": (
             f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
             "WHERE src <> dst), "
@@ -1288,6 +1307,23 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": (
             "SELECT doc_id FROM documents "
             "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10"),
+        # sequence packing: pack_id = exclusive running token sum over
+        # doc_id order // 2048 (pack.PACK_TOKENS)
+        "docs_pack": (
+            "WITH tc AS (SELECT doc_id, "
+            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+            "AS n_tokens FROM documents) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "// 2048 AS BIGINT) AS pack_id FROM tc"),
+        # language-balanced sample: 50 per lang by (md5(doc_id), doc_id)
+        "docs_stratified_sample": (
+            "SELECT lang, doc_id FROM ("
+            "SELECT lang, doc_id, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY "
+            "md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 50"),
         "docs_repetition": (
             "SELECT doc_id, "
             "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, "

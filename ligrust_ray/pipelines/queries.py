@@ -306,14 +306,16 @@ CN_DEGREE_CAP = 500    # hub filter: only centers (= the common neighbour
 CN_MIN_COMMON = 2
 
 
-def q_events_common_neighbors(sf_dir: str):
-    """(a, b, n_common) link-prediction candidates over the simple
-    undirected events graph: unordered pairs sharing >= CN_MIN_COMMON
-    common neighbours of degree <= CN_DEGREE_CAP. The degree cap bounds
-    wedge volume at sum over low-degree centers of deg^2 (the standard
-    hub filter — a hub as common neighbour carries ~no signal, the same
-    rationale as Adamic-Adar's 1/log weighting) and is replicated in the
-    SQL oracle."""
+RA_SCALE = 1_000_000_000   # resource-allocation weight = RA_SCALE // deg(v)
+
+
+def _cn_wedges(sf_dir: str, with_score: bool) -> ray.data.Dataset:
+    """Shared wedge generator for the link-prediction family: for every
+    low-degree center v (degree <= CN_DEGREE_CAP), all unordered neighbour
+    pairs (a < b). With ``with_score`` each wedge also carries the
+    resource-allocation term RA_SCALE // deg(v) (integer division — exact
+    in SQL too). Wedge volume is bounded by sum over capped centers of
+    deg^2 (the standard hub filter)."""
     sym = _sym_simple(sf_dir)
     low_deg = _simple_degree(sf_dir).map_batches(
         lambda t: t.filter(
@@ -326,34 +328,67 @@ def q_events_common_neighbors(sf_dir: str):
                         batch_format="pyarrow"),
         low_deg, on="node_id", l_cols=["w"], r_cols=["degree"])
 
+    out_cols = ["a", "b"] + (["ra"] if with_score else [])
+
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                              for c in out_cols})
         if not len(df):
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
+            return empty
         df = df.sort_values(["node_id", "w"])
         v = df["node_id"].to_numpy()
         w = df["w"].to_numpy().astype(np.int64)
+        deg = df["degree"].to_numpy().astype(np.int64)
         seg = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
         sizes = np.diff(np.append(seg, len(v)))
-        outs_a: list[np.ndarray] = []
-        outs_b: list[np.ndarray] = []
+        outs: dict[str, list[np.ndarray]] = {c: [] for c in out_cols}
         for s, k in zip(seg, sizes):
             if k < 2:
                 continue
             nb = w[s:s + k]          # unique + sorted within a group
             i, j = np.triu_indices(int(k), 1)
-            outs_a.append(nb[i])
-            outs_b.append(nb[j])
-        if not outs_a:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"a": np.concatenate(outs_a),
-                             "b": np.concatenate(outs_b)})
+            outs["a"].append(nb[i])
+            outs["b"].append(nb[j])
+            if with_score:
+                outs["ra"].append(np.full(len(i), RA_SCALE // deg[s],
+                                          dtype=np.int64))
+        if not outs["a"]:
+            return empty
+        return pd.DataFrame({c: np.concatenate(v) for c, v in outs.items()})
 
-    wedges = shuffle.grouped_apply(low, ["node_id"], pairs_fn)
-    counts = shuffle.grouped_agg(wedges, ["a", "b"],
+    return shuffle.grouped_apply(low, ["node_id"], pairs_fn)
+
+
+def q_events_common_neighbors(sf_dir: str):
+    """(a, b, n_common) link-prediction candidates over the simple
+    undirected events graph: unordered pairs sharing >= CN_MIN_COMMON
+    common neighbours of degree <= CN_DEGREE_CAP. The degree cap bounds
+    wedge volume at sum over low-degree centers of deg^2 (the standard
+    hub filter — a hub as common neighbour carries ~no signal, the same
+    rationale as Adamic-Adar's 1/log weighting) and is replicated in the
+    SQL oracle."""
+    counts = shuffle.grouped_agg(_cn_wedges(sf_dir, with_score=False),
+                                 ["a", "b"],
                                  {"n_common": (None, "count")})
     return counts.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("n_common"), CN_MIN_COMMON)),
+        batch_format="pyarrow")
+
+
+def q_events_link_pred(sf_dir: str):
+    """(a, b, n_common, ra_ppb) resource-allocation link-prediction scores
+    (Zhou/Lu/Zhang 2009): for unordered non-adjacent-or-adjacent pairs
+    sharing >= CN_MIN_COMMON capped-degree common neighbours v, ra_ppb =
+    sum over those v of RA_SCALE // deg(v) — integer arithmetic end to
+    end so the DuckDB hash compare is exact. Same wedge machinery and hub
+    cap as q_events_common_neighbors; one extra int64 column rides the
+    same shuffle."""
+    scored = shuffle.grouped_agg(_cn_wedges(sf_dir, with_score=True),
+                                 ["a", "b"],
+                                 {"n_common": (None, "count"),
+                                  "ra_ppb": ("ra", "sum")})
+    return scored.map_batches(
         lambda t: t.filter(
             pc.greater_equal(t.column("n_common"), CN_MIN_COMMON)),
         batch_format="pyarrow")
@@ -1286,6 +1321,51 @@ def q_docs_sample(sf_dir: str):
     on any cluster size)."""
     return _docs(sf_dir).map_batches(textstats.hash_mod_sample_batch,
                                      batch_format="pyarrow")
+
+
+def q_docs_pack(sf_dir: str):
+    """(doc_id, n_tokens, pack_id) — fixed-budget sequence packing via a
+    distributed exclusive prefix sum over doc_id order (dataops/pack.py);
+    the SQL oracle is the equivalent window sum."""
+    from ligrust_ray.dataops import pack
+
+    return pack.pack_assign(
+        _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"]))
+
+
+STRAT_K = 50     # docs kept per language
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    """(lang, doc_id) — language-balanced sample: the STRAT_K docs per
+    language with the smallest (md5_number_lower(doc_id), doc_id) key, a
+    deterministic coordination-free stratified draw (the hash is the
+    random tape, reproducible on any cluster size). Scale shape: per-BATCH
+    partial top-K per lang bounds shuffle volume at K x #langs rows per
+    block; one tiny grouped_apply finishes. SQL oracle = ROW_NUMBER over
+    the same key."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "lang"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "h": pd.Series([], dtype=np.uint64)})
+        if "h" not in df.columns:
+            df = df.assign(h=md5_u64_lower_arrow(
+                df["doc_id"].astype(np.int64).astype(str).to_numpy()))
+        df = df.sort_values(["lang", "h", "doc_id"])
+        return df.groupby("lang", sort=False).head(STRAT_K) \
+            [["lang", "doc_id", "h"]]
+
+    out = shuffle.grouped_apply(docs, ["lang"], topk, pre=topk)
+    return out.map_batches(
+        lambda t: t.select(["lang", "doc_id"]), batch_format="pyarrow")
 
 
 def q_docs_repetition(sf_dir: str):

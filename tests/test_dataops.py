@@ -822,3 +822,130 @@ def test_events_props_agg_adversarial_json(ray_session, tmp_path):
         np.testing.assert_array_equal(got[c].to_numpy(dtype=np.int64),
                                       exp[c].to_numpy(dtype=np.int64), c)
     assert got["event_type"].tolist() == exp["event_type"].tolist()
+
+
+# ---------------------------------------------------------------- packing
+
+
+def test_pack_assign_matches_prefix_sum(ray_session):
+    """Multi-bucket, multi-partition pack assignment equals the sequential
+    exclusive-prefix-sum oracle (bucket=8 forces many scan buckets and
+    sparse doc_ids cross bucket boundaries)."""
+    from ligrust_ray.dataops.pack import pack_assign
+
+    rng = np.random.default_rng(7)
+    doc_ids = np.sort(rng.choice(10_000, size=400, replace=False))
+    texts = [" ".join(["tok"] * int(k)) for k in rng.integers(0, 40, 400)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())})).repartition(7)
+
+    got = (pack_assign(docs, pack_tokens=64, bucket=8, num_partitions=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # sequential oracle: DuckDB token semantics (empty -> 1 token)
+    nt = np.array([max(len(t.split()), 1) for t in texts], dtype=np.int64)
+    prev = np.cumsum(nt) - nt
+    exp = pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "n_tokens": nt,
+                        "pack_id": prev // 64})
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pack_assign_empty(ray_session):
+    from ligrust_ray.dataops.pack import pack_assign
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    assert pack_assign(docs).count() == 0
+
+
+# ---------------------------------------------------- stratified sample
+
+
+def test_stratified_sample_quota_and_determinism(ray_session, tmp_path):
+    from ligrust_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(3)
+    langs = rng.choice(["en", "de", "fr"], size=300,
+                       p=[0.7, 0.2, 0.1]).tolist() + ["zz"] * 3
+    n = len(langs)
+    tab = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(["x"] * n, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string()),
+        "source": pa.array(["s"] * n, type=pa.string()),
+        "n_chars": pa.array([1] * n, type=pa.int64())})
+    pq.write_table(tab, tmp_path / "documents.parquet")
+
+    a = (Q.q_docs_stratified_sample(str(tmp_path)).to_pandas()
+         .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+    b = (Q.q_docs_stratified_sample(str(tmp_path)).to_pandas()
+         .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+    counts = a.groupby("lang").size()
+    from collections import Counter
+    pop = Counter(langs)
+    for lang, c in counts.items():
+        assert c == min(Q.STRAT_K, pop[lang])
+    assert set(counts.index) == set(pop)     # every language represented
+
+    # brute-force oracle for one language
+    from ligrust_ray.dataops.hashing import md5_u64_lower
+    ids_fr = [i for i, l in enumerate(langs) if l == "fr"]
+    keyed = sorted(ids_fr, key=lambda i: (md5_u64_lower(str(i).encode()), i))
+    assert sorted(a[a["lang"] == "fr"]["doc_id"]) == \
+        sorted(keyed[:Q.STRAT_K])
+
+
+# ------------------------------------------------ resource-allocation LP
+
+
+def test_link_pred_matches_bruteforce(ray_session, tmp_path):
+    """events_link_pred == brute-force RA scoring over the same simple
+    undirected graph with the same degree cap."""
+    from ligrust_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(11)
+    n_ev = 800
+    tab = pa.table({
+        "event_id": pa.array(range(n_ev), type=pa.int64()),
+        "ts": pa.array([0] * n_ev, type=pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 60, n_ev), type=pa.int64()),
+        "event_type": pa.array(["t"] * n_ev, type=pa.string()),
+        "value": pa.array(rng.uniform(0, 10, n_ev), type=pa.float64()),
+        "props": pa.array(["{}"] * n_ev, type=pa.string())})
+    pq.write_table(tab, tmp_path / "events.parquet")
+
+    got = (Q.q_events_link_pred(str(tmp_path)).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True)
+           .astype(np.int64))
+
+    # brute force from the same edge rule
+    uid = tab.column("user_id").to_numpy()
+    val = tab.column("value").to_numpy()
+    dst = (np.floor(val * 100).astype(np.int64)) % 150
+    und = {(min(int(s), int(d)), max(int(s), int(d)))
+           for s, d in zip(uid, dst) if s != d}
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for a_, b_ in und:
+        adj[a_].add(b_)
+        adj[b_].add(a_)
+    acc: dict = {}
+    for v, nbrs in adj.items():
+        if len(nbrs) > Q.CN_DEGREE_CAP:
+            continue
+        ns = sorted(nbrs)
+        w = Q.RA_SCALE // len(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                k = (ns[i], ns[j])
+                c, s = acc.get(k, (0, 0))
+                acc[k] = (c + 1, s + w)
+    exp = pd.DataFrame(
+        [(a_, b_, c, s) for (a_, b_), (c, s) in sorted(acc.items())
+         if c >= Q.CN_MIN_COMMON],
+        columns=["a", "b", "n_common", "ra_ppb"]).astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
