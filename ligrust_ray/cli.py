@@ -93,6 +93,16 @@ def main(argv=None):
     ib.add_argument("-o", "--output", required=True)
     ib.add_argument("-p", "--partitions", type=int, default=32)
 
+    ex = sub.add_parser("export", help="clean a documents corpus and "
+                        "write resumable key-hashed parquet shards "
+                        "(rerun skips committed shards)")
+    ex.add_argument("sf_dir", help="dir containing documents.parquet")
+    ex.add_argument("-o", "--output", required=True)
+    ex.add_argument("--shards", type=int, default=64)
+    ex.add_argument("--raw", action="store_true",
+                    help="skip the cleaning pipeline; export as-is")
+    ex.add_argument("--no-resume", dest="ex_resume", action="store_false")
+
     args = p.parse_args(argv)
     _ray_up(args.num_cpus)
     import ray
@@ -103,6 +113,26 @@ def main(argv=None):
 
         write_pages_corpus(args.output, args.pages, seed=args.seed)
         print(json.dumps({"written": args.output, "pages": args.pages}))
+        return 0
+
+    if args.cmd == "export":
+        import os
+
+        from ligrust_ray.pipelines import queries as Q
+        from ligrust_ray.sources.resumable_sink import write_partitioned
+
+        if args.raw:
+            ds = ray.data.read_parquet(
+                os.path.join(args.sf_dir, "documents.parquet"))
+        else:
+            ds = Q.q_docs_clean(args.sf_dir)
+        stats = write_partitioned(ds, args.output, key="doc_id",
+                                  num_shards=args.shards,
+                                  resume=args.ex_resume)
+        print(json.dumps({
+            "output": args.output, "shards": int(len(stats)),
+            "rows_written": int(stats["rows"].sum()),
+            "shards_skipped": int(stats["skipped"].sum())}))
         return 0
 
     if args.cmd == "build":

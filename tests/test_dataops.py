@@ -949,3 +949,61 @@ def test_link_pred_matches_bruteforce(ray_session, tmp_path):
          if c >= Q.CN_MIN_COMMON],
         columns=["a", "b", "n_common", "ra_ppb"]).astype(np.int64)
     pd.testing.assert_frame_equal(got, exp)
+
+
+# ------------------------------------------------------- resumable sink
+
+
+def test_resumable_sink_roundtrip_and_resume(ray_session, tmp_path):
+    from ligrust_ray.sources.resumable_sink import (
+        read_partitioned, shard_of, write_partitioned)
+
+    n = 1000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": [f"doc {i}" for i in range(n)]})
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = str(tmp_path / "sink")
+
+    stats = write_partitioned(ds, out, key="doc_id", num_shards=8,
+                              num_partitions=4)
+    assert stats["rows"].sum() == n and stats["skipped"].sum() == 0
+    assert len(stats) == 8
+
+    back = (read_partitioned(out).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back, df)
+
+    # simulate a mid-run failure: one shard lost its marker (uncommitted)
+    import os
+    victim = str(tmp_path / "sink" / "shard=00003")
+    os.remove(os.path.join(victim, "_SUCCESS"))
+    os.remove(os.path.join(victim, "part.parquet"))
+
+    before = {p: os.path.getmtime(os.path.join(out, p, "part.parquet"))
+              for p in os.listdir(out) if p != "shard=00003"}
+    stats2 = write_partitioned(ds, out, key="doc_id", num_shards=8,
+                               num_partitions=4)
+    # only the victim was rewritten; everything else skipped untouched
+    assert int(stats2["skipped"].sum()) == 7
+    exp_victim = int((shard_of(df["doc_id"].to_numpy(), 8) == 3).sum())
+    assert int(stats2["rows"].sum()) == exp_victim
+    for p, m in before.items():
+        assert os.path.getmtime(os.path.join(out, p, "part.parquet")) == m
+
+    back2 = (read_partitioned(out).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back2, df)
+
+
+def test_resumable_sink_string_keys_deterministic(ray_session, tmp_path):
+    from ligrust_ray.sources.resumable_sink import shard_of, write_partitioned
+
+    df = pd.DataFrame({"url": [f"https://e{i}.com/p" for i in range(50)],
+                       "v": np.arange(50, dtype=np.int64)})
+    s1 = shard_of(df["url"].to_numpy(), 16)
+    s2 = shard_of(df["url"].to_numpy(), 16)
+    assert (s1 == s2).all() and len(np.unique(s1)) > 1
+    out = str(tmp_path / "s")
+    stats = write_partitioned(ray.data.from_pandas(df), out, key="url",
+                              num_shards=16, num_partitions=4)
+    assert stats["rows"].sum() == 50
