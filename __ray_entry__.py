@@ -871,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": Q.q_docs_sample,
         "docs_pack": Q.q_docs_pack,
         "docs_stratified_sample": Q.q_docs_stratified_sample,
+        "docs_oov": Q.q_docs_oov,
         "docs_repetition": Q.q_docs_repetition,
         "docs_pii_scrub": Q.q_docs_pii_scrub,
         "docs_line_dedup": Q.q_docs_line_dedup,
@@ -1324,6 +1325,22 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang ORDER BY "
             "md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 50"),
+        # vocabulary-coverage filter: top-1000 corpus vocab, per-doc OOV
+        # rate in integer permille; zero-word docs emit no row
+        "docs_oov": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '\\S+')) AS tok "
+            "FROM documents), "
+            "cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok), "
+            "vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok "
+            "LIMIT 1000), "
+            "pd AS (SELECT t.doc_id, COUNT(*) AS n, "
+            "SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov "
+            "FROM toks t LEFT JOIN vocab v ON v.tok = t.tok "
+            "GROUP BY t.doc_id) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens_w, "
+            "CAST(oov AS BIGINT) AS n_oov, "
+            "CAST((1000 * oov) // n AS BIGINT) AS oov_permille FROM pd"),
         "docs_repetition": (
             "SELECT doc_id, "
             "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, "

@@ -1446,12 +1446,12 @@ def q_docs_source_stats(sf_dir: str):
 TOP_TOKENS_K = 50
 
 
-def q_docs_top_tokens(sf_dir: str):
-    """Global top-K vocabulary by token count (lower(text), \\S+ tokens),
+def _top_vocab(sf_dir: str, k: int) -> pd.DataFrame:
+    """Global top-k vocabulary by token count (lower(text), \\S+ tokens),
     ties broken token-ascending. Distributed shape: per-batch token
     pre-count (np.unique combiner), one grouped sum (each token lands in
-    exactly ONE partition, so per-partition top-K partials are exact),
-    tiny P x K driver merge."""
+    exactly ONE partition, so per-partition top-k partials are exact),
+    tiny P x k driver merge."""
     def batch_counts(t: pa.Table) -> pa.Table:
         toks: list[str] = []
         for x in t.column("text").to_pylist():
@@ -1469,14 +1469,64 @@ def q_docs_top_tokens(sf_dir: str):
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["n", "token"], ascending=[False, True]) \
-            .head(TOP_TOKENS_K)
+            .head(k)
 
     parts = counts.map_batches(partial_topk, batch_format="pandas") \
         .to_pandas()
-    top = parts.sort_values(["n", "token"], ascending=[False, True]) \
-        .head(TOP_TOKENS_K).reset_index(drop=True)
+    return parts.sort_values(["n", "token"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+
+
+def q_docs_top_tokens(sf_dir: str):
+    """Global top-K vocabulary by token count (see _top_vocab)."""
+    top = _top_vocab(sf_dir, TOP_TOKENS_K)
     return pa.table({"token": pa.array(top["token"], type=pa.string()),
                      "n": pa.array(top["n"].to_numpy(dtype=np.int64))})
+
+
+OOV_VOCAB_K = 1000
+
+
+def q_docs_oov(sf_dir: str):
+    """(doc_id, n_tokens_w, n_oov, oov_permille) — vocabulary-coverage
+    quality filter (the KenLM-free stand-in every LM-data pipeline runs):
+    the corpus top-OOV_VOCAB_K vocabulary is built distributed
+    (_top_vocab), broadcast once via ray.put, and each doc's \\S+
+    lowercased tokens are scored against it with one np.isin per batch.
+    Docs with zero word tokens emit no row (the SQL unnest drops them
+    too). oov_permille = (1000 * n_oov) // n_tokens_w — integer-exact."""
+    vocab = np.sort(_top_vocab(sf_dir, OOV_VOCAB_K)["token"]
+                    .to_numpy(dtype=object))
+    vref = ray.put(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        ids = t.column("doc_id").to_numpy()
+        out_id: list[int] = []
+        toks: list[str] = []
+        off = [0]
+        for did, x in zip(ids, t.column("text").to_pylist()):
+            w = _WORD_RE.findall(x.lower())
+            if not w:
+                continue
+            out_id.append(int(did))
+            toks.extend(w)
+            off.append(len(toks))
+        if not out_id:
+            return pa.table({c: pa.array([], type=pa.int64()) for c in
+                             ("doc_id", "n_tokens_w", "n_oov",
+                              "oov_permille")})
+        hit = np.isin(np.array(toks, dtype=object), v)
+        bounds = np.array(off)
+        n = np.diff(bounds)
+        oov = n - np.add.reduceat(hit.astype(np.int64), bounds[:-1])
+        return pa.table({
+            "doc_id": pa.array(np.array(out_id, dtype=np.int64)),
+            "n_tokens_w": pa.array(n.astype(np.int64)),
+            "n_oov": pa.array(oov.astype(np.int64)),
+            "oov_permille": pa.array((1000 * oov) // n)})
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
 
 
 TFIDF_K = 3

@@ -1007,3 +1007,43 @@ def test_resumable_sink_string_keys_deterministic(ray_session, tmp_path):
     stats = write_partitioned(ray.data.from_pandas(df), out, key="url",
                               num_shards=16, num_partitions=4)
     assert stats["rows"].sum() == 50
+
+
+def test_docs_oov_planted(ray_session, tmp_path):
+    """Vocab = top-1000 by count; rare tokens score as OOV; zero-word
+    docs emit no row."""
+    from ligrust_ray.pipelines import queries as Q
+
+    texts = (["common words here"] * 20
+             + ["common words here plus RARETOKEN" ]
+             + ["   "])                       # whitespace-only: no row
+    n = len(texts)
+    tab = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * n, type=pa.string()),
+        "source": pa.array(["s"] * n, type=pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64())})
+    pq.write_table(tab, tmp_path / "documents.parquet")
+
+    got = (Q.q_docs_oov(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == n - 1                  # whitespace doc dropped
+    base = got[got["doc_id"] < 20]
+    assert (base["n_oov"] == 0).all() and (base["oov_permille"] == 0).all()
+    rare = got[got["doc_id"] == 20].iloc[0]
+    # vocab has only 4 distinct tokens (< K) so nothing is OOV... unless
+    # the vocab cap binds; with K=1000 all 4 are in-vocab
+    assert rare["n_tokens_w"] == 5 and rare["n_oov"] == 0
+
+    # force a tiny vocab to plant real OOV: monkeypatch K
+    old = Q.OOV_VOCAB_K
+    try:
+        Q.OOV_VOCAB_K = 3                     # top-3 = common/words/here
+        got2 = (Q.q_docs_oov(str(tmp_path)).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        r2 = got2[got2["doc_id"] == 20].iloc[0]
+        assert r2["n_oov"] == 2               # 'plus' and 'raretoken'
+        assert r2["oov_permille"] == (1000 * 2) // 5
+    finally:
+        Q.OOV_VOCAB_K = old
