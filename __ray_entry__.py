@@ -452,6 +452,34 @@ def _walks_sql(length: int = 4) -> str:
     return "".join(parts)
 
 
+def _walks_nb_sql(length: int = 4) -> str:
+    """No-backtrack walk oracle (random_walks(no_backtrack=True) spec):
+    per step the predecessor is excluded and the surviving neighbors are
+    re-ranked dst-ascending (filtered ROW_NUMBER); the chooser hash and
+    termination rule match _walks_sql. w0 seeds prev = -1 (matches no
+    dst)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+        f"nodes AS ({_NODES_CTE}), "
+        "w0 AS (SELECT id AS start, -1 AS prev, id AS node FROM nodes)"]
+    for t in range(1, length + 1):
+        parts.append(
+            f", c{t} AS MATERIALIZED (SELECT w.start, w.node, e.dst, "
+            "ROW_NUMBER() OVER (PARTITION BY w.start ORDER BY e.dst) - 1 "
+            "AS idx, COUNT(*) OVER (PARTITION BY w.start) AS cnt "
+            f"FROM w{t-1} w JOIN e ON e.src = w.node AND e.dst <> w.prev)"
+            f", w{t} AS MATERIALIZED (SELECT c.start, c.node AS prev, "
+            f"c.dst AS node FROM c{t} c WHERE c.idx = "
+            f"((c.start * 2654435761 + c.node * 40503 + {t} * 104729) "
+            "% 4294967296) % c.cnt)")
+    unions = " UNION ALL ".join(
+        f"SELECT start, {t} AS step, node FROM w{t}"
+        for t in range(1, length + 1))
+    parts.append(f" SELECT start, CAST(step AS BIGINT) AS step, node "
+                 f"FROM ({unions})")
+    return "".join(parts)
+
+
 def _skipgrams_sql(length: int = 4, window: int = 2) -> str:
     """Skip-gram pair oracle (walks.skipgram_pairs spec): directed
     position pairs within ``window`` steps of the same walk over the
@@ -836,6 +864,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ppr": Q.q_events_ppr,
         "events_truss": Q.q_events_truss,
         "events_walks": Q.q_events_walks,
+        "events_neighbor_sample": Q.q_events_neighbor_sample,
+        "events_walks_nb": Q.q_events_walks_nb,
         "events_skipgrams": Q.q_events_skipgrams,
         "events_props_agg": Q.q_events_props_agg,
         "pages_pagerank": Q.q_pages_pagerank,
@@ -1235,6 +1265,17 @@ def oracle_sql() -> dict[str, str]:
         "events_ppr": _ppr_sql(4, 0),
         "events_truss": _truss_sql(16),
         "events_walks": _walks_sql(4),
+        "events_walks_nb": _walks_nb_sql(4),
+        # GraphSAGE-style sampling: top-3 out-neighbors per src by the
+        # chooser hash (src*A + dst*B) % 2^32, dst tiebreak
+        "events_neighbor_sample": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+            "r AS (SELECT src, dst, ROW_NUMBER() OVER ("
+            "PARTITION BY src ORDER BY "
+            "(src * 2654435761 + dst * 40503) % 4294967296, dst) AS rnk "
+            "FROM e) "
+            "SELECT src, dst, CAST(rnk AS BIGINT) AS rnk FROM r "
+            "WHERE rnk <= 3"),
         "events_skipgrams": _skipgrams_sql(4, 2),
         # semi-structured ETL: integer field k of the props JSON, per-type
         # aggregate; json_valid + json_type guard matches the engine's

@@ -292,6 +292,22 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_events_props_agg(SF_DIR).materialize()
     q["events_props_agg"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_events_link_pred(SF_DIR).materialize()
+    q["events_link_pred"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_docs_pack(SF_DIR).materialize()
+    q["docs_pack"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_docs_stratified_sample(SF_DIR).materialize()
+    q["docs_stratified_sample"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_docs_oov(SF_DIR).materialize()
+    q["docs_oov"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

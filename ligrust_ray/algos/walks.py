@@ -56,6 +56,9 @@ _MOD = 1 << 32
 
 _FRONTIER_SCHEMA = pa.schema([("start", pa.int64()), ("wid", pa.int64()),
                               ("cur", pa.int64())])
+# no-backtrack walks also carry the previous node (excluded candidate)
+_FRONTIER_SCHEMA_NB = pa.schema([("start", pa.int64()), ("wid", pa.int64()),
+                                 ("cur", pa.int64()), ("prev", pa.int64())])
 _ADJ_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 _OUT_SCHEMA = pa.schema([("start", pa.int64()), ("wid", pa.int64()),
                          ("step", pa.int64()), ("node", pa.int64())])
@@ -75,29 +78,34 @@ def _empty_out() -> pa.Table:
 
 
 @ray.remote(num_cpus=1)
-def _frontier_coalesce(block_refs: list) -> pa.Table:
+def _frontier_coalesce(block_refs: list, nb: bool = False) -> pa.Table:
     """Rebuild a step's frontier as one Arrow block per task (bounds the
     loop's block count at <= P; see module docstring)."""
+    schema = _FRONTIER_SCHEMA_NB if nb else _FRONTIER_SCHEMA
     tabs = []
     for b in ray.get(list(block_refs)):
         t = (pa.Table.from_pandas(b, preserve_index=False)
              if isinstance(b, pd.DataFrame) else b)
         if t.num_rows and "start" in t.column_names:
-            tabs.append(t.select(["start", "wid", "cur"])
-                        .cast(_FRONTIER_SCHEMA))
+            tabs.append(t.select(schema.names).cast(schema))
     if not tabs:
-        return _FRONTIER_SCHEMA.empty_table()
+        return schema.empty_table()
     return pa.concat_tables(tabs).combine_chunks()
 
 
 def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
                  length: int = WALK_LENGTH, walks_per_node: int = 1,
+                 no_backtrack: bool = False,
                  num_partitions: int = 16) -> ray.data.Dataset:
     """(start, wid, step, node) walk corpus per the module spec —
     ``walks_per_node`` independent walks per start (wid = 0..W-1 enters
     the chooser hash, so walks from the same start decorrelate after the
     first step-from-identical-state; W*n start rows are generated
-    distributed)."""
+    distributed). ``no_backtrack`` gives the node2vec-style second-order
+    variant: the walker's previous node is excluded from the candidate
+    set (the chooser indexes the REMAINING neighbors in dst order — the
+    SQL oracle re-ranks with a filtered ROW_NUMBER); a walker whose only
+    neighbor is its predecessor terminates."""
     from ligrust_ray.algos.triangles import infer_n
     from ligrust_ray.dataops.dedup import _block_refs
 
@@ -114,13 +122,16 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
                          "exact-int64 chooser hash; shard the id space")
 
     W = int(walks_per_node)
+    f_schema = _FRONTIER_SCHEMA_NB if no_backtrack else _FRONTIER_SCHEMA
+    f_cols = list(f_schema.names)
 
     def starts_block(t: pa.Table) -> pa.Table:
         ids = t.column("id").cast(pa.int64()).to_numpy()
-        return pa.table({"start": pa.array(ids // W),
-                         "wid": pa.array(ids % W),
-                         "cur": pa.array(ids // W)},
-                        schema=_FRONTIER_SCHEMA)
+        cols = {"start": pa.array(ids // W), "wid": pa.array(ids % W),
+                "cur": pa.array(ids // W)}
+        if no_backtrack:     # nothing to exclude on the first step
+            cols["prev"] = pa.array(np.full(len(ids), -1, dtype=np.int64))
+        return pa.table(cols, schema=f_schema)
 
     # distributed start generation: no O(n) driver array (range is lazy)
     frontier = (ray.data.range(n * W, override_num_blocks=num_partitions)
@@ -134,8 +145,7 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
             # (src, dst) -> per-src offsets; neighbor = dst[off + h % deg]
             if not len(lf) or not len(rf):
                 return pd.DataFrame(
-                    {c: pd.Series([], dtype=np.int64)
-                     for c in ("start", "wid", "cur")})
+                    {c: pd.Series([], dtype=np.int64) for c in f_cols})
             rf = rf.sort_values(["src", "dst"], kind="mergesort")
             srcs = rf["src"].to_numpy(dtype=np.int64)
             dsts = rf["dst"].to_numpy(dtype=np.int64)
@@ -148,16 +158,40 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
             pos = np.minimum(pos, max(len(u) - 1, 0))
             alive = len(u) > 0
             hit = (u[pos] == cur) if alive else np.zeros(len(cur), bool)
-            k = _hash_step(start[hit], cur[hit], _t,
-                           wid[hit]) % deg[pos[hit]]
-            nxt = dsts[off[pos[hit]] + k]
-            return pd.DataFrame({"start": start[hit], "wid": wid[hit],
-                                 "cur": nxt})
+            h = _hash_step(start[hit], cur[hit], _t, wid[hit])
+            o_h, d_h = off[pos[hit]], deg[pos[hit]]
+            if not no_backtrack:
+                nxt = dsts[o_h + h % d_h]
+                return pd.DataFrame({"start": start[hit],
+                                     "wid": wid[hit], "cur": nxt})
+            # exclude prev: locate it in cur's sorted neighbor run via a
+            # composite (src << 32 | dst) key (ids < 2^31 guaranteed);
+            # prev = -1 masks to 0xFFFFFFFF, matching no dst
+            prev = lf["prev"].to_numpy(dtype=np.int64)[hit]
+            keys = ((srcs.astype(np.uint64) << np.uint64(32))
+                    | dsts.astype(np.uint64))
+            target = ((cur[hit].astype(np.uint64) << np.uint64(32))
+                      | (prev.astype(np.uint64)
+                         & np.uint64(0xFFFFFFFF)))
+            q = np.searchsorted(keys, target)
+            qc = np.minimum(q, max(len(keys) - 1, 0))
+            found = keys[qc] == target
+            cnt = d_h - found.astype(np.int64)
+            live = cnt > 0               # only-neighbor-is-prev: terminate
+            k = h[live] % cnt[live]
+            # removing the element at p_rel from the sorted run shifts
+            # later candidates left: remaining[k] = original[k + (k>=p_rel)]
+            p_rel = (qc - o_h)[live]
+            k = k + (found[live] & (k >= p_rel)).astype(np.int64)
+            nxt = dsts[o_h[live] + k]
+            return pd.DataFrame({"start": start[hit][live],
+                                 "wid": wid[hit][live],
+                                 "cur": nxt, "prev": cur[hit][live]})
 
         stepped = shuffle.co_group(
             frontier, adj, l_on="cur", r_on="src", fn=advance,
             num_partitions=num_partitions,
-            l_schema=_FRONTIER_SCHEMA, r_schema=_ADJ_SCHEMA).materialize()
+            l_schema=f_schema, r_schema=_ADJ_SCHEMA).materialize()
 
         def out_rows(tb: pa.Table, _t=t) -> pa.Table:
             return pa.table({
@@ -178,7 +212,8 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
             groups = np.array_split(np.arange(len(refs)),
                                     min(num_partitions, len(refs)))
             frontier = ray.data.from_arrow_refs(
-                [_frontier_coalesce.remote([refs[i] for i in g])
+                [_frontier_coalesce.remote([refs[i] for i in g],
+                                           no_backtrack)
                  for g in groups if len(g)])
 
     out = step_parts[0]

@@ -173,6 +173,18 @@ def q_events_walks(sf_dir: str):
     return w.select_columns(["start", "step", "node"])   # wid == 0 at W=1
 
 
+def q_events_walks_nb(sf_dir: str):
+    """(start, step, node) — the no-backtrack (node2vec-style second
+    order) walk corpus: the predecessor is excluded from the candidate
+    set, chooser re-indexes the remaining neighbors in dst order. The
+    SQL oracle re-ranks with a filtered ROW_NUMBER per step."""
+    from ligrust_ray.algos.walks import random_walks
+
+    w = random_walks(events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH,
+                     no_backtrack=True)
+    return w.select_columns(["start", "step", "node"])   # wid == 0 at W=1
+
+
 def q_events_skipgrams(sf_dir: str):
     """(center, context, n) word2vec training pairs of the events walk
     corpus (walks.skipgram_pairs over q_events_walks, window 2)."""
@@ -180,6 +192,47 @@ def q_events_skipgrams(sf_dir: str):
 
     return skipgram_pairs(
         random_walks(events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH))
+
+
+NS_K = 3    # sampled out-neighbors per source
+
+
+def q_events_neighbor_sample(sf_dir: str):
+    """(src, dst, rnk) — GraphSAGE-style deterministic neighbor sampling
+    over the DISTINCT directed events graph: up to NS_K out-neighbors per
+    source, ranked by the walk-family chooser hash
+    (src*2654435761 + dst*40503) % 2^32 with dst tiebreak (the hash IS
+    the random tape — reproducible on any cluster size, replicated
+    verbatim in the SQL oracle). Scale shape: per-BATCH partial top-K per
+    src bounds shuffle volume at K rows per src per block; one
+    grouped_apply finishes and ranks."""
+    from ligrust_ray.algos.walks import _A, _B
+
+    e = shuffle.distinct(events_edges_ds(sf_dir), ["src", "dst"])
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["src"].to_numpy(np.int64) * _A
+             + df["dst"].to_numpy(np.int64) * _B) % (1 << 32)
+        return df.assign(__h=h).sort_values(["src", "__h", "dst"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("src", "dst", "__h")})
+        return _key(df).groupby("src", sort=False).head(NS_K) \
+            [["src", "dst", "__h"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("src", "dst", "rnk")})
+        df = _key(df).groupby("src", sort=False).head(NS_K)
+        rnk = df.groupby("src", sort=False).cumcount().to_numpy() + 1
+        return pd.DataFrame({"src": df["src"].to_numpy(np.int64),
+                             "dst": df["dst"].to_numpy(np.int64),
+                             "rnk": rnk.astype(np.int64)})
+
+    return shuffle.grouped_apply(e, ["src"], final, pre=topk)
 
 
 TRUSS_SQL_ROUNDS = 16   # unroll depth of the DuckDB oracle = engine cap

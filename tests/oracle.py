@@ -277,7 +277,8 @@ def ppr_oracle(n: int, src: np.ndarray, dst: np.ndarray, source: int = 0,
 
 
 def walks_oracle(n: int, src: np.ndarray, dst: np.ndarray, length: int = 4,
-                 walks: int = 1) -> "pd.DataFrame":
+                 walks: int = 1, no_backtrack: bool = False
+                 ) -> "pd.DataFrame":
     """Independent mirror of ligrust_ray.algos.walks.random_walks: dict-of-
     sorted-neighbor-lists adjacency, per-step chooser hash, dead ends
     terminate."""
@@ -289,14 +290,16 @@ def walks_oracle(n: int, src: np.ndarray, dst: np.ndarray, length: int = 4,
     rows = []
     for start in range(n):
         for wid in range(walks):
-            cur = start
+            cur, prev = start, None
             for t in range(1, length + 1):
-                nbrs = adj.get(cur)
-                if not nbrs:
+                nbrs = adj.get(cur) or []
+                cand = ([x for x in nbrs if x != prev]
+                        if no_backtrack else nbrs)
+                if not cand:
                     break
                 h = (start * 2654435761 + cur * 40503 + t * 104729
                      + wid * 7919) % (1 << 32)
-                cur = nbrs[h % len(nbrs)]
+                prev, cur = cur, cand[h % len(cand)]
                 rows.append((start, wid, t, cur))
     return pd.DataFrame(rows, columns=["start", "wid", "step", "node"]) \
         .astype(np.int64) if rows else pd.DataFrame(

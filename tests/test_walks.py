@@ -126,3 +126,25 @@ def test_events_skipgrams_vs_duckdb(ray_session):
     got = _norm_pairs(E.queries()["events_skipgrams"](sf).to_pandas())
     exp = _norm_pairs(con.execute(E.oracle_sql()["events_skipgrams"]).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.parametrize("name,src,dst", CASES, ids=[c[0] for c in CASES])
+def test_no_backtrack_walks_match_oracle(ray_session, name, src, dst):
+    got = _norm(random_walks(_ds(src, dst), no_backtrack=True).to_pandas())
+    n = int(max(src.max(), dst.max())) + 1 if len(src) else 0
+    exp = _norm(oracle.walks_oracle(n, src.astype(np.int64),
+                                    dst.astype(np.int64),
+                                    no_backtrack=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_no_backtrack_terminates_on_pendant(ray_session):
+    """0 <-> 1 only: a no-backtrack walk must stop after one step, while
+    the standard walk oscillates for all 4 steps."""
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([1, 0], dtype=np.int64)
+    nb = _norm(random_walks(_ds(src, dst), no_backtrack=True).to_pandas())
+    std = _norm(random_walks(_ds(src, dst)).to_pandas())
+    assert len(nb) == 2                 # one step per start, then stuck
+    assert set(nb["step"]) == {1}
+    assert len(std) == 8                # 4 steps per start
