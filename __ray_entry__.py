@@ -869,6 +869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_skipgrams": Q.q_events_skipgrams,
         "events_props_agg": Q.q_events_props_agg,
         "pages_pagerank": Q.q_pages_pagerank,
+        "pages_degree": Q.q_pages_degree,
+        "pages_reciprocity": Q.q_pages_reciprocity,
         "pages_domain_graph": Q.q_pages_domain_graph,
         "pages_anchor_text": Q.q_pages_anchor_text,
         # documents: text analysis + dedup family
@@ -1091,6 +1093,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR((COALESCE(g.nbr, 0.0) * 0.85 + 0.15) * 1000000 "
             "+ 0.5) AS BIGINT) AS rank_ppm "
             "FROM nodes LEFT JOIN gather g ON g.node = nodes.id"),
+        "pages_degree": (
+            "WITH e AS (SELECT src, dst FROM read_parquet("
+            f"'{_PAGES_ORACLE}/edges/*.parquet')), "
+            "nodes AS (SELECT id FROM read_parquet("
+            f"'{_PAGES_ORACLE}/nodes.parquet')), "
+            "o AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src), "
+            "i AS (SELECT dst, COUNT(*) AS c FROM e GROUP BY dst) "
+            "SELECT nodes.id AS node_id, "
+            "CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree, "
+            "CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree "
+            "FROM nodes LEFT JOIN o ON o.src = nodes.id "
+            "LEFT JOIN i ON i.dst = nodes.id"),
+        "pages_reciprocity": (
+            "WITH e AS (SELECT src, dst FROM read_parquet("
+            f"'{_PAGES_ORACLE}/edges/*.parquet')), "
+            "nodes AS (SELECT id FROM read_parquet("
+            f"'{_PAGES_ORACLE}/nodes.parquet')), "
+            "d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst), "
+            "cp AS (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) "
+            "AS hi, COUNT(*) AS c FROM d GROUP BY lo, hi) "
+            "SELECT (SELECT COUNT(*) FROM d) AS n_distinct_edges, "
+            "(SELECT COUNT(*) FROM cp WHERE c = 2) AS n_reciprocal_pairs, "
+            "(SELECT COUNT(*) FROM e WHERE src = dst) AS n_self_loops, "
+            "(SELECT COUNT(*) FROM nodes LEFT JOIN "
+            "(SELECT DISTINCT src FROM e) s ON s.src = nodes.id "
+            "WHERE s.src IS NULL) AS n_dangling"),
         "events_triangles": (
             f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
             "WHERE src <> dst), "

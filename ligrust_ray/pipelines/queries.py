@@ -994,6 +994,114 @@ def q_pages_domain_graph(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_pages_degree(sf_dir: str):
+    """(node_id, out_degree, in_degree) over the built pages link graph
+    (multi-edges counted as stored — same table the CSR consumed),
+    zero-degree nodes included. Two grouped counts + two co_group joins
+    onto the lazy node range; nothing n-length on the driver."""
+    gd, g = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, g.n)
+    edges = _read_sized(os.path.join(gd, "edges"))
+
+    def endpoint(col: str):
+        return lambda t: pa.table({"node_id": t.column(col).cast(pa.int64())})
+
+    outd = shuffle.grouped_agg(
+        edges.map_batches(endpoint("src"), batch_format="pyarrow"),
+        ["node_id"], {"out_degree": (None, "count")})
+    ind = shuffle.grouped_agg(
+        edges.map_batches(endpoint("dst"), batch_format="pyarrow"),
+        ["node_id"], {"in_degree": (None, "count")})
+    nodes = ray.data.range(g.n).map_batches(
+        lambda t: pa.table({"node_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    i64 = pa.int64()
+
+    def fill(col: str):
+        def f(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+            j = lf.merge(rf, on="node_id", how="left")
+            j[col] = j[col].fillna(0).astype(np.int64)
+            return j
+        return f
+
+    n_schema = pa.schema([("node_id", i64)])
+    witho = shuffle.co_group(
+        nodes, outd, "node_id", "node_id", fill("out_degree"),
+        l_schema=n_schema,
+        r_schema=pa.schema([("node_id", i64), ("out_degree", i64)]))
+    return shuffle.co_group(
+        witho, ind, "node_id", "node_id", fill("in_degree"),
+        l_schema=pa.schema([("node_id", i64), ("out_degree", i64)]),
+        r_schema=pa.schema([("node_id", i64), ("in_degree", i64)]))
+
+
+def q_pages_reciprocity(sf_dir: str):
+    """One-row link-structure summary of the pages graph: distinct
+    non-loop edges, reciprocal unordered pairs (both directions present),
+    self-loop rows, and dangling nodes (no out-edges). Reciprocal pairs
+    are a grouped count over canonical (lo, hi) keys of the DISTINCT
+    edge set (count == 2 means both directions); dangling = node range
+    minus distinct sources via one co_group; every reduction is a
+    per-block partial folded on the driver (O(#blocks) rows)."""
+    gd, g = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, g.n)
+    edges = _read_sized(os.path.join(gd, "edges"))
+
+    def selfloops(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table({"c": pa.array([int((s == d).sum())],
+                                       type=pa.int64())})
+
+    n_self = int(edges.map_batches(selfloops, batch_format="pyarrow")
+                 .to_pandas()["c"].sum())
+
+    dist = shuffle.distinct(edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("src"),
+                                        t.column("dst"))),
+        batch_format="pyarrow"), ["src", "dst"]).materialize()
+    n_distinct = dist.count()
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table({"lo": pa.array(np.minimum(s, d)),
+                         "hi": pa.array(np.maximum(s, d))})
+
+    pairs = shuffle.grouped_agg(
+        dist.map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], {"c": (None, "count")})
+    n_recip = int(pairs.map_batches(
+        lambda t: pa.table({"r": pa.array(
+            [int((t.column("c").to_numpy() == 2).sum())],
+            type=pa.int64())}),
+        batch_format="pyarrow").to_pandas()["r"].sum())
+
+    srcs = shuffle.distinct(edges.map_batches(
+        lambda t: pa.table({"node_id": t.column("src").cast(pa.int64())}),
+        batch_format="pyarrow"), ["node_id"])
+    nodes = ray.data.range(g.n).map_batches(
+        lambda t: pa.table({"node_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow")
+    i64 = pa.int64()
+
+    def count_missing(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        miss = (~lf["node_id"].isin(rf["node_id"])).sum()
+        return pd.DataFrame({"d": np.array([miss], dtype=np.int64)})
+
+    n_dangling = int(shuffle.co_group(
+        nodes, srcs, "node_id", "node_id", count_missing,
+        l_schema=pa.schema([("node_id", i64)]),
+        r_schema=pa.schema([("node_id", i64)])).to_pandas()["d"].sum())
+
+    return pa.table({
+        "n_distinct_edges": pa.array([n_distinct], type=pa.int64()),
+        "n_reciprocal_pairs": pa.array([n_recip], type=pa.int64()),
+        "n_self_loops": pa.array([n_self], type=pa.int64()),
+        "n_dangling": pa.array([n_dangling], type=pa.int64())})
+
+
 ANCHOR_ORACLE_DIR = os.path.join(tempfile.gettempdir(),
                                  "ligrust_anchor_oracle")
 ANCHOR_TOP_K = 3
