@@ -77,6 +77,94 @@ def _empty_out() -> pa.Table:
     return _OUT_SCHEMA.empty_table()
 
 
+def _advance_arrays(srcs: np.ndarray, dsts: np.ndarray, u: np.ndarray,
+                    off: np.ndarray, deg: np.ndarray, start: np.ndarray,
+                    wid: np.ndarray, cur: np.ndarray,
+                    prev: np.ndarray | None, t: int, no_backtrack: bool,
+                    keys: np.ndarray | None = None):
+    """One chooser step over prepared adjacency arrays (sorted by
+    (src, dst); ``u``/``off``/``deg`` per-source runs). Returns the
+    surviving walkers' (start, wid, next, prev=old cur) — the shared
+    kernel of the per-partition co_group fn and the single-task path."""
+    pos = np.searchsorted(u, cur)
+    pos = np.minimum(pos, max(len(u) - 1, 0))
+    hit = (u[pos] == cur) if len(u) else np.zeros(len(cur), bool)
+    h = _hash_step(start[hit], cur[hit], t, wid[hit])
+    o_h, d_h = off[pos[hit]], deg[pos[hit]]
+    if not no_backtrack:
+        nxt = dsts[o_h + h % d_h]
+        return start[hit], wid[hit], nxt, cur[hit]
+    # exclude prev: locate it in cur's sorted neighbor run via a
+    # composite (src << 32 | dst) key (ids < 2^31 guaranteed);
+    # prev = -1 masks to 0xFFFFFFFF, matching no dst
+    if keys is None:
+        keys = ((srcs.astype(np.uint64) << np.uint64(32))
+                | dsts.astype(np.uint64))
+    prev_h = prev[hit]
+    target = ((cur[hit].astype(np.uint64) << np.uint64(32))
+              | (prev_h.astype(np.uint64) & np.uint64(0xFFFFFFFF)))
+    q = np.searchsorted(keys, target)
+    qc = np.minimum(q, max(len(keys) - 1, 0))
+    found = keys[qc] == target
+    cnt = d_h - found.astype(np.int64)
+    live = cnt > 0                   # only-neighbor-is-prev: terminate
+    k = h[live] % cnt[live]
+    # removing the element at p_rel from the sorted run shifts later
+    # candidates left: remaining[k] = original[k + (k >= p_rel)]
+    p_rel = (qc - o_h)[live]
+    k = k + (found[live] & (k >= p_rel)).astype(np.int64)
+    nxt = dsts[o_h[live] + k]
+    return start[hit][live], wid[hit][live], nxt, cur[hit][live]
+
+
+# below this edge count (and start count) the whole walk loop runs in ONE
+# Ray task over the full adjacency — length co_group dispatches cost more
+# than the vectorised compute at sandbox scale (the same economics as
+# truss.SINGLE_TASK_MAX_EDGES)
+SINGLE_TASK_MAX = 1 << 22
+
+
+@ray.remote(num_cpus=2)
+def _walks_single_task(adj_refs: list, n: int, length: int, W: int,
+                       no_backtrack: bool) -> pa.Table:
+    tabs = [t if isinstance(t, pa.Table)
+            else pa.Table.from_pandas(t, preserve_index=False)
+            for t in ray.get(list(adj_refs))]
+    tabs = [t for t in tabs if t.num_rows and "src" in t.column_names]
+    if not tabs:
+        return _empty_out()
+    adj = pa.concat_tables(tabs)
+    srcs = adj.column("src").to_numpy().astype(np.int64)
+    dsts = adj.column("dst").to_numpy().astype(np.int64)
+    order = np.lexsort((dsts, srcs))
+    srcs, dsts = srcs[order], dsts[order]
+    u, off = np.unique(srcs, return_index=True)
+    deg = np.diff(np.append(off, len(srcs)))
+    keys = ((srcs.astype(np.uint64) << np.uint64(32))
+            | dsts.astype(np.uint64)) if no_backtrack else None
+
+    ids = np.arange(n * W, dtype=np.int64)
+    start, wid, cur = ids // W, ids % W, ids // W
+    prev = np.full(n * W, -1, dtype=np.int64)
+    outs = []
+    for t in range(1, length + 1):
+        start, wid, cur, prev = _advance_arrays(
+            srcs, dsts, u, off, deg, start, wid, cur, prev, t,
+            no_backtrack, keys)
+        if not len(start):
+            break
+        outs.append((start, wid, np.full(len(start), t, dtype=np.int64),
+                     cur))
+    if not outs:
+        return _empty_out()
+    return pa.table({
+        "start": pa.array(np.concatenate([o[0] for o in outs])),
+        "wid": pa.array(np.concatenate([o[1] for o in outs])),
+        "step": pa.array(np.concatenate([o[2] for o in outs])),
+        "node": pa.array(np.concatenate([o[3] for o in outs]))},
+        schema=_OUT_SCHEMA)
+
+
 @ray.remote(num_cpus=1)
 def _frontier_coalesce(block_refs: list, nb: bool = False) -> pa.Table:
     """Rebuild a step's frontier as one Arrow block per task (bounds the
@@ -95,7 +183,7 @@ def _frontier_coalesce(block_refs: list, nb: bool = False) -> pa.Table:
 
 def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
                  length: int = WALK_LENGTH, walks_per_node: int = 1,
-                 no_backtrack: bool = False,
+                 no_backtrack: bool = False, mode: str = "auto",
                  num_partitions: int = 16) -> ray.data.Dataset:
     """(start, wid, step, node) walk corpus per the module spec —
     ``walks_per_node`` independent walks per start (wid = 0..W-1 enters
@@ -109,11 +197,14 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
     from ligrust_ray.algos.triangles import infer_n
     from ligrust_ray.dataops.dedup import _block_refs
 
+    if mode not in ("auto", "task", "distributed"):
+        raise ValueError(f"mode must be auto|task|distributed, got {mode!r}")
     if isinstance(edges, pa.Table):
         edges = ray.data.from_arrow(edges)
     adj = shuffle.distinct(edges.select_columns(["src", "dst"]),
                            ["src", "dst"]).materialize()
-    if adj.count() == 0:
+    m = adj.count()
+    if m == 0:
         return ray.data.from_arrow(_empty_out())
     if n is None:
         n = infer_n(adj)
@@ -122,6 +213,12 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
                          "exact-int64 chooser hash; shard the id space")
 
     W = int(walks_per_node)
+    if mode == "auto":
+        mode = ("task" if m <= SINGLE_TASK_MAX and n * W <= SINGLE_TASK_MAX
+                else "distributed")
+    if mode == "task":
+        return ray.data.from_arrow_refs([_walks_single_task.remote(
+            _block_refs(adj), n, length, W, no_backtrack)])
     f_schema = _FRONTIER_SCHEMA_NB if no_backtrack else _FRONTIER_SCHEMA
     f_cols = list(f_schema.names)
 
@@ -141,8 +238,8 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
     for t in range(1, length + 1):
         def advance(lf: pd.DataFrame, rf: pd.DataFrame,
                     _t=t) -> pd.DataFrame:
-            # vectorised chooser: sort this partition's adjacency by
-            # (src, dst) -> per-src offsets; neighbor = dst[off + h % deg]
+            # vectorised chooser (the shared _advance_arrays kernel): sort
+            # this partition's adjacency by (src, dst) -> per-src offsets
             if not len(lf) or not len(rf):
                 return pd.DataFrame(
                     {c: pd.Series([], dtype=np.int64) for c in f_cols})
@@ -151,42 +248,18 @@ def random_walks(edges: ray.data.Dataset | pa.Table, n: int | None = None,
             dsts = rf["dst"].to_numpy(dtype=np.int64)
             u, off = np.unique(srcs, return_index=True)
             deg = np.diff(np.append(off, len(srcs)))
-            cur = lf["cur"].to_numpy(dtype=np.int64)
-            start = lf["start"].to_numpy(dtype=np.int64)
-            wid = lf["wid"].to_numpy(dtype=np.int64)
-            pos = np.searchsorted(u, cur)
-            pos = np.minimum(pos, max(len(u) - 1, 0))
-            alive = len(u) > 0
-            hit = (u[pos] == cur) if alive else np.zeros(len(cur), bool)
-            h = _hash_step(start[hit], cur[hit], _t, wid[hit])
-            o_h, d_h = off[pos[hit]], deg[pos[hit]]
-            if not no_backtrack:
-                nxt = dsts[o_h + h % d_h]
-                return pd.DataFrame({"start": start[hit],
-                                     "wid": wid[hit], "cur": nxt})
-            # exclude prev: locate it in cur's sorted neighbor run via a
-            # composite (src << 32 | dst) key (ids < 2^31 guaranteed);
-            # prev = -1 masks to 0xFFFFFFFF, matching no dst
-            prev = lf["prev"].to_numpy(dtype=np.int64)[hit]
-            keys = ((srcs.astype(np.uint64) << np.uint64(32))
-                    | dsts.astype(np.uint64))
-            target = ((cur[hit].astype(np.uint64) << np.uint64(32))
-                      | (prev.astype(np.uint64)
-                         & np.uint64(0xFFFFFFFF)))
-            q = np.searchsorted(keys, target)
-            qc = np.minimum(q, max(len(keys) - 1, 0))
-            found = keys[qc] == target
-            cnt = d_h - found.astype(np.int64)
-            live = cnt > 0               # only-neighbor-is-prev: terminate
-            k = h[live] % cnt[live]
-            # removing the element at p_rel from the sorted run shifts
-            # later candidates left: remaining[k] = original[k + (k>=p_rel)]
-            p_rel = (qc - o_h)[live]
-            k = k + (found[live] & (k >= p_rel)).astype(np.int64)
-            nxt = dsts[o_h[live] + k]
-            return pd.DataFrame({"start": start[hit][live],
-                                 "wid": wid[hit][live],
-                                 "cur": nxt, "prev": cur[hit][live]})
+            prev = (lf["prev"].to_numpy(dtype=np.int64)
+                    if no_backtrack else None)
+            s2, w2, nxt, pr = _advance_arrays(
+                srcs, dsts, u, off, deg,
+                lf["start"].to_numpy(dtype=np.int64),
+                lf["wid"].to_numpy(dtype=np.int64),
+                lf["cur"].to_numpy(dtype=np.int64), prev, _t,
+                no_backtrack)
+            out = {"start": s2, "wid": w2, "cur": nxt}
+            if no_backtrack:
+                out["prev"] = pr
+            return pd.DataFrame(out)
 
         stepped = shuffle.co_group(
             frontier, adj, l_on="cur", r_on="src", fn=advance,

@@ -37,21 +37,24 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
             .sort_values(cols[:-1]).reset_index(drop=True))
 
 
+@pytest.mark.parametrize("mode", ["task", "distributed"])
 @pytest.mark.parametrize("name,src,dst", CASES, ids=[c[0] for c in CASES])
-def test_walks_match_oracle(ray_session, name, src, dst):
-    got = _norm(random_walks(_ds(src, dst)).to_pandas())
+def test_walks_match_oracle(ray_session, name, src, dst, mode):
+    got = _norm(random_walks(_ds(src, dst), mode=mode).to_pandas())
     n = int(max(src.max(), dst.max())) + 1 if len(src) else 0
     exp = _norm(oracle.walks_oracle(n, src.astype(np.int64),
                                     dst.astype(np.int64)))
     pd.testing.assert_frame_equal(got, exp)
-    assert (got["wid"] == 0).all()
+    assert not len(got) or (got["wid"] == 0).all()
 
 
-def test_multi_walks_match_oracle(ray_session):
+@pytest.mark.parametrize("mode", ["task", "distributed"])
+def test_multi_walks_match_oracle(ray_session, mode):
     """walks_per_node=3: wid enters the chooser, walks decorrelate, and
     the engine still equals the oracle walk-for-walk."""
     _, src, dst = CASES[0]
-    got = _norm(random_walks(_ds(src, dst), walks_per_node=3).to_pandas())
+    got = _norm(random_walks(_ds(src, dst), walks_per_node=3,
+                             mode=mode).to_pandas())
     n = int(max(src.max(), dst.max())) + 1
     exp = _norm(oracle.walks_oracle(n, src.astype(np.int64),
                                     dst.astype(np.int64), walks=3))
@@ -128,9 +131,11 @@ def test_events_skipgrams_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, exp)
 
 
+@pytest.mark.parametrize("mode", ["task", "distributed"])
 @pytest.mark.parametrize("name,src,dst", CASES, ids=[c[0] for c in CASES])
-def test_no_backtrack_walks_match_oracle(ray_session, name, src, dst):
-    got = _norm(random_walks(_ds(src, dst), no_backtrack=True).to_pandas())
+def test_no_backtrack_walks_match_oracle(ray_session, name, src, dst, mode):
+    got = _norm(random_walks(_ds(src, dst), no_backtrack=True,
+                             mode=mode).to_pandas())
     n = int(max(src.max(), dst.max())) + 1 if len(src) else 0
     exp = _norm(oracle.walks_oracle(n, src.astype(np.int64),
                                     dst.astype(np.int64),
