@@ -308,6 +308,22 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_docs_oov(SF_DIR).materialize()
     q["docs_oov"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_events_walks_nb(SF_DIR).materialize()
+    q["events_walks_nb"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_events_neighbor_sample(SF_DIR).materialize()
+    q["events_neighbor_sample"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_pages_degree(SF_DIR).materialize()
+    q["pages_degree"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_pages_reciprocity(SF_DIR)
+    q["pages_reciprocity"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

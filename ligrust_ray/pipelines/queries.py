@@ -217,6 +217,9 @@ def q_events_neighbor_sample(sf_dir: str):
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
+            # __h stays int64 on BOTH branches (h < 2^32 fits): a
+            # uint64/int64 empty-vs-nonempty split would give mixed
+            # Arrow block schemas
             return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                                  for c in ("src", "dst", "__h")})
         return _key(df).groupby("src", sort=False).head(NS_K) \
