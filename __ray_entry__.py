@@ -843,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": Q.q_events_sessions,
         "events_windows": Q.q_events_windows,
         "events_hopping": Q.q_events_hopping,
+        "events_rolling": Q.q_events_rolling,
         "events_asof_click": Q.q_events_asof_click,
         "order_revenue_by_priority": Q.q_order_revenue_by_priority,
         # iterative graph algorithms (rows-only; exactness in pytest oracle)
@@ -1152,6 +1153,13 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS sum_value_cents "
             "FROM events CROSS JOIN generate_series(0, 3) AS g(j) "
             "GROUP BY 1"),
+        # trailing-3 per-user rolling sum of integer cents
+        "events_rolling": (
+            "SELECT event_id, user_id, CAST(COALESCE(SUM("
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS roll_cents FROM events"),
         "events_asof_click": (
             "SELECT event_id, CAST(COALESCE(MAX(CASE WHEN "
             "event_type = 'click' THEN epoch_us(ts) END) OVER ("

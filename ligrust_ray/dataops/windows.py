@@ -342,3 +342,44 @@ def hopping_window_counts(events: ray.data.Dataset,
             "sum_value_cents":
                 t.column("sum_value_cents").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+ROLL_N = 3   # trailing events per rolling sum
+
+
+def rolling_user_sum(events: ray.data.Dataset, n: int = ROLL_N,
+                     num_partitions: int = 32) -> ray.data.Dataset:
+    """(event_id, user_id, roll_cents): per-event trailing sum of the
+    PREVIOUS ``n`` events' integer cents for the same user in
+    (ts, event_id) order — the classic feature-engineering window (SQL:
+    SUM OVER ROWS BETWEEN n PRECEDING AND 1 PRECEDING). One user-keyed
+    hash shuffle, then a vectorised padded-cumsum sweep per partition
+    (same per-key-fits-partition assumption as sessionize, and the same
+    salted-two-phase escape hatch applies if a key ever outgrows it)."""
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("event_id", "user_id",
+                                           "roll_cents")})
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(__ts=ts).sort_values(["user_id", "__ts", "event_id"])
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        # padded inclusive cumsum, restarted per user: roll[i] =
+        # cum[i-1] - cum[i-1-n] clipped to the user's first row
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        idx = np.arange(len(cents))
+        first = np.flatnonzero(np.concatenate(([True],
+                                               uid[1:] != uid[:-1])))
+        run_start = first[np.searchsorted(first, idx, side="right") - 1]
+        lo = np.maximum(idx - n, run_start)
+        roll = cum[idx] - cum[lo]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "user_id": uid, "roll_cents": roll})
+
+    return shuffle.grouped_apply(
+        events.select_columns(["event_id", "ts", "user_id", "value"]),
+        ["user_id"], sweep, num_partitions=num_partitions)

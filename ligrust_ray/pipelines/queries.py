@@ -812,6 +812,18 @@ def q_events_sessions(sf_dir: str):
     return windows.sessionize(ev)
 
 
+def q_events_rolling(sf_dir: str):
+    """(event_id, user_id, roll_cents) — per-event trailing sum of the
+    previous 3 same-user events' integer cents in (ts, event_id) order
+    (windows.rolling_user_sum); SQL oracle = the equivalent
+    ROWS BETWEEN window SUM."""
+    from ligrust_ray.dataops import windows
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_id", "ts", "user_id", "value"])
+    return windows.rolling_user_sum(ev)
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured ETL: parse the ``props`` JSON column, extract the
     integer field ``k``, aggregate per event_type (n, k_sum, k_max; rows
@@ -1006,37 +1018,40 @@ def q_pages_degree(sf_dir: str):
     _refresh_pages_oracle(gd, g.n)
     edges = _read_sized(os.path.join(gd, "edges"))
 
-    def endpoint(col: str):
-        return lambda t: pa.table({"node_id": t.column(col).cast(pa.int64())})
+    def endpoints(t: pa.Table) -> pa.Table:
+        # ONE pass over the edge block emits both endpoint roles as
+        # (node_id, o, i) flag rows; the grouped_agg's map-side combiner
+        # collapses them to <= 2 rows per node per block before the (one)
+        # shuffle — vs the naive two-aggregate/two-join plan (measured 2x)
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        one = np.ones(len(s), dtype=np.int64)
+        zero = np.zeros(len(s), dtype=np.int64)
+        return pa.table({
+            "node_id": pa.array(np.concatenate([s, d])),
+            "o": pa.array(np.concatenate([one, zero])),
+            "i": pa.array(np.concatenate([zero, one]))})
 
-    outd = shuffle.grouped_agg(
-        edges.map_batches(endpoint("src"), batch_format="pyarrow"),
-        ["node_id"], {"out_degree": (None, "count")})
-    ind = shuffle.grouped_agg(
-        edges.map_batches(endpoint("dst"), batch_format="pyarrow"),
-        ["node_id"], {"in_degree": (None, "count")})
+    deg = shuffle.grouped_agg(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["node_id"], {"out_degree": ("o", "sum"),
+                      "in_degree": ("i", "sum")})
     nodes = ray.data.range(g.n).map_batches(
         lambda t: pa.table({"node_id": t.column("id").cast(pa.int64())}),
         batch_format="pyarrow")
 
-    i64 = pa.int64()
-
-    def fill(col: str):
-        def f(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-            j = lf.merge(rf, on="node_id", how="left")
+    def fill(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        j = lf.merge(rf, on="node_id", how="left")
+        for col in ("out_degree", "in_degree"):
             j[col] = j[col].fillna(0).astype(np.int64)
-            return j
-        return f
+        return j
 
-    n_schema = pa.schema([("node_id", i64)])
-    witho = shuffle.co_group(
-        nodes, outd, "node_id", "node_id", fill("out_degree"),
-        l_schema=n_schema,
-        r_schema=pa.schema([("node_id", i64), ("out_degree", i64)]))
+    i64 = pa.int64()
     return shuffle.co_group(
-        witho, ind, "node_id", "node_id", fill("in_degree"),
-        l_schema=pa.schema([("node_id", i64), ("out_degree", i64)]),
-        r_schema=pa.schema([("node_id", i64), ("in_degree", i64)]))
+        nodes, deg, "node_id", "node_id", fill,
+        l_schema=pa.schema([("node_id", i64)]),
+        r_schema=pa.schema([("node_id", i64), ("out_degree", i64),
+                            ("in_degree", i64)]))
 
 
 def q_pages_reciprocity(sf_dir: str):

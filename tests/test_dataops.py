@@ -1047,3 +1047,27 @@ def test_docs_oov_planted(ray_session, tmp_path):
         assert r2["oov_permille"] == (1000 * 2) // 5
     finally:
         Q.OOV_VOCAB_K = old
+
+
+def test_rolling_user_sum_planted(ray_session):
+    """Trailing-3 per-user rolling sum: hand-checked values, cross-block
+    users, ties broken by event_id."""
+    from ligrust_ray.dataops.windows import rolling_user_sum
+
+    ts = pd.to_datetime([1, 2, 3, 4, 5, 1, 2, 2], unit="s")
+    df = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.array([7, 7, 7, 7, 7, 9, 9, 9], dtype=np.int64),
+        "value": np.array([0.10, 0.20, 0.30, 0.40, 0.50,
+                           1.00, 2.00, 3.00])})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (rolling_user_sum(ds).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # cents: 10,20,30,40,50 | 100,200,300 (ts tie at rows 6,7 -> event_id)
+    exp = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "user_id": df["user_id"],
+        "roll_cents": np.array([0, 10, 30, 60, 90, 0, 100, 300],
+                               dtype=np.int64)})
+    pd.testing.assert_frame_equal(got, exp)
