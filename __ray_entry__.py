@@ -867,6 +867,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_walks": Q.q_events_walks,
         "events_neighbor_sample": Q.q_events_neighbor_sample,
         "events_walks_nb": Q.q_events_walks_nb,
+        "events_walk_vocab": Q.q_events_walk_vocab,
+        "events_edge_holdout": Q.q_events_edge_holdout,
         "events_skipgrams": Q.q_events_skipgrams,
         "events_props_agg": Q.q_events_props_agg,
         "pages_pagerank": Q.q_pages_pagerank,
@@ -1302,6 +1304,15 @@ def oracle_sql() -> dict[str, str]:
         "events_truss": _truss_sql(16),
         "events_walks": _walks_sql(4),
         "events_walks_nb": _walks_nb_sql(4),
+        # unigram visit counts over the walk corpus
+        "events_walk_vocab": (
+            f"WITH w AS MATERIALIZED ({_walks_sql(4)}) "
+            "SELECT node, COUNT(*) AS n FROM w GROUP BY node"),
+        # deterministic 10% edge holdout by the chooser hash
+        "events_edge_holdout": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})) "
+            "SELECT src, dst FROM e WHERE "
+            "(src * 2654435761 + dst * 40503) % 4294967296 % 100 < 10"),
         # GraphSAGE-style sampling: top-3 out-neighbors per src by the
         # chooser hash (src*A + dst*B) % 2^32, dst tiebreak
         "events_neighbor_sample": (

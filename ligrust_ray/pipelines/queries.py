@@ -185,6 +185,43 @@ def q_events_walks_nb(sf_dir: str):
     return w.select_columns(["start", "step", "node"])   # wid == 0 at W=1
 
 
+def q_events_walk_vocab(sf_dir: str):
+    """(node, n) — visit counts over the walk corpus (the unigram table a
+    word2vec negative sampler draws from; distribution^0.75 is a trivial
+    post-step on these integers). One grouped count over q_events_walks'
+    output."""
+    from ligrust_ray.algos.walks import random_walks
+
+    w = random_walks(events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH)
+    counts = shuffle.grouped_agg(w, ["node"], {"n": (None, "count")})
+    return counts.map_batches(
+        lambda t: pa.table({"node": t.column("node").cast(pa.int64()),
+                            "n": t.column("n").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+HOLDOUT_PCT = 10
+
+
+def q_events_edge_holdout(sf_dir: str):
+    """(src, dst) — the deterministic link-prediction holdout split:
+    distinct directed edges whose chooser hash lands below HOLDOUT_PCT%
+    (the hash is the random tape; the complementary train set is the
+    same filter negated, reproducible on any cluster size). Stateless
+    per-batch filter after the one distinct shuffle."""
+    from ligrust_ray.algos.walks import _A, _B
+
+    e = shuffle.distinct(events_edges_ds(sf_dir), ["src", "dst"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        h = (s * _A + d * _B) % (1 << 32)
+        return t.filter(pa.array(h % 100 < HOLDOUT_PCT))
+
+    return e.map_batches(keep, batch_format="pyarrow")
+
+
 def q_events_skipgrams(sf_dir: str):
     """(center, context, n) word2vec training pairs of the events walk
     corpus (walks.skipgram_pairs over q_events_walks, window 2)."""
