@@ -104,8 +104,8 @@ def _simhash_sql() -> str:
         for b in range(64))
     return (
         "WITH toks AS (SELECT doc_id, "
-        "UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
-        "FROM documents WHERE trim(text) <> ''), "
+        "UNNEST(regexp_extract_all(lower(text), '\\S+')) AS tok "
+        "FROM documents), "
         "th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks), "
         f"votes AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id), "
         f"folded AS (SELECT doc_id, {bit_fold} AS u FROM votes) "
@@ -124,8 +124,9 @@ def _decontam_sql(k: int = 8, eval_mod: int = 97) -> str:
     shingle_concat = " || ' ' || ".join(f"w[i.i + {j}]" for j in range(k))
     return f"""
 WITH toks AS MATERIALIZED (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-  FROM documents WHERE trim(text) <> ''
+  SELECT * FROM (SELECT doc_id,
+    regexp_extract_all(lower(text), '\\S+') AS w FROM documents)
+  WHERE len(w) > 0
 ),
 shing AS MATERIALIZED (
   SELECT DISTINCT doc_id, md5_number_lower(sh) % 4294967296 AS x FROM (
@@ -697,8 +698,9 @@ def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3,
     return f"""
 WITH RECURSIVE
 toks AS MATERIALIZED (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-  FROM documents WHERE trim(text) <> ''
+  SELECT * FROM (SELECT doc_id,
+    regexp_extract_all(lower(text), '\\S+') AS w FROM documents)
+  WHERE len(w) > 0
 ),
 shing AS MATERIALIZED (
   SELECT DISTINCT doc_id, md5_number_lower(sh) % 4294967296 AS x FROM (

@@ -121,11 +121,19 @@ def main(argv=None):
         from ligrust_ray.pipelines import queries as Q
         from ligrust_ray.sources.resumable_sink import write_partitioned
 
+        docs = ray.data.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet"))
         if args.raw:
-            ds = ray.data.read_parquet(
-                os.path.join(args.sf_dir, "documents.parquet"))
+            ds = docs
         else:
-            ds = Q.q_docs_clean(args.sf_dir)
+            # q_docs_clean returns the KEPT doc_ids (the contract shape);
+            # the export must carry the documents themselves — semi-join
+            # the full rows back onto the kept set
+            from ligrust_ray.stages.shuffle import hash_join
+
+            body_cols = [c for c in docs.schema().names if c != "doc_id"]
+            ds = hash_join(docs, Q.q_docs_clean(args.sf_dir),
+                           on="doc_id", l_cols=body_cols, r_cols=[])
         stats = write_partitioned(ds, args.output, key="doc_id",
                                   num_shards=args.shards,
                                   resume=args.ex_resume)

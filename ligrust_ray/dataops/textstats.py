@@ -31,7 +31,7 @@ def token_count_batch(t: pa.Table) -> pa.Table:
     """n_tokens = length(regexp_split_to_array(trim(text), '\\s+')) —
     exactly DuckDB's semantics (empty text -> [''] -> 1)."""
     texts = t.column("text").to_pylist()
-    n = [len(_WS.split(x.strip())) for x in texts]
+    n = [len(_WS.split(x.strip(" "))) for x in texts]
     return pa.table({"doc_id": t.column("doc_id"),
                      "n_tokens": pa.array(n, type=pa.int64())})
 
@@ -57,7 +57,7 @@ def doc_stats_batch(t: pa.Table) -> pa.Table:
     return pa.table({
         "doc_id": t.column("doc_id"),
         "n_chars_m": pa.array([len(x) for x in texts], type=pa.int64()),
-        "n_tokens": pa.array([len(_WS.split(x.strip())) for x in texts],
+        "n_tokens": pa.array([len(_WS.split(x.strip(" "))) for x in texts],
                              type=pa.int64()),
         "n_punct": pa.array([len(_PUNCT.findall(x)) for x in texts],
                             type=pa.int64()),
@@ -148,8 +148,8 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
     from ligrust_ray.dataops.hashing import md5_i64_lower
 
     texts = t.column("text").to_pylist()
-    out = [md5_i64_lower(" ".join(_WS.split(x.strip())).encode("utf-8")
-                         if x.strip() else b"") for x in texts]
+    out = [md5_i64_lower(" ".join(_WS.split(x.strip(" "))).encode("utf-8")
+                         if x.strip(" ") else b"") for x in texts]
     return pa.table({"doc_id": t.column("doc_id"),
                      "fingerprint": pa.array(out, type=pa.int64())})
 

@@ -1101,7 +1101,9 @@ def q_pages_reciprocity(sf_dir: str):
     per-block partial folded on the driver (O(#blocks) rows)."""
     gd, g = _pages_graph(sf_dir)
     _refresh_pages_oracle(gd, g.n)
-    edges = _read_sized(os.path.join(gd, "edges"))
+    # three reductions consume the edge table; materialize once so the
+    # parquet read is paid once, not per consumer
+    edges = _read_sized(os.path.join(gd, "edges")).materialize()
 
     def selfloops(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy()
@@ -1640,7 +1642,7 @@ def q_docs_source_stats(sf_dir: str):
     doc count, total chars, total whitespace tokens."""
     def per_batch(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
-        toks = [len(_WS_SPLIT.split(x.strip())) for x in texts]
+        toks = [len(_WS_SPLIT.split(x.strip(" "))) for x in texts]
         return pa.table({"source": t.column("source"),
                          "n_chars": t.column("n_chars").cast(pa.int64()),
                          "n_toks": pa.array(toks, type=pa.int64())})

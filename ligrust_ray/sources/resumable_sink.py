@@ -92,9 +92,15 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
         out = pd.DataFrame(stats, columns=["shard", "rows", "skipped"])
         return out.astype(np.int64)
 
+    empty_stats = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                for c in ("shard", "rows", "skipped")})
     # grouped_apply hash-routes by __shard so a shard never spans tasks
     # (each shard directory has exactly one writer)
-    routed = ds.map_batches(route, batch_format="pandas")
+    routed = ds.map_batches(route, batch_format="pandas").materialize()
+    if routed.count() == 0:
+        # map_batches/map_groups are skipped on empty blocks (the Ray
+        # empty-block gotcha): the stats frame would come back schema-less
+        return empty_stats
     stats = shuffle.grouped_apply(routed, ["__shard"], write_shards,
                                   num_partitions=num_partitions)
     df = stats.to_pandas()                    # O(num_shards) rows

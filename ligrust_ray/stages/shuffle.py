@@ -155,8 +155,23 @@ def co_group(left: ray.data.Dataset, right: ray.data.Dataset,
     it, so dtypes survive exactly. Pass ``l_schema``/``r_schema``
     (pyarrow) when known — deriving them via ``ds.schema()`` may execute
     part of the upstream plan."""
-    l_schema = l_schema or left.schema().base_schema
-    r_schema = r_schema or right.schema().base_schema
+    def _as_arrow(s) -> pa.Schema:
+        if isinstance(s, pa.Schema):
+            return s
+        # pandas-backed datasets expose Ray's PandasBlockSchema
+        # (names/types of numpy dtypes) instead of a pyarrow schema
+        fields = []
+        for n, t in zip(s.names, s.types):
+            if isinstance(t, pa.DataType):
+                fields.append((n, t))
+            elif getattr(t, "kind", None) == "O":
+                fields.append((n, pa.string()))
+            else:
+                fields.append((n, pa.from_numpy_dtype(t)))
+        return pa.schema(fields)
+
+    l_schema = _as_arrow(l_schema or left.schema().base_schema)
+    r_schema = _as_arrow(r_schema or right.schema().base_schema)
     l_cols = [f.name for f in l_schema]
     r_cols = [f.name for f in r_schema]
     # the two key columns MUST route through the same partition function —

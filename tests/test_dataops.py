@@ -1071,3 +1071,58 @@ def test_rolling_user_sum_planted(ray_session):
         "roll_cents": np.array([0, 10, 30, 60, 90, 0, 100, 300],
                                dtype=np.int64)})
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_edge_whitespace_parity_vs_duckdb(ray_session, tmp_path):
+    """Adversarial edge whitespace (trailing \\n, leading \\t, \\n-only,
+    space-only docs): every text-op token path must equal its DuckDB
+    oracle exactly — DuckDB trim() strips SPACES only, so Python .strip()
+    (all whitespace) silently diverged before this spec pin."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    texts = ["plain words here", "trailing newline\n", "\tleading tab",
+             "\n", "   ", "", "mixed  \t inner\nws", "a\n"]
+    n = len(texts)
+    tab = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * n, type=pa.string()),
+        "source": pa.array(["s"] * n, type=pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64())})
+    pq.write_table(tab, tmp_path / "documents.parquet")
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    qs, sqls = E.queries(), E.oracle_sql()
+    for name in ("docs_token_count", "docs_stats", "docs_fingerprint",
+                 "docs_simhash", "docs_pack", "docs_source_stats",
+                 "docs_decontaminate", "docs_token_quantiles"):
+        got = qs[name](str(tmp_path))
+        got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+        if isinstance(got, pa.Table):
+            got = got.to_pandas()
+        exp = con.execute(sqls[name]).df()
+        got = got[sorted(got.columns)].sort_values(
+            sorted(got.columns)).reset_index(drop=True)
+        exp = exp[sorted(exp.columns)].sort_values(
+            sorted(exp.columns)).reset_index(drop=True)
+        for c in exp.columns:
+            if exp[c].dtype != object:
+                exp[c] = exp[c].astype(np.int64)
+                got[c] = got[c].astype(np.int64)
+        pd.testing.assert_frame_equal(got, exp, obj=name)
+
+
+def test_resumable_sink_empty_input(ray_session, tmp_path):
+    from ligrust_ray.sources.resumable_sink import write_partitioned
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "text": pd.Series([], dtype=object)}))
+    stats = write_partitioned(ds, str(tmp_path / "e"), key="doc_id",
+                              num_shards=4)
+    assert len(stats) == 0
+    assert list(stats.columns) == ["shard", "rows", "skipped"]
