@@ -902,6 +902,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": Q.q_lineitem_pricing,
         "orders_by_segment": Q.q_orders_by_segment,
         "docs_lang_hist": Q.q_docs_lang_hist,
+        "docs_lang_confusion": Q.q_docs_lang_confusion,
+        "customer_revenue": Q.q_customer_revenue,
         # corpus-pipeline utilities (r3)
         "events_distinct_users": Q.q_events_distinct_users,
         "events_user_hll": Q.q_events_user_hll,
@@ -1379,6 +1381,23 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS revenue_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment"),
+        "docs_lang_confusion": (
+            f"WITH l AS ({_langid_sql()}) "
+            "SELECT d.lang, l.pred_lang, COUNT(*) AS n_docs "
+            "FROM documents d JOIN l ON l.doc_id = d.doc_id "
+            "GROUP BY d.lang, l.pred_lang"),
+        "customer_revenue": (
+            "WITH po AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM lineitem GROUP BY l_orderkey), "
+            "pc AS (SELECT o.o_custkey, CAST(SUM(po.cents) AS BIGINT) "
+            "AS revenue_cents, COUNT(*) AS n_orders "
+            "FROM po JOIN orders o ON o.o_orderkey = po.l_orderkey "
+            "GROUP BY o.o_custkey) "
+            "SELECT c.c_custkey, c.c_mktsegment, pc.revenue_cents, "
+            "pc.n_orders FROM customer c "
+            "JOIN pc ON pc.o_custkey = c.c_custkey"),
         "docs_lang_hist": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"),
         "events_distinct_users": (

@@ -1316,6 +1316,89 @@ def q_docs_langid(sf_dir: str):
         lambda t: textstats.lang_id()(t), batch_format="pyarrow")
 
 
+def q_docs_lang_confusion(sf_dir: str):
+    """(lang, pred_lang, n_docs) — confusion matrix of the language-ID
+    heuristic against the corpus's labeled lang column (the evaluation
+    every classifier stage ships with). Prediction and label ride the
+    same batch (no join), then one tiny grouped count."""
+    def predict(t: pa.Table) -> pa.Table:
+        return textstats.lang_id()(t).append_column("lang",
+                                                    t.column("lang"))
+
+    pred = _docs(sf_dir).map_batches(predict, batch_format="pyarrow")
+    out = shuffle.grouped_agg(pred, ["lang", "pred_lang"],
+                              {"n_docs": (None, "count")})
+    return out.map_batches(
+        lambda t: pa.table({"lang": t.column("lang"),
+                            "pred_lang": t.column("pred_lang"),
+                            "n_docs": t.column("n_docs").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_customer_revenue(sf_dir: str):
+    """(c_custkey, c_mktsegment, revenue_cents, n_orders) — the TPC-H-ish
+    three-table rollup: lineitem revenue (integer cents) joined to orders
+    (big x big hash join on orderkey), pre-aggregated per custkey BEFORE
+    the second join, then joined to customer. Pre-aggregation bounds the
+    second shuffle at one row per (custkey) — the push-aggregation-
+    below-the-join plan a 100 TB engine must pick."""
+    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_orderkey", "l_extendedprice",
+                              "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("l_extendedprice").to_numpy()
+                     * (1 - t.column("l_discount").to_numpy())
+                     * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey":
+                         t.column("l_orderkey").cast(pa.int64()),
+                         "cents": pa.array(v)})
+
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({"o_orderkey":
+                            t.column("o_orderkey").cast(pa.int64()),
+                            "o_custkey":
+                            t.column("o_custkey").cast(pa.int64())}),
+        batch_format="pyarrow")
+    # per-order partial first: one row per orderkey enters the join
+    per_order = shuffle.grouped_agg(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["l_orderkey"], {"cents": ("cents", "sum")})
+    joined = shuffle.co_group(
+        per_order, orders, l_on="l_orderkey", r_on="o_orderkey",
+        fn=lambda lf, rf: lf.merge(
+            rf.rename(columns={"o_orderkey": "l_orderkey"}),
+            on="l_orderkey")[["o_custkey", "cents"]],
+        l_schema=pa.schema([("l_orderkey", pa.int64()),
+                            ("cents", pa.int64())]),
+        r_schema=pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64())]))
+    per_cust = shuffle.grouped_agg(
+        joined, ["o_custkey"], {"revenue_cents": ("cents", "sum"),
+                                "n_orders": (None, "count")})
+    cust = _read_sized(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"c_custkey":
+                            t.column("c_custkey").cast(pa.int64()),
+                            "c_mktsegment": t.column("c_mktsegment")}),
+        batch_format="pyarrow")
+
+    def attach(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        j = lf.merge(rf.rename(columns={"o_custkey": "c_custkey"}),
+                     on="c_custkey")
+        return j[["c_custkey", "c_mktsegment", "revenue_cents",
+                  "n_orders"]]
+
+    return shuffle.co_group(
+        cust, per_cust, l_on="c_custkey", r_on="o_custkey", fn=attach,
+        l_schema=pa.schema([("c_custkey", pa.int64()),
+                            ("c_mktsegment", pa.string())]),
+        r_schema=pa.schema([("o_custkey", pa.int64()),
+                            ("revenue_cents", pa.int64()),
+                            ("n_orders", pa.int64())]))
+
+
 def q_docs_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(textstats.fingerprint_batch,
                                      batch_format="pyarrow")
