@@ -904,6 +904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_hist": Q.q_docs_lang_hist,
         "docs_lang_confusion": Q.q_docs_lang_confusion,
         "customer_revenue": Q.q_customer_revenue,
+        "supplier_nation_revenue": Q.q_supplier_nation_revenue,
+        "part_brand_revenue": Q.q_part_brand_revenue,
         # corpus-pipeline utilities (r3)
         "events_distinct_users": Q.q_events_distinct_users,
         "events_user_hll": Q.q_events_user_hll,
@@ -912,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": Q.q_docs_stratified_sample,
         "docs_oov": Q.q_docs_oov,
         "docs_repetition": Q.q_docs_repetition,
+        "docs_dup_bigrams": Q.q_docs_dup_bigrams,
         "docs_pii_scrub": Q.q_docs_pii_scrub,
         "docs_line_dedup": Q.q_docs_line_dedup,
         "docs_preprocess": Q.q_docs_preprocess,
@@ -1398,6 +1401,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.c_custkey, c.c_mktsegment, pc.revenue_cents, "
             "pc.n_orders FROM customer c "
             "JOIN pc ON pc.o_custkey = c.c_custkey"),
+        "supplier_nation_revenue": (
+            "SELECT r_name, n_name, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_nationkey = s_nationkey "
+            "GROUP BY r_name, n_name"),
+        "part_brand_revenue": (
+            "SELECT p_brand, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty, COUNT(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand"),
         "docs_lang_hist": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"),
         "events_distinct_users": (
@@ -1456,6 +1480,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(text, chr(10))) "
             "- len(list_distinct(string_split(text, chr(10)))) AS BIGINT) "
             "AS n_dup_lines FROM documents"),
+        "docs_dup_bigrams": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS arr "
+            "FROM documents), "
+            "tk AS (SELECT doc_id, unnest(arr) AS tok, "
+            "unnest(range(len(arr))) AS i FROM t), "
+            "bg AS (SELECT doc_id, tok || ' ' || "
+            "lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b "
+            "FROM tk), "
+            "c AS (SELECT doc_id, b, COUNT(*) AS n FROM bg "
+            "WHERE b IS NOT NULL GROUP BY doc_id, b), "
+            "p AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, "
+            "CAST(MAX(n) AS BIGINT) AS top_n FROM c GROUP BY doc_id) "
+            "SELECT doc_id, n_bigrams, top_n, "
+            "CAST((1000 * top_n) // n_bigrams AS BIGINT) AS top_permille "
+            "FROM p"),
         "docs_pii_scrub": _pii_sql(),
         "docs_line_dedup": _line_dedup_sql(3),
         # composed cleaning pipeline: the two oracles nested as CTEs

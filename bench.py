@@ -324,6 +324,38 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_pages_reciprocity(SF_DIR)
     q["pages_reciprocity"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_events_rolling(SF_DIR).materialize()
+    q["events_rolling"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_events_walk_vocab(SF_DIR).materialize()
+    q["events_walk_vocab"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_events_edge_holdout(SF_DIR).materialize()
+    q["events_edge_holdout"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_docs_lang_confusion(SF_DIR).materialize()
+    q["docs_lang_confusion"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_customer_revenue(SF_DIR).materialize()
+    q["customer_revenue"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_supplier_nation_revenue(SF_DIR).materialize()
+    q["supplier_nation_revenue"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_docs_dup_bigrams(SF_DIR).materialize()
+    q["docs_dup_bigrams"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_part_brand_revenue(SF_DIR).materialize()
+    q["part_brand_revenue"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

@@ -1399,6 +1399,161 @@ def q_customer_revenue(sf_dir: str):
                             ("n_orders", pa.int64())]))
 
 
+def q_supplier_nation_revenue(sf_dir: str):
+    """(r_name, n_name, revenue_cents, n_items) — TPC-H-Q5-shaped
+    same-nation revenue: lineitems whose supplier sits in the same nation
+    as the ordering customer, rolled up per (region, nation). Plan shape
+    for 100 TB: supplier/nation/region are genuinely small dims —
+    broadcast once via ray.put and resolved per batch with searchsorted;
+    the two big sides flow through exactly two wide steps (lineitem
+    partials x orders on orderkey, then x customer on custkey), with
+    revenue pre-aggregated per (orderkey, supp_nation) before the first
+    join and per (custkey, supp_nation) before the second, so each
+    shuffle carries one row per key — never one per lineitem."""
+    sup = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.argsort(sup["s_suppkey"].to_numpy())
+    sup_ref = ray.put((sup["s_suppkey"].to_numpy()[sk],
+                       sup["s_nationkey"].to_numpy().astype(np.int64)[sk]))
+
+    def li_cents(t: pa.Table) -> pa.Table:
+        keys, nats = ray.get(sup_ref)
+        v = np.floor(t.column("l_extendedprice").to_numpy()
+                     * (1 - t.column("l_discount").to_numpy())
+                     * 100 + 0.5).astype(np.int64)
+        pos = np.searchsorted(keys, t.column("l_suppkey").to_numpy())
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "s_nat": pa.array(nats[pos]),
+            "cents": pa.array(v)})
+
+    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_orderkey", "l_suppkey",
+                              "l_extendedprice", "l_discount"])
+    per_order = shuffle.grouped_agg(
+        li.map_batches(li_cents, batch_format="pyarrow"),
+        ["l_orderkey", "s_nat"],
+        {"cents": ("cents", "sum"), "n_items": (None, "count")})
+
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({"o_orderkey":
+                            t.column("o_orderkey").cast(pa.int64()),
+                            "o_custkey":
+                            t.column("o_custkey").cast(pa.int64())}),
+        batch_format="pyarrow")
+    joined = shuffle.co_group(
+        per_order, orders, l_on="l_orderkey", r_on="o_orderkey",
+        fn=lambda lf, rf: lf.merge(
+            rf.rename(columns={"o_orderkey": "l_orderkey"}),
+            on="l_orderkey")[["o_custkey", "s_nat", "cents", "n_items"]],
+        l_schema=pa.schema([("l_orderkey", pa.int64()),
+                            ("s_nat", pa.int64()),
+                            ("cents", pa.int64()),
+                            ("n_items", pa.int64())]),
+        r_schema=pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64())]))
+    per_cust = shuffle.grouped_agg(
+        joined, ["o_custkey", "s_nat"],
+        {"cents": ("cents", "sum"), "n_items": ("n_items", "sum")})
+
+    cust = _read_sized(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table({
+            "c_custkey": t.column("c_custkey").cast(pa.int64()),
+            "c_nat": t.column("c_nationkey").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def same_nation(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        j = lf.merge(rf.rename(columns={"c_custkey": "o_custkey"}),
+                     on="o_custkey")
+        j = j[j["s_nat"] == j["c_nat"]]
+        return j[["s_nat", "cents", "n_items"]]
+
+    matched = shuffle.co_group(
+        cust, per_cust, l_on="c_custkey", r_on="o_custkey",
+        fn=lambda lf, rf: same_nation(rf, lf),
+        l_schema=pa.schema([("c_custkey", pa.int64()),
+                            ("c_nat", pa.int64())]),
+        r_schema=pa.schema([("o_custkey", pa.int64()),
+                            ("s_nat", pa.int64()),
+                            ("cents", pa.int64()),
+                            ("n_items", pa.int64())]))
+    per_nat = shuffle.grouped_agg(
+        matched, ["s_nat"], {"revenue_cents": ("cents", "sum"),
+                             "n_items": ("n_items", "sum")})
+
+    nat = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = ray.data.read_parquet(
+        os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nk = np.argsort(nat["n_nationkey"].to_numpy())
+    nat_ref = ray.put((nat["n_nationkey"].to_numpy().astype(np.int64)[nk],
+                       nat["n_name"].to_numpy()[nk],
+                       nat["r_name"].to_numpy()[nk]))
+
+    def attach_names(t: pa.Table) -> pa.Table:
+        keys, n_names, r_names = ray.get(nat_ref)
+        pos = np.searchsorted(keys, t.column("s_nat").to_numpy())
+        return pa.table({
+            "r_name": pa.array(r_names[pos], type=pa.string()),
+            "n_name": pa.array(n_names[pos], type=pa.string()),
+            "revenue_cents": t.column("revenue_cents").cast(pa.int64()),
+            "n_items": t.column("n_items").cast(pa.int64())})
+
+    return per_nat.map_batches(attach_names, batch_format="pyarrow")
+
+
+def q_part_brand_revenue(sf_dir: str):
+    """(p_brand, revenue_cents, sum_qty, n_items) — brand-level revenue
+    share over lineitem x part. Unlike nation/region, `part` scales with
+    the corpus (TPC-H: 200k rows per SF — at 100 TB it is NOT a broadcast
+    dim), so the join is a keyed co_group with lineitem revenue
+    pre-aggregated per partkey first: one row per distinct partkey enters
+    the shuffle, never one per lineitem."""
+    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_partkey", "l_quantity",
+                              "l_extendedprice", "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("l_extendedprice").to_numpy()
+                     * (1 - t.column("l_discount").to_numpy())
+                     * 100 + 0.5).astype(np.int64)
+        qty = np.floor(t.column("l_quantity").to_numpy()
+                       + 0.5).astype(np.int64)
+        return pa.table({"l_partkey":
+                         t.column("l_partkey").cast(pa.int64()),
+                         "cents": pa.array(v), "qty": pa.array(qty)})
+
+    per_part = shuffle.grouped_agg(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["l_partkey"],
+        {"cents": ("cents", "sum"), "qty": ("qty", "sum"),
+         "n_items": (None, "count")})
+    part = _read_sized(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: pa.table({"p_partkey":
+                            t.column("p_partkey").cast(pa.int64()),
+                            "p_brand": t.column("p_brand")}),
+        batch_format="pyarrow")
+    joined = shuffle.co_group(
+        part, per_part, l_on="p_partkey", r_on="l_partkey",
+        fn=lambda lf, rf: lf.merge(
+            rf.rename(columns={"l_partkey": "p_partkey"}),
+            on="p_partkey")[["p_brand", "cents", "qty", "n_items"]],
+        l_schema=pa.schema([("p_partkey", pa.int64()),
+                            ("p_brand", pa.string())]),
+        r_schema=pa.schema([("l_partkey", pa.int64()),
+                            ("cents", pa.int64()), ("qty", pa.int64()),
+                            ("n_items", pa.int64())]))
+    return shuffle.grouped_agg(
+        joined, ["p_brand"],
+        {"revenue_cents": ("cents", "sum"), "sum_qty": ("qty", "sum"),
+         "n_items": ("n_items", "sum")})
+
+
 def q_docs_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(textstats.fingerprint_batch,
                                      batch_format="pyarrow")
@@ -1673,6 +1828,37 @@ def q_docs_repetition(sf_dir: str):
     """Gopher-style per-doc repetition signals (duplicate-line counts)."""
     return _docs(sf_dir).map_batches(textstats.repetition_stats_batch,
                                      batch_format="pyarrow")
+
+
+def q_docs_dup_bigrams(sf_dir: str):
+    """(doc_id, n_bigrams, top_n, top_permille) — Gopher-style top-2-gram
+    repetition signal (Rae et al. 2021 'fraction of characters in the most
+    common n-gram' family, counted over token bigrams): per doc, the count
+    of the most frequent adjacent lowercased-\\S+-token pair, as a
+    permille of all bigrams. Docs with fewer than two tokens emit no row
+    (no bigram exists — the SQL lead() window drops them identically).
+    Purely per-doc (embarrassingly parallel map_batches, no shuffle);
+    integer arithmetic end to end so the DuckDB hash compare is exact."""
+    def score(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = t.column("doc_id").to_numpy()
+        cols: dict[str, list[int]] = {
+            "doc_id": [], "n_bigrams": [], "top_n": [], "top_permille": []}
+        for did, x in zip(ids, t.column("text").to_pylist()):
+            w = _WORD_RE.findall(x.lower())
+            if len(w) < 2:
+                continue
+            top = max(Counter(zip(w, w[1:])).values())
+            nb = len(w) - 1
+            cols["doc_id"].append(int(did))
+            cols["n_bigrams"].append(nb)
+            cols["top_n"].append(top)
+            cols["top_permille"].append((1000 * top) // nb)
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in cols.items()})
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
 
 
 LINE_DEDUP_MIN_COUNT = 3

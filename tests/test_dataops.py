@@ -1126,3 +1126,64 @@ def test_resumable_sink_empty_input(ray_session, tmp_path):
                               num_shards=4)
     assert len(stats) == 0
     assert list(stats.columns) == ["shard", "rows", "skipped"]
+
+
+def test_new_relational_and_bigrams_vs_duckdb(ray_session):
+    """supplier_nation_revenue / docs_dup_bigrams vs their contract SQL on
+    sf0.001 — in-repo mirror of the driver compare."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region", "part", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    sqls = E.oracle_sql()
+    for name, fn in [("supplier_nation_revenue",
+                      Q.q_supplier_nation_revenue),
+                     ("part_brand_revenue", Q.q_part_brand_revenue),
+                     ("docs_dup_bigrams", Q.q_docs_dup_bigrams)]:
+        got = fn(sf)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        exp = con.execute(sqls[name]).df()
+        cols = sorted(exp.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        exp = exp[cols].sort_values(cols).reset_index(drop=True)
+        assert len(got) == len(exp), name
+        for c in cols:
+            if exp[c].dtype == object:
+                np.testing.assert_array_equal(
+                    got[c].astype(str).to_numpy(),
+                    exp[c].astype(str).to_numpy(), err_msg=f"{name}.{c}")
+            else:
+                np.testing.assert_array_equal(
+                    got[c].to_numpy(dtype=np.int64),
+                    exp[c].to_numpy(dtype=np.int64),
+                    err_msg=f"{name}.{c}")
+
+
+def test_dup_bigrams_planted_edge_cases(ray_session, tmp_path):
+    """Hand-checked repetition semantics: repeated pair, all-same tokens,
+    single-token and empty docs (no row), case folding, mixed whitespace."""
+    import pyarrow.parquet as pq
+
+    from ligrust_ray.pipelines import queries as Q
+
+    texts = ["a b a b a",        # (a,b)x2 (b,a)x2 -> top 2 / 4
+             "Q q q\tq",         # (q,q)x3 -> 1000 permille
+             "solo",             # 1 token -> no row
+             "",                 # no tokens -> no row
+             "  x   y  "]        # 1 bigram -> 1000
+    tbl = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                    "text": pa.array(texts)})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = (Q.q_docs_dup_bigrams(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = pd.DataFrame({"doc_id": [0, 1, 4], "n_bigrams": [4, 3, 1],
+                        "top_n": [2, 3, 1], "top_permille": [500, 1000,
+                                                             1000]})
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  exp.astype(np.int64))
