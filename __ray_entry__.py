@@ -836,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_degree_histogram": Q.q_events_degree_histogram,
         "events_mutual_edges": Q.q_events_mutual_edges,
         "events_graph_stats": Q.q_events_graph_stats,
+        "events_assortativity": Q.q_events_assortativity,
         "events_triangles": Q.q_events_triangles,
         "events_triangles_per_node": Q.q_events_triangles_per_node,
         "events_lcc": Q.q_events_lcc,
@@ -1234,6 +1235,25 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT COUNT(*) FROM o) AS n_src_nodes, "
             "(SELECT CAST(COALESCE(MAX(c), 0) AS BIGINT) FROM o) "
             "AS max_out_degree"),
+        # degree-assortativity moment sums: exact integers (the Pearson
+        # coefficient is a closed-form ratio over these six numbers)
+        "events_assortativity": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT v AS node_id, COUNT(*) AS degree FROM sym "
+            "GROUP BY v) "
+            "SELECT COUNT(*) AS n_pairs, "
+            "CAST(SUM(dx.degree) AS BIGINT) AS sum_x, "
+            "CAST(SUM(dy.degree) AS BIGINT) AS sum_y, "
+            "CAST(SUM(dx.degree * dy.degree) AS BIGINT) AS sum_xy, "
+            "CAST(SUM(dx.degree * dx.degree) AS BIGINT) AS sum_x2, "
+            "CAST(SUM(dy.degree * dy.degree) AS BIGINT) AS sum_y2 "
+            "FROM sym JOIN deg dx ON dx.node_id = sym.v "
+            "JOIN deg dy ON dy.node_id = sym.w"),
         # local clustering coefficient: integer-division micro-units over
         # the simple undirected graph (nodes with degree >= 1)
         "events_lcc": (

@@ -356,6 +356,10 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_part_brand_revenue(SF_DIR).materialize()
     q["part_brand_revenue"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_events_assortativity(SF_DIR)
+    q["events_assortativity"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

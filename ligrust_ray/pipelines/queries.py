@@ -364,6 +364,51 @@ def q_events_graph_stats(sf_dir: str):
                                    type=pa.int64())})
 
 
+def q_events_assortativity(sf_dir: str):
+    """One-row exact integer moment sums for degree assortativity
+    (Newman 2002) over the simple undirected events graph: for every
+    directed pair (v, w) of the symmetrized edge set, x = deg(v),
+    y = deg(w); emits (n_pairs, sum_x, sum_y, sum_xy, sum_x2, sum_y2) —
+    the Pearson correlation is a trivial driver-side formula over these
+    six numbers, but keeping the OUTPUT integral makes the DuckDB hash
+    compare exact (no float summation order). Two hash_joins attach the
+    endpoint degrees (the degree table is n-sized — co-partitioned, not
+    broadcast), then per-block partials fold on the driver (O(#blocks)
+    tiny rows)."""
+    deg = _simple_degree(sf_dir)
+    sym = _sym_simple(sf_dir).map_batches(
+        lambda t: pa.table({"node_id": t.column("v"),
+                            "w": t.column("w")}),
+        batch_format="pyarrow")
+    j1 = shuffle.hash_join(sym, deg, on="node_id",
+                           l_cols=["w"], r_cols=["degree"]).map_batches(
+        lambda t: pa.table({"node_id": t.column("w"),
+                            "x": t.column("degree")}),
+        batch_format="pyarrow")
+    deg_y = deg.map_batches(
+        lambda t: pa.table({"node_id": t.column("node_id"),
+                            "y": t.column("degree")}),
+        batch_format="pyarrow")
+    j2 = shuffle.hash_join(j1, deg_y, on="node_id",
+                           l_cols=["x"], r_cols=["y"])
+
+    def part(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        return pa.table({
+            "n_pairs": pa.array([len(x)], type=pa.int64()),
+            "sum_x": pa.array([int(x.sum())], type=pa.int64()),
+            "sum_y": pa.array([int(y.sum())], type=pa.int64()),
+            "sum_xy": pa.array([int((x * y).sum())], type=pa.int64()),
+            "sum_x2": pa.array([int((x * x).sum())], type=pa.int64()),
+            "sum_y2": pa.array([int((y * y).sum())], type=pa.int64())})
+
+    p = j2.map_batches(part, batch_format="pyarrow").to_pandas()
+    return pa.table({c: pa.array([int(p[c].sum())], type=pa.int64())
+                     for c in ("n_pairs", "sum_x", "sum_y", "sum_xy",
+                               "sum_x2", "sum_y2")})
+
+
 def q_events_lcc(sf_dir: str):
     """(node_id, degree, triangles, lcc_ppm) local clustering coefficient
     over nodes of the simple undirected events graph (degree >= 1):
@@ -452,6 +497,21 @@ def _cn_wedges(sf_dir: str, with_score: bool) -> ray.data.Dataset:
     return shuffle.grouped_apply(low, ["node_id"], pairs_fn)
 
 
+_WEDGE_CACHE: dict[str, ray.data.Dataset] = {}
+
+
+def _cn_wedges_cached(sf_dir: str) -> ray.data.Dataset:
+    """Materialized scored wedge set, shared by the link-prediction family
+    (q_events_common_neighbors and q_events_link_pred consume the SAME
+    wedges; the scored variant is a superset — one extra int64 column).
+    Computing it once halves the combined cost; the blocks live in the
+    object store like the graph artifacts in _GRAPH_CACHE."""
+    if sf_dir not in _WEDGE_CACHE:
+        _WEDGE_CACHE[sf_dir] = _cn_wedges(sf_dir,
+                                          with_score=True).materialize()
+    return _WEDGE_CACHE[sf_dir]
+
+
 def q_events_common_neighbors(sf_dir: str):
     """(a, b, n_common) link-prediction candidates over the simple
     undirected events graph: unordered pairs sharing >= CN_MIN_COMMON
@@ -460,7 +520,7 @@ def q_events_common_neighbors(sf_dir: str):
     hub filter — a hub as common neighbour carries ~no signal, the same
     rationale as Adamic-Adar's 1/log weighting) and is replicated in the
     SQL oracle."""
-    counts = shuffle.grouped_agg(_cn_wedges(sf_dir, with_score=False),
+    counts = shuffle.grouped_agg(_cn_wedges_cached(sf_dir),
                                  ["a", "b"],
                                  {"n_common": (None, "count")})
     return counts.map_batches(
@@ -477,7 +537,7 @@ def q_events_link_pred(sf_dir: str):
     end so the DuckDB hash compare is exact. Same wedge machinery and hub
     cap as q_events_common_neighbors; one extra int64 column rides the
     same shuffle."""
-    scored = shuffle.grouped_agg(_cn_wedges(sf_dir, with_score=True),
+    scored = shuffle.grouped_agg(_cn_wedges_cached(sf_dir),
                                  ["a", "b"],
                                  {"n_common": (None, "count"),
                                   "ra_ppb": ("ra", "sum")})
