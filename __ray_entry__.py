@@ -837,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mutual_edges": Q.q_events_mutual_edges,
         "events_graph_stats": Q.q_events_graph_stats,
         "events_assortativity": Q.q_events_assortativity,
+        "events_component_sizes": Q.q_events_component_sizes,
+        "events_community_stats": Q.q_events_community_stats,
         "events_triangles": Q.q_events_triangles,
         "events_triangles_per_node": Q.q_events_triangles_per_node,
         "events_lcc": Q.q_events_lcc,
@@ -907,6 +909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue": Q.q_customer_revenue,
         "supplier_nation_revenue": Q.q_supplier_nation_revenue,
         "part_brand_revenue": Q.q_part_brand_revenue,
+        "lineitem_monthly": Q.q_lineitem_monthly,
+        "events_daily": Q.q_events_daily,
         # corpus-pipeline utilities (r3)
         "events_distinct_users": Q.q_events_distinct_users,
         "events_user_hll": Q.q_events_user_hll,
@@ -956,6 +960,33 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.dst, r.reach FROM r JOIN e ON e.src = r.node) "
             "SELECT node AS node_id, CAST(MIN(reach) AS BIGINT) AS comp "
             "FROM r GROUP BY node"),
+        # component-size histogram riding the same reachability CTE
+        "events_component_sizes": (
+            f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+            f"nodes AS ({_NODES_CTE}), "
+            "r(node, reach) AS (SELECT id, id FROM nodes "
+            "UNION SELECT e.dst, r.reach FROM r JOIN e ON e.src = r.node), "
+            "cc AS (SELECT node, MIN(reach) AS comp FROM r GROUP BY node), "
+            "s AS (SELECT comp, COUNT(*) AS size FROM cc GROUP BY comp) "
+            "SELECT CAST(size AS BIGINT) AS size, "
+            "COUNT(*) AS n_components FROM s GROUP BY size"),
+        # per-community structure rollup over the unrolled LP fixed point
+        "events_community_stats": (
+            f"WITH lp AS ({_labelprop_sql(20)}), "
+            f"ed AS ({_EDGES_CTE}), "
+            "agg AS (SELECT ls.label AS label, "
+            "SUM(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END) "
+            "AS n_internal, "
+            "SUM(CASE WHEN ls.label <> ld.label THEN 1 ELSE 0 END) "
+            "AS n_outgoing "
+            "FROM ed JOIN lp ls ON ls.node_id = ed.src "
+            "JOIN lp ld ON ld.node_id = ed.dst GROUP BY ls.label), "
+            "nn AS (SELECT label, COUNT(*) AS n_nodes FROM lp "
+            "GROUP BY label) "
+            "SELECT nn.label, nn.n_nodes, "
+            "CAST(COALESCE(agg.n_internal, 0) AS BIGINT) AS n_internal, "
+            "CAST(COALESCE(agg.n_outgoing, 0) AS BIGINT) AS n_outgoing "
+            "FROM nn LEFT JOIN agg ON agg.label = nn.label"),
         "bfs_events": (
             f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
             f"nodes AS ({_NODES_CTE}), "
@@ -1442,6 +1473,16 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_qty, COUNT(*) AS n_items "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand"),
+        "lineitem_monthly": (
+            "SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) "
+            "AS BIGINT) AS ship_ym, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "COUNT(*) AS n_items FROM lineitem GROUP BY 1"),
+        "events_daily": (
+            "SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) "
+            "AS BIGINT) AS day, COUNT(*) AS n_events, "
+            "COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1"),
         "docs_lang_hist": (
             "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"),
         "events_distinct_users": (

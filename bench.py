@@ -360,6 +360,22 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_events_assortativity(SF_DIR)
     q["events_assortativity"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_lineitem_monthly(SF_DIR).materialize()
+    q["lineitem_monthly"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_events_component_sizes(SF_DIR).materialize()
+    q["events_component_sizes"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_events_community_stats(SF_DIR).materialize()
+    q["events_community_stats"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_events_daily(SF_DIR).materialize()
+    q["events_daily"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

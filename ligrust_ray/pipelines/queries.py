@@ -884,6 +884,85 @@ def q_cc_events(sf_dir: str):
                      "comp": pa.array(st["ids"])})
 
 
+def q_events_component_sizes(sf_dir: str):
+    """(size, n_components) — connected-component size histogram (the
+    classic first question asked of any web-graph CC run: is there one
+    giant component?). CC labels come from the frontier engine; the two
+    rollups (per-component size, then per-size count) run as distributed
+    grouped_aggs over the label Dataset — at 10^10 nodes the label table
+    would stay a Dataset end to end (per-partition state collect), the
+    histogram shape is unchanged."""
+    labels = ray.data.from_arrow(q_cc_events(sf_dir))
+    per_comp = shuffle.grouped_agg(labels, ["comp"],
+                                   {"size": (None, "count")})
+    return shuffle.grouped_agg(per_comp, ["size"],
+                               {"n_components": (None, "count")})
+
+
+def q_events_community_stats(sf_dir: str):
+    """(label, n_nodes, n_internal, n_outgoing) — per-community structure
+    rollup over the label-propagation partition (the modularity
+    ingredients, kept integral so the DuckDB hash compare is exact:
+    modularity per community = n_internal/m - (deg_sum/2m)^2 is a
+    driver-side formula over these columns). Labels attach to the raw
+    directed edge multiset via two hash_joins (label table co-partitioned,
+    not broadcast); per-label node counts co_group-join the edge sums with
+    zero-fill for all-isolated communities."""
+    lp = ray.data.from_arrow(q_labelprop_events(sf_dir))
+    edges = events_edges_ds(sf_dir)
+    j1 = shuffle.hash_join(
+        edges.map_batches(lambda t: pa.table({
+            "node_id": t.column("src").cast(pa.int64()),
+            "dst": t.column("dst").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        lp.map_batches(lambda t: pa.table({
+            "node_id": t.column("node_id"),
+            "lsrc": t.column("label").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        on="node_id", l_cols=["dst"], r_cols=["lsrc"]).map_batches(
+        lambda t: pa.table({"node_id": t.column("dst"),
+                            "lsrc": t.column("lsrc")}),
+        batch_format="pyarrow")
+    j2 = shuffle.hash_join(
+        j1,
+        lp.map_batches(lambda t: pa.table({
+            "node_id": t.column("node_id"),
+            "ldst": t.column("label").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        on="node_id", l_cols=["lsrc"], r_cols=["ldst"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        ls = t.column("lsrc").to_numpy()
+        ld = t.column("ldst").to_numpy()
+        same = (ls == ld).astype(np.int64)
+        return pa.table({"label": pa.array(ls),
+                         "internal": pa.array(same),
+                         "outgoing": pa.array(1 - same)})
+
+    esum = shuffle.grouped_agg(
+        j2.map_batches(flags, batch_format="pyarrow"),
+        ["label"], {"n_internal": ("internal", "sum"),
+                    "n_outgoing": ("outgoing", "sum")})
+    nn = shuffle.grouped_agg(
+        lp.map_batches(lambda t: pa.table({
+            "label": t.column("label").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["label"], {"n_nodes": (None, "count")})
+
+    def fill(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        j = lf.merge(rf, on="label", how="left")
+        for col in ("n_internal", "n_outgoing"):
+            j[col] = j[col].fillna(0).astype(np.int64)
+        return j[["label", "n_nodes", "n_internal", "n_outgoing"]]
+
+    i64 = pa.int64()
+    return shuffle.co_group(
+        nn, esum, "label", "label", fill,
+        l_schema=pa.schema([("label", i64), ("n_nodes", i64)]),
+        r_schema=pa.schema([("label", i64), ("n_internal", i64),
+                            ("n_outgoing", i64)]))
+
+
 def q_bfs_events(sf_dir: str):
     g = events_graph(sf_dir)
     bfs(g, root=0)
@@ -1564,6 +1643,62 @@ def q_supplier_nation_revenue(sf_dir: str):
             "n_items": t.column("n_items").cast(pa.int64())})
 
     return per_nat.map_batches(attach_names, batch_format="pyarrow")
+
+
+def q_events_daily(sf_dir: str):
+    """(day, n_events, n_users) — daily event volume and distinct active
+    users (the activity dashboard rollup). day = year*10000+month*100+day
+    as one int64 key (pyarrow temporal kernels, engine == DuckDB calendar
+    math); n_users via a (day, user) distinct shuffle pre-collapsed
+    map-side, then one grouped count joined to the event counts."""
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts", "user_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        day = pc.add(pc.add(pc.multiply(pc.year(ts), 10000),
+                            pc.multiply(pc.month(ts), 100)), pc.day(ts))
+        return pa.table({"day": day.cast(pa.int64()),
+                         "user_id": t.column("user_id").cast(pa.int64())})
+
+    keyed = ev.map_batches(key, batch_format="pyarrow")
+    n_events = shuffle.grouped_agg(keyed, ["day"],
+                                   {"n_events": (None, "count")})
+    n_users = shuffle.grouped_agg(
+        shuffle.distinct(keyed, ["day", "user_id"]),
+        ["day"], {"n_users": (None, "count")})
+    i64 = pa.int64()
+    return shuffle.co_group(
+        n_events, n_users, "day", "day",
+        lambda lf, rf: lf.merge(rf, on="day"),
+        l_schema=pa.schema([("day", i64), ("n_events", i64)]),
+        r_schema=pa.schema([("day", i64), ("n_users", i64)]))
+
+
+def q_lineitem_monthly(sf_dir: str):
+    """(ship_ym, revenue_cents, n_items) — monthly revenue time series
+    over lineitem (the temporal rollup every pipeline dashboard needs).
+    ship_ym = year*100 + month as one int64 key (pyarrow.compute temporal
+    kernels — engine and DuckDB extract identical calendar fields from
+    the same timestamp[us] values); single partial-combine hash
+    aggregate, nothing wide beyond the one grouped shuffle."""
+    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_shipdate", "l_extendedprice",
+                              "l_discount"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        ts = t.column("l_shipdate")
+        ym = pc.add(pc.multiply(pc.year(ts), 100), pc.month(ts))
+        cents = np.floor(t.column("l_extendedprice").to_numpy()
+                         * (1 - t.column("l_discount").to_numpy())
+                         * 100 + 0.5).astype(np.int64)
+        return pa.table({"ship_ym": ym.cast(pa.int64()),
+                         "cents": pa.array(cents)})
+
+    return shuffle.grouped_agg(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["ship_ym"], {"revenue_cents": ("cents", "sum"),
+                      "n_items": (None, "count")})
 
 
 def q_part_brand_revenue(sf_dir: str):

@@ -710,6 +710,10 @@ def test_graph_dataset_ops_vs_duckdb(ray_session):
     for name, fn in [("events_graph_stats", Q.q_events_graph_stats),
                      ("events_lcc", Q.q_events_lcc),
                      ("events_assortativity", Q.q_events_assortativity),
+                     ("events_component_sizes",
+                      Q.q_events_component_sizes),
+                     ("events_community_stats",
+                      Q.q_events_community_stats),
                      ("events_common_neighbors",
                       Q.q_events_common_neighbors)]:
         got = fn(sf)
