@@ -839,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_assortativity": Q.q_events_assortativity,
         "events_component_sizes": Q.q_events_component_sizes,
         "events_community_stats": Q.q_events_community_stats,
+        "events_global_clustering": Q.q_events_global_clustering,
         "events_triangles": Q.q_events_triangles,
         "events_triangles_per_node": Q.q_events_triangles_per_node,
         "events_lcc": Q.q_events_lcc,
@@ -920,6 +921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_oov": Q.q_docs_oov,
         "docs_repetition": Q.q_docs_repetition,
         "docs_dup_bigrams": Q.q_docs_dup_bigrams,
+        "docs_dup_families": Q.q_docs_dup_families,
+        "docs_char_classes": Q.q_docs_char_classes,
         "docs_pii_scrub": Q.q_docs_pii_scrub,
         "docs_line_dedup": Q.q_docs_line_dedup,
         "docs_preprocess": Q.q_docs_preprocess,
@@ -1266,6 +1269,25 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT COUNT(*) FROM o) AS n_src_nodes, "
             "(SELECT CAST(COALESCE(MAX(c), 0) AS BIGINT) FROM o) "
             "AS max_out_degree"),
+        # global transitivity ingredients: wedges from the degree CTE,
+        # triangles from the oriented join (same CTE as events_triangles)
+        "events_global_clustering": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v), "
+            "wd AS (SELECT SUM(d * (d - 1) // 2) AS wedges FROM deg), "
+            "tr AS (SELECT COUNT(*) AS tri FROM u e1 "
+            "JOIN u e2 ON e1.b = e2.a "
+            "JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT CAST(wd.wedges AS BIGINT) AS n_wedges, "
+            "CAST(tr.tri AS BIGINT) AS n_triangles, "
+            "CAST(CASE WHEN wd.wedges > 0 THEN "
+            "(3 * tr.tri * 1000) // wd.wedges ELSE 0 END AS BIGINT) "
+            "AS closed_permille FROM wd, tr"),
         # degree-assortativity moment sums: exact integers (the Pearson
         # coefficient is a closed-form ratio over these six numbers)
         "events_assortativity": (
@@ -1541,6 +1563,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(text, chr(10))) "
             "- len(list_distinct(string_split(text, chr(10)))) AS BIGINT) "
             "AS n_dup_lines FROM documents"),
+        "docs_dup_families": (
+            "WITH f AS (SELECT COUNT(*) AS c FROM documents "
+            "GROUP BY text) "
+            "SELECT CAST(c AS BIGINT) AS n_copies, "
+            "COUNT(*) AS n_texts FROM f GROUP BY c"),
+        "docs_char_classes": (
+            "SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) "
+            "AS n_alpha, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) "
+            "AS n_digit, "
+            "CAST(len(regexp_extract_all(text, '\\s')) AS BIGINT) "
+            "AS n_space, "
+            "CAST(len(text) - len(regexp_extract_all(text, '[A-Za-z]')) "
+            "- len(regexp_extract_all(text, '[0-9]')) "
+            "- len(regexp_extract_all(text, '\\s')) AS BIGINT) "
+            "AS n_other FROM documents"),
         "docs_dup_bigrams": (
             "WITH t AS (SELECT doc_id, "
             "regexp_extract_all(lower(text), '\\S+') AS arr "

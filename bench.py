@@ -376,6 +376,18 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_events_daily(SF_DIR).materialize()
     q["events_daily"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_docs_dup_families(SF_DIR).materialize()
+    q["docs_dup_families"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_docs_char_classes(SF_DIR).materialize()
+    q["docs_char_classes"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_events_global_clustering(SF_DIR)
+    q["events_global_clustering"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

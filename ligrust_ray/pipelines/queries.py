@@ -409,6 +409,31 @@ def q_events_assortativity(sf_dir: str):
                                "sum_x2", "sum_y2")})
 
 
+def q_events_global_clustering(sf_dir: str):
+    """One-row (n_wedges, n_triangles, closed_permille) — the global
+    clustering coefficient's exact integer ingredients over the simple
+    undirected events graph: n_wedges = sum over nodes of C(deg, 2)
+    (per-block partials of the degree Dataset folded on the driver),
+    n_triangles from the oriented-probe counter, closed_permille =
+    (3 * T * 1000) // W. Complements q_events_lcc (per-node local
+    coefficient) with the corpus-level transitivity number."""
+    def part(t: pa.Table) -> pa.Table:
+        d = t.column("degree").to_numpy().astype(np.int64)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       type=pa.int64())})
+
+    w = int(_simple_degree(sf_dir).map_batches(
+        part, batch_format="pyarrow").to_pandas()["w"].sum())
+    tri = q_events_triangles(sf_dir)
+    tri = tri.to_pandas() if hasattr(tri, "to_pandas") else tri
+    t3 = int(tri["n_triangles"][0])
+    return pa.table({
+        "n_wedges": pa.array([w], type=pa.int64()),
+        "n_triangles": pa.array([t3], type=pa.int64()),
+        "closed_permille": pa.array([(3 * t3 * 1000) // w if w else 0],
+                                    type=pa.int64())})
+
+
 def q_events_lcc(sf_dir: str):
     """(node_id, degree, triangles, lcc_ppm) local clustering coefficient
     over nodes of the simple undirected events graph (degree >= 1):
@@ -1747,6 +1772,50 @@ def q_part_brand_revenue(sf_dir: str):
         joined, ["p_brand"],
         {"revenue_cents": ("cents", "sum"), "sum_qty": ("qty", "sum"),
          "n_items": ("n_items", "sum")})
+
+
+def q_docs_dup_families(sf_dir: str):
+    """(n_copies, n_texts) — exact-duplicate multiplicity histogram (the
+    dedup-analytics readout: how much of the corpus is x2 / x10 / x1000
+    boilerplate?). Same sha1-key shuffle as exact_dedup (bodies never
+    move), then a tiny second grouped count over family sizes."""
+    import hashlib
+
+    def h(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha1(x.encode("utf-8")).hexdigest()
+              for x in t.column("text").to_pylist()]
+        return pa.table({"h": pa.array(hs, type=pa.string())})
+
+    fam = shuffle.grouped_agg(
+        _docs(sf_dir).select_columns(["text"]).map_batches(
+            h, batch_format="pyarrow"),
+        ["h"], {"n_copies": (None, "count")})
+    return shuffle.grouped_agg(fam, ["n_copies"],
+                               {"n_texts": (None, "count")})
+
+
+def q_docs_char_classes(sf_dir: str):
+    """(doc_id, n_chars, n_alpha, n_digit, n_space, n_other) — per-doc
+    character-class census (the cheap corpus-composition signal: binary
+    junk shows as n_other spikes, tables as digit-heavy rows). All four
+    counted classes are RE2 kernels over zero-copy Arrow
+    (pc.count_substring_regex — no Python loop); ASCII classes so engine
+    and DuckDB agree on every codepoint; n_other closes the sum."""
+    def census(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        n = pc.utf8_length(txt).cast(pa.int64())
+        alpha = pc.count_substring_regex(txt, "[A-Za-z]").cast(pa.int64())
+        digit = pc.count_substring_regex(txt, "[0-9]").cast(pa.int64())
+        space = pc.count_substring_regex(txt, r"\s").cast(pa.int64())
+        other = pc.subtract(
+            n, pc.add(pc.add(alpha, digit), space))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_chars": n, "n_alpha": alpha,
+                         "n_digit": digit, "n_space": space,
+                         "n_other": other})
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        census, batch_format="pyarrow")
 
 
 def q_docs_fingerprint(sf_dir: str):
