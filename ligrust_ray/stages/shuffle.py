@@ -257,6 +257,43 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                     num_partitions=num_partitions)
 
 
+def semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              l_on: str, r_on: str, anti: bool = False,
+              num_partitions: int = 32,
+              l_schema: pa.Schema | None = None,
+              r_key_type: pa.DataType | None = None) -> ray.data.Dataset:
+    """EXISTS / NOT EXISTS filter: keep left rows whose ``l_on`` key
+    appears (``anti=False``) or does not appear (``anti=True``) in
+    ``right[r_on]`` — the big x big semi/anti join. The right side is
+    collapsed to map-side-DISTINCT keys before the shuffle (the
+    semi-join combiner: only distinct keys move, never right payload
+    rows), then both sides hash co-partition on the key and membership
+    is one vectorised ``isin`` per partition. Unlike an inner join,
+    left rows are never duplicated when right keys repeat. Pass
+    ``r_key_type`` when the right plan should not execute early just
+    to derive its schema."""
+
+    empty_dtype = (object if r_key_type is not None
+                   and not pa.types.is_integer(r_key_type) else np.int64)
+
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if r_on not in df.columns:      # zero-column empty block
+            return pd.DataFrame({r_on: pd.Series([], dtype=empty_dtype)})
+        return df[[r_on]].drop_duplicates()
+
+    rk = right.select_columns([r_on]).map_batches(
+        key_partial, batch_format="pandas")
+    r_schema = pa.schema([(r_on, r_key_type)]) if r_key_type else None
+
+    def fn(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf[l_on].isin(rf[r_on]).to_numpy()
+        return lf[~m if anti else m]
+
+    return co_group(left, rk, l_on=l_on, r_on=r_on, fn=fn,
+                    num_partitions=num_partitions,
+                    l_schema=l_schema, r_schema=r_schema)
+
+
 def grouped_apply(ds: ray.data.Dataset, keys: list[str], fn,
                   num_partitions: int = 32,
                   pre=None) -> ray.data.Dataset:

@@ -89,6 +89,50 @@ def test_empty_input(ray_session):
     assert len(out) == 0
 
 
+def test_semi_and_anti_join(ray_session):
+    import pyarrow as pa
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 5], type=pa.int64()),
+        "lv": pa.array([10.0, 20.0, 21.0, 30.0, 50.0]),
+    }))
+    # right keys repeat (2 appears twice) and carry a payload column —
+    # semi must neither duplicate left rows nor leak right columns
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 2, 3, 7], type=pa.int64()),
+        "junk": pa.array(["a", "b", "c", "d"], type=pa.string()),
+    }))
+    semi = shuffle.semi_join(left.repartition(3), right.repartition(2),
+                             l_on="k", r_on="k") \
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(semi, pd.DataFrame({
+        "k": pd.Series([2, 2, 3], dtype=np.int64),
+        "lv": [20.0, 21.0, 30.0]}))
+    anti = shuffle.semi_join(left.repartition(3), right.repartition(2),
+                             l_on="k", r_on="k", anti=True) \
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(anti, pd.DataFrame({
+        "k": pd.Series([1, 5], dtype=np.int64),
+        "lv": [10.0, 50.0]}))
+
+
+def test_semi_join_lazy_right_schema(ray_session):
+    # r_key_type must let semi_join build the plan without executing the
+    # right side's schema; string keys route through the same hash fn
+    left = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b", "c", "d"],
+                                              "v": [1, 2, 3, 4]}))
+    right = ray.data.from_pandas(pd.DataFrame({"k": ["b", "d", "x"]})) \
+        .map_batches(lambda df: df, batch_format="pandas")
+    import pyarrow as pa
+    got = shuffle.semi_join(
+        left, right, l_on="k", r_on="k",
+        l_schema=pa.schema([("k", pa.string()), ("v", pa.int64())]),
+        r_key_type=pa.string()) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, pd.DataFrame({"k": ["b", "d"],
+                                                     "v": [2, 4]}))
+
+
 def test_hash_join_inner(ray_session):
     import pandas as pd
     import pyarrow as pa
