@@ -934,3 +934,74 @@ def test_ppr_matches_oracle(graphs, name="er-64"):
         got = g.collect_state(["p"])["p"]
         exp = oracle.ppr_oracle(n, src, dst, source=0, rounds=4)
         np.testing.assert_allclose(got, exp, atol=1e-12, err_msg=nm)
+
+
+def _matching_oracle(a, b, h):
+    """Row-at-a-time local-max matching reference (same spec as
+    algos/matching.py, deliberately unvectorised)."""
+    import collections
+    active = list(zip(a.tolist(), b.tolist(), h.tolist()))
+    out = []
+    rnd = 0
+    while active:
+        rnd += 1
+        mh = collections.defaultdict(int)
+        for u, v, p in active:
+            mh[u] = max(mh[u], p)
+            mh[v] = max(mh[v], p)
+        won = [(u, v) for u, v, p in active
+               if p == mh[u] and p == mh[v]]
+        dead = set()
+        for u, v in won:
+            dead.add(u)
+            dead.add(v)
+            out.append((u, v, rnd))
+        active = [(u, v, p) for u, v, p in active
+                  if u not in dead and v not in dead]
+    return sorted(out)
+
+
+def test_maximal_matching_fast_vs_distributed(ray_session):
+    import ray.data
+
+    from ligrust_ray.algos.matching import maximal_matching, _with_priority
+
+    rng = np.random.default_rng(7)
+    u = rng.integers(0, 60, 400).astype(np.int64)
+    v = rng.integers(0, 60, 400).astype(np.int64)
+    keep = u != v
+    a, b = np.minimum(u[keep], v[keep]), np.maximum(u[keep], v[keep])
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    edges = pa.table({"a": pa.array(pairs[:, 0]),
+                      "b": pa.array(pairs[:, 1])})
+
+    got_fast = maximal_matching(edges, mode="single").to_pandas()
+    got_dist = maximal_matching(
+        ray.data.from_arrow(edges).repartition(4),
+        mode="distributed").to_pandas()
+
+    prio = _with_priority(edges)
+    exp = _matching_oracle(prio.column("a").to_numpy(),
+                           prio.column("b").to_numpy(),
+                           prio.column("h").to_numpy())
+    for got in (got_fast, got_dist):
+        rows = sorted(map(tuple, got[["u", "v", "rnd"]].to_numpy()))
+        assert rows == exp
+    # it IS a matching: no vertex twice; and maximal: no active edge left
+    mv = got_fast[["u", "v"]].to_numpy().ravel()
+    assert len(mv) == len(set(mv))
+    matched = set(mv)
+    uncovered = [(x, y) for x, y in pairs
+                 if x not in matched and y not in matched]
+    assert not uncovered
+
+
+def test_maximal_matching_empty_and_modes(ray_session):
+    from ligrust_ray.algos.matching import maximal_matching
+
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
+    out = maximal_matching(empty).to_pandas()
+    assert len(out) == 0
+    with pytest.raises(ValueError, match="unknown mode"):
+        maximal_matching(empty, mode="bogus")
