@@ -372,6 +372,47 @@ def _mis_sql(rounds: int = 24) -> str:
     return "".join(parts)
 
 
+def _matching_sql(rounds: int = 24) -> str:
+    """Maximal-matching oracle (algos/matching.py spec): ``rounds``
+    unrolled local-max rounds over the distinct simple undirected events
+    pairs. Edge priority = md5_number_lower(a || ':' || b) % 2^63
+    (bit-identical to hashing.md5_u64_lower & (2^63-1)); an edge matches
+    iff its priority equals the per-endpoint MAX over still-active
+    incident edges at BOTH endpoints; matched endpoints then leave.
+    Shared deterministic priorities make the oracle reproduce the
+    engine's EXACT matched set; rounds after the edge set drains are
+    no-ops, and the engine raises rather than return above
+    queries.MATCHING_SQL_ROUNDS = this default."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+        "WHERE src <> dst), "
+        "up AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e), "
+        "a0 AS MATERIALIZED (SELECT a, b, "
+        "CAST(md5_number_lower(CAST(a AS VARCHAR) || ':' || "
+        "CAST(b AS VARCHAR)) % 9223372036854775808 AS BIGINT) AS h "
+        "FROM up)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", n{i} AS MATERIALIZED (SELECT node, MAX(h) AS mh FROM "
+            f"(SELECT a AS node, h FROM a{i-1} "
+            f"UNION ALL SELECT b AS node, h FROM a{i-1}) GROUP BY node)"
+            f", w{i} AS MATERIALIZED (SELECT t.a AS u, t.b AS v "
+            f"FROM a{i-1} t JOIN n{i} na ON na.node = t.a "
+            f"AND na.mh = t.h "
+            f"JOIN n{i} nb ON nb.node = t.b AND nb.mh = t.h)"
+            f", x{i} AS MATERIALIZED (SELECT u AS node FROM w{i} "
+            f"UNION SELECT v AS node FROM w{i})"
+            f", a{i} AS MATERIALIZED (SELECT t.a, t.b, t.h FROM a{i-1} t "
+            f"WHERE t.a NOT IN (SELECT node FROM x{i}) "
+            f"AND t.b NOT IN (SELECT node FROM x{i}))")
+    union = " UNION ALL ".join(
+        f"SELECT u, v, CAST({i} AS BIGINT) AS rnd FROM w{i}"
+        for i in range(1, rounds + 1))
+    parts.append(f" SELECT u, v, rnd FROM ({union})")
+    return "".join(parts)
+
+
 def _ppr_sql(rounds: int = 4, source: int = 0) -> str:
     """Personalized PageRank oracle (algos/ppr.py spec): ``rounds``
     unrolled gathers p_{t+1} = 0.15 * e_s + 0.85 * SUM(p_t(u)/outdeg(u))
@@ -861,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_densest": Q.q_events_densest,
         "events_forest": Q.q_events_forest,
         "events_mis": Q.q_events_mis,
+        "events_matching": Q.q_events_matching,
         "events_sssp": Q.q_events_sssp,
         "events_bc": Q.q_events_bc,
         "events_coloring": Q.q_events_coloring,
@@ -887,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_count": Q.q_docs_token_count,
         "docs_token_bpe": Q.q_docs_token_bpe,
         "docs_token_quantiles": Q.q_docs_token_quantiles,
+        "docs_token_quantiles_by_lang": Q.q_docs_token_quantiles_by_lang,
         "docs_stats": Q.q_docs_stats,
         "docs_quality": Q.q_docs_quality,
         "docs_langid": Q.q_docs_langid,
@@ -910,6 +953,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue": Q.q_customer_revenue,
         "supplier_nation_revenue": Q.q_supplier_nation_revenue,
         "part_brand_revenue": Q.q_part_brand_revenue,
+        "customers_no_urgent": Q.q_customers_no_urgent,
+        "parts_returned_heavy": Q.q_parts_returned_heavy,
+        "top_customers": Q.q_top_customers,
+        "lineitem_rollup": Q.q_lineitem_rollup,
+        "orders_latest": Q.q_orders_latest,
+        "orders_cohort": Q.q_orders_cohort,
+        "docs_source_dedup": Q.q_docs_source_dedup,
         "lineitem_monthly": Q.q_lineitem_monthly,
         "events_daily": Q.q_events_daily,
         # corpus-pipeline utilities (r3)
@@ -1095,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         # Luby MIS, 24 unrolled rounds (= queries.MIS_SQL_ROUNDS; the Ray
         # side raises if it needed more, extra rounds are no-ops)
         "events_mis": _mis_sql(24),
+        "events_matching": _matching_sql(24),
         # Bellman-Ford, 32 unrolled relaxation rounds (= SSSP_SQL_ROUNDS)
         "events_sssp": _sssp_sql(32),
         # Brandes BC, 24 unrolled BFS levels + per-level dependency tables
@@ -1239,6 +1290,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM qs CROSS JOIN tot JOIN cdf "
             "ON cdf.cum >= CAST(CEIL(qs.q_pct / 100.0 * tot.n) AS BIGINT) "
             "GROUP BY qs.q_pct"),
+        "docs_token_quantiles_by_lang": (
+            # per-lang variant of docs_token_quantiles: same smallest-
+            # value-reaching-ceil(q * total) definition, CDF partitioned
+            # by lang
+            "WITH tc AS (SELECT lang, "
+            "CAST(len(regexp_split_to_array(trim(text), "
+            "'\\s+')) AS BIGINT) AS v FROM documents), "
+            "h AS (SELECT lang, v, COUNT(*) AS c FROM tc "
+            "GROUP BY lang, v), "
+            "cdf AS (SELECT lang, v, SUM(c) OVER (PARTITION BY lang "
+            "ORDER BY v) AS cum FROM h), "
+            "tot AS (SELECT lang, COUNT(*) AS n FROM tc GROUP BY lang), "
+            "qs AS (SELECT UNNEST([50, 90, 99]) AS q_pct) "
+            "SELECT tot.lang, qs.q_pct, CAST(MIN(cdf.v) AS BIGINT) "
+            "AS n_tokens FROM qs CROSS JOIN tot "
+            "JOIN cdf ON cdf.lang = tot.lang AND cdf.cum >= "
+            "CAST(CEIL(qs.q_pct / 100.0 * tot.n) AS BIGINT) "
+            "GROUP BY tot.lang, qs.q_pct"),
         "docs_stats": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, "
             "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
@@ -1495,6 +1564,60 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_qty, COUNT(*) AS n_items "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand"),
+        "customers_no_urgent": (
+            "SELECT c_mktsegment, COUNT(*) AS n_custs FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT') "
+            "GROUP BY c_mktsegment"),
+        "parts_returned_heavy": (
+            "SELECT p_brand, COUNT(*) AS n_parts FROM part p "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_partkey = p.p_partkey "
+            "AND l.l_returnflag = 'R' AND l.l_quantity >= 48) "
+            "GROUP BY p_brand"),
+        "top_customers": (
+            "WITH po AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM lineitem GROUP BY l_orderkey), "
+            "pc AS (SELECT o.o_custkey, CAST(SUM(po.cents) AS BIGINT) "
+            "AS revenue_cents "
+            "FROM po JOIN orders o ON o.o_orderkey = po.l_orderkey "
+            "GROUP BY o.o_custkey) "
+            "SELECT o_custkey AS c_custkey, revenue_cents FROM pc "
+            "ORDER BY revenue_cents DESC, c_custkey LIMIT 100"),
+        "lineitem_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS rf, "
+            "COALESCE(l_linestatus, 'ALL') AS ls, "
+            "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "COUNT(*) AS n_items FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+        "orders_cohort": (
+            "WITH f AS (SELECT o_custkey, "
+            "CAST(MIN(year(o_orderdate) * 100 + month(o_orderdate)) "
+            "AS BIGINT) AS cohort_ym FROM orders GROUP BY o_custkey) "
+            "SELECT cohort_ym, COUNT(*) AS n_customers FROM f "
+            "GROUP BY cohort_ym"),
+        # engine keys on sha1(text); SQL groups the text itself —
+        # identical sets barring a sha1 collision (same argument as
+        # docs_exact_dedup)
+        "docs_source_dedup": (
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct "
+            "FROM documents GROUP BY source"),
+        "orders_latest": (
+            "WITH r AS (SELECT o_custkey, o_orderkey, "
+            "CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 "
+            "+ day(o_orderdate) AS BIGINT) AS d, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn "
+            "FROM orders) "
+            "SELECT o_custkey, o_orderkey AS last_orderkey, "
+            "d AS last_day FROM r WHERE rn = 1"),
         "lineitem_monthly": (
             "SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) "
             "AS BIGINT) AS ship_ym, "

@@ -388,6 +388,48 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_events_global_clustering(SF_DIR)
     q["events_global_clustering"] = time.perf_counter() - t0
 
+    # session-3e operators: maximal matching, semi/anti join, top-K,
+    # rollup, argmax window, per-group quantiles
+    t0 = time.perf_counter()
+    from ligrust_ray.algos.matching import maximal_matching
+
+    # auto mode: single-task fast path at this scale (the distributed
+    # per-round shuffle plan is contract-tested at sf0.01)
+    maximal_matching(Q.events_matching_pairs(SF_DIR)).materialize()
+    q["events_matching"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_customers_no_urgent(SF_DIR).materialize()
+    q["customers_no_urgent"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_parts_returned_heavy(SF_DIR).materialize()
+    q["parts_returned_heavy"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_top_customers(SF_DIR)
+    q["top_customers"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_lineitem_rollup(SF_DIR)
+    q["lineitem_rollup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_orders_latest(SF_DIR).materialize()
+    q["orders_latest"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_docs_token_quantiles_by_lang(SF_DIR)
+    q["docs_token_quantiles_by_lang"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_orders_cohort(SF_DIR).materialize()
+    q["orders_cohort"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_docs_source_dedup(SF_DIR).materialize()
+    q["docs_source_dedup"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

@@ -81,8 +81,9 @@ def _events(sf_dir: str) -> ray.data.Dataset:
                        columns=["user_id", "value"])
 
 
-def _docs(sf_dir: str) -> ray.data.Dataset:
-    return _read_sized(os.path.join(sf_dir, "documents.parquet"))
+def _docs(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=columns)
 
 
 def _emb(sf_dir: str) -> ray.data.Dataset:
@@ -790,6 +791,36 @@ def q_events_mis(sf_dir: str):
         np.flatnonzero(in_mis).astype(np.int64))})
 
 
+MATCHING_SQL_ROUNDS = 24   # unroll depth of the oracle = engine round cap
+
+
+def q_events_matching(sf_dir: str):
+    """(u, v, rnd) — deterministic local-max MAXIMAL MATCHING over the
+    simple undirected events graph (algos/matching.py: shared md5 edge
+    priority, matched iff per-endpoint max at BOTH ends, matched
+    vertices leave). The SQL oracle unrolls the identical rounds with
+    the same priority, so the matched sets agree exactly; the engine
+    raises rather than return if it needed more rounds (rounds after
+    the edge set drains are no-ops on both sides). auto mode: the
+    single-task fast path below 2^22 edges (same gate economics as
+    walks/truss — ~6 shuffle dispatches per round dwarf the compute at
+    sandbox scale); the distributed per-round shuffle plan is
+    parity-tested against it in test_algos."""
+    from ligrust_ray.algos.matching import maximal_matching
+
+    return maximal_matching(events_matching_pairs(sf_dir),
+                            max_rounds=MATCHING_SQL_ROUNDS)
+
+
+def events_matching_pairs(sf_dir: str) -> ray.data.Dataset:
+    """(a, b) distinct simple undirected events pairs in matching's
+    input layout (shared by the contract query and bench)."""
+    return _und_pairs(sf_dir).map_batches(
+        lambda t: pa.table({"a": t.column("lo").cast(pa.int64()),
+                            "b": t.column("hi").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 BC_SQL_ROUNDS = 24     # unroll depth of the DuckDB oracle = engine level cap
 
 
@@ -1462,6 +1493,40 @@ def q_docs_token_quantiles(sf_dir: str):
                      "n_tokens": pa.array(out_v, type=pa.int64())})
 
 
+def q_docs_token_quantiles_by_lang(sf_dir: str):
+    """(lang, q_pct, n_tokens) — per-language token-count quantiles
+    (p50/p90/p99) via the same distributed value-histogram as
+    docs_token_quantiles, keyed by (lang, count): the grouped histogram
+    stays bounded at |langs| x |distinct counts| rows regardless of
+    corpus size, and the per-lang CDF walk happens on that tiny table.
+    Quantile definition (shared with the oracle): smallest value whose
+    per-lang running count reaches ceil(q * lang_total)."""
+    def pre(t: pa.Table) -> pa.Table:
+        n = textstats.token_count_batch(
+            t.select(["doc_id", "text"])).column("n_tokens")
+        return pa.table({"lang": t.column("lang"), "v": n})
+
+    hist = shuffle.grouped_agg(
+        _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+            pre, batch_format="pyarrow"),
+        ["lang", "v"], {"c": (None, "count")}) \
+        .to_pandas().sort_values(["lang", "v"])
+    out_l, out_q, out_v = [], [], []
+    for lang, g in hist.groupby("lang", sort=True):
+        vals = g["v"].to_numpy(dtype=np.int64)
+        cum = g["c"].to_numpy(dtype=np.int64).cumsum()
+        total = int(cum[-1])
+        for q in (0.5, 0.9, 0.99):
+            rank = int(np.ceil(q * total))
+            i = int(np.searchsorted(cum, rank))
+            out_l.append(lang)
+            out_q.append(int(q * 100))
+            out_v.append(int(vals[min(i, len(vals) - 1)]))
+    return pa.table({"lang": pa.array(out_l, type=pa.string()),
+                     "q_pct": pa.array(out_q, type=pa.int64()),
+                     "n_tokens": pa.array(out_v, type=pa.int64())})
+
+
 def q_docs_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(textstats.doc_stats_batch,
                                      batch_format="pyarrow")
@@ -1772,6 +1837,268 @@ def q_part_brand_revenue(sf_dir: str):
         joined, ["p_brand"],
         {"revenue_cents": ("cents", "sum"), "sum_qty": ("qty", "sum"),
          "n_items": ("n_items", "sum")})
+
+
+def q_customers_no_urgent(sf_dir: str):
+    """(c_mktsegment, n_custs) — customers with NO urgent order (NOT
+    EXISTS), rolled up per segment: the big x big ANTI join. Plan shape
+    for 100 TB: orders is filtered AND collapsed to map-side-distinct
+    custkeys before the shuffle (semi_join's combiner — only distinct
+    keys move, never order rows), both sides hash co-partition on
+    custkey, membership is one vectorised isin per partition, and the
+    rollup is a tiny grouped count."""
+    cust = _read_sized(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"c_custkey":
+                            t.column("c_custkey").cast(pa.int64()),
+                            "c_mktsegment": t.column("c_mktsegment")}),
+        batch_format="pyarrow")
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        return pa.table({"o_custkey": f.column("o_custkey").cast(pa.int64())})
+
+    urgent = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(urgent_keys, batch_format="pyarrow")
+    kept = shuffle.semi_join(
+        cust, urgent, l_on="c_custkey", r_on="o_custkey", anti=True,
+        l_schema=pa.schema([("c_custkey", pa.int64()),
+                            ("c_mktsegment", pa.string())]),
+        r_key_type=pa.int64())
+    return shuffle.grouped_agg(kept, ["c_mktsegment"],
+                               {"n_custs": (None, "count")})
+
+
+def q_parts_returned_heavy(sf_dir: str):
+    """(p_brand, n_parts) — parts with at least one RETURNED lineitem of
+    quantity >= 48 (EXISTS), counted per brand: the big x big SEMI join.
+    lineitem is predicate-filtered at the read (two pruned columns) and
+    collapsed to distinct partkeys map-side, so the shuffle moves one
+    key per distinct qualifying part — never a lineitem row; part rows
+    are NOT duplicated however many lineitems match (the semantic an
+    inner join would get wrong)."""
+    part = _read_sized(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: pa.table({"p_partkey":
+                            t.column("p_partkey").cast(pa.int64()),
+                            "p_brand": t.column("p_brand")}),
+        batch_format="pyarrow")
+
+    def heavy_returns(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("l_returnflag"), "R"),
+                    pc.greater_equal(t.column("l_quantity"), 48.0))
+        return pa.table({"l_partkey":
+                         t.filter(m).column("l_partkey").cast(pa.int64())})
+
+    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_partkey", "l_returnflag",
+                              "l_quantity"]).map_batches(
+        heavy_returns, batch_format="pyarrow")
+    kept = shuffle.semi_join(
+        part, li, l_on="p_partkey", r_on="l_partkey",
+        l_schema=pa.schema([("p_partkey", pa.int64()),
+                            ("p_brand", pa.string())]),
+        r_key_type=pa.int64())
+    return shuffle.grouped_agg(kept, ["p_brand"],
+                               {"n_parts": (None, "count")})
+
+
+TOP_CUSTOMERS_K = 100
+
+
+def _per_cust_revenue(sf_dir: str) -> ray.data.Dataset:
+    """(o_custkey, revenue_cents) — lineitem cents pre-aggregated per
+    orderkey, joined to orders, re-aggregated per custkey (the shared
+    front half of customer_revenue / top_customers)."""
+    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_orderkey", "l_extendedprice",
+                              "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("l_extendedprice").to_numpy()
+                     * (1 - t.column("l_discount").to_numpy())
+                     * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey":
+                         t.column("l_orderkey").cast(pa.int64()),
+                         "cents": pa.array(v)})
+
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({"o_orderkey":
+                            t.column("o_orderkey").cast(pa.int64()),
+                            "o_custkey":
+                            t.column("o_custkey").cast(pa.int64())}),
+        batch_format="pyarrow")
+    per_order = shuffle.grouped_agg(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["l_orderkey"], {"cents": ("cents", "sum")})
+    joined = shuffle.co_group(
+        per_order, orders, l_on="l_orderkey", r_on="o_orderkey",
+        fn=lambda lf, rf: lf.merge(
+            rf.rename(columns={"o_orderkey": "l_orderkey"}),
+            on="l_orderkey")[["o_custkey", "cents"]],
+        l_schema=pa.schema([("l_orderkey", pa.int64()),
+                            ("cents", pa.int64())]),
+        r_schema=pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64())]))
+    return shuffle.grouped_agg(
+        joined, ["o_custkey"], {"revenue_cents": ("cents", "sum")})
+
+
+def q_top_customers(sf_dir: str):
+    """(c_custkey, revenue_cents) — global top-K customers by revenue
+    (K=100, custkey tie-break): the distributed ORDER BY ... LIMIT K.
+    Per-cust revenue comes from the same pre-aggregated two-shuffle plan
+    as customer_revenue; then each final partition emits its own top-K
+    (partial top-K inside map_batches), so at most P x K candidate rows
+    ever reach the driver-side merge — never the customer rollup."""
+    per_cust = _per_cust_revenue(sf_dir)
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_cents", "o_custkey"],
+                              ascending=[False, True]) \
+            .head(TOP_CUSTOMERS_K)
+
+    cand = per_cust.map_batches(part_topk, batch_format="pandas") \
+        .to_pandas()
+    top = cand.sort_values(["revenue_cents", "o_custkey"],
+                           ascending=[False, True]) \
+        .head(TOP_CUSTOMERS_K)
+    return pa.table({
+        "c_custkey": pa.array(top["o_custkey"].to_numpy(dtype=np.int64)),
+        "revenue_cents":
+        pa.array(top["revenue_cents"].to_numpy(dtype=np.int64))})
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """(rf, ls, sum_qty, revenue_cents, n_items) — GROUP BY ROLLUP
+    (returnflag, linestatus): finest level + per-returnflag subtotals +
+    grand total, 'ALL' marking rolled-up dimensions. Scale plan: ONE
+    partial-combine hash aggregate at the finest grain (bounded at
+    |rf| x |ls| rows however big lineitem is); the coarser levels are
+    re-sums of that tiny table — never a second pass over the data."""
+    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_returnflag", "l_linestatus",
+                              "l_quantity", "l_extendedprice",
+                              "l_discount"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("l_extendedprice").to_numpy()
+                     * (1 - t.column("l_discount").to_numpy())
+                     * 100 + 0.5).astype(np.int64)
+        qty = np.floor(t.column("l_quantity").to_numpy()
+                       + 0.5).astype(np.int64)
+        return pa.table({"rf": t.column("l_returnflag"),
+                         "ls": t.column("l_linestatus"),
+                         "qty": pa.array(qty), "cents": pa.array(v)})
+
+    finest = shuffle.grouped_agg(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["rf", "ls"],
+        {"sum_qty": ("qty", "sum"), "revenue_cents": ("cents", "sum"),
+         "n_items": (None, "count")}).to_pandas()   # <= |rf| x |ls| rows
+    vals = ["sum_qty", "revenue_cents", "n_items"]
+    lv1 = finest.groupby("rf", as_index=False)[vals].sum() \
+        .assign(ls="ALL")
+    lv0 = pd.DataFrame([{**finest[vals].sum().to_dict(),
+                         "rf": "ALL", "ls": "ALL"}])
+    out = pd.concat([finest, lv1, lv0], ignore_index=True)
+    return pa.table({
+        "rf": pa.array(out["rf"], type=pa.string()),
+        "ls": pa.array(out["ls"], type=pa.string()),
+        "sum_qty": pa.array(out["sum_qty"].to_numpy(dtype=np.int64)),
+        "revenue_cents":
+        pa.array(out["revenue_cents"].to_numpy(dtype=np.int64)),
+        "n_items": pa.array(out["n_items"].to_numpy(dtype=np.int64))})
+
+
+def q_orders_latest(sf_dir: str):
+    """(o_custkey, last_orderkey, last_day) — each customer's most recent
+    order (max date, max orderkey tie-break): the distributed argmax /
+    ROW_NUMBER()=1 window. Partial argmax per batch first (one candidate
+    row per custkey per batch bounds the shuffle at |custkeys| x blocks,
+    never |orders|), then grouped_apply resolves the final argmax
+    vectorised per partition (sort + drop_duplicates keep='last' — C
+    kernels, no Python loop)."""
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate")
+        d = pc.add(pc.add(pc.multiply(pc.year(ts), 10000),
+                          pc.multiply(pc.month(ts), 100)), pc.day(ts))
+        return pa.table({"o_custkey": t.column("o_custkey").cast(pa.int64()),
+                         "o_orderkey":
+                         t.column("o_orderkey").cast(pa.int64()),
+                         "d": d.cast(pa.int64())})
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["o_custkey", "d", "o_orderkey"]) \
+            .drop_duplicates("o_custkey", keep="last")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        r = argmax(df)
+        return r.rename(columns={"o_orderkey": "last_orderkey",
+                                 "d": "last_day"})[
+            ["o_custkey", "last_orderkey", "last_day"]]
+
+    return shuffle.grouped_apply(
+        orders.map_batches(pre, batch_format="pyarrow").map_batches(
+            argmax, batch_format="pandas"),
+        ["o_custkey"], final)
+
+
+def q_orders_cohort(sf_dir: str):
+    """(cohort_ym, n_customers) — acquisition cohorts: each customer's
+    FIRST order month, counted per month. Two bounded hash aggregates
+    (per-cust min riding a map-side partial min, then a tiny month
+    count) — orders rows shuffle as one partial row per (custkey,
+    block), never raw."""
+    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderdate"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate")
+        ym = pc.add(pc.multiply(pc.year(ts), 100), pc.month(ts))
+        return pa.table({"o_custkey":
+                         t.column("o_custkey").cast(pa.int64()),
+                         "ym": ym.cast(pa.int64())})
+
+    first = shuffle.grouped_agg(
+        orders.map_batches(pre, batch_format="pyarrow"),
+        ["o_custkey"], {"cohort_ym": ("ym", "min")})
+    return shuffle.grouped_agg(first, ["cohort_ym"],
+                               {"n_customers": (None, "count")})
+
+
+def q_docs_source_dedup(sf_dir: str):
+    """(source, n_docs, n_distinct) — per-source duplication profile
+    (which crawl/source is boilerplate-heavy?). Same sha1-text key as
+    exact dedup: map-side (source, h) distinct collapse bounds the
+    shuffle, then one grouped count + distinct count per source."""
+    import hashlib
+
+    def h(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha1(x.encode("utf-8")).hexdigest()
+              for x in t.column("text").to_pylist()]
+        return pa.table({"source": t.column("source"),
+                         "h": pa.array(hs, type=pa.string())})
+
+    keyed = _docs(sf_dir, columns=["source", "text"]).map_batches(
+        h, batch_format="pyarrow")
+    n_docs = shuffle.grouped_agg(keyed, ["source"],
+                                 {"n_docs": (None, "count")})
+    n_dist = shuffle.grouped_agg(
+        shuffle.distinct(keyed, ["source", "h"]),
+        ["source"], {"n_distinct": (None, "count")})
+    return shuffle.co_group(
+        n_docs, n_dist, l_on="source", r_on="source",
+        fn=lambda lf, rf: lf.merge(rf, on="source"),
+        l_schema=pa.schema([("source", pa.string()),
+                            ("n_docs", pa.int64())]),
+        r_schema=pa.schema([("source", pa.string()),
+                            ("n_distinct", pa.int64())]))
 
 
 def q_docs_dup_families(sf_dir: str):
