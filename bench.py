@@ -214,9 +214,18 @@ def run_headline(num_cpus: int) -> dict:
     q["events_densest"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    from ligrust_ray.algos.coloring import color_graph
+    # JP coloring, single-task fast path below 2^22 sym edges (the
+    # per-round wave dispatch dominated here — was 6-7.5 s kernel-wave;
+    # sf0.1 needs ~178 rounds, past the contract oracle's 100-unroll cap,
+    # hence max_rounds=400 like the kernel-path bench before it)
+    from ligrust_ray.algos.coloring import (COLOR_SINGLE_TASK_MAX,
+                                            color_graph, color_graph_fast)
 
-    color_graph(gsym, max_rounds=400)   # JP, or-reduce color masks
+    sym = Q._sym_simple(SF_DIR).materialize()
+    if sym.count() <= COLOR_SINGLE_TASK_MAX:
+        color_graph_fast(Q.events_n(SF_DIR), sym, max_rounds=400)
+    else:
+        color_graph(gsym, max_rounds=400)
     q["events_coloring"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -31,6 +31,7 @@ from __future__ import annotations
 import time
 
 import numpy as np
+import ray
 
 from ligrust_ray.algos.mis import round_priorities
 from ligrust_ray.stages.kernels import EdgeKernel, VertexKernel
@@ -208,3 +209,93 @@ def color_graph(graph, max_rounds: int = 200) -> dict:
     return {"rounds": rounds, "colors": n_colors,
             "edges_scanned": graph.edges_scanned,
             "wall_s": time.perf_counter() - t0, "state_names": ["color"]}
+
+
+# ---------------------------------------------------------------------------
+# Single-task fast path (same gate economics as walks/truss/matching): below
+# a few million edges the per-round actor-wave dispatch (2+W waves x ~36 ms,
+# BASELINE §2d) dwarfs the numpy compute, so the identical round/selection/
+# smallest-absent semantics run vectorised in ONE Ray task over the full
+# symmetric edge list. Parity with the kernel path is test-enforced.
+
+COLOR_SINGLE_TASK_MAX = 1 << 22
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _color_arrays(n: int, src: np.ndarray, dst: np.ndarray,
+                  max_rounds: int) -> tuple[np.ndarray, int]:
+    """Exact JP rounds over a SYMMETRIC simple edge list: per round,
+    uncolored strict-priority minima over uncolored neighbours select,
+    then take the mex of their colored neighbourhoods. Returns (color,
+    rounds)."""
+    color = np.full(n, -1, dtype=np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    rounds = 0
+    while (color < 0).any():
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"coloring did not converge in {max_rounds} rounds")
+        prio = round_priorities(rounds, ids)
+        unc = color < 0
+        m = unc[src] & unc[dst]
+        agg = np.full(n, _I64_MAX, dtype=np.int64)
+        touched = np.zeros(n, dtype=bool)
+        if m.any():
+            np.minimum.at(agg, dst[m], prio[src[m]])
+            touched[dst[m]] = True
+        sel = unc & (~touched | (prio < agg))
+        # mex over colored neighbours, per selected target (vectorised:
+        # sort-dedupe (target, color) pairs, first position where the
+        # 0,1,2,... run breaks)
+        em = (color[src] >= 0) & sel[dst]
+        mex = np.zeros(n, dtype=np.int64)
+        if em.any():
+            tgt, c = dst[em], color[src[em]]
+            order = np.lexsort((c, tgt))
+            tgt, c = tgt[order], c[order]
+            keep = np.ones(len(tgt), dtype=bool)
+            keep[1:] = (tgt[1:] != tgt[:-1]) | (c[1:] != c[:-1])
+            tgt, c = tgt[keep], c[keep]
+            new_seg = np.r_[True, tgt[1:] != tgt[:-1]]
+            starts = np.flatnonzero(new_seg)
+            seg_id = np.cumsum(new_seg) - 1
+            pos = np.arange(len(tgt)) - starts[seg_id]
+            seg_len = np.diff(np.r_[starts, len(tgt)])
+            mex_seg = seg_len.astype(np.int64)   # full 0..k-1 run
+            mism = np.flatnonzero(c != pos)
+            if len(mism):
+                first = np.full(len(starts), _I64_MAX, dtype=np.int64)
+                np.minimum.at(first, seg_id[mism], pos[mism])
+                has = first < _I64_MAX
+                mex_seg[has] = first[has]
+            mex[tgt[starts]] = mex_seg
+        color[sel] = mex[sel]
+    return color, rounds
+
+
+@ray.remote
+def _color_task(n: int, blocks: list, max_rounds: int) -> np.ndarray:
+    import pyarrow as pa
+
+    tabs = [t for t in blocks if t.num_rows]
+    if not tabs:
+        return np.zeros(n, dtype=np.int64)   # edgeless: all color 0 rnd 1
+    t = pa.concat_tables([tb.select(["v", "w"]) for tb in tabs])
+    src = t.column("v").to_numpy().astype(np.int64)
+    dst = t.column("w").to_numpy().astype(np.int64)
+    return _color_arrays(n, src, dst, max_rounds)[0]
+
+
+def color_graph_fast(n: int, sym_edges, max_rounds: int = 200
+                     ) -> np.ndarray:
+    """Single-task JP coloring over a symmetric (v, w) edge Dataset;
+    callers gate on COLOR_SINGLE_TASK_MAX edges."""
+    import ray
+    import ray.data
+
+    if isinstance(sym_edges, ray.data.Dataset):
+        blocks = ray.get(sym_edges.to_arrow_refs())
+    else:
+        blocks = [sym_edges]
+    return ray.get(_color_task.remote(n, blocks, max_rounds))

@@ -857,14 +857,24 @@ def q_events_coloring(sf_dir: str):
     COLORING_SQL_ROUNDS rounds with the same priorities and rule, so the
     EXACT coloring is replicated (rounds are deterministic: 81 at sf0.01,
     21 at sf0.001; the engine raises past the cap, surplus rounds are
-    no-ops)."""
-    from ligrust_ray.algos.coloring import color_graph
+    no-ops). Below COLOR_SINGLE_TASK_MAX symmetric edges the identical
+    rounds run vectorised in one Ray task (the per-round actor-wave
+    dispatch dominates at sandbox scale — BASELINE §2d); the kernel-wave
+    path is parity-tested against it and remains the >2^22 path."""
+    from ligrust_ray.algos.coloring import (COLOR_SINGLE_TASK_MAX,
+                                            color_graph, color_graph_fast)
 
-    g = events_sym_graph(sf_dir)
-    color_graph(g, max_rounds=COLORING_SQL_ROUNDS)
-    st = g.collect_state(["color"])["color"]
-    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
-                     "color": pa.array(st)})
+    n = events_n(sf_dir)
+    sym = _sym_simple(sf_dir).materialize()
+    if sym.count() <= COLOR_SINGLE_TASK_MAX:
+        color = color_graph_fast(n, sym, max_rounds=COLORING_SQL_ROUNDS)
+    else:
+        g = events_sym_graph(sf_dir)
+        color_graph(g, max_rounds=COLORING_SQL_ROUNDS)
+        color = g.collect_state(["color"])["color"]
+    return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "color": pa.array(np.asarray(color,
+                                                  dtype=np.int64))})
 
 
 SSSP_SQL_ROUNDS = 32   # unroll depth of the DuckDB oracle = engine round cap

@@ -647,6 +647,33 @@ def test_coloring_clique_multiword(ray_session, tmp_path):
     np.testing.assert_array_equal(got, _coloring_oracle(n, a, b))
 
 
+def test_coloring_fast_path_matches_oracle(ray_session):
+    """Single-task fast path (color_graph_fast) must reproduce the exact
+    kernel-path coloring — same cases as the kernel test plus the
+    multi-word 70-clique."""
+    import pyarrow as pa
+
+    from ligrust_ray.algos.coloring import color_graph_fast
+
+    cases = [(60, 4.0, 51), (150, 6.0, 52), (120, 1.5, 53)]
+    for n, deg, seed in cases:
+        src, dst = oracle.random_digraph(n, deg, seed)
+        a, b = _sym_unique(src, dst)
+        sym = pa.table({"v": pa.array(np.concatenate([a, b])),
+                        "w": pa.array(np.concatenate([b, a]))})
+        got = color_graph_fast(n, sym)
+        np.testing.assert_array_equal(got, _coloring_oracle(n, a, b),
+                                      err_msg=f"n={n}")
+    n = 70
+    iu = np.triu_indices(n, k=1)
+    a, b = iu[0].astype(np.int64), iu[1].astype(np.int64)
+    sym = pa.table({"v": pa.array(np.concatenate([a, b])),
+                    "w": pa.array(np.concatenate([b, a]))})
+    got = color_graph_fast(n, sym, max_rounds=400)
+    assert sorted(got.tolist()) == list(range(70))
+    np.testing.assert_array_equal(got, _coloring_oracle(n, a, b))
+
+
 # ---- Densest subgraph (round 3; Charikar/Bahmani batched peeling) --------
 
 def _densest_oracle(n, a, b):
