@@ -967,6 +967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hll": Q.q_events_user_hll,
         "docs_sample": Q.q_docs_sample,
         "docs_pack": Q.q_docs_pack,
+        "docs_shuffle": Q.q_docs_shuffle,
         "docs_stratified_sample": Q.q_docs_stratified_sample,
         "docs_oov": Q.q_docs_oov,
         "docs_repetition": Q.q_docs_repetition,
@@ -1657,6 +1658,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
             "// 2048 AS BIGINT) AS pack_id FROM tc"),
+        # deterministic training-order shuffle: rank by (md5(doc_id),
+        # doc_id), shard = rank % 8
+        "docs_shuffle": (
+            "WITH r AS (SELECT doc_id, "
+            "md5_number_lower(CAST(doc_id AS VARCHAR)) AS h "
+            "FROM documents), "
+            "o AS (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+            "(ORDER BY h, doc_id) - 1 AS BIGINT) AS pos FROM r) "
+            "SELECT doc_id, pos, pos % 8 AS shard FROM o"),
         # language-balanced sample: 50 per lang by (md5(doc_id), doc_id)
         "docs_stratified_sample": (
             "SELECT lang, doc_id FROM ("

@@ -103,6 +103,15 @@ def main(argv=None):
                     help="skip the cleaning pipeline; export as-is")
     ex.add_argument("--no-resume", dest="ex_resume", action="store_false")
 
+    ij = sub.add_parser("import-jsonl", help="NDJSON docs -> resumable "
+                        "key-hashed documents parquet shards")
+    ij.add_argument("input", nargs="+", help="jsonl file(s)/dir(s)")
+    ij.add_argument("-o", "--output", required=True)
+    ij.add_argument("--shards", type=int, default=64)
+    ij.add_argument("--text-field", default="text")
+    ij.add_argument("--id-field", default="doc_id")
+    ij.add_argument("--no-resume", dest="ij_resume", action="store_false")
+
     args = p.parse_args(argv)
     _ray_up(args.num_cpus)
     import ray
@@ -137,6 +146,22 @@ def main(argv=None):
         stats = write_partitioned(ds, args.output, key="doc_id",
                                   num_shards=args.shards,
                                   resume=args.ex_resume)
+        print(json.dumps({
+            "output": args.output, "shards": int(len(stats)),
+            "rows_written": int(stats["rows"].sum()),
+            "shards_skipped": int(stats["skipped"].sum())}))
+        return 0
+
+    if args.cmd == "import-jsonl":
+        from ligrust_ray.sources.jsonl import read_documents_jsonl
+        from ligrust_ray.sources.resumable_sink import write_partitioned
+
+        docs = read_documents_jsonl(
+            args.input if len(args.input) > 1 else args.input[0],
+            text_field=args.text_field, id_field=args.id_field)
+        stats = write_partitioned(docs, args.output, key="doc_id",
+                                  num_shards=args.shards,
+                                  resume=args.ij_resume)
         print(json.dumps({
             "output": args.output, "shards": int(len(stats)),
             "rows_written": int(stats["rows"].sum()),

@@ -2391,6 +2391,67 @@ def q_docs_pack(sf_dir: str):
                     columns=["doc_id", "text"]))
 
 
+SHUFFLE_SHARDS = 8          # output shards (round-robin over the order)
+SHUFFLE_BUCKET_BITS = 12    # 4096 h-range scan buckets
+
+
+def q_docs_shuffle(sf_dir: str):
+    """(doc_id, pos, shard) — deterministic global TRAINING-ORDER SHUFFLE
+    + shard assignment (the op every LM data pipeline runs last): docs
+    are ordered by (md5_number_lower(doc_id), doc_id) — the hash is the
+    reproducible random tape — pos is the 0-based global position and
+    shard = pos % SHUFFLE_SHARDS (round-robin keeps shards size-balanced
+    to ±1). Scale shape — a distributed rank (same scan pattern as
+    docs_pack): bucket = top hash bits (so bucket order IS hash order),
+    per-bucket counts via one partial-combined grouped_agg, the tiny
+    bucket table exclusive-cumsums into offsets that ride the object
+    store into one grouped_apply computing in-bucket ranks vectorised.
+    Bodies never shuffle; nothing n-length touches the driver."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        h = md5_u64_lower_arrow(
+            pa.array(did.astype(str), type=pa.string()))
+        return pa.table({
+            "doc_id": pa.array(did), "h": pa.array(h),
+            "bucket": pa.array((h >> np.uint64(64 - SHUFFLE_BUCKET_BITS))
+                               .astype(np.int64))})
+
+    tc = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+    if tc.count() == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("doc_id", pa.int64()), ("pos", pa.int64()),
+             ("shard", pa.int64())]).empty_table())
+    sums = shuffle.grouped_agg(tc, ["bucket"],
+                               {"cnt": (None, "count")}).to_pandas()
+    sums = sums.sort_values("bucket")
+    off = np.concatenate(([0], np.cumsum(sums["cnt"].to_numpy())[:-1]))
+    off_ref = ray.put(pd.Series(off.astype(np.int64),
+                                index=sums["bucket"].to_numpy()))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("doc_id", "pos", "shard")})
+        offs = ray.get(off_ref)
+        df = df.sort_values(["bucket", "h", "doc_id"])
+        bk = df["bucket"].to_numpy(dtype=np.int64)
+        idx = np.arange(len(df), dtype=np.int64)
+        first = np.concatenate(([True], bk[1:] != bk[:-1]))
+        base = np.where(first, idx, 0)
+        np.maximum.accumulate(base, out=base)
+        pos = (idx - base) + offs.loc[bk].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "pos": pos,
+                             "shard": pos % SHUFFLE_SHARDS})
+
+    return shuffle.grouped_apply(tc, ["bucket"], rank)
+
+
 STRAT_K = 50     # docs kept per language
 
 

@@ -1,0 +1,76 @@
+"""sources/jsonl.py — NDJSON intake normalisation + CLI import."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from ligrust_ray.dataops.hashing import md5_u64_lower
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_read_documents_jsonl_normalises(ray_session, tmp_path):
+    from ligrust_ray.sources.jsonl import read_documents_jsonl
+
+    p = str(tmp_path / "a.jsonl")
+    _write_jsonl(p, [
+        {"doc_id": 7, "text": "hello world", "lang": "en",
+         "source": "crawl-a"},
+        {"doc_id": 8, "text": "hallo welt", "lang": None},   # null lang
+        {"doc_id": 9, "text": "ciao"},                       # missing meta
+    ])
+    got = read_documents_jsonl(p).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert list(got.columns) == ["doc_id", "text", "lang", "source",
+                                 "n_chars"]
+    assert got["doc_id"].tolist() == [7, 8, 9]
+    assert got["lang"].tolist() == ["en", "und", "und"]
+    assert got["source"].tolist() == ["crawl-a", "jsonl", "jsonl"]
+    assert got["n_chars"].tolist() == [11, 10, 4]
+
+
+def test_read_documents_jsonl_content_ids(ray_session, tmp_path):
+    from ligrust_ray.sources.jsonl import read_documents_jsonl
+
+    p = str(tmp_path / "noid.jsonl")
+    _write_jsonl(p, [{"text": "alpha"}, {"text": "beta"},
+                     {"text": "alpha"}])
+    got = read_documents_jsonl(p).to_pandas()
+    exp = [md5_u64_lower(t.encode()) & ((1 << 63) - 1)
+           for t in ("alpha", "beta", "alpha")]
+    assert got["doc_id"].tolist() == exp          # content-addressed,
+    assert got["doc_id"][0] == got["doc_id"][2]   # dup text -> same id
+
+
+def test_import_jsonl_cli_roundtrip(ray_session, tmp_path):
+    from ligrust_ray.cli import main
+    from ligrust_ray.sources.resumable_sink import read_partitioned
+
+    src = str(tmp_path / "in.jsonl")
+    rows = [{"doc_id": i, "text": f"doc number {i}", "lang": "en"}
+            for i in range(50)]
+    _write_jsonl(src, rows)
+    out = str(tmp_path / "sink")
+    assert main(["import-jsonl", src, "-o", out, "--shards", "4"]) == 0
+    back = read_partitioned(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert len(back) == 50
+    pd.testing.assert_series_equal(
+        back["doc_id"], pd.Series(np.arange(50, dtype=np.int64),
+                                  name="doc_id"))
+    assert back["text"].tolist() == [f"doc number {i}" for i in range(50)]
+    # rerun skips all committed shards
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["import-jsonl", src, "-o", out, "--shards", "4"])
+    again = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert again["rows_written"] == 0 and again["shards_skipped"] == 4
