@@ -972,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_oov": Q.q_docs_oov,
         "docs_repetition": Q.q_docs_repetition,
         "docs_dup_bigrams": Q.q_docs_dup_bigrams,
+        "docs_bigram_counts": Q.q_docs_bigram_counts,
         "docs_dup_families": Q.q_docs_dup_families,
         "docs_char_classes": Q.q_docs_char_classes,
         "docs_pii_scrub": Q.q_docs_pii_scrub,
@@ -1729,6 +1730,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_bigrams, top_n, "
             "CAST((1000 * top_n) // n_bigrams AS BIGINT) AS top_permille "
             "FROM p"),
+        "docs_bigram_counts": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS arr "
+            "FROM documents), "
+            "tk AS (SELECT doc_id, unnest(arr) AS tok, "
+            "unnest(range(len(arr))) AS i FROM t), "
+            "bg AS (SELECT tok || ' ' || "
+            "lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b "
+            "FROM tk) "
+            "SELECT b AS bigram, COUNT(*) AS n FROM bg "
+            "WHERE b IS NOT NULL GROUP BY b HAVING COUNT(*) >= 5"),
         "docs_pii_scrub": _pii_sql(),
         "docs_line_dedup": _line_dedup_sql(3),
         # composed cleaning pipeline: the two oracles nested as CTEs

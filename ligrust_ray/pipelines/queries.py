@@ -2523,6 +2523,39 @@ def q_docs_dup_bigrams(sf_dir: str):
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
 
 
+BIGRAM_MIN_COUNT = 5
+
+
+def q_docs_bigram_counts(sf_dir: str):
+    """(bigram, n) — corpus-level adjacent-token-pair counts kept at
+    n >= BIGRAM_MIN_COUNT (the n-gram LM statistics table every
+    data-quality / contamination stack builds). Scale shape: per-BATCH
+    partial Counter collapse (the map-side combiner — each block ships
+    its distinct-bigram vocabulary once, never a row per occurrence),
+    ONE partial-combined grouped sum, then the threshold filter runs on
+    the already-aggregated rows. Tokens = lowercased \\S+ runs, the
+    shared tokenizer spec."""
+    def part(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            w = _WORD_RE.findall(x.lower())
+            cnt.update(" ".join(p) for p in zip(w, w[1:]))
+        return pa.table({
+            "bigram": pa.array(list(cnt.keys()), type=pa.string()),
+            "n": pa.array(list(cnt.values()), type=pa.int64())})
+
+    total = shuffle.grouped_agg(
+        _docs(sf_dir, columns=["text"]).map_batches(
+            part, batch_format="pyarrow"),
+        ["bigram"], {"n": ("n", "sum")})
+    return total.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"),
+                                            BIGRAM_MIN_COUNT)),
+        batch_format="pyarrow")
+
+
 LINE_DEDUP_MIN_COUNT = 3
 
 
