@@ -980,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_preprocess": Q.q_docs_preprocess,
         "docs_source_stats": Q.q_docs_source_stats,
         "docs_top_tokens": Q.q_docs_top_tokens,
+        "docs_token_cms": Q.q_docs_token_cms,
         "docs_tfidf": Q.q_docs_tfidf,
         "docs_decontaminate": Q.q_docs_decontaminate,
         # multimodal plumbing (deterministic stub decode/resize/frame-sample)
@@ -1638,6 +1639,16 @@ def oracle_sql() -> dict[str, str]:
         # HLL registers, p=12: reg = top 12 bits of md5-lower-u64(user_id),
         # rho = leading zeros of the low 52 bits + 1 (bin() gives the exact
         # integer bit length — no float log2)
+        # count-min registers: reg(r,c) = count of tokens hashing to
+        # (row r, col c); min over rows is the point estimate (pytest)
+        "docs_token_cms": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'\\S+')) AS tok FROM documents), "
+            "rws AS (SELECT UNNEST([1, 2, 3, 4]) AS r) "
+            "SELECT rws.r, "
+            "CAST(md5_number_lower(CAST(rws.r AS VARCHAR) || ':' || tok) "
+            "% 1024 AS BIGINT) AS c, COUNT(*) AS n "
+            "FROM rws CROSS JOIN toks GROUP BY 1, 2"),
         "events_user_hll": (
             "SELECT event_type, "
             "CAST(hv // 4503599627370496 AS BIGINT) AS reg, "

@@ -447,6 +447,10 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_docs_bigram_counts(SF_DIR).materialize()
     q["docs_bigram_counts"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_docs_token_cms(SF_DIR).materialize()
+    q["docs_token_cms"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

@@ -89,3 +89,80 @@ def hll_estimate(registers: pd.DataFrame, group_col: str,
         out_g.append(g)
         out_e.append(float(e))
     return pd.DataFrame({group_col: out_g, "estimate": out_e})
+
+
+CMS_DEPTH = 4        # hash rows
+CMS_WIDTH = 1024     # buckets per row
+
+
+def cms_registers(docs: ray.data.Dataset, text_col: str = "text",
+                  depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                  num_partitions: int = 32) -> ray.data.Dataset:
+    """COUNT-MIN SKETCH registers over the corpus token stream (the
+    mergeable heavy-hitter sketch; Cormode/Muthukrishnan 2005): register
+    (r, c) = total count of tokens t with md5_number_lower(r ':' t) %
+    width == c, for r in 1..depth. Like the HLL, the REGISTER TABLE is
+    the contract output — pure integers, exactly SQL-replicable — while
+    the point-estimate (min over rows) is pytest-checked against exact
+    counts. Scale shape: per-batch token Counter collapses to at most
+    depth x width partial rows per block (the register table is the
+    combiner — volume is O(d*w) per block regardless of corpus size),
+    then ONE partial-combined grouped sum. Merging two corpora's
+    sketches = summing registers: associativity is what makes this a
+    sketch."""
+    import re
+
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+    from ligrust_ray.stages import shuffle
+
+    word = re.compile(r"\S+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: "Counter[str]" = Counter()
+        for x in t.column(text_col).to_pylist():
+            cnt.update(word.findall(x.lower()))
+        if not cnt:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("r", "c", "n")})
+        toks = list(cnt.keys())
+        vals = np.fromiter(cnt.values(), dtype=np.int64, count=len(toks))
+        rs, cs, ns = [], [], []
+        for r in range(1, depth + 1):
+            h = md5_u64_lower_arrow(
+                pa.array([f"{r}:{t}" for t in toks], type=pa.string()))
+            c = (h % np.uint64(width)).astype(np.int64)
+            # collapse to register partials immediately: <= width rows
+            reg = np.zeros(width, dtype=np.int64)
+            np.add.at(reg, c, vals)
+            nz = np.flatnonzero(reg)
+            rs.append(np.full(len(nz), r, dtype=np.int64))
+            cs.append(nz.astype(np.int64))
+            ns.append(reg[nz])
+        return pa.table({"r": pa.array(np.concatenate(rs)),
+                         "c": pa.array(np.concatenate(cs)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    return shuffle.grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["r", "c"], {"n": ("n", "sum")}, num_partitions=num_partitions)
+
+
+def cms_point_query(registers: "pd.DataFrame", tokens: list[str],
+                    depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+                    ) -> np.ndarray:
+    """Estimated count per token = min over rows of register[r][h_r(t)]
+    (never under the true count). ``registers`` = the (r, c, n) table."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    reg = np.zeros((depth + 1, width), dtype=np.int64)
+    reg[registers["r"].to_numpy(), registers["c"].to_numpy()] = \
+        registers["n"].to_numpy()
+    est = np.full(len(tokens), np.iinfo(np.int64).max)
+    for r in range(1, depth + 1):
+        h = md5_u64_lower_arrow(
+            pa.array([f"{r}:{t}" for t in tokens], type=pa.string()))
+        c = (h % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, reg[r, c])
+    return est

@@ -59,7 +59,8 @@ def events_n(sf_dir: str) -> int:
 _BLOCK_TARGET_BYTES = 32 << 20   # ~32 MiB per block
 
 
-def _read_sized(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+def _read_sized(path: str, columns: list[str] | None = None,
+                filter=None) -> ray.data.Dataset:
     """read_parquet with block count sized by BYTES, not cluster CPUs.
 
     Ray Data's default parallelism heuristic targets ~2-3 blocks per CPU,
@@ -67,13 +68,18 @@ def _read_sized(path: str, columns: list[str] | None = None) -> ray.data.Dataset
     downstream groupby becomes a 64x64 shuffle of near-empty partitions. We
     cap blocks at ceil(file_bytes / 32MiB): at 100 TB this matches the
     default (thousands of blocks); at contract/test scale it collapses the
-    shuffle to a handful of tasks."""
+    shuffle to a handful of tasks.
+
+    ``filter`` (a pyarrow.dataset expression) pushes row predicates INTO
+    the scan: row groups whose statistics exclude the predicate are never
+    read off storage — the prune-at-the-read rule for selective filters."""
     size = sum(os.path.getsize(os.path.join(dp, f))
                for dp, _, fs in os.walk(path) for f in fs) \
         if os.path.isdir(path) else os.path.getsize(path)
     nblocks = max(1, -(-size // _BLOCK_TARGET_BYTES))
+    kw = {} if filter is None else {"filter": filter}
     return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=nblocks)
+                                 override_num_blocks=nblocks, **kw)
 
 
 def _events(sf_dir: str) -> ray.data.Dataset:
@@ -1577,10 +1583,11 @@ def q_docs_lang_confusion(sf_dir: str):
 def q_customer_revenue(sf_dir: str):
     """(c_custkey, c_mktsegment, revenue_cents, n_orders) — the TPC-H-ish
     three-table rollup: lineitem revenue (integer cents) joined to orders
-    (big x big hash join on orderkey), pre-aggregated per custkey BEFORE
-    the second join, then joined to customer. Pre-aggregation bounds the
-    second shuffle at one row per (custkey) — the push-aggregation-
-    below-the-join plan a 100 TB engine must pick."""
+    (big x big hash join on orderkey), re-aggregated per custkey, then
+    joined to customer. Both aggregations are FUSED into their joins via
+    agg_co_group (map-side partials + in-partition final combine) — the
+    push-aggregation-below-the-join plan a 100 TB engine must pick, at
+    two wide steps total instead of four."""
     li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
                      columns=["l_orderkey", "l_extendedprice",
                               "l_discount"])
@@ -1600,12 +1607,13 @@ def q_customer_revenue(sf_dir: str):
                             "o_custkey":
                             t.column("o_custkey").cast(pa.int64())}),
         batch_format="pyarrow")
-    # per-order partial first: one row per orderkey enters the join
-    per_order = shuffle.grouped_agg(
-        li.map_batches(cents, batch_format="pyarrow"),
-        ["l_orderkey"], {"cents": ("cents", "sum")})
-    joined = shuffle.co_group(
-        per_order, orders, l_on="l_orderkey", r_on="o_orderkey",
+    # per-order revenue fused INTO the orders join (agg_co_group): the
+    # map-side partial still bounds shuffle volume at one row per
+    # orderkey per block; the final combine happens inside the join
+    joined = shuffle.agg_co_group(
+        li.map_batches(cents, batch_format="pyarrow"), orders,
+        keys=["l_orderkey"], l_on="l_orderkey", r_on="o_orderkey",
+        aggs={"cents": ("cents", "sum")},
         fn=lambda lf, rf: lf.merge(
             rf.rename(columns={"o_orderkey": "l_orderkey"}),
             on="l_orderkey")[["o_custkey", "cents"]],
@@ -1613,9 +1621,6 @@ def q_customer_revenue(sf_dir: str):
                             ("cents", pa.int64())]),
         r_schema=pa.schema([("o_orderkey", pa.int64()),
                             ("o_custkey", pa.int64())]))
-    per_cust = shuffle.grouped_agg(
-        joined, ["o_custkey"], {"revenue_cents": ("cents", "sum"),
-                                "n_orders": (None, "count")})
     cust = _read_sized(os.path.join(sf_dir, "customer.parquet"),
                        columns=["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: pa.table({"c_custkey":
@@ -1624,18 +1629,23 @@ def q_customer_revenue(sf_dir: str):
         batch_format="pyarrow")
 
     def attach(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        j = lf.merge(rf.rename(columns={"o_custkey": "c_custkey"}),
-                     on="c_custkey")
+        j = lf.rename(columns={"o_custkey": "c_custkey"}).merge(
+            rf, on="c_custkey")
         return j[["c_custkey", "c_mktsegment", "revenue_cents",
                   "n_orders"]]
 
-    return shuffle.co_group(
-        cust, per_cust, l_on="c_custkey", r_on="o_custkey", fn=attach,
-        l_schema=pa.schema([("c_custkey", pa.int64()),
-                            ("c_mktsegment", pa.string())]),
-        r_schema=pa.schema([("o_custkey", pa.int64()),
+    # per-cust re-aggregation fused into the customer join the same way
+    return shuffle.agg_co_group(
+        joined, cust, keys=["o_custkey"],
+        l_on="o_custkey", r_on="c_custkey",
+        aggs={"revenue_cents": ("cents", "sum"),
+              "n_orders": (None, "count")},
+        fn=attach,
+        l_schema=pa.schema([("o_custkey", pa.int64()),
                             ("revenue_cents", pa.int64()),
-                            ("n_orders", pa.int64())]))
+                            ("n_orders", pa.int64())]),
+        r_schema=pa.schema([("c_custkey", pa.int64()),
+                            ("c_mktsegment", pa.string())]))
 
 
 def q_supplier_nation_revenue(sf_dir: str):
@@ -1646,9 +1656,11 @@ def q_supplier_nation_revenue(sf_dir: str):
     broadcast once via ray.put and resolved per batch with searchsorted;
     the two big sides flow through exactly two wide steps (lineitem
     partials x orders on orderkey, then x customer on custkey), with
-    revenue pre-aggregated per (orderkey, supp_nation) before the first
-    join and per (custkey, supp_nation) before the second, so each
-    shuffle carries one row per key — never one per lineitem."""
+    revenue aggregation per (orderkey, supp_nation) / (custkey,
+    supp_nation) FUSED into each join via agg_co_group (map-side
+    partials + in-partition final combine), so each shuffle carries one
+    row per key per block — never one per lineitem — and no separate
+    aggregation shuffle exists at all."""
     sup = ray.data.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_nationkey"]).to_pandas()
@@ -1670,11 +1682,6 @@ def q_supplier_nation_revenue(sf_dir: str):
     li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
                      columns=["l_orderkey", "l_suppkey",
                               "l_extendedprice", "l_discount"])
-    per_order = shuffle.grouped_agg(
-        li.map_batches(li_cents, batch_format="pyarrow"),
-        ["l_orderkey", "s_nat"],
-        {"cents": ("cents", "sum"), "n_items": (None, "count")})
-
     orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
                          columns=["o_orderkey", "o_custkey"]).map_batches(
         lambda t: pa.table({"o_orderkey":
@@ -1682,8 +1689,13 @@ def q_supplier_nation_revenue(sf_dir: str):
                             "o_custkey":
                             t.column("o_custkey").cast(pa.int64())}),
         batch_format="pyarrow")
-    joined = shuffle.co_group(
-        per_order, orders, l_on="l_orderkey", r_on="o_orderkey",
+    # per-(orderkey, supp_nation) revenue fused INTO the orders join:
+    # partials combine map-side, the final combine happens inside the
+    # join partition (agg_co_group) — one wide step, not two
+    joined = shuffle.agg_co_group(
+        li.map_batches(li_cents, batch_format="pyarrow"), orders,
+        keys=["l_orderkey", "s_nat"], l_on="l_orderkey", r_on="o_orderkey",
+        aggs={"cents": ("cents", "sum"), "n_items": (None, "count")},
         fn=lambda lf, rf: lf.merge(
             rf.rename(columns={"o_orderkey": "l_orderkey"}),
             on="l_orderkey")[["o_custkey", "s_nat", "cents", "n_items"]],
@@ -1693,9 +1705,6 @@ def q_supplier_nation_revenue(sf_dir: str):
                             ("n_items", pa.int64())]),
         r_schema=pa.schema([("o_orderkey", pa.int64()),
                             ("o_custkey", pa.int64())]))
-    per_cust = shuffle.grouped_agg(
-        joined, ["o_custkey", "s_nat"],
-        {"cents": ("cents", "sum"), "n_items": ("n_items", "sum")})
 
     cust = _read_sized(os.path.join(sf_dir, "customer.parquet"),
                        columns=["c_custkey", "c_nationkey"]).map_batches(
@@ -1705,20 +1714,24 @@ def q_supplier_nation_revenue(sf_dir: str):
         batch_format="pyarrow")
 
     def same_nation(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        j = lf.merge(rf.rename(columns={"c_custkey": "o_custkey"}),
-                     on="o_custkey")
+        j = lf.rename(columns={"o_custkey": "c_custkey"}).merge(
+            rf, on="c_custkey")
         j = j[j["s_nat"] == j["c_nat"]]
         return j[["s_nat", "cents", "n_items"]]
 
-    matched = shuffle.co_group(
-        cust, per_cust, l_on="c_custkey", r_on="o_custkey",
-        fn=lambda lf, rf: same_nation(rf, lf),
-        l_schema=pa.schema([("c_custkey", pa.int64()),
-                            ("c_nat", pa.int64())]),
-        r_schema=pa.schema([("o_custkey", pa.int64()),
+    # per-(custkey, supp_nation) re-aggregation fused into the customer
+    # join the same way
+    matched = shuffle.agg_co_group(
+        joined, cust, keys=["o_custkey", "s_nat"],
+        l_on="o_custkey", r_on="c_custkey",
+        aggs={"cents": ("cents", "sum"), "n_items": ("n_items", "sum")},
+        fn=same_nation,
+        l_schema=pa.schema([("o_custkey", pa.int64()),
                             ("s_nat", pa.int64()),
                             ("cents", pa.int64()),
-                            ("n_items", pa.int64())]))
+                            ("n_items", pa.int64())]),
+        r_schema=pa.schema([("c_custkey", pa.int64()),
+                            ("c_nat", pa.int64())]))
     per_nat = shuffle.grouped_agg(
         matched, ["s_nat"], {"revenue_cents": ("cents", "sum"),
                              "n_items": ("n_items", "sum")})
@@ -1822,27 +1835,26 @@ def q_part_brand_revenue(sf_dir: str):
                          t.column("l_partkey").cast(pa.int64()),
                          "cents": pa.array(v), "qty": pa.array(qty)})
 
-    per_part = shuffle.grouped_agg(
-        li.map_batches(cents, batch_format="pyarrow"),
-        ["l_partkey"],
-        {"cents": ("cents", "sum"), "qty": ("qty", "sum"),
-         "n_items": (None, "count")})
     part = _read_sized(os.path.join(sf_dir, "part.parquet"),
                        columns=["p_partkey", "p_brand"]).map_batches(
         lambda t: pa.table({"p_partkey":
                             t.column("p_partkey").cast(pa.int64()),
                             "p_brand": t.column("p_brand")}),
         batch_format="pyarrow")
-    joined = shuffle.co_group(
-        part, per_part, l_on="p_partkey", r_on="l_partkey",
-        fn=lambda lf, rf: lf.merge(
-            rf.rename(columns={"l_partkey": "p_partkey"}),
-            on="p_partkey")[["p_brand", "cents", "qty", "n_items"]],
-        l_schema=pa.schema([("p_partkey", pa.int64()),
-                            ("p_brand", pa.string())]),
-        r_schema=pa.schema([("l_partkey", pa.int64()),
+    # per-part revenue fused into the part join (agg_co_group)
+    joined = shuffle.agg_co_group(
+        li.map_batches(cents, batch_format="pyarrow"), part,
+        keys=["l_partkey"], l_on="l_partkey", r_on="p_partkey",
+        aggs={"cents": ("cents", "sum"), "qty": ("qty", "sum"),
+              "n_items": (None, "count")},
+        fn=lambda lf, rf: lf.rename(
+            columns={"l_partkey": "p_partkey"}).merge(
+            rf, on="p_partkey")[["p_brand", "cents", "qty", "n_items"]],
+        l_schema=pa.schema([("l_partkey", pa.int64()),
                             ("cents", pa.int64()), ("qty", pa.int64()),
-                            ("n_items", pa.int64())]))
+                            ("n_items", pa.int64())]),
+        r_schema=pa.schema([("p_partkey", pa.int64()),
+                            ("p_brand", pa.string())]))
     return shuffle.grouped_agg(
         joined, ["p_brand"],
         {"revenue_cents": ("cents", "sum"), "sum_qty": ("qty", "sum"),
@@ -1863,13 +1875,17 @@ def q_customers_no_urgent(sf_dir: str):
                             t.column("c_custkey").cast(pa.int64()),
                             "c_mktsegment": t.column("c_mktsegment")}),
         batch_format="pyarrow")
-    def urgent_keys(t: pa.Table) -> pa.Table:
-        f = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
-        return pa.table({"o_custkey": f.column("o_custkey").cast(pa.int64())})
+    import pyarrow.dataset as pds
 
+    # predicate pushed INTO the parquet scan: row groups whose stats
+    # exclude '1-URGENT' never leave storage
     urgent = _read_sized(os.path.join(sf_dir, "orders.parquet"),
-                         columns=["o_custkey", "o_orderpriority"]) \
-        .map_batches(urgent_keys, batch_format="pyarrow")
+                         columns=["o_custkey"],
+                         filter=(pds.field("o_orderpriority")
+                                 == "1-URGENT")) \
+        .map_batches(lambda t: pa.table({
+            "o_custkey": t.column("o_custkey").cast(pa.int64())}),
+            batch_format="pyarrow")
     kept = shuffle.semi_join(
         cust, urgent, l_on="c_custkey", r_on="o_custkey", anti=True,
         l_schema=pa.schema([("c_custkey", pa.int64()),
@@ -1894,16 +1910,16 @@ def q_parts_returned_heavy(sf_dir: str):
                             "p_brand": t.column("p_brand")}),
         batch_format="pyarrow")
 
-    def heavy_returns(t: pa.Table) -> pa.Table:
-        m = pc.and_(pc.equal(t.column("l_returnflag"), "R"),
-                    pc.greater_equal(t.column("l_quantity"), 48.0))
-        return pa.table({"l_partkey":
-                         t.filter(m).column("l_partkey").cast(pa.int64())})
+    import pyarrow.dataset as pds
 
+    # both predicates pushed into the scan (prune-at-the-read)
     li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
-                     columns=["l_partkey", "l_returnflag",
-                              "l_quantity"]).map_batches(
-        heavy_returns, batch_format="pyarrow")
+                     columns=["l_partkey"],
+                     filter=((pds.field("l_returnflag") == "R")
+                             & (pds.field("l_quantity") >= 48.0))) \
+        .map_batches(lambda t: pa.table({
+            "l_partkey": t.column("l_partkey").cast(pa.int64())}),
+            batch_format="pyarrow")
     kept = shuffle.semi_join(
         part, li, l_on="p_partkey", r_on="l_partkey",
         l_schema=pa.schema([("p_partkey", pa.int64()),
@@ -1939,11 +1955,10 @@ def _per_cust_revenue(sf_dir: str) -> ray.data.Dataset:
                             "o_custkey":
                             t.column("o_custkey").cast(pa.int64())}),
         batch_format="pyarrow")
-    per_order = shuffle.grouped_agg(
-        li.map_batches(cents, batch_format="pyarrow"),
-        ["l_orderkey"], {"cents": ("cents", "sum")})
-    joined = shuffle.co_group(
-        per_order, orders, l_on="l_orderkey", r_on="o_orderkey",
+    joined = shuffle.agg_co_group(
+        li.map_batches(cents, batch_format="pyarrow"), orders,
+        keys=["l_orderkey"], l_on="l_orderkey", r_on="o_orderkey",
+        aggs={"cents": ("cents", "sum")},
         fn=lambda lf, rf: lf.merge(
             rf.rename(columns={"o_orderkey": "l_orderkey"}),
             on="l_orderkey")[["o_custkey", "cents"]],
@@ -2354,6 +2369,18 @@ def q_events_distinct_users(sf_dir: str):
         lambda t: pa.table({"event_type": t.column("event_type"),
                             "n_users": t.column("n_users").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def q_docs_token_cms(sf_dir: str):
+    """(r, c, n) — COUNT-MIN SKETCH registers over the corpus token
+    stream (dataops/sketch.cms_registers: depth 4 x width 1024, md5 row
+    hashes). Like the HLL, the register table IS the contract output —
+    pure integers, exactly SQL-replicable; the min-over-rows point
+    estimator (never under the true count, tight for heavy hitters) is
+    pytest-checked against exact counts."""
+    from ligrust_ray.dataops import sketch
+
+    return sketch.cms_registers(_docs(sf_dir, columns=["text"]))
 
 
 def q_events_user_hll(sf_dir: str):

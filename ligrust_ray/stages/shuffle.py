@@ -294,6 +294,54 @@ def semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
                     l_schema=l_schema, r_schema=r_schema)
 
 
+def agg_co_group(left: ray.data.Dataset, right: ray.data.Dataset,
+                 keys: list[str], l_on: str, r_on: str,
+                 aggs: dict[str, tuple[str | None, str]], fn,
+                 num_partitions: int = 32,
+                 l_schema: pa.Schema | None = None,
+                 r_schema: pa.Schema | None = None) -> ray.data.Dataset:
+    """``grouped_agg(left, keys, aggs)`` fused into a ``co_group`` with
+    ``right`` — the aggregate-below-the-join plan with ONE wide step
+    instead of two: left batches partial-combine map-side (one row per
+    key per block — same shuffle volume as grouped_agg's partial), the
+    final combine runs inside the join partition right before ``fn``
+    sees it. ``keys`` must contain ``l_on`` (co-partitioning by ``l_on``
+    co-locates every partial of a key group because the other keys ride
+    along). ``l_schema`` describes the PARTIAL layout: keys + agg
+    outputs — identical to grouped_agg's output schema."""
+    if l_on not in keys:
+        raise ValueError(f"l_on {l_on!r} must be one of keys {keys}")
+    for out, (_, kind) in aggs.items():
+        if kind not in _FINAL_KIND:
+            raise ValueError(f"unsupported agg kind {kind!r} for {out!r}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            e = _empty_like(df, keys, aggs)
+            return e.drop(columns="__part")
+        g = df.groupby(keys, as_index=False, sort=False)
+        named = {
+            out: pd.NamedAgg(column=(col if kind != "count" else keys[0]),
+                             aggfunc=("size" if kind == "count" else kind))
+            for out, (col, kind) in aggs.items()
+        }
+        return g.agg(**named)
+
+    def final_then_fn(lf: pd.DataFrame, rf: pd.DataFrame):
+        if len(lf):
+            g = lf.groupby(keys, as_index=False, sort=False)
+            named = {out: pd.NamedAgg(column=out,
+                                      aggfunc=_FINAL_KIND[kind])
+                     for out, (_, kind) in aggs.items()}
+            lf = g.agg(**named)
+        return fn(lf, rf)
+
+    return co_group(left.map_batches(partial, batch_format="pandas"),
+                    right, l_on=l_on, r_on=r_on, fn=final_then_fn,
+                    num_partitions=num_partitions,
+                    l_schema=l_schema, r_schema=r_schema)
+
+
 def grouped_apply(ds: ray.data.Dataset, keys: list[str], fn,
                   num_partitions: int = 32,
                   pre=None) -> ray.data.Dataset:

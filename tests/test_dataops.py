@@ -1192,3 +1192,32 @@ def test_dup_bigrams_planted_edge_cases(ray_session, tmp_path):
                                                              1000]})
     pd.testing.assert_frame_equal(got.astype(np.int64),
                                   exp.astype(np.int64))
+
+
+def test_cms_registers_and_point_query(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from ligrust_ray.dataops.sketch import cms_point_query, cms_registers
+
+    words = {"alpha": 40, "beta": 25, "gamma": 7, "delta": 1}
+    text = " ".join(w for w, k in words.items() for _ in range(k))
+    docs = pd.DataFrame({"text": [text, "alpha beta", "alpha"]})
+    ds = ray.data.from_pandas([docs.iloc[:1], docs.iloc[1:]])
+    regs = cms_registers(ds).to_pandas()
+    exact = {"alpha": 42, "beta": 26, "gamma": 7, "delta": 1}
+    est = cms_point_query(regs, list(exact))
+    assert (est >= np.array(list(exact.values()))).all()   # never under
+    # few distinct tokens vs width 1024: no collisions -> exact
+    assert est.tolist() == list(exact.values())
+    # total mass per row == total token count (the CMS invariant)
+    per_row = regs.groupby("r")["n"].sum()
+    assert (per_row == sum(exact.values())).all()
+    # mergeability: registers(half A) + registers(half B) == registers(all)
+    ra = cms_registers(ray.data.from_pandas(docs.iloc[:1])).to_pandas()
+    rb = cms_registers(ray.data.from_pandas(
+        docs.iloc[1:].reset_index(drop=True))).to_pandas()
+    merged = (pd.concat([ra, rb]).groupby(["r", "c"], as_index=False)
+              ["n"].sum().sort_values(["r", "c"]).reset_index(drop=True))
+    whole = regs.sort_values(["r", "c"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, whole)

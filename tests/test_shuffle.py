@@ -89,6 +89,39 @@ def test_empty_input(ray_session):
     assert len(out) == 0
 
 
+def test_agg_co_group_matches_two_step(ray_session):
+    """Fused aggregate-into-join == grouped_agg followed by co_group."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 3000).astype(np.int64),
+        "g": rng.integers(0, 3, 3000).astype(np.int64),
+        "v": rng.integers(-50, 50, 3000).astype(np.int64)})
+    right = pd.DataFrame({"k": np.arange(40, dtype=np.int64),
+                          "name": [f"n{i}" for i in range(40)]})
+    lds = ray.data.from_pandas([left.iloc[i::5].reset_index(drop=True)
+                                for i in range(5)])
+    rds = ray.data.from_pandas(right)
+
+    def merge(lf, rf):
+        return lf.merge(rf, on="k")[["k", "g", "s", "n", "name"]]
+
+    got = shuffle.agg_co_group(
+        lds, rds, keys=["k", "g"], l_on="k", r_on="k",
+        aggs={"s": ("v", "sum"), "n": (None, "count")}, fn=merge,
+        l_schema=pa.schema([("k", pa.int64()), ("g", pa.int64()),
+                            ("s", pa.int64()), ("n", pa.int64())]),
+        r_schema=pa.schema([("k", pa.int64()), ("name", pa.string())])) \
+        .to_pandas().sort_values(["k", "g"]).reset_index(drop=True)
+    exp = (left.groupby(["k", "g"], as_index=False)
+           .agg(s=("v", "sum"), n=("v", "size"))
+           .merge(right, on="k")[["k", "g", "s", "n", "name"]]
+           .sort_values(["k", "g"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype({"n": np.int64}),
+                                  exp.astype({"n": np.int64}))
+
+
 def test_semi_and_anti_join(ray_session):
     import pyarrow as pa
 
