@@ -112,6 +112,11 @@ def main(argv=None):
     ij.add_argument("--id-field", default="doc_id")
     ij.add_argument("--no-resume", dest="ij_resume", action="store_false")
 
+    cs = sub.add_parser("corpus-stats", help="one-line JSON accounting "
+                        "for a documents corpus")
+    cs.add_argument("input", help="sf dir containing documents.parquet, "
+                    "a documents parquet path, or a resumable sink dir")
+
     args = p.parse_args(argv)
     _ray_up(args.num_cpus)
     import ray
@@ -150,6 +155,48 @@ def main(argv=None):
             "output": args.output, "shards": int(len(stats)),
             "rows_written": int(stats["rows"].sum()),
             "shards_skipped": int(stats["skipped"].sum())}))
+        return 0
+
+    if args.cmd == "corpus-stats":
+        import os
+
+        import pyarrow as pa
+
+        from ligrust_ray.stages import shuffle
+
+        path = args.input
+        if os.path.isdir(path):
+            if os.path.exists(os.path.join(path, "documents.parquet")):
+                path = os.path.join(path, "documents.parquet")
+            elif any(n.startswith("shard=") for n in os.listdir(path)):
+                from ligrust_ray.sources.resumable_sink import \
+                    read_partitioned
+
+                docs = read_partitioned(path)
+                path = None
+        if path is not None:
+            docs = ray.data.read_parquet(path)
+
+        def pre(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = (t.column("n_chars").cast(pa.int64())
+                 if "n_chars" in t.schema.names
+                 else pc.utf8_length(t.column("text")).cast(pa.int64()))
+            return pa.table({"lang": t.column("lang"), "n_chars": n,
+                             "source": t.column("source")})
+
+        keyed = docs.map_batches(pre, batch_format="pyarrow")
+        by_lang = shuffle.grouped_agg(
+            keyed, ["lang"], {"n_docs": (None, "count"),
+                              "n_chars": ("n_chars", "sum")}).to_pandas()
+        n_sources = shuffle.distinct(keyed, ["source"]).count()
+        print(json.dumps({
+            "n_docs": int(by_lang["n_docs"].sum()),
+            "n_chars": int(by_lang["n_chars"].sum()),
+            "n_sources": int(n_sources),
+            "langs": {r["lang"]: int(r["n_docs"])
+                      for _, r in by_lang.sort_values("lang").iterrows()}}))
         return 0
 
     if args.cmd == "import-jsonl":

@@ -1762,8 +1762,9 @@ def q_events_daily(sf_dir: str):
     """(day, n_events, n_users) — daily event volume and distinct active
     users (the activity dashboard rollup). day = year*10000+month*100+day
     as one int64 key (pyarrow temporal kernels, engine == DuckDB calendar
-    math); n_users via a (day, user) distinct shuffle pre-collapsed
-    map-side, then one grouped count joined to the event counts."""
+    math); one (day, user) grouped count pre-collapsed map-side, then a
+    per-day rollup — n_events = sum of per-user counts, n_users = row
+    count. Two wide steps, no separate distinct pass or join."""
     ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
                      columns=["ts", "user_id"])
 
@@ -1775,17 +1776,14 @@ def q_events_daily(sf_dir: str):
                          "user_id": t.column("user_id").cast(pa.int64())})
 
     keyed = ev.map_batches(key, batch_format="pyarrow")
-    n_events = shuffle.grouped_agg(keyed, ["day"],
-                                   {"n_events": (None, "count")})
-    n_users = shuffle.grouped_agg(
-        shuffle.distinct(keyed, ["day", "user_id"]),
-        ["day"], {"n_users": (None, "count")})
-    i64 = pa.int64()
-    return shuffle.co_group(
-        n_events, n_users, "day", "day",
-        lambda lf, rf: lf.merge(rf, on="day"),
-        l_schema=pa.schema([("day", i64), ("n_events", i64)]),
-        r_schema=pa.schema([("day", i64), ("n_users", i64)]))
+    # one (day, user) count — the map-side partial collapses repeats —
+    # then a per-day rollup where n_events = sum of per-user counts and
+    # n_users = row count: two wide steps, no distinct pass or join
+    per_user = shuffle.grouped_agg(keyed, ["day", "user_id"],
+                                   {"n": (None, "count")})
+    return shuffle.grouped_agg(
+        per_user, ["day"],
+        {"n_events": ("n", "sum"), "n_users": (None, "count")})
 
 
 def q_lineitem_monthly(sf_dir: str):
@@ -2100,8 +2098,9 @@ def q_orders_cohort(sf_dir: str):
 def q_docs_source_dedup(sf_dir: str):
     """(source, n_docs, n_distinct) — per-source duplication profile
     (which crawl/source is boilerplate-heavy?). Same sha1-text key as
-    exact dedup: map-side (source, h) distinct collapse bounds the
-    shuffle, then one grouped count + distinct count per source."""
+    exact dedup: one (source, h) grouped count (map-side partials bound
+    the shuffle), then a per-source rollup — n_docs = sum of family
+    sizes, n_distinct = family count."""
     import hashlib
 
     def h(t: pa.Table) -> pa.Table:
@@ -2112,18 +2111,14 @@ def q_docs_source_dedup(sf_dir: str):
 
     keyed = _docs(sf_dir, columns=["source", "text"]).map_batches(
         h, batch_format="pyarrow")
-    n_docs = shuffle.grouped_agg(keyed, ["source"],
-                                 {"n_docs": (None, "count")})
-    n_dist = shuffle.grouped_agg(
-        shuffle.distinct(keyed, ["source", "h"]),
-        ["source"], {"n_distinct": (None, "count")})
-    return shuffle.co_group(
-        n_docs, n_dist, l_on="source", r_on="source",
-        fn=lambda lf, rf: lf.merge(rf, on="source"),
-        l_schema=pa.schema([("source", pa.string()),
-                            ("n_docs", pa.int64())]),
-        r_schema=pa.schema([("source", pa.string()),
-                            ("n_distinct", pa.int64())]))
+    # one (source, text-hash) count, then a per-source rollup where
+    # n_docs = sum of family sizes and n_distinct = family count —
+    # two wide steps, no join
+    per_text = shuffle.grouped_agg(keyed, ["source", "h"],
+                                   {"n": (None, "count")})
+    return shuffle.grouped_agg(
+        per_text, ["source"],
+        {"n_docs": ("n", "sum"), "n_distinct": (None, "count")})
 
 
 def q_docs_dup_families(sf_dir: str):

@@ -74,3 +74,21 @@ def test_import_jsonl_cli_roundtrip(ray_session, tmp_path):
         main(["import-jsonl", src, "-o", out, "--shards", "4"])
     again = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert again["rows_written"] == 0 and again["shards_skipped"] == 4
+
+
+def test_corpus_stats_cli(ray_session, tmp_path, capsys):
+    from ligrust_ray.cli import main
+
+    assert main(["corpus-stats", "/root/testdata/sf0.001"]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["n_docs"] == 500 and got["n_chars"] == 153156
+    assert got["n_sources"] == 20 and got["langs"]["en"] == 193
+    # also over a resumable sink dir (the import-jsonl output layout)
+    src = str(tmp_path / "cs.jsonl")
+    _write_jsonl(src, [{"doc_id": i, "text": "x" * (i + 1), "lang": "en"}
+                       for i in range(10)])
+    out = str(tmp_path / "cs_sink")
+    main(["import-jsonl", src, "-o", out, "--shards", "2"])
+    main(["corpus-stats", out])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["n_docs"] == 10 and got["n_chars"] == 55
