@@ -278,6 +278,9 @@ def _color_arrays(n: int, src: np.ndarray, dst: np.ndarray,
 def _color_task(n: int, blocks: list, max_rounds: int) -> np.ndarray:
     import pyarrow as pa
 
+    # blocks arrive as object refs — fetched zero-copy in the task, the
+    # driver never materializes the edge set
+    blocks = ray.get(list(blocks))
     tabs = [t for t in blocks if t.num_rows]
     if not tabs:
         return np.zeros(n, dtype=np.int64)   # edgeless: all color 0 rnd 1
@@ -295,7 +298,7 @@ def color_graph_fast(n: int, sym_edges, max_rounds: int = 200
     import ray.data
 
     if isinstance(sym_edges, ray.data.Dataset):
-        blocks = ray.get(sym_edges.to_arrow_refs())
+        blocks = sym_edges.to_arrow_refs()
     else:
-        blocks = [sym_edges]
+        blocks = [ray.put(sym_edges)]
     return ray.get(_color_task.remote(n, blocks, max_rounds))

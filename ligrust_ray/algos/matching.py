@@ -91,6 +91,9 @@ def _match_round_arrays(a: np.ndarray, b: np.ndarray, h: np.ndarray
 
 @ray.remote
 def _match_task(blocks: list, max_rounds: int) -> pa.Table:
+    # blocks arrive as a list of object refs (driver never materializes
+    # the edge set); fetched zero-copy from the local object store
+    blocks = ray.get(list(blocks))
     tabs = [t.select(["a", "b", "h"]) for t in blocks if t.num_rows]
     if not tabs:
         return _OUT_SCHEMA.empty_table()
@@ -143,9 +146,8 @@ def maximal_matching(edges: "ray.data.Dataset | pa.Table",
         .materialize()
     m = prio.count()
     if mode == "single" or (mode == "auto" and m <= MATCH_SINGLE_TASK_MAX):
-        blocks = ray.get(prio.to_arrow_refs())
         return ray.data.from_arrow(
-            ray.get(_match_task.remote(blocks, max_rounds)))
+            ray.get(_match_task.remote(prio.to_arrow_refs(), max_rounds)))
 
     active = prio
     matched: list[ray.data.Dataset] = []

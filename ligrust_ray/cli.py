@@ -36,8 +36,12 @@ def main(argv=None):
                                  "(AdjacencyGraph format) with --format=adjacency")
     b.add_argument("-o", "--output", required=True)
     b.add_argument("-p", "--partitions", type=int, default=32)
-    b.add_argument("--format", choices=["pages", "adjacency", "edges"],
-                   default="pages")
+    b.add_argument("--format", choices=["pages", "adjacency", "edges",
+                                        "csv"],
+                   default="pages",
+                   help="pages parquet corpus | AdjacencyGraph text | "
+                        "edge parquet (src,dst) | edge CSV with "
+                        "src,dst header")
     b.add_argument("--hub-threshold", type=int, default=None,
                    help="split in-lists longer than this across holder "
                         "partitions (skew mitigation; default: no split)")
@@ -112,6 +116,13 @@ def main(argv=None):
     ij.add_argument("--id-field", default="doc_id")
     ij.add_argument("--no-resume", dest="ij_resume", action="store_false")
 
+    se = sub.add_parser("shuffle-export", help="deterministic "
+                        "training-order shuffle -> pos-ordered resumable "
+                        "shards (shard = pos % 8, the docs_shuffle spec)")
+    se.add_argument("sf_dir", help="dir containing documents.parquet")
+    se.add_argument("-o", "--output", required=True)
+    se.add_argument("--no-resume", dest="se_resume", action="store_false")
+
     cs = sub.add_parser("corpus-stats", help="one-line JSON accounting "
                         "for a documents corpus")
     cs.add_argument("input", help="sf dir containing documents.parquet, "
@@ -151,6 +162,28 @@ def main(argv=None):
         stats = write_partitioned(ds, args.output, key="doc_id",
                                   num_shards=args.shards,
                                   resume=args.ex_resume)
+        print(json.dumps({
+            "output": args.output, "shards": int(len(stats)),
+            "rows_written": int(stats["rows"].sum()),
+            "shards_skipped": int(stats["skipped"].sum())}))
+        return 0
+
+    if args.cmd == "shuffle-export":
+        import os
+
+        from ligrust_ray.pipelines import queries as Q
+        from ligrust_ray.sources.resumable_sink import write_partitioned
+        from ligrust_ray.stages.shuffle import hash_join
+
+        docs = ray.data.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet"))
+        body_cols = [c for c in docs.schema().names if c != "doc_id"]
+        ds = hash_join(docs, Q.q_docs_shuffle(args.sf_dir),
+                       on="doc_id", l_cols=body_cols,
+                       r_cols=["pos", "shard"])
+        stats = write_partitioned(ds, args.output, key="doc_id",
+                                  shard_col="shard", order_by="pos",
+                                  resume=args.se_resume)
         print(json.dumps({
             "output": args.output, "shards": int(len(stats)),
             "rows_written": int(stats["rows"].sum()),
@@ -244,8 +277,17 @@ def main(argv=None):
                                          num_partitions=args.partitions,
                                          symmetrize=args.symmetrize)
         else:
-            man = build_graph_from_edges(ray.data.read_parquet(args.input),
-                                         args.output,
+            if args.format == "csv":
+                import pyarrow as pa
+
+                e = ray.data.read_csv(args.input).map_batches(
+                    lambda t: pa.table(
+                        {"src": t.column("src").cast(pa.int64()),
+                         "dst": t.column("dst").cast(pa.int64())}),
+                    batch_format="pyarrow")
+            else:
+                e = ray.data.read_parquet(args.input)
+            man = build_graph_from_edges(e, args.output,
                                          num_partitions=args.partitions,
                                          hub_in_threshold=args.hub_threshold,
                                          symmetrize=args.symmetrize)

@@ -53,18 +53,28 @@ def shard_of(key, num_shards: int) -> np.ndarray:
 
 def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
                       num_shards: int = 64, resume: bool = True,
-                      num_partitions: int = 32) -> pd.DataFrame:
+                      num_partitions: int = 32,
+                      shard_col: str | None = None,
+                      order_by: str | None = None) -> pd.DataFrame:
     """Write ``ds`` under ``out_dir`` sharded by ``key`` per the module
     spec; returns the per-shard stats table (shard, rows, skipped). Size
     ``num_shards`` so one shard ~ one comfortable parquet file (hundreds
     of MB at scale); a rerun over the same input skips committed shards.
-    """
+
+    ``shard_col`` (optional): use an EXISTING int column as the shard id
+    instead of hashing ``key`` — for precomputed assignments like the
+    training-order shuffle's ``shard``; determinism is then the
+    caller's contract. ``order_by`` (default ``key``) sets the in-shard
+    row order."""
     os.makedirs(out_dir, exist_ok=True)
+    order_by = order_by or key
 
     def route(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df.assign(__shard=pd.Series([], dtype=np.int64))
-        return df.assign(__shard=shard_of(df[key].to_numpy(), num_shards))
+        sh = (df[shard_col].to_numpy(dtype=np.int64) if shard_col
+              else shard_of(df[key].to_numpy(), num_shards))
+        return df.assign(__shard=sh)
 
     def write_shards(df: pd.DataFrame) -> pd.DataFrame:
         stats = []
@@ -76,7 +86,8 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
                 continue
             os.makedirs(sdir, exist_ok=True)
             g = g.drop(columns=[c for c in g.columns
-                                if c.startswith("__")]).sort_values(key)
+                                if c.startswith("__")]) \
+                .sort_values(order_by)
             final = os.path.join(sdir, "part.parquet")
             tmp = final + ".tmp"
             pq.write_table(pa.Table.from_pandas(g, preserve_index=False),

@@ -92,3 +92,62 @@ def test_corpus_stats_cli(ray_session, tmp_path, capsys):
     main(["corpus-stats", out])
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert got["n_docs"] == 10 and got["n_chars"] == 55
+
+
+def test_build_from_csv_edges(ray_session, tmp_path, capsys):
+    """CSV edge intake builds the same graph as the parquet edge path."""
+    from ligrust_ray.cli import main
+
+    csvp = str(tmp_path / "e.csv")
+    with open(csvp, "w") as f:
+        f.write("src,dst\n0,1\n1,2\n2,0\n2,3\n")
+    out = str(tmp_path / "gcsv")
+    assert main(["build", csvp, "-o", out, "-p", "2",
+                 "--format", "csv"]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got == {"n": 4, "m": 4, "partitions": 2}
+    from ligrust_ray.algos.cc import cc
+    from ligrust_ray.state.graph import DistGraph
+
+    g = DistGraph.load(out)
+    cc(g)
+    assert g.collect_state(["ids"])["ids"].tolist() == [0, 0, 0, 0]
+
+
+def test_shuffle_export_cli(ray_session, tmp_path, capsys):
+    """shuffle-export writes pos-ordered shards matching the docs_shuffle
+    assignment, and a rerun skips every committed shard."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ligrust_ray.cli import main
+
+    out = str(tmp_path / "train")
+    assert main(["shuffle-export", "/root/testdata/sf0.001",
+                 "-o", out]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["rows_written"] == 500 and got["shards"] == 8
+    # per-shard: pos strictly increasing, shard == pos % 8, text carried
+    total = 0
+    for sh in range(8):
+        t = pq.read_table(os.path.join(out, f"shard={sh:05d}",
+                                       "part.parquet"))
+        pos = t.column("pos").to_numpy()
+        assert (np.diff(pos) > 0).all() and (pos % 8 == sh).all()
+        assert t.column("text").null_count == 0
+        total += t.num_rows
+    assert total == 500
+    # the global order matches the SQL rank spec
+    exp = duckdb.sql(
+        "WITH r AS (SELECT doc_id, md5_number_lower(CAST(doc_id AS "
+        "VARCHAR)) AS h FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')) "
+        "SELECT doc_id FROM r ORDER BY h, doc_id LIMIT 5").df()
+    first = pq.read_table(os.path.join(out, "shard=00000",
+                                       "part.parquet")).to_pandas()
+    assert first.sort_values("pos")["doc_id"].iloc[0] == \
+        exp["doc_id"].iloc[0]
+    # resume: nothing rewritten
+    main(["shuffle-export", "/root/testdata/sf0.001", "-o", out])
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["rows_written"] == 0 and again["shards_skipped"] == 8

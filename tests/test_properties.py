@@ -165,3 +165,50 @@ def test_line_dedup_matches_duckdb_oracle(ray_session, texts, k):
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["text_clean"].tolist() == exp["text_clean"].tolist()
     assert got["n_removed"].tolist() == exp["n_removed"].tolist()
+
+
+_join_frames = st.tuples(
+    st.lists(st.tuples(st.integers(0, 15), st.integers(-20, 20)),
+             max_size=60),
+    st.lists(st.integers(0, 15), max_size=25))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_join_frames)
+def test_semi_anti_join_property(ray_session, lr):
+    """semi(L, R) + anti(L, R) partitions L exactly, matching pandas
+    isin on arbitrary key multisets (dup keys both sides, empties)."""
+    import pandas as pd
+    import ray.data
+
+    from ligrust_ray.stages import shuffle
+
+    lrows, rkeys = lr
+    left = pd.DataFrame({"k": np.array([a for a, _ in lrows] or [0],
+                                       dtype=np.int64)[: len(lrows)],
+                         "v": np.array([b for _, b in lrows] or [0],
+                                       dtype=np.int64)[: len(lrows)]})
+    right = pd.DataFrame({"k": np.array(rkeys, dtype=np.int64)})
+    lds = ray.data.from_pandas(left).repartition(3)
+    rds = ray.data.from_pandas(right).repartition(2)
+    import pyarrow as pa
+
+    sch = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    semi = shuffle.semi_join(lds, rds, l_on="k", r_on="k",
+                             l_schema=sch, r_key_type=pa.int64()) \
+        .to_pandas()
+    anti = shuffle.semi_join(lds, rds, l_on="k", r_on="k", anti=True,
+                             l_schema=sch, r_key_type=pa.int64()) \
+        .to_pandas()
+    m = left["k"].isin(set(rkeys))
+    exp_semi = left[m].sort_values(["k", "v"]).reset_index(drop=True)
+    exp_anti = left[~m].sort_values(["k", "v"]).reset_index(drop=True)
+
+    def norm(df):
+        return df.sort_values(["k", "v"]).reset_index(drop=True) \
+            if len(df) else exp_semi.iloc[:0]
+
+    pd.testing.assert_frame_equal(norm(semi), exp_semi.astype(np.int64))
+    pd.testing.assert_frame_equal(norm(anti), exp_anti.astype(np.int64))
+    assert len(semi) + len(anti) == len(left)
