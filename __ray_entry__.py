@@ -955,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_revenue": Q.q_part_brand_revenue,
         "customers_no_urgent": Q.q_customers_no_urgent,
         "parts_returned_heavy": Q.q_parts_returned_heavy,
+        "customer_urgency": Q.q_customer_urgency,
         "top_customers": Q.q_top_customers,
         "lineitem_rollup": Q.q_lineitem_rollup,
         "orders_latest": Q.q_orders_latest,
@@ -1579,6 +1580,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l.l_partkey = p.p_partkey "
             "AND l.l_returnflag = 'R' AND l.l_quantity >= 48) "
             "GROUP BY p_brand"),
+        "customer_urgency": (
+            "SELECT c.c_custkey, c.c_mktsegment, "
+            "CAST(COALESCE(u.n, 0) AS BIGINT) AS n_urgent "
+            "FROM customer c LEFT JOIN "
+            "(SELECT o_custkey, COUNT(*) AS n FROM orders "
+            "WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u "
+            "ON u.o_custkey = c.c_custkey"),
         "top_customers": (
             "WITH po AS (SELECT l_orderkey, "
             "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "

@@ -1893,6 +1893,35 @@ def q_customers_no_urgent(sf_dir: str):
                                {"n_custs": (None, "count")})
 
 
+def q_customer_urgency(sf_dir: str):
+    """(c_custkey, c_mktsegment, n_urgent) — every customer with their
+    URGENT-order count, 0 when none: the big x big LEFT OUTER join.
+    hash_join(how='left') with typed fill values — unmatched rows take
+    an int64 0, never a NaN (block schemas stay consistent; the oracle
+    COALESCEs identically). The right side is pre-aggregated to one row
+    per custkey (predicate pushed into the scan) before the join."""
+    import pyarrow.dataset as pds
+
+    cust = _read_sized(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"c_custkey":
+                            t.column("c_custkey").cast(pa.int64()),
+                            "c_mktsegment": t.column("c_mktsegment")}),
+        batch_format="pyarrow")
+    per_cust = shuffle.grouped_agg(
+        _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                    columns=["o_custkey"],
+                    filter=(pds.field("o_orderpriority") == "1-URGENT"))
+        .map_batches(lambda t: pa.table({
+            "c_custkey": t.column("o_custkey").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["c_custkey"], {"n_urgent": (None, "count")})
+    return shuffle.hash_join(cust, per_cust, on="c_custkey",
+                             l_cols=["c_mktsegment"],
+                             r_cols=["n_urgent"], how="left",
+                             fill={"n_urgent": 0})
+
+
 def q_parts_returned_heavy(sf_dir: str):
     """(p_brand, n_parts) — parts with at least one RETURNED lineitem of
     quantity >= 48 (EXISTS), counted per brand: the big x big SEMI join.

@@ -230,25 +230,42 @@ def co_group(left: ray.data.Dataset, right: ray.data.Dataset,
 
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               on: str, l_cols: list[str], r_cols: list[str],
-              how: str = "inner", num_partitions: int = 32
-              ) -> ray.data.Dataset:
+              how: str = "inner", num_partitions: int = 32,
+              fill: dict | None = None) -> ray.data.Dataset:
     """Big x big equi-join on an int64 key: BOTH sides hash-partition by
     ``key % P`` and merge per partition (pandas C merge) — the general
     shuffle join; the broadcast join in pipelines/queries.py covers the
     small-side case. ``l_cols``/``r_cols`` are the carried columns
-    (names must be disjoint). Inner only: a left join would widen
-    missing-side int columns to float64 in partitions with misses
-    (pandas NaN), giving blocks inconsistent schemas. Built on
-    ``co_group`` (the shared co-partition machinery)."""
+    (names must be disjoint).
+
+    ``how="left"`` requires ``fill`` = {right_col: scalar} covering
+    EVERY ``r_cols`` entry: unmatched left rows take those typed fill
+    values instead of NaN — a pandas-NaN left join would widen
+    missing-side int columns to float64 only in partitions with misses,
+    giving blocks inconsistent schemas, so nullable misses are
+    deliberately unsupported. Built on ``co_group`` (the shared
+    co-partition machinery)."""
     all_cols = [on] + list(l_cols) + list(r_cols)
     if len(set(all_cols)) != len(all_cols):
         raise ValueError("join columns must be disjoint")
-    if how != "inner":
+    if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
+    if how == "left":
+        if fill is None or set(fill) != set(r_cols):
+            raise ValueError("how='left' requires fill values for "
+                             f"exactly {sorted(r_cols)}")
 
     def merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
         j = lf.merge(rf.rename(columns={on: "__rk"}),
                      left_on=on, right_on="__rk", how=how)
+        if how == "left" and len(j):
+            miss = j["__rk"].isna()
+            if miss.any():
+                for c, v in fill.items():
+                    j.loc[miss, c] = v
+            # restore exact dtypes (float64-widened on misses)
+            for c in r_cols:
+                j[c] = j[c].astype(rf[c].dtype)
         return j.drop(columns="__rk")
 
     return co_group(left.select_columns([on] + list(l_cols)),

@@ -191,3 +191,28 @@ def test_hash_join_inner(ray_session):
     })
     pd.testing.assert_frame_equal(got[["k", "lv", "rs"]], exp)
     assert got["k"].dtype == "int64"
+
+
+def test_hash_join_left_with_fill(ray_session):
+    import pyarrow as pa
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 5], type=pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d"], type=pa.string()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3], type=pa.int64()),
+        "rn": pa.array([20, 30], type=pa.int64()),
+    }))
+    got = shuffle.hash_join(left.repartition(3), right, on="k",
+                            l_cols=["lv"], r_cols=["rn"], how="left",
+                            fill={"rn": 0}) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, pd.DataFrame({
+        "k": pd.Series([1, 2, 3, 5], dtype=np.int64),
+        "lv": ["a", "b", "c", "d"],
+        "rn": pd.Series([0, 20, 30, 0], dtype=np.int64)}))
+    assert got["rn"].dtype == np.int64          # no NaN widening
+    with pytest.raises(ValueError, match="requires fill"):
+        shuffle.hash_join(left, right, on="k", l_cols=["lv"],
+                          r_cols=["rn"], how="left")
