@@ -221,9 +221,10 @@ def run_headline(num_cpus: int) -> dict:
     from ligrust_ray.algos.coloring import (COLOR_SINGLE_TASK_MAX,
                                             color_graph, color_graph_fast)
 
-    sym = Q._sym_simple(SF_DIR).materialize()
-    if sym.count() <= COLOR_SINGLE_TASK_MAX:
-        color_graph_fast(Q.events_n(SF_DIR), sym, max_rounds=400)
+    if 2 * Q._events_rows(SF_DIR) <= COLOR_SINGLE_TASK_MAX:
+        color_graph_fast(Q.events_n(SF_DIR),
+                         Q._sym_simple(SF_DIR).materialize(),
+                         max_rounds=400)
     else:
         color_graph(gsym, max_rounds=400)
     q["events_coloring"] = time.perf_counter() - t0

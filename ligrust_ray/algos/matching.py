@@ -154,9 +154,12 @@ def maximal_matching(edges: "ray.data.Dataset | pa.Table",
     for rnd in range(1, max_rounds + 1):
         if not active.count():
             break
+        # materialized: nm feeds TWO co_groups (cand_a and won) — a lazy
+        # plan would re-run the explode + max shuffle per consumer
         nm = shuffle.grouped_agg(
             active.map_batches(_explode, batch_format="pyarrow"),
-            ["node"], {"mh": ("h", "max")}, num_partitions=num_partitions)
+            ["node"], {"mh": ("h", "max")},
+            num_partitions=num_partitions).materialize()
         cand_a = shuffle.co_group(
             active, nm, l_on="a", r_on="node", fn=_keep_max("a"),
             num_partitions=num_partitions,

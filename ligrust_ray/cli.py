@@ -176,8 +176,19 @@ def main(argv=None):
         from ligrust_ray.stages.shuffle import hash_join
 
         docs = ray.data.read_parquet(
-            os.path.join(args.sf_dir, "documents.parquet"))
+            os.path.join(args.sf_dir, "documents.parquet")).materialize()
         body_cols = [c for c in docs.schema().names if c != "doc_id"]
+        # duplicate doc_ids (content-addressed JSONL imports of repeated
+        # texts) would cross-product through the join and break the
+        # strictly-increasing-pos shard invariant — refuse loudly
+        from ligrust_ray.stages.shuffle import distinct
+
+        n_docs = docs.count()
+        if distinct(docs.select_columns(["doc_id"]),
+                    ["doc_id"]).count() != n_docs:
+            print(json.dumps({"error": "duplicate doc_ids in corpus — "
+                              "run `export` (exact dedup) first"}))
+            return 1
         ds = hash_join(docs, Q.q_docs_shuffle(args.sf_dir),
                        on="doc_id", l_cols=body_cols,
                        r_cols=["pos", "shard"])

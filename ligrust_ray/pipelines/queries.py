@@ -56,6 +56,14 @@ def events_n(sf_dir: str) -> int:
     return _EVENTS_N_CACHE[sf_dir]
 
 
+def _events_rows(sf_dir: str) -> int:
+    """events.parquet row count from file metadata — no data scan."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+
+
 _BLOCK_TARGET_BYTES = 32 << 20   # ~32 MiB per block
 
 
@@ -871,9 +879,12 @@ def q_events_coloring(sf_dir: str):
                                             color_graph, color_graph_fast)
 
     n = events_n(sf_dir)
-    sym = _sym_simple(sf_dir).materialize()
-    if sym.count() <= COLOR_SINGLE_TASK_MAX:
-        color = color_graph_fast(n, sym, max_rounds=COLORING_SQL_ROUNDS)
+    # metadata-only gate: sym edges <= 2 x events rows, so a small row
+    # count GUARANTEES the fast path without materializing anything;
+    # above the bound the kernel path runs with no wasted sym pass
+    if 2 * _events_rows(sf_dir) <= COLOR_SINGLE_TASK_MAX:
+        color = color_graph_fast(n, _sym_simple(sf_dir).materialize(),
+                                 max_rounds=COLORING_SQL_ROUNDS)
     else:
         g = events_sym_graph(sf_dir)
         color_graph(g, max_rounds=COLORING_SQL_ROUNDS)
@@ -1588,39 +1599,7 @@ def q_customer_revenue(sf_dir: str):
     agg_co_group (map-side partials + in-partition final combine) — the
     push-aggregation-below-the-join plan a 100 TB engine must pick, at
     two wide steps total instead of four."""
-    li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
-                     columns=["l_orderkey", "l_extendedprice",
-                              "l_discount"])
-
-    def cents(t: pa.Table) -> pa.Table:
-        v = np.floor(t.column("l_extendedprice").to_numpy()
-                     * (1 - t.column("l_discount").to_numpy())
-                     * 100 + 0.5).astype(np.int64)
-        return pa.table({"l_orderkey":
-                         t.column("l_orderkey").cast(pa.int64()),
-                         "cents": pa.array(v)})
-
-    orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
-                         columns=["o_orderkey", "o_custkey"]).map_batches(
-        lambda t: pa.table({"o_orderkey":
-                            t.column("o_orderkey").cast(pa.int64()),
-                            "o_custkey":
-                            t.column("o_custkey").cast(pa.int64())}),
-        batch_format="pyarrow")
-    # per-order revenue fused INTO the orders join (agg_co_group): the
-    # map-side partial still bounds shuffle volume at one row per
-    # orderkey per block; the final combine happens inside the join
-    joined = shuffle.agg_co_group(
-        li.map_batches(cents, batch_format="pyarrow"), orders,
-        keys=["l_orderkey"], l_on="l_orderkey", r_on="o_orderkey",
-        aggs={"cents": ("cents", "sum")},
-        fn=lambda lf, rf: lf.merge(
-            rf.rename(columns={"o_orderkey": "l_orderkey"}),
-            on="l_orderkey")[["o_custkey", "cents"]],
-        l_schema=pa.schema([("l_orderkey", pa.int64()),
-                            ("cents", pa.int64())]),
-        r_schema=pa.schema([("o_orderkey", pa.int64()),
-                            ("o_custkey", pa.int64())]))
+    joined = _order_revenue_joined(sf_dir)
     cust = _read_sized(os.path.join(sf_dir, "customer.parquet"),
                        columns=["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: pa.table({"c_custkey":
@@ -1959,10 +1938,11 @@ def q_parts_returned_heavy(sf_dir: str):
 TOP_CUSTOMERS_K = 100
 
 
-def _per_cust_revenue(sf_dir: str) -> ray.data.Dataset:
-    """(o_custkey, revenue_cents) — lineitem cents pre-aggregated per
-    orderkey, joined to orders, re-aggregated per custkey (the shared
-    front half of customer_revenue / top_customers)."""
+def _order_revenue_joined(sf_dir: str) -> ray.data.Dataset:
+    """(o_custkey, cents) — lineitem revenue (the ONE copy of the
+    integer-cents rounding spec) pre-aggregated per orderkey and FUSED
+    into the orders join: the shared front half of customer_revenue /
+    top_customers."""
     li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
                      columns=["l_orderkey", "l_extendedprice",
                               "l_discount"])
@@ -1982,7 +1962,7 @@ def _per_cust_revenue(sf_dir: str) -> ray.data.Dataset:
                             "o_custkey":
                             t.column("o_custkey").cast(pa.int64())}),
         batch_format="pyarrow")
-    joined = shuffle.agg_co_group(
+    return shuffle.agg_co_group(
         li.map_batches(cents, batch_format="pyarrow"), orders,
         keys=["l_orderkey"], l_on="l_orderkey", r_on="o_orderkey",
         aggs={"cents": ("cents", "sum")},
@@ -1993,8 +1973,13 @@ def _per_cust_revenue(sf_dir: str) -> ray.data.Dataset:
                             ("cents", pa.int64())]),
         r_schema=pa.schema([("o_orderkey", pa.int64()),
                             ("o_custkey", pa.int64())]))
+
+
+def _per_cust_revenue(sf_dir: str) -> ray.data.Dataset:
+    """(o_custkey, revenue_cents) over _order_revenue_joined."""
     return shuffle.grouped_agg(
-        joined, ["o_custkey"], {"revenue_cents": ("cents", "sum")})
+        _order_revenue_joined(sf_dir), ["o_custkey"],
+        {"revenue_cents": ("cents", "sum")})
 
 
 def q_top_customers(sf_dir: str):

@@ -51,6 +51,12 @@ def read_documents_jsonl(paths, *, text_field: str = "text",
                                     default)
             return pa.array([default] * n, type=pa.string())
 
+        if text_field not in names:
+            # a wrong --text-field would otherwise import a corpus of
+            # empty texts sharing ONE content-addressed id — fail loudly
+            raise ValueError(
+                f"jsonl: text field {text_field!r} absent from input "
+                f"(fields: {sorted(names)})")
         text = str_col(text_field, "")
         if id_field and id_field in names:
             did = t.column(id_field).cast(pa.int64())

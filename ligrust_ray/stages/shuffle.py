@@ -240,11 +240,12 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     ``how="left"`` requires ``fill`` = {right_col: scalar} covering
     EVERY ``r_cols`` entry: unmatched left rows take those typed fill
-    values instead of NaN — a pandas-NaN left join would widen
-    missing-side int columns to float64 only in partitions with misses,
-    giving blocks inconsistent schemas, so nullable misses are
-    deliberately unsupported. Built on ``co_group`` (the shared
-    co-partition machinery)."""
+    values instead of NaN (nullable misses are deliberately
+    unsupported). Implemented as inner-merge + concat of the filled
+    unmatched rows — the rows NEVER pass through a NaN-widened float64
+    column, which would silently round int64 values above 2^53 (this
+    codebase carries 63-bit md5-derived ids). Built on ``co_group``
+    (the shared co-partition machinery)."""
     all_cols = [on] + list(l_cols) + list(r_cols)
     if len(set(all_cols)) != len(all_cols):
         raise ValueError("join columns must be disjoint")
@@ -257,16 +258,18 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     def merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
         j = lf.merge(rf.rename(columns={on: "__rk"}),
-                     left_on=on, right_on="__rk", how=how)
-        if how == "left" and len(j):
-            miss = j["__rk"].isna()
-            if miss.any():
-                for c, v in fill.items():
-                    j.loc[miss, c] = v
-            # restore exact dtypes (float64-widened on misses)
-            for c in r_cols:
-                j[c] = j[c].astype(rf[c].dtype)
-        return j.drop(columns="__rk")
+                     left_on=on, right_on="__rk", how="inner")
+        j = j.drop(columns="__rk")
+        if how == "inner":
+            return j
+        miss = ~lf[on].isin(rf[on])
+        if not miss.any():
+            return j
+        um = lf[miss].copy()
+        for c in r_cols:
+            um[c] = pd.Series([fill[c]] * len(um),
+                              index=um.index).astype(rf[c].dtype)
+        return pd.concat([j, um], ignore_index=True)
 
     return co_group(left.select_columns([on] + list(l_cols)),
                     right.select_columns([on] + list(r_cols)),

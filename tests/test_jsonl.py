@@ -151,3 +151,33 @@ def test_shuffle_export_cli(ray_session, tmp_path, capsys):
     main(["shuffle-export", "/root/testdata/sf0.001", "-o", out])
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert again["rows_written"] == 0 and again["shards_skipped"] == 8
+
+
+def test_jsonl_missing_text_field_raises(ray_session, tmp_path):
+    import pytest
+
+    from ligrust_ray.sources.jsonl import read_documents_jsonl
+
+    p = str(tmp_path / "bad.jsonl")
+    _write_jsonl(p, [{"content": "oops", "doc_id": 1}])
+    with pytest.raises(Exception, match="text field 'text' absent"):
+        read_documents_jsonl(p).materialize()
+
+
+def test_shuffle_export_refuses_duplicate_ids(ray_session, tmp_path,
+                                              capsys):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ligrust_ray.cli import main
+
+    d = str(tmp_path / "dup_sf")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [1, 1, 2], "text": ["a", "a", "b"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": [1, 1, 1]})), os.path.join(d, "documents.parquet"))
+    assert main(["shuffle-export", d, "-o", str(tmp_path / "o")]) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "duplicate doc_ids" in out["error"]

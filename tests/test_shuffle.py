@@ -216,3 +216,23 @@ def test_hash_join_left_with_fill(ray_session):
     with pytest.raises(ValueError, match="requires fill"):
         shuffle.hash_join(left, right, on="k", l_cols=["lv"],
                           r_cols=["rn"], how="left")
+
+
+def test_hash_join_left_preserves_big_int64(ray_session):
+    """Matched rows keep int64 values above 2^53 exactly even when the
+    same partition contains unmatched rows (the NaN-widening round-trip
+    would silently round them)."""
+    import pyarrow as pa
+
+    big = 4611686018427400249        # loses low bits through float64
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], type=pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1], type=pa.int64()),
+        "rv": pa.array([big], type=pa.int64())}))
+    got = shuffle.hash_join(left, right, on="k", l_cols=[],
+                            r_cols=["rv"], how="left", fill={"rv": 0},
+                            num_partitions=1) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["rv"].tolist() == [big, 0]
+    assert got["rv"].dtype == np.int64
