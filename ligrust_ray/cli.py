@@ -116,6 +116,15 @@ def main(argv=None):
     ij.add_argument("--id-field", default="doc_id")
     ij.add_argument("--no-resume", dest="ij_resume", action="store_false")
 
+    dd = sub.add_parser("dedup", help="dedup a documents corpus and "
+                        "export the survivors as resumable shards")
+    dd.add_argument("sf_dir", help="dir containing documents.parquet")
+    dd.add_argument("-o", "--output", required=True)
+    dd.add_argument("--method", choices=["exact", "minhash", "simhash"],
+                    default="exact")
+    dd.add_argument("--shards", type=int, default=64)
+    dd.add_argument("--no-resume", dest="dd_resume", action="store_false")
+
     se = sub.add_parser("shuffle-export", help="deterministic "
                         "training-order shuffle -> pos-ordered resumable "
                         "shards (shard = pos % 8, the docs_shuffle spec)")
@@ -165,6 +174,42 @@ def main(argv=None):
         print(json.dumps({
             "output": args.output, "shards": int(len(stats)),
             "rows_written": int(stats["rows"].sum()),
+            "shards_skipped": int(stats["skipped"].sum())}))
+        return 0
+
+    if args.cmd == "dedup":
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ligrust_ray.dataops import dedup as D
+        from ligrust_ray.sources.resumable_sink import write_partitioned
+        from ligrust_ray.stages.shuffle import semi_join
+
+        docs = ray.data.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet")).materialize()
+        n_docs = docs.count()
+        if args.method == "exact":
+            kept = D.exact_dedup(docs)
+        else:
+            cl = (D.minhash_lsh_dedup(docs) if args.method == "minhash"
+                  else D.simhash_clusters(docs))
+            # survivors = each cluster's representative (min doc_id)
+            kept = cl.map_batches(
+                lambda t: pa.table({"doc_id": t.filter(
+                    pc.equal(t.column("doc_id"), t.column("cluster")))
+                    .column("doc_id").cast(pa.int64())}),
+                batch_format="pyarrow")
+        survivors = semi_join(docs, kept, l_on="doc_id", r_on="doc_id",
+                              r_key_type=pa.int64())
+        stats = write_partitioned(survivors, args.output, key="doc_id",
+                                  num_shards=args.shards,
+                                  resume=args.dd_resume)
+        print(json.dumps({
+            "method": args.method, "n_docs": int(n_docs),
+            "n_kept": int(stats["rows"].sum()),
+            "output": args.output, "shards": int(len(stats)),
             "shards_skipped": int(stats["skipped"].sum())}))
         return 0
 

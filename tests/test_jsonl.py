@@ -181,3 +181,25 @@ def test_shuffle_export_refuses_duplicate_ids(ray_session, tmp_path,
     assert main(["shuffle-export", d, "-o", str(tmp_path / "o")]) == 1
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "duplicate doc_ids" in out["error"]
+
+
+def test_dedup_cli_exact(ray_session, tmp_path, capsys):
+    """dedup --method exact keeps one representative per distinct text
+    (sf0.001: 500 docs -> 460 distinct, DuckDB-verified)."""
+    import duckdb
+
+    from ligrust_ray.cli import main
+
+    exp = duckdb.sql(
+        "SELECT COUNT(DISTINCT text) FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    out = str(tmp_path / "dd")
+    assert main(["dedup", "/root/testdata/sf0.001", "-o", out,
+                 "--shards", "4"]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["n_docs"] == 500 and got["n_kept"] == exp
+    from ligrust_ray.sources.resumable_sink import read_partitioned
+
+    back = read_partitioned(out).to_pandas()
+    assert len(back) == exp and back["text"].nunique() == exp
