@@ -116,6 +116,17 @@ def main(argv=None):
     ij.add_argument("--id-field", default="doc_id")
     ij.add_argument("--no-resume", dest="ij_resume", action="store_false")
 
+    pp = sub.add_parser("prepare", help="full LM-corpus pipeline: "
+                        "quality clean -> dedup -> deterministic "
+                        "training-order shuffle -> pos-ordered "
+                        "resumable shards")
+    pp.add_argument("sf_dir", help="dir containing documents.parquet")
+    pp.add_argument("-o", "--output", required=True)
+    pp.add_argument("--method", choices=["exact", "minhash", "simhash"],
+                    default="exact", help="dedup method")
+    pp.add_argument("--no-resume", dest="pp_resume",
+                    action="store_false")
+
     dd = sub.add_parser("dedup", help="dedup a documents corpus and "
                         "export the survivors as resumable shards")
     dd.add_argument("sf_dir", help="dir containing documents.parquet")
@@ -173,6 +184,57 @@ def main(argv=None):
                                   resume=args.ex_resume)
         print(json.dumps({
             "output": args.output, "shards": int(len(stats)),
+            "rows_written": int(stats["rows"].sum()),
+            "shards_skipped": int(stats["skipped"].sum())}))
+        return 0
+
+    if args.cmd == "prepare":
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ligrust_ray.dataops import dedup as D
+        from ligrust_ray.pipelines import queries as Q
+        from ligrust_ray.sources.resumable_sink import write_partitioned
+        from ligrust_ray.stages.shuffle import hash_join, semi_join
+
+        docs = ray.data.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet")).materialize()
+        n_docs = docs.count()
+        # 1. quality clean (the docs_clean composite keeps doc_ids)
+        cleaned = semi_join(docs, Q.q_docs_clean(args.sf_dir),
+                            l_on="doc_id", r_on="doc_id",
+                            r_key_type=pa.int64()).materialize()
+        n_clean = cleaned.count()
+        # 2. dedup the cleaned survivors
+        if args.method == "exact":
+            kept = D.exact_dedup(cleaned)
+        else:
+            cl = (D.minhash_lsh_dedup(cleaned)
+                  if args.method == "minhash"
+                  else D.simhash_clusters(cleaned))
+            kept = cl.map_batches(
+                lambda t: pa.table({"doc_id": t.filter(
+                    pc.equal(t.column("doc_id"), t.column("cluster")))
+                    .column("doc_id").cast(pa.int64())}),
+                batch_format="pyarrow")
+        surv = semi_join(cleaned, kept, l_on="doc_id", r_on="doc_id",
+                         r_key_type=pa.int64()).materialize()
+        n_kept = surv.count()
+        # 3. deterministic training-order shuffle over the survivors,
+        #    4. bodies join + pos-ordered resumable shard write
+        order = Q.shuffle_rank(surv.select_columns(["doc_id"]))
+        body_cols = [c for c in surv.schema().names if c != "doc_id"]
+        ds = hash_join(surv, order, on="doc_id", l_cols=body_cols,
+                       r_cols=["pos", "shard"])
+        stats = write_partitioned(ds, args.output, key="doc_id",
+                                  shard_col="shard", order_by="pos",
+                                  resume=args.pp_resume)
+        print(json.dumps({
+            "output": args.output, "n_docs": int(n_docs),
+            "n_clean": int(n_clean), "n_kept": int(n_kept),
+            "method": args.method, "shards": int(len(stats)),
             "rows_written": int(stats["rows"].sum()),
             "shards_skipped": int(stats["skipped"].sum())}))
         return 0

@@ -2443,10 +2443,14 @@ def q_docs_shuffle(sf_dir: str):
     bucket table exclusive-cumsums into offsets that ride the object
     store into one grouped_apply computing in-bucket ranks vectorised.
     Bodies never shuffle; nothing n-length touches the driver."""
-    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+    return shuffle_rank(_read_sized(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]))
 
-    docs = _read_sized(os.path.join(sf_dir, "documents.parquet"),
-                       columns=["doc_id"])
+
+def shuffle_rank(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, pos, shard) over any (doc_id, ...) Dataset — the
+    docs_shuffle core, reused by the CLI `prepare` pipeline."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
 
     def keyed(t: pa.Table) -> pa.Table:
         did = t.column("doc_id").to_numpy().astype(np.int64)

@@ -203,3 +203,37 @@ def test_dedup_cli_exact(ray_session, tmp_path, capsys):
 
     back = read_partitioned(out).to_pandas()
     assert len(back) == exp and back["text"].nunique() == exp
+
+
+def test_prepare_pipeline_cli(ray_session, tmp_path, capsys):
+    """prepare = clean -> dedup -> shuffle -> ordered shards; counts
+    match the docs_clean oracle and shard invariants hold."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from ligrust_ray.cli import main
+
+    out = str(tmp_path / "prep")
+    assert main(["prepare", "/root/testdata/sf0.001", "-o", out]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                "'/root/testdata/sf0.001/documents.parquet')")
+    n_clean = con.execute(
+        f"SELECT COUNT(*) FROM ({E.oracle_sql()['docs_clean']})"
+    ).fetchone()[0]
+    assert got["n_clean"] == n_clean
+    assert got["rows_written"] == got["n_kept"] <= n_clean
+    total, seen = 0, set()
+    for sh in range(8):
+        p = os.path.join(out, f"shard={sh:05d}", "part.parquet")
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p)
+        pos = t.column("pos").to_numpy()
+        assert (np.diff(pos) > 0).all() and (pos % 8 == sh).all()
+        seen.update(pos.tolist())
+        total += t.num_rows
+    assert total == got["n_kept"]
+    assert seen == set(range(got["n_kept"]))   # pos is a dense 0..k-1
