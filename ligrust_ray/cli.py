@@ -192,7 +192,6 @@ def main(argv=None):
         import os
 
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         from ligrust_ray.dataops import dedup as D
         from ligrust_ray.pipelines import queries as Q
@@ -202,25 +201,25 @@ def main(argv=None):
         docs = ray.data.read_parquet(
             os.path.join(args.sf_dir, "documents.parquet")).materialize()
         n_docs = docs.count()
-        # 1. quality clean (the docs_clean composite keeps doc_ids)
+        # 0. one row per doc_id (content-addressed imports carry
+        # duplicate rows for repeated texts — they would cross-product
+        # through the final join)
+        docs = D.unique_by_id(docs).materialize()
+        # 1. quality clean (the docs_clean composite keeps doc_ids and
+        # is ALREADY exact-deduplicated — min doc_id per distinct text)
         cleaned = semi_join(docs, Q.q_docs_clean(args.sf_dir),
                             l_on="doc_id", r_on="doc_id",
                             r_key_type=pa.int64()).materialize()
         n_clean = cleaned.count()
-        # 2. dedup the cleaned survivors
+        # 2. near-dup pass (exact is a no-op on the cleaned set — skip
+        # the redundant shuffle entirely)
         if args.method == "exact":
-            kept = D.exact_dedup(cleaned)
+            surv = cleaned
         else:
-            cl = (D.minhash_lsh_dedup(cleaned)
-                  if args.method == "minhash"
-                  else D.simhash_clusters(cleaned))
-            kept = cl.map_batches(
-                lambda t: pa.table({"doc_id": t.filter(
-                    pc.equal(t.column("doc_id"), t.column("cluster")))
-                    .column("doc_id").cast(pa.int64())}),
-                batch_format="pyarrow")
-        surv = semi_join(cleaned, kept, l_on="doc_id", r_on="doc_id",
-                         r_key_type=pa.int64()).materialize()
+            surv = semi_join(
+                cleaned, D.survivor_ids(cleaned, args.method),
+                l_on="doc_id", r_on="doc_id",
+                r_key_type=pa.int64()).materialize()
         n_kept = surv.count()
         # 3. deterministic training-order shuffle over the survivors,
         #    4. bodies join + pos-ordered resumable shard write
@@ -243,7 +242,6 @@ def main(argv=None):
         import os
 
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         from ligrust_ray.dataops import dedup as D
         from ligrust_ray.sources.resumable_sink import write_partitioned
@@ -252,25 +250,21 @@ def main(argv=None):
         docs = ray.data.read_parquet(
             os.path.join(args.sf_dir, "documents.parquet")).materialize()
         n_docs = docs.count()
-        if args.method == "exact":
-            kept = D.exact_dedup(docs)
-        else:
-            cl = (D.minhash_lsh_dedup(docs) if args.method == "minhash"
-                  else D.simhash_clusters(docs))
-            # survivors = each cluster's representative (min doc_id)
-            kept = cl.map_batches(
-                lambda t: pa.table({"doc_id": t.filter(
-                    pc.equal(t.column("doc_id"), t.column("cluster")))
-                    .column("doc_id").cast(pa.int64())}),
-                batch_format="pyarrow")
-        survivors = semi_join(docs, kept, l_on="doc_id", r_on="doc_id",
-                              r_key_type=pa.int64())
+        # collapse duplicate rows per doc_id first (content-addressed
+        # imports), then drop non-survivors of the chosen method
+        docs = D.unique_by_id(docs).materialize()
+        survivors = semi_join(
+            docs, D.survivor_ids(docs, args.method),
+            l_on="doc_id", r_on="doc_id",
+            r_key_type=pa.int64()).materialize()
+        n_kept = survivors.count()       # independent of resume-skips
         stats = write_partitioned(survivors, args.output, key="doc_id",
                                   num_shards=args.shards,
                                   resume=args.dd_resume)
         print(json.dumps({
             "method": args.method, "n_docs": int(n_docs),
-            "n_kept": int(stats["rows"].sum()),
+            "n_kept": int(n_kept),
+            "rows_written": int(stats["rows"].sum()),
             "output": args.output, "shards": int(len(stats)),
             "shards_skipped": int(stats["skipped"].sum())}))
         return 0
@@ -294,7 +288,8 @@ def main(argv=None):
         if distinct(docs.select_columns(["doc_id"]),
                     ["doc_id"]).count() != n_docs:
             print(json.dumps({"error": "duplicate doc_ids in corpus — "
-                              "run `export` (exact dedup) first"}))
+                              "run `dedup` first (it collapses "
+                              "duplicate-id rows)"}))
             return 1
         ds = hash_join(docs, Q.q_docs_shuffle(args.sf_dir),
                        on="doc_id", l_cols=body_cols,

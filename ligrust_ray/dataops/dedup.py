@@ -1279,3 +1279,40 @@ def line_dedup(docs: ray.data.Dataset, min_count: int = 3,
 
     return shuffle.grouped_apply(marked, ["doc_id"], reassemble,
                                  num_partitions=num_partitions)
+
+
+def survivor_ids(docs: ray.data.Dataset, method: str = "exact"
+                 ) -> ray.data.Dataset:
+    """(doc_id) survivors under the given dedup method — the shared
+    dispatch of the CLI `dedup` / `prepare` commands: "exact" keeps the
+    min doc_id per distinct text; "minhash" / "simhash" keep each
+    near-dup cluster's representative (doc_id == cluster)."""
+    if method == "exact":
+        return exact_dedup(docs)
+    if method not in ("minhash", "simhash"):
+        raise ValueError(f"unknown dedup method {method!r}")
+    cl = (minhash_lsh_dedup(docs) if method == "minhash"
+          else simhash_clusters(docs))
+    return cl.map_batches(
+        lambda t: pa.table({"doc_id": t.filter(
+            pa.compute.equal(t.column("doc_id"), t.column("cluster")))
+            .column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def unique_by_id(docs: ray.data.Dataset, num_partitions: int = 32
+                 ) -> ray.data.Dataset:
+    """One row per doc_id — collapses the duplicate rows a
+    content-addressed corpus (sources/jsonl.py: repeated texts share an
+    md5 id) carries for repeated texts. Deterministic at any cluster
+    size: among rows sharing an id, the lexicographically smallest full
+    row wins (for content-addressed duplicates the rows are identical,
+    so this is a no-op choice). One hash shuffle keyed by doc_id."""
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.sort_values(list(df.columns)) \
+            .drop_duplicates("doc_id")
+
+    return shuffle.grouped_apply(docs, ["doc_id"], first,
+                                 num_partitions=num_partitions)

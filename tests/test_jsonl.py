@@ -237,3 +237,32 @@ def test_prepare_pipeline_cli(ray_session, tmp_path, capsys):
         total += t.num_rows
     assert total == got["n_kept"]
     assert seen == set(range(got["n_kept"]))   # pos is a dense 0..k-1
+
+
+def test_dedup_collapses_duplicate_ids(ray_session, tmp_path, capsys):
+    """Content-addressed corpora carry duplicate rows per doc_id; dedup
+    must collapse them (one row per survivor, no cross-products)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ligrust_ray.cli import main
+    from ligrust_ray.sources.resumable_sink import read_partitioned
+
+    d = str(tmp_path / "dup_sf2")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [7, 7, 9, 9, 9, 4],
+        "text": ["same text here", "same text here", "other words",
+                 "other words", "other words", "third body"],
+        "lang": ["en"] * 6, "source": ["s"] * 6,
+        "n_chars": [14, 14, 11, 11, 11, 10]})),
+        os.path.join(d, "documents.parquet"))
+    out = str(tmp_path / "ddup")
+    assert main(["dedup", d, "-o", out, "--shards", "2"]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["n_docs"] == 6 and got["n_kept"] == 3
+    back = read_partitioned(out).to_pandas()
+    assert len(back) == 3
+    assert sorted(back["doc_id"]) == [4, 7, 9]
+    assert back["text"].nunique() == 3
