@@ -549,6 +549,27 @@ def main() -> int:
             "runs": res["runs"], "sf": SF_DIR, "partitions": PARTITIONS,
         }))
         return 0
+    if "--stats" in sys.argv:
+        # per-stage Ray Data execution stats for one contract query —
+        # the iterate-on-ds.stats() loop: wall time per operator, rows
+        # in/out, task counts (e.g. `python bench.py --stats
+        # customer_revenue`)
+        name = sys.argv[sys.argv.index("--stats") + 1]
+        _init(NUM_CPUS)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __ray_entry__ as E
+
+        r = E.queries()[name](SF_DIR)
+        if hasattr(r, "materialize"):
+            r = r.materialize()
+            print(r.stats())
+        else:
+            print(f"{name}: driver-side result "
+                  f"({type(r).__name__}) — no Dataset stats")
+        import ray
+
+        ray.shutdown()
+        return 0
     _init(NUM_CPUS)
     t0 = time.perf_counter()
     r = run_headline(NUM_CPUS)
