@@ -874,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph build + per-edge/degree ops (SQL-checked)
         "events_edges": Q.q_events_edges,
         "events_out_degree": Q.q_events_out_degree,
+        "events_strength": Q.q_events_strength,
         "events_degree_histogram": Q.q_events_degree_histogram,
         "events_mutual_edges": Q.q_events_mutual_edges,
         "events_graph_stats": Q.q_events_graph_stats,
@@ -992,11 +993,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ligrust_ray.state.weights import weight_sql_expr
+
     return {
         "events_edges": _EDGES_CTE,
         "events_out_degree": (
             f"WITH e AS ({_EDGES_CTE}) "
             "SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src"),
+        "events_strength": (
+            f"WITH e AS ({_EDGES_CTE}) "
+            "SELECT src, CAST(SUM("
+            + weight_sql_expr("md5:32", "e.src", "e.dst")
+            + ") AS BIGINT) AS strength FROM e GROUP BY src"),
         "events_degree_histogram": (
             f"WITH e AS ({_EDGES_CTE}), "
             "d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src) "

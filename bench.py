@@ -456,6 +456,10 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_customer_urgency(SF_DIR).materialize()
     q["customer_urgency"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_events_strength(SF_DIR).materialize()
+    q["events_strength"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

@@ -124,6 +124,26 @@ def q_events_out_degree(sf_dir: str):
                                {"out_degree": (None, "count")})
 
 
+def q_events_strength(sf_dir: str):
+    """(src, strength) — weighted out-degree (node strength) over the
+    directed events multigraph with the DERIVED md5:32 edge weights
+    (state/weights.py: weights are a pure function of (src, dst), never
+    stored — the same spec the weighted edgeMap / Bellman-Ford run on).
+    Per-batch DuckDB-vectorised weight eval (parity with the oracle by
+    construction), one partial-combined grouped sum."""
+    from ligrust_ray.state.weights import edge_weights
+
+    def w(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        return pa.table({"src": pa.array(s),
+                         "w": pa.array(edge_weights("md5:32", s, d))})
+
+    return shuffle.grouped_agg(
+        events_edges_ds(sf_dir).map_batches(w, batch_format="pyarrow"),
+        ["src"], {"strength": ("w", "sum")})
+
+
 def q_events_degree_histogram(sf_dir: str):
     deg = q_events_out_degree(sf_dir).map_batches(
         lambda t: pa.table({"degree": t.column("out_degree")}),
