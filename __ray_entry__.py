@@ -974,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_oov": Q.q_docs_oov,
         "docs_repetition": Q.q_docs_repetition,
         "docs_dup_bigrams": Q.q_docs_dup_bigrams,
+        "docs_dup_trigrams": Q.q_docs_dup_trigrams,
         "docs_bigram_counts": Q.q_docs_bigram_counts,
         "docs_dup_families": Q.q_docs_dup_families,
         "docs_char_classes": Q.q_docs_char_classes,
@@ -1757,6 +1758,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_bigrams, top_n, "
             "CAST((1000 * top_n) // n_bigrams AS BIGINT) AS top_permille "
             "FROM p"),
+        "docs_dup_trigrams": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS arr "
+            "FROM documents), "
+            "tk AS (SELECT doc_id, unnest(arr) AS tok, "
+            "unnest(range(len(arr))) AS i FROM t), "
+            "tg AS (SELECT doc_id, tok || ' ' || "
+            "lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g "
+            "FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY i)), "
+            "c AS (SELECT doc_id, g, COUNT(*) AS n FROM tg "
+            "WHERE g IS NOT NULL GROUP BY doc_id, g), "
+            "p AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams, "
+            "CAST(MAX(n) AS BIGINT) AS top_n FROM c GROUP BY doc_id) "
+            "SELECT doc_id, n_trigrams, top_n, "
+            "CAST((1000 * top_n) // n_trigrams AS BIGINT) "
+            "AS top_permille FROM p"),
         "docs_bigram_counts": (
             "WITH t AS (SELECT doc_id, "
             "regexp_extract_all(lower(text), '\\S+') AS arr "

@@ -2583,6 +2583,36 @@ def q_docs_dup_bigrams(sf_dir: str):
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
 
 
+def q_docs_dup_trigrams(sf_dir: str):
+    """(doc_id, n_trigrams, top_n, top_permille) — the 3-gram member of
+    the Gopher repetition family (Rae et al. 2021 run the
+    most-common-n-gram fraction for n = 2..4; see q_docs_dup_bigrams
+    for n = 2). Docs with fewer than three tokens emit no row. Purely
+    per-doc map_batches, integer arithmetic end to end."""
+    def score(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = t.column("doc_id").to_numpy()
+        cols: dict[str, list[int]] = {
+            "doc_id": [], "n_trigrams": [], "top_n": [],
+            "top_permille": []}
+        for did, x in zip(ids, t.column("text").to_pylist()):
+            w = _WORD_RE.findall(x.lower())
+            if len(w) < 3:
+                continue
+            top = max(Counter(zip(w, w[1:], w[2:])).values())
+            nt = len(w) - 2
+            cols["doc_id"].append(int(did))
+            cols["n_trigrams"].append(nt)
+            cols["top_n"].append(top)
+            cols["top_permille"].append((1000 * top) // nt)
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in cols.items()})
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
 BIGRAM_MIN_COUNT = 5
 
 
