@@ -933,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_quantiles_by_lang": Q.q_docs_token_quantiles_by_lang,
         "docs_stats": Q.q_docs_stats,
         "docs_quality": Q.q_docs_quality,
+        "docs_best_per_source": Q.q_docs_best_per_source,
         "docs_langid": Q.q_docs_langid,
         "docs_fingerprint": Q.q_docs_fingerprint,
         "docs_clean": Q.q_docs_clean,
@@ -1501,6 +1502,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_ngram_dupes": _minhash_sql(bands=32, threshold=0.5,
                                          pairs_only=True),
         "docs_quality": _QUALITY_SQL,
+        "docs_best_per_source": (
+            f"WITH q AS ({_QUALITY_SQL}), "
+            "j AS (SELECT d.source, q.doc_id, q.quality_1e6, "
+            "ROW_NUMBER() OVER (PARTITION BY d.source "
+            "ORDER BY q.quality_1e6 DESC, q.doc_id) AS rn "
+            "FROM q JOIN documents d ON d.doc_id = q.doc_id) "
+            "SELECT source, doc_id, quality_1e6 FROM j WHERE rn <= 3"),
         "docs_langid": _langid_sql(),
         "media_decode": (
             "SELECT doc_id AS media_id, "

@@ -460,6 +460,14 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_events_strength(SF_DIR).materialize()
     q["events_strength"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_docs_dup_trigrams(SF_DIR).materialize()
+    q["docs_dup_trigrams"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Q.q_docs_best_per_source(SF_DIR).materialize()
+    q["docs_best_per_source"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

@@ -1587,6 +1587,35 @@ def q_docs_quality(sf_dir: str):
         lambda t: textstats.quality_scorer()(t), batch_format="pyarrow")
 
 
+BEST_PER_SOURCE_K = 3
+
+
+def q_docs_best_per_source(sf_dir: str):
+    """(source, doc_id, quality_1e6) — the K highest-quality docs per
+    source (the curation preview: what does each crawl's best content
+    look like), ordered by (quality DESC, doc_id ASC). Per-BATCH partial
+    top-K per source bounds shuffle volume at K x #sources rows per
+    block; one tiny grouped_apply finishes. SQL oracle = ROW_NUMBER over
+    the identical total order on the shared quality spec."""
+    def score(t: pa.Table) -> pa.Table:
+        q = textstats.quality_scorer()(t)
+        return pa.table({"source": t.column("source"),
+                         "doc_id": q.column("doc_id").cast(pa.int64()),
+                         "quality_1e6": q.column("quality_1e6")})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(["source", "quality_1e6", "doc_id"],
+                            ascending=[True, False, True])
+        return df.groupby("source", sort=False).head(BEST_PER_SOURCE_K)
+
+    scored = _docs(sf_dir, columns=["doc_id", "text", "source"]) \
+        .map_batches(score, batch_format="pyarrow") \
+        .map_batches(topk, batch_format="pandas")
+    return shuffle.grouped_apply(scored, ["source"], topk)
+
+
 def q_docs_langid(sf_dir: str):
     return _docs(sf_dir).map_batches(
         lambda t: textstats.lang_id()(t), batch_format="pyarrow")
