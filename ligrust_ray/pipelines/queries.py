@@ -409,9 +409,16 @@ def q_events_assortativity(sf_dir: str):
     compare exact (no float summation order). Two hash_joins attach the
     endpoint degrees (the degree table is n-sized — co-partitioned, not
     broadcast), then per-block partials fold on the driver (O(#blocks)
-    tiny rows)."""
-    deg = _simple_degree(sf_dir)
-    sym = _sym_simple(sf_dir).map_batches(
+    tiny rows). The symmetric edge set is built ONCE (materialized) and
+    feeds both the degree aggregate and the pair stream — not two
+    independent distinct shuffles."""
+    sym0 = _sym_simple(sf_dir).materialize()
+    deg = shuffle.grouped_agg(sym0, ["v"],
+                              {"degree": (None, "count")}).map_batches(
+        lambda t: pa.table({"node_id": t.column("v"),
+                            "degree": t.column("degree")}),
+        batch_format="pyarrow")
+    sym = sym0.map_batches(
         lambda t: pa.table({"node_id": t.column("v"),
                             "w": t.column("w")}),
         batch_format="pyarrow")
