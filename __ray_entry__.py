@@ -867,10 +867,38 @@ def entry() -> Any:
     return Q.q_pages_pagerank("/root/testdata/sf0.001")
 
 
+# Driver-check ordering: the driver samples queries() in dict order and
+# has historically only reached ~50 of the 112 contract entries per round.
+# Entries that have never appeared in any CORRECTNESS_r*.json come first,
+# then entries last checked before round 3, then the repeatedly-green rest.
+_CHECK_PRIORITY = [
+    # never driver-checked through round 3 (40)
+    "pages_anchor_text", "docs_token_quantiles_by_lang", "docs_best_per_source",
+    "docs_simhash_dupes", "docs_simhash_clusters", "docs_lang_confusion",
+    "customer_revenue", "supplier_nation_revenue", "part_brand_revenue",
+    "customers_no_urgent", "parts_returned_heavy", "customer_urgency",
+    "top_customers", "lineitem_rollup", "orders_latest", "orders_cohort",
+    "docs_source_dedup", "lineitem_monthly", "events_daily",
+    "events_distinct_users", "events_user_hll", "docs_sample", "docs_pack",
+    "docs_shuffle", "docs_stratified_sample", "docs_oov", "docs_repetition",
+    "docs_dup_bigrams", "docs_dup_trigrams", "docs_bigram_counts",
+    "docs_dup_families", "docs_char_classes", "docs_pii_scrub",
+    "docs_line_dedup", "docs_preprocess", "docs_source_stats",
+    "docs_top_tokens", "docs_token_cms", "docs_tfidf", "docs_decontaminate",
+    # checked in r1/r2 but not r3 (22)
+    "docs_clean", "docs_exact_dedup", "docs_fingerprint", "docs_lang_hist",
+    "docs_langid", "docs_minhash_dedup", "docs_ngram_dupes", "docs_quality",
+    "docs_simhash", "docs_stats", "docs_token_bpe", "docs_token_count",
+    "docs_token_quantiles", "emb_knn", "emb_knn_ivf", "emb_near_dup",
+    "emb_near_dup_ivf", "lineitem_pricing", "media_decode", "media_frames",
+    "media_resize", "orders_by_segment",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ligrust_ray.pipelines import queries as Q
 
-    return {
+    q = {
         # graph build + per-edge/degree ops (SQL-checked)
         "events_edges": Q.q_events_edges,
         "events_out_degree": Q.q_events_out_degree,
@@ -992,6 +1020,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": Q.q_media_resize,
         "media_frames": Q.q_media_frames,
     }
+    out = {k: q.pop(k) for k in _CHECK_PRIORITY if k in q}
+    out.update(q)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
