@@ -24,6 +24,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -631,32 +632,42 @@ def _minhash_lsh_core(docs: ray.data.Dataset, num_perm: int = 64,
     sigs = _minhash_batches(docs, num_perm, shingle_k, seed).materialize()
 
     def band_rows(t: pa.Table) -> pa.Table:
-        from ligrust_ray.dataops.hashing import md5_i64_lower
+        from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
 
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "band": pa.array([], type=pa.int64()),
+                          "bh": pa.array([], type=pa.int64())})
+        if not t.num_rows:
+            return empty
         ids = t.column("doc_id").to_numpy()
-        sig = np.stack([np.asarray(s) for s in t.column("sig").to_pylist()]) \
-            if t.num_rows else np.zeros((0, num_perm), dtype=np.int64)
+        # fixed-width list<int64> -> zero-copy (n, num_perm) view
+        sig = t.column("sig").combine_chunks().flatten().to_numpy() \
+            .reshape(len(ids), num_perm)
         # zero-shingle docs carry the all-MERSENNE sentinel (every real
         # minhash is a mod-p residue, strictly < p): emitting their band
         # rows would funnel ALL empty docs into one bucket and generate
         # O(s^2) candidate pairs that verify can only throw away
-        if len(ids):
-            real = sig[:, 0] != MinHasher.MERSENNE
-            ids, sig = ids[real], sig[real]
-        out_id, out_b, out_h = [], [], []
+        real = sig[:, 0] != MinHasher.MERSENNE
+        ids, sig = ids[real], sig[real]
+        if not len(ids):
+            return empty
+        out = []
         for b in range(bands):
             chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-            # full-64-bit band-bucket key (md5-lower of "band:v0,v1,..." —
-            # DuckDB-replicable; 32 bits would collide at 10^12-doc scale)
-            hs = [md5_i64_lower((f"{b}:" + ",".join(map(str, row)))
-                                .encode("utf-8"))
-                  for row in chunk.tolist()]
-            out_id.extend(ids.tolist())
-            out_b.extend([b] * len(ids))
-            out_h.extend(hs)
-        return pa.table({"doc_id": pa.array(out_id, type=pa.int64()),
-                         "band": pa.array(out_b, type=pa.int64()),
-                         "bh": pa.array(out_h, type=pa.int64())})
+            # full-64-bit band-bucket key (md5_number_lower of
+            # "band:v0,v1,..." — DuckDB-replicable; 32 bits would collide
+            # at 10^12-doc scale), composed column-wise (int64->string
+            # cast + element-wise join) and hashed in ONE vectorised
+            # DuckDB call per band instead of a per-row hashlib loop
+            cols = [pc.cast(pa.array(chunk[:, j]), pa.string())
+                    for j in range(rows_per_band)]
+            body = pc.binary_join_element_wise(*cols, ",")
+            key = pc.binary_join_element_wise(pa.scalar(f"{b}:"), body, "")
+            out.append(pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "band": pa.array(np.full(len(ids), b, dtype=np.int64)),
+                "bh": pa.array(md5_u64_lower_arrow(key).view(np.int64))}))
+        return pa.concat_tables(out)
 
     def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
         """All (a<b) pairs sharing a (band, bh) bucket, vectorised over the
@@ -1048,8 +1059,9 @@ def decontaminate(docs: ray.data.Dataset, eval_mod: int = 97,
 
 def _block_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = t.column("vec_id").to_numpy()
-    m = np.stack([np.asarray(v) for v in t.column("embedding").to_pylist()]
-                 ).astype(np.float64)
+    # fixed-width list<float> -> zero-copy (n, dim) view, then one cast
+    emb = t.column("embedding").combine_chunks()
+    m = emb.flatten().to_numpy().reshape(len(ids), -1).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     return ids, m
 

@@ -34,6 +34,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -139,29 +140,63 @@ def assign_ids(url_ds: ray.data.Dataset, nbuckets: int = 64
     return ranked.map_batches(add_id, batch_format="pyarrow"), n
 
 
+INDEX_IN_MAX = 1 << 18  # pc.index_in rebuilds the value-set hash per
+#                         batch (O(map) per call) — only worth it below
+#                         this; above, the hashed layout's per-batch cost
+#                         is independent of mapping size
+
+
 class _UrlToId:
     """Broadcast url->id resolver (small-side lookup, no shuffle).
 
-    Fetches the sorted mapping ONCE per actor (``__init__``), then resolves
-    each batch with vectorised ``np.searchsorted`` over a numpy unicode
-    array (C string compares, no Python loop)."""
+    Fetches the mapping ONCE per task/actor (zero-copy plasma ``ray.get``)
+    and resolves each batch fully vectorised — no Python string loop, no
+    fixed-width UCS4 copies (the old ``np.str_`` round-trip paid ~160 B
+    per url at crawl url lengths). Two layouts:
 
-    def __init__(self, sorted_urls_ref, sorted_ids_ref, drop_missing: bool):
-        self.urls = ray.get(sorted_urls_ref)
-        self.ids = ray.get(sorted_ids_ref)
+    - ``index_in`` (mapping <= INDEX_IN_MAX urls): one ``pc.index_in``
+      hash probe per column against the Arrow value set;
+    - ``hashed`` (above): md5-u64 of each batch url (one vectorised
+      DuckDB call), ``np.searchsorted`` into the pre-sorted mapping
+      hashes, and hash hits confirmed by ONE vectorised Arrow string
+      compare — per-batch cost independent of mapping size, broadcast
+      payload 8 B/url + the original Arrow strings."""
+
+    def __init__(self, map_ref, drop_missing: bool):
+        payload = ray.get(map_ref)
+        self.mode = payload[0]
+        if self.mode == "index_in":
+            _, self.urls, self.ids = payload
+        else:
+            _, self.urls, self.ids, self.hsorted, self.order = payload
         self.drop_missing = drop_missing
 
-    def _resolve(self, arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        pos = np.searchsorted(self.urls, arr)
-        pos_c = np.minimum(pos, len(self.urls) - 1)
-        found = self.urls[pos_c] == arr
-        return np.where(found, self.ids[pos_c], -1), found
+    def _resolve(self, col) -> tuple[np.ndarray, np.ndarray]:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        if self.mode == "index_in":
+            pos = pc.index_in(arr, value_set=self.urls)
+            found = np.asarray(pos.is_valid().to_numpy(
+                zero_copy_only=False), dtype=bool)
+            idx = pos.fill_null(0).to_numpy().astype(np.int64)
+            return np.where(found, self.ids[idx], -1), found
+        from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+        bh = md5_u64_lower_arrow(arr)
+        pos = np.searchsorted(self.hsorted, bh)
+        pos_c = np.minimum(pos, len(self.hsorted) - 1)
+        hit = self.hsorted[pos_c] == bh
+        # mapping hashes are verified collision-free at broadcast time,
+        # so a hash hit whose STRING differs means "url not in mapping"
+        cand = pc.take(self.urls, pa.array(self.order[pos_c]))
+        found = np.asarray(
+            pc.and_(pa.array(hit), pc.equal(cand, arr)).to_numpy(
+                zero_copy_only=False), dtype=bool)
+        return np.where(found, self.ids[self.order[pos_c]], -1), found
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        src = np.asarray(t.column("src_url").to_pylist(), dtype=np.str_)
-        dst = np.asarray(t.column("dst_url").to_pylist(), dtype=np.str_)
-        src_id, src_ok = self._resolve(src)
-        dst_id, dst_ok = self._resolve(dst)
+        src_id, src_ok = self._resolve(t.column("src_url"))
+        dst_id, dst_ok = self._resolve(t.column("dst_url"))
         ok = src_ok & dst_ok if self.drop_missing else src_ok
         return pa.table({"src": pa.array(src_id[ok]), "dst": pa.array(dst_id[ok])})
 
@@ -188,17 +223,31 @@ def edges_with_ids(edge_urls: ray.data.Dataset, mapping: ray.data.Dataset,
     if mapping.count() > limit:
         return _edges_with_ids_bucketed(edge_urls, mapping, drop_missing)
     mp = mapping.to_pandas()
-    order = np.argsort(mp["url"].to_numpy(dtype=np.str_), kind="stable")
-    urls_sorted = mp["url"].to_numpy(dtype=np.str_)[order]
-    ids_sorted = mp["id"].to_numpy(dtype=np.int64)[order]
-    u_ref, i_ref = ray.put(urls_sorted), ray.put(ids_sorted)
+    urls_arrow = pa.array(mp["url"], type=pa.string())
+    ids_arr = mp["id"].to_numpy(dtype=np.int64)
+    if len(ids_arr) <= INDEX_IN_MAX:
+        payload = ("index_in", urls_arrow, ids_arr)
+    else:
+        from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
 
-    # TASK-based: the only "state" is two broadcast refs, and ray.get from
+        mh = md5_u64_lower_arrow(urls_arrow)
+        order = np.argsort(mh, kind="stable").astype(np.int64)
+        hsorted = mh[order]
+        if len(hsorted) > 1 and (hsorted[1:] == hsorted[:-1]).any():
+            # two distinct urls share an md5-u64 (probability ~n^2/2^65)
+            # — the hashed probe would be ambiguous, so fall back to the
+            # exact (slower per batch, still correct) hash-probe layout
+            payload = ("index_in", urls_arrow, ids_arr)
+        else:
+            payload = ("hashed", urls_arrow, ids_arr, hsorted, order)
+    map_ref = ray.put(payload)
+
+    # TASK-based: the only "state" is one broadcast ref, and ray.get from
     # the local plasma store is cheap per batch — an actor pool here paid
     # spin-up + autoscale lag on every build (same finding as
     # extract_edge_urls)
     def resolve_batch(t: pa.Table) -> pa.Table:
-        return _UrlToId(u_ref, i_ref, drop_missing)(t)
+        return _UrlToId(map_ref, drop_missing)(t)
 
     return edge_urls.map_batches(resolve_batch, batch_format="pyarrow",
                                  batch_size=65536)

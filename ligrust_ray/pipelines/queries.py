@@ -1460,24 +1460,29 @@ def q_pages_anchor_text(sf_dir: str):
             fh.write(stamp)
 
     def batch_counts(t: pa.Table) -> pa.Table:
-        dsts, toks = [], []
-        for d, a in zip(t.column("dst_url").to_pylist(),
-                        t.column("anchor").to_pylist()):
-            w = _WORD_RE.findall(a.lower())
-            if w:
-                dsts.append(np.full(len(w), d, dtype=object))
-                toks.append(np.array(w, dtype=object))
-        if not dsts:
-            return pa.table({"dst_url": pa.array([], type=pa.string()),
-                             "token": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        df = pd.DataFrame({"dst_url": np.concatenate(dsts),
-                           "token": np.concatenate(toks)})
-        g = df.groupby(["dst_url", "token"], as_index=False, sort=False) \
-            .size()     # map-side combiner: bounds shuffle volume
-        return pa.table({"dst_url": pa.array(g["dst_url"], type=pa.string()),
-                         "token": pa.array(g["token"], type=pa.string()),
-                         "n": pa.array(g["size"].to_numpy(dtype=np.int64))})
+        empty = pa.table({"dst_url": pa.array([], type=pa.string()),
+                          "token": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if not t.num_rows:
+            return empty
+        # Arrow-native tokenization: lower + whitespace split + list
+        # flatten with a repeated parent index — no per-row Python regex
+        # (ASCII corpus: unicode-vs-RE2 whitespace classes coincide)
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(t.column("anchor"))).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy()
+        parents = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = toks.flatten()
+        pairs = pa.table({
+            "dst_url": t.column("dst_url").combine_chunks().take(parents),
+            "token": flat}).filter(pc.not_equal(flat, ""))
+        if not pairs.num_rows:
+            return empty
+        # map-side combiner (Arrow hash aggregate): bounds shuffle volume
+        g = pairs.group_by(["dst_url", "token"]).aggregate([([], "count_all")])
+        return pa.table({"dst_url": g.column("dst_url"),
+                         "token": g.column("token"),
+                         "n": g.column("count_all").cast(pa.int64())})
 
     counts = shuffle.grouped_agg(
         anchors.map_batches(batch_counts, batch_format="pyarrow"),
@@ -1687,36 +1692,54 @@ def q_supplier_nation_revenue(sf_dir: str):
     """(r_name, n_name, revenue_cents, n_items) — TPC-H-Q5-shaped
     same-nation revenue: lineitems whose supplier sits in the same nation
     as the ordering customer, rolled up per (region, nation). Plan shape
-    for 100 TB: supplier/nation/region are genuinely small dims —
-    broadcast once via ray.put and resolved per batch with searchsorted;
-    the two big sides flow through exactly two wide steps (lineitem
-    partials x orders on orderkey, then x customer on custkey), with
-    revenue aggregation per (orderkey, supp_nation) / (custkey,
-    supp_nation) FUSED into each join via agg_co_group (map-side
-    partials + in-partition final combine), so each shuffle carries one
-    row per key per block — never one per lineitem — and no separate
-    aggregation shuffle exists at all."""
-    sup = ray.data.read_parquet(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    sk = np.argsort(sup["s_suppkey"].to_numpy())
-    sup_ref = ray.put((sup["s_suppkey"].to_numpy()[sk],
-                       sup["s_nationkey"].to_numpy().astype(np.int64)[sk]))
+    for 100 TB: supplier scales WITH the corpus (TPC-H: 10k rows per SF)
+    so it is NOT a broadcast dim — l_suppkey resolves to its nation via
+    a keyed agg_co_group exactly like part in q_part_brand_revenue;
+    only nation/region (25/5 rows, genuinely fixed) broadcast. The big
+    sides flow through three wide steps (lineitem partials x supplier on
+    suppkey, x orders on orderkey, then x customer on custkey), with
+    revenue aggregation per (suppkey, orderkey) / (orderkey, supp_nation)
+    / (custkey, supp_nation) FUSED into each join via agg_co_group
+    (map-side partials + in-partition final combine), so each shuffle
+    carries one row per key per block and no separate aggregation
+    shuffle exists at all."""
+    sup = _read_sized(os.path.join(sf_dir, "supplier.parquet"),
+                      columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table({
+            "s_suppkey": t.column("s_suppkey").cast(pa.int64()),
+            "s_nat": t.column("s_nationkey").cast(pa.int64())}),
+        batch_format="pyarrow")
 
     def li_cents(t: pa.Table) -> pa.Table:
-        keys, nats = ray.get(sup_ref)
         v = np.floor(t.column("l_extendedprice").to_numpy()
                      * (1 - t.column("l_discount").to_numpy())
                      * 100 + 0.5).astype(np.int64)
-        pos = np.searchsorted(keys, t.column("l_suppkey").to_numpy())
         return pa.table({
+            "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
             "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
-            "s_nat": pa.array(nats[pos]),
             "cents": pa.array(v)})
 
     li = _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
                      columns=["l_orderkey", "l_suppkey",
                               "l_extendedprice", "l_discount"])
+    # l_suppkey -> nation resolved by a keyed co-partition join (no
+    # driver-side supplier materialization), with the per-(suppkey,
+    # orderkey) revenue partial fused into it
+    li_nat = shuffle.agg_co_group(
+        li.map_batches(li_cents, batch_format="pyarrow"), sup,
+        keys=["l_suppkey", "l_orderkey"], l_on="l_suppkey",
+        r_on="s_suppkey",
+        aggs={"cents": ("cents", "sum"), "n_items": (None, "count")},
+        fn=lambda lf, rf: lf.rename(
+            columns={"l_suppkey": "s_suppkey"}).merge(
+            rf, on="s_suppkey")[["l_orderkey", "s_nat", "cents",
+                                 "n_items"]],
+        l_schema=pa.schema([("l_suppkey", pa.int64()),
+                            ("l_orderkey", pa.int64()),
+                            ("cents", pa.int64()),
+                            ("n_items", pa.int64())]),
+        r_schema=pa.schema([("s_suppkey", pa.int64()),
+                            ("s_nat", pa.int64())]))
     orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
                          columns=["o_orderkey", "o_custkey"]).map_batches(
         lambda t: pa.table({"o_orderkey":
@@ -1728,9 +1751,9 @@ def q_supplier_nation_revenue(sf_dir: str):
     # partials combine map-side, the final combine happens inside the
     # join partition (agg_co_group) — one wide step, not two
     joined = shuffle.agg_co_group(
-        li.map_batches(li_cents, batch_format="pyarrow"), orders,
+        li_nat, orders,
         keys=["l_orderkey", "s_nat"], l_on="l_orderkey", r_on="o_orderkey",
-        aggs={"cents": ("cents", "sum"), "n_items": (None, "count")},
+        aggs={"cents": ("cents", "sum"), "n_items": ("n_items", "sum")},
         fn=lambda lf, rf: lf.merge(
             rf.rename(columns={"o_orderkey": "l_orderkey"}),
             on="l_orderkey")[["o_custkey", "s_nat", "cents", "n_items"]],

@@ -160,3 +160,35 @@ def test_bucketed_join_matches_broadcast(ray_session, tmp_path):
     bc = norm(edges_with_ids(edge_urls, mapping))
     bk = norm(edges_with_ids(edge_urls, mapping, broadcast_max=0))
     pd.testing.assert_frame_equal(bc, bk)
+
+
+def test_hashed_resolver_matches_index_in(ray_session, monkeypatch):
+    """The broadcast resolver's 'hashed' layout (md5-u64 searchsorted +
+    string verify, used above INDEX_IN_MAX urls) must resolve the same
+    edges as the small-map 'index_in' layout — forced by dropping the
+    threshold to 0."""
+    import pandas as pd
+    import ray.data
+
+    from ligrust_ray.pipelines import build
+    from ligrust_ray.pipelines.build import (assign_ids, edges_with_ids,
+                                             extract_edge_urls)
+    from ligrust_ray.sources.synth import generate_pages
+
+    pages = ray.data.from_arrow(generate_pages(300, seed=11))
+    edge_urls = extract_edge_urls(
+        pages.select_columns(["url", "html"])).materialize()
+    universe = pages.select_columns(["url"]).union(
+        edge_urls.select_columns(["dst_url"]).rename_columns(
+            {"dst_url": "url"}))
+    mapping, _ = assign_ids(universe)
+    mapping = mapping.materialize()
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        return df.astype({"src": "int64", "dst": "int64"})
+
+    small = norm(edges_with_ids(edge_urls, mapping))
+    monkeypatch.setattr(build, "INDEX_IN_MAX", 0)
+    hashed = norm(edges_with_ids(edge_urls, mapping))
+    pd.testing.assert_frame_equal(small, hashed)
