@@ -1560,6 +1560,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
+        # IVF pair under the deterministic md5 id-bucket quantizer
+        # (ann.md5_buckets): B = clamp(round(sqrt(n)), 16, 2^16) replicates
+        # ann.auto_centroids; a query/vector owns buckets (md5(id)+j) % B
+        # for j < nprobe, so two ids share a bucket iff (h(y)-h(x)) mod B
+        # lies in (-nprobe, nprobe)
+        "emb_knn_ivf": (
+            "WITH prm AS (SELECT CAST(LEAST(GREATEST(16, "
+            "ROUND(SQRT(COUNT(*)))), 65536) AS BIGINT) AS nb "
+            "FROM embeddings), "
+            "v AS (SELECT vec_id, embedding, "
+            "CAST(md5_number_lower(CAST(vec_id AS VARCHAR)) "
+            "% (SELECT nb FROM prm) AS BIGINT) AS h FROM embeddings), "
+            "q AS (SELECT vec_id AS qid, embedding AS qe, h AS qh "
+            "FROM v WHERE vec_id < 5), "
+            "s AS (SELECT q.qid AS query_id, v.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.qe, v.embedding) AS sim "
+            "FROM q JOIN v ON ((v.h - q.qh) % (SELECT nb FROM prm) "
+            "+ (SELECT nb FROM prm)) % (SELECT nb FROM prm) < 4) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "FROM s) WHERE rank <= 10"),
+        "emb_near_dup_ivf": (
+            "WITH prm AS (SELECT CAST(LEAST(GREATEST(16, "
+            "ROUND(SQRT(COUNT(*)))), 65536) AS BIGINT) AS nb "
+            "FROM embeddings), "
+            "v AS (SELECT vec_id, embedding, "
+            "CAST(md5_number_lower(CAST(vec_id AS VARCHAR)) "
+            "% (SELECT nb FROM prm) AS BIGINT) AS h FROM embeddings), "
+            "d AS (SELECT x.vec_id AS a, y.vec_id AS b, "
+            "((y.h - x.h) % (SELECT nb FROM prm) + (SELECT nb FROM prm)) "
+            "% (SELECT nb FROM prm) AS dh, "
+            "list_cosine_similarity(x.embedding, y.embedding) AS sim "
+            "FROM v x JOIN v y ON x.vec_id < y.vec_id) "
+            "SELECT a, b FROM d WHERE (dh < 2 OR dh > "
+            "(SELECT nb FROM prm) - 2) AND sim >= 0.45"),
         "lineitem_pricing": (
             # CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) returns HUGEINT
             # which pandas surfaces as float64, breaking the driver's

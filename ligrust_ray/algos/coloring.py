@@ -199,8 +199,11 @@ def color_graph(graph, max_rounds: int = 200) -> dict:
                              for w in range(words_alloc, n_words)})
             words_alloc = n_words
         graph.edge_map_fused(_SelectMinima(), _SelectColored(), over="all")
-        for w in range(n_words - 1):
-            graph.edge_map(_GatherMaskWord(w))
+        # mask-word gathers are INDEPENDENT (disjoint nbmask words, same
+        # colored-source frontier): one batched two-wave dispatch instead
+        # of (n_words - 2) sequential edge_map round trips
+        graph.edge_map_multi([_GatherMaskWord(w)
+                              for w in range(n_words - 1)])
         graph.edge_map_fused(_GatherMaskWord(n_words - 1),
                              _FinishRound(rounds + 1, n_words), over="all")
         cur_bound += 1

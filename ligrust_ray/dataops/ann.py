@@ -157,6 +157,21 @@ def assign_buckets(index, m: np.ndarray, kprobe: int
     return cand_b[r, order], np.isfinite(cand_s[r, order])
 
 
+def md5_buckets(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per vec_id: md5_number_lower of the DECIMAL
+    id string, mod B — a pure function of the id, exactly replicable in
+    DuckDB (``md5_number_lower(CAST(vec_id AS VARCHAR)) % B``). This is
+    the ``quantizer="md5"`` coarse quantizer: it exercises the identical
+    bucketed layout / probe restriction / partial-top-k plumbing as the
+    k-means index while being SQL-oracle-checkable end to end; k-means
+    remains the RECALL path (random buckets carry no geometric pruning
+    power — recall ~ nprobe/B by construction)."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    arr = pa.array(ids.astype(np.int64)).cast(pa.string())
+    return (md5_u64_lower_arrow(arr) % np.uint64(n_buckets)).astype(np.int64)
+
+
 def _train_from_ds(emb: ray.data.Dataset, n_centroids: int | None,
                    seed: int, train_sample: int):
     """Bounded-sample IVF training; auto B from a metadata-cheap count."""
@@ -171,7 +186,8 @@ def _train_from_ds(emb: ray.data.Dataset, n_centroids: int | None,
 
 def knn_ivf(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
             n_centroids: int | None = None, nprobe: int = 4, seed: int = 42,
-            train_sample: int = 4096) -> ray.data.Dataset:
+            train_sample: int = 4096, quantizer: str = "kmeans"
+            ) -> ray.data.Dataset:
     """Approximate top-k: bucket by nearest centroid, probe nprobe buckets.
 
     Distributed shape (what a 10^12-vector deployment runs; only the tiny
@@ -185,10 +201,23 @@ def knn_ivf(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
     3. per-batch partial top-k per (query, probed-bucket) — only candidate
        rows in probed buckets emit scores;
     4. final exact top-k per query via a tiny per-query group merge.
+
+    ``quantizer="md5"`` swaps the k-means index for the deterministic
+    md5 id-bucket quantizer (``md5_buckets``): buckets are md5(id) % B,
+    a query probes buckets (md5(qid)+j) % B for j < nprobe. Same
+    distributed plumbing, SQL-oracle-checkable, no geometric recall.
     """
     import pyarrow.compute as pc
 
-    index = _train_from_ds(emb, n_centroids, seed, train_sample)
+    if quantizer not in ("kmeans", "md5"):
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    if quantizer == "md5":
+        n_buckets = n_centroids if n_centroids is not None \
+            else auto_centroids(emb.count())
+        mode = ("md5", n_buckets)
+    else:
+        mode = ("kmeans", _train_from_ds(emb, n_centroids, seed,
+                                         train_sample))
 
     # query vectors: the query-id set is small by contract
     qarr = pa.array(sorted(int(q) for q in query_ids), type=pa.int64())
@@ -198,17 +227,22 @@ def knn_ivf(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
     q_ids, q_mat = _matrix(q_tbl)
     order = np.argsort(q_ids)
     q_ids, q_mat = q_ids[order], _normalize(q_mat[order])
-    probes, pvalid = assign_buckets(index, q_mat, nprobe)  # (nq, <=nprobe)
-    probes = np.where(pvalid, probes, -1)   # unreachable cells never match
-    bcast = ray.put((index, q_ids, q_mat, probes))
+    if quantizer == "md5":
+        probes = (md5_buckets(q_ids, mode[1])[:, None]
+                  + np.arange(nprobe, dtype=np.int64)) % mode[1]
+    else:
+        probes, pvalid = assign_buckets(mode[1], q_mat, nprobe)
+        probes = np.where(pvalid, probes, -1)  # unreachable cells no-match
+    bcast = ray.put((mode, q_ids, q_mat, probes))
 
     def score(t: pa.Table) -> pa.Table:
-        ix, qi, qm, pr = ray.get(bcast)
+        mo, qi, qm, pr = ray.get(bcast)
         ids = t.column("vec_id").to_numpy()
         m = _normalize(np.stack([np.asarray(v)
                                  for v in t.column("embedding").to_pylist()]
                                 ).astype(np.float64))
-        assign = assign_buckets(ix, m, 1)[0][:, 0]
+        assign = md5_buckets(ids, mo[1]) if mo[0] == "md5" \
+            else assign_buckets(mo[1], m, 1)[0][:, 0]
         out_q, out_n, out_s = [], [], []
         for row, q in enumerate(qi):
             cand = np.isin(assign, pr[row])

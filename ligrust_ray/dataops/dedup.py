@@ -30,7 +30,7 @@ import ray.data
 
 from ligrust_ray.stages import shuffle
 
-_WORD = re.compile(r"\S+")
+_WORD = re.compile("[^\t\n\f\r ]+")   # RE2 \S parity (textstats.RE2_WS)
 
 # candidate-id sets below this broadcast as a sorted array (semi-join
 # pre-filter before shingling); larger sets stream unfiltered
@@ -382,11 +382,17 @@ def _attach_clusters_broadcast(doc_ids: ray.data.Dataset, labels_ref
 
 
 @ray.remote(num_cpus=0)
-def _label_sum_block(t: pa.Table) -> int:
+def _label_sum_block(t) -> int:
     """Per-block label checksum partial (trivial compute: num_cpus=0 so
     the tasks never queue behind real work). Raw block refs — unlike
-    map_batches UDFs — DO see the zero-column empty blocks grouped_agg
-    emits for group-less partitions, so guard for the column."""
+    map_batches UDFs — DO see the zero-column EMPTY blocks that pass
+    through group-less partitions, and those keep whatever format their
+    producer used (the executor hands them through unconverted, even via
+    to_arrow_refs) — so accept both Arrow and pandas."""
+    if isinstance(t, pd.DataFrame):
+        if not len(t) or "label" not in t.columns:
+            return 0
+        return int(t["label"].sum())
     if t.num_rows == 0 or "label" not in t.column_names:
         return 0
     return int(pa.compute.sum(t.column("label")).as_py() or 0)
@@ -1090,32 +1096,52 @@ IVF_PAIR_CHUNK = 8192        # in-bucket matmul tile: memory O(chunk^2)
 
 
 def ivf_bucketize(emb: ray.data.Dataset, n_centroids: int | None = None,
-                  nprobe: int = 2, seed: int = 42, train_sample: int = 4096
+                  nprobe: int = 2, seed: int = 42, train_sample: int = 4096,
+                  quantizer: str = "kmeans"
                   ) -> tuple[ray.data.Dataset, int]:
     """(bucketed Dataset[vec_id, bucket, embedding], n_buckets): every
     vector multi-assigned to its ``nprobe`` nearest IVF cells.
     ``n_centroids=None`` auto-scales B ~ sqrt(n) via the two-level index in
     dataops/ann.py, so bucket count — and hence groupby parallelism and the
     O(n^2/B) in-bucket cost — grows with the data instead of capping at a
-    constant."""
+    constant. ``quantizer="md5"`` multi-assigns each vector to buckets
+    (md5(id)+j) % B, j < nprobe (ann.md5_buckets) — the deterministic
+    SQL-checkable layout; k-means is the recall path."""
     from ligrust_ray.dataops import ann
 
-    index = ann._train_from_ds(emb, n_centroids, seed, train_sample)
-    n_buckets = int(index[2][-1])
-    index_ref = ray.put(index)
+    if quantizer not in ("kmeans", "md5"):
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    if quantizer == "md5":
+        n_buckets = n_centroids if n_centroids is not None \
+            else ann.auto_centroids(emb.count())
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        ix = ray.get(index_ref)
-        ids, m = _block_matrix(t)
-        bkt, valid = ann.assign_buckets(ix, m, nprobe)     # (n, kk)
-        n = len(ids)
-        kk = bkt.shape[1]
-        rows = np.repeat(np.arange(n), kk)[valid.ravel()]
-        return pa.table({
-            "vec_id": pa.array(ids[rows].astype(np.int64)),
-            "bucket": pa.array(bkt.ravel()[valid.ravel()]),
-            "embedding": t.column("embedding").combine_chunks().take(
-                pa.array(rows))})
+        def bucketize(t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy().astype(np.int64)
+            bkt = (ann.md5_buckets(ids, n_buckets)[:, None]
+                   + np.arange(nprobe, dtype=np.int64)) % n_buckets
+            rows = np.repeat(np.arange(len(ids)), nprobe)
+            return pa.table({
+                "vec_id": pa.array(ids[rows]),
+                "bucket": pa.array(bkt.ravel()),
+                "embedding": t.column("embedding").combine_chunks().take(
+                    pa.array(rows))})
+    else:
+        index = ann._train_from_ds(emb, n_centroids, seed, train_sample)
+        n_buckets = int(index[2][-1])
+        index_ref = ray.put(index)
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            ix = ray.get(index_ref)
+            ids, m = _block_matrix(t)
+            bkt, valid = ann.assign_buckets(ix, m, nprobe)     # (n, kk)
+            n = len(ids)
+            kk = bkt.shape[1]
+            rows = np.repeat(np.arange(n), kk)[valid.ravel()]
+            return pa.table({
+                "vec_id": pa.array(ids[rows].astype(np.int64)),
+                "bucket": pa.array(bkt.ravel()[valid.ravel()]),
+                "embedding": t.column("embedding").combine_chunks().take(
+                    pa.array(rows))})
 
     bucketed = emb.select_columns(["vec_id", "embedding"]).map_batches(
         bucketize, batch_format="pyarrow")
@@ -1131,8 +1157,8 @@ IVF_GROUP_DISPATCH_MAX = 4096
 def embedding_near_dup_ivf(emb: ray.data.Dataset, threshold: float = 0.95,
                            n_centroids: int | None = None, nprobe: int = 2,
                            seed: int = 42, train_sample: int = 4096,
-                           group_dispatch_max: int = IVF_GROUP_DISPATCH_MAX
-                           ) -> ray.data.Dataset:
+                           group_dispatch_max: int = IVF_GROUP_DISPATCH_MAX,
+                           quantizer: str = "kmeans") -> ray.data.Dataset:
     """Approximate near-dup pairs: vectors are IVF-bucketed (nearest
     ``nprobe`` centroids — multi-assignment recovers most cross-boundary
     pairs) and compared WITHIN buckets only. O(n²/B) flops instead of
@@ -1168,7 +1194,8 @@ def embedding_near_dup_ivf(emb: ray.data.Dataset, threshold: float = 0.95,
 
     bucketed, n_buckets = ivf_bucketize(emb, n_centroids=n_centroids,
                                         nprobe=nprobe, seed=seed,
-                                        train_sample=train_sample)
+                                        train_sample=train_sample,
+                                        quantizer=quantizer)
     if n_buckets <= group_dispatch_max:
         pairs = (bucketed.groupby("bucket")
                  .map_groups(pairs_in_bucket, batch_format="pandas"))

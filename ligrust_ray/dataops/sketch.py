@@ -115,7 +115,7 @@ def cms_registers(docs: ray.data.Dataset, text_col: str = "text",
     from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
     from ligrust_ray.stages import shuffle
 
-    word = re.compile(r"\S+")
+    word = re.compile("[^\t\n\f\r ]+")   # RE2 \S parity (textstats.RE2_WS)
 
     def partial(t: pa.Table) -> pa.Table:
         from collections import Counter

@@ -13,7 +13,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_WS = re.compile(r"\s+")
+# Python's \s is Unicode-wide (U+00A0, U+2028, \x0b ...) while the DuckDB
+# oracles' RE2 \s is exactly [\t\n\f\r ] — an explicit class keeps engine
+# and oracle tokenizing IDENTICALLY on corpora containing exotic
+# whitespace (the ASCII test corpus never exposed the gap)
+RE2_WS = "[\t\n\f\r ]"
+_WS = re.compile(RE2_WS + "+")
 _PUNCT = re.compile(r"[.,!?]")
 _WORD = re.compile(r"[a-zA-Z]+")
 
@@ -39,7 +44,7 @@ def token_count_batch(t: pa.Table) -> pa.Table:
 # BPE-ish pre-tokenizer: letter runs / digit runs / single non-space
 # symbol — deliberately RE2-compatible (no lookahead) so the DuckDB oracle
 # runs the IDENTICAL pattern
-_BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+_BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]")  # RE2 \s parity
 BPE_PATTERN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
@@ -172,7 +177,7 @@ def hash_mod_sample_batch(t: pa.Table, pct: int = 10, mod: int = 100
     return pa.table({"doc_id": pa.array(ids[keep].astype(np.int64))})
 
 
-_LINE_TOKENS = re.compile(r"\S+")
+_LINE_TOKENS = re.compile("[^\t\n\f\r ]+")   # RE2 \S parity, see RE2_WS
 
 
 def repetition_stats_batch(t: pa.Table) -> pa.Table:

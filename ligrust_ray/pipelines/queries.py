@@ -35,25 +35,55 @@ from ligrust_ray.state.graph import DistGraph
 
 N_EVENT_NODES = 150          # dst domain: CAST(FLOOR(value*100) AS BIGINT) % 150
 
-_WS_SPLIT = re.compile(r"\s+")   # DuckDB regexp_split_to_array(trim(x),'\s+')
-_WORD_RE = re.compile(r"\S+")    # DuckDB regexp_extract_all(x, '\S+')
+# explicit [\t\n\f\r ] class = RE2 \s parity (Python \s is Unicode-wide;
+# the DuckDB oracles run RE2) — see textstats.RE2_WS
+_WS_SPLIT = re.compile("[\t\n\f\r ]+")   # regexp_split_to_array(x, '\s+')
+_WORD_RE = re.compile("[^\t\n\f\r ]+")   # regexp_extract_all(x, '\S+')
 
-_EVENTS_N_CACHE: dict[str, int] = {}
+_EVENTS_N_CACHE: dict = {}
+
+
+def _events_fp(sf_dir: str) -> tuple[int, int]:
+    """Freshness fingerprint of this sf_dir's events table: (mtime_ns,
+    size). Every events-derived cache below keys on it, so a long-lived
+    session that regenerates data under the same path gets fresh
+    artifacts instead of stale ones (and the stale entries are dropped,
+    releasing their object-store blocks)."""
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _evict_stale(cache: dict, key: tuple) -> None:
+    """Drop other entries of the same logical key (all but the trailing
+    fingerprint element) — at most one generation per artifact stays."""
+    for k in [k for k in cache if k[:-1] == key[:-1] and k != key]:
+        del cache[k]
+
+
+def clear_caches() -> None:
+    """Explicit invalidation hook: forget every cached Dataset/graph
+    artifact (wedges, walk corpora, loaded CSR graphs, events_n)."""
+    _EVENTS_N_CACHE.clear()
+    _WEDGE_CACHE.clear()
+    _WALK_CACHE.clear()
+    _GRAPH_CACHE.clear()
 
 
 def events_n(sf_dir: str) -> int:
     """Node-id domain of the events graph: max(user_id)+1 scales with sf
     (src = user_id is unbounded; dst is always < N_EVENT_NODES). Read from
     parquet row-group statistics — no data scan."""
-    if sf_dir not in _EVENTS_N_CACHE:
+    key = (sf_dir, _events_fp(sf_dir))
+    if key not in _EVENTS_N_CACHE:
         import pyarrow.parquet as pq
 
+        _evict_stale(_EVENTS_N_CACHE, key)
         f = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
         idx = f.schema_arrow.get_field_index("user_id")
         mx = max(f.metadata.row_group(i).column(idx).statistics.max
                  for i in range(f.metadata.num_row_groups))
-        _EVENTS_N_CACHE[sf_dir] = max(int(mx) + 1, N_EVENT_NODES)
-    return _EVENTS_N_CACHE[sf_dir]
+        _EVENTS_N_CACHE[key] = max(int(mx) + 1, N_EVENT_NODES)
+    return _EVENTS_N_CACHE[key]
 
 
 def _events_rows(sf_dir: str) -> int:
@@ -201,10 +231,8 @@ def q_events_walks(sf_dir: str):
     of the distinct directed events graph (algos/walks.py): next hop =
     neighbor at index hash(start, cur, step) % outdeg in dst-ascending
     order; dead ends terminate. The SQL oracle unrolls the identical 4
-    chooser joins."""
-    from ligrust_ray.algos.walks import random_walks
-
-    w = random_walks(events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH)
+    chooser joins. The corpus is the shared _walks_cached artifact."""
+    w = _walks_cached(sf_dir)
     return w.select_columns(["start", "step", "node"])   # wid == 0 at W=1
 
 
@@ -213,21 +241,16 @@ def q_events_walks_nb(sf_dir: str):
     order) walk corpus: the predecessor is excluded from the candidate
     set, chooser re-indexes the remaining neighbors in dst order. The
     SQL oracle re-ranks with a filtered ROW_NUMBER per step."""
-    from ligrust_ray.algos.walks import random_walks
-
-    w = random_walks(events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH,
-                     no_backtrack=True)
+    w = _walks_cached(sf_dir, no_backtrack=True)
     return w.select_columns(["start", "step", "node"])   # wid == 0 at W=1
 
 
 def q_events_walk_vocab(sf_dir: str):
     """(node, n) — visit counts over the walk corpus (the unigram table a
     word2vec negative sampler draws from; distribution^0.75 is a trivial
-    post-step on these integers). One grouped count over q_events_walks'
-    output."""
-    from ligrust_ray.algos.walks import random_walks
-
-    w = random_walks(events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH)
+    post-step on these integers). One grouped count over the shared
+    _walks_cached corpus."""
+    w = _walks_cached(sf_dir)
     counts = shuffle.grouped_agg(w, ["node"], {"n": (None, "count")})
     return counts.map_batches(
         lambda t: pa.table({"node": t.column("node").cast(pa.int64()),
@@ -259,11 +282,12 @@ def q_events_edge_holdout(sf_dir: str):
 
 def q_events_skipgrams(sf_dir: str):
     """(center, context, n) word2vec training pairs of the events walk
-    corpus (walks.skipgram_pairs over q_events_walks, window 2)."""
-    from ligrust_ray.algos.walks import random_walks, skipgram_pairs
+    corpus (walks.skipgram_pairs over the shared _walks_cached corpus,
+    window 2) — skipgram cost is just its own two shuffles once the
+    corpus artifact is warm."""
+    from ligrust_ray.algos.walks import skipgram_pairs
 
-    return skipgram_pairs(
-        random_walks(events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH))
+    return skipgram_pairs(_walks_cached(sf_dir))
 
 
 NS_K = 3    # sampled out-neighbors per source
@@ -564,7 +588,8 @@ def _cn_wedges(sf_dir: str, with_score: bool) -> ray.data.Dataset:
     return shuffle.grouped_apply(low, ["node_id"], pairs_fn)
 
 
-_WEDGE_CACHE: dict[str, ray.data.Dataset] = {}
+_WEDGE_CACHE: dict = {}
+_WALK_CACHE: dict = {}
 
 
 def _cn_wedges_cached(sf_dir: str) -> ray.data.Dataset:
@@ -572,11 +597,33 @@ def _cn_wedges_cached(sf_dir: str) -> ray.data.Dataset:
     (q_events_common_neighbors and q_events_link_pred consume the SAME
     wedges; the scored variant is a superset — one extra int64 column).
     Computing it once halves the combined cost; the blocks live in the
-    object store like the graph artifacts in _GRAPH_CACHE."""
-    if sf_dir not in _WEDGE_CACHE:
-        _WEDGE_CACHE[sf_dir] = _cn_wedges(sf_dir,
-                                          with_score=True).materialize()
-    return _WEDGE_CACHE[sf_dir]
+    object store like the graph artifacts in _GRAPH_CACHE. Keyed on the
+    events fingerprint — regenerated data invalidates, stale blocks drop."""
+    key = (sf_dir, _events_fp(sf_dir))
+    if key not in _WEDGE_CACHE:
+        _evict_stale(_WEDGE_CACHE, key)
+        _WEDGE_CACHE[key] = _cn_wedges(sf_dir,
+                                       with_score=True).materialize()
+    return _WEDGE_CACHE[key]
+
+
+def _walks_cached(sf_dir: str, no_backtrack: bool = False
+                  ) -> ray.data.Dataset:
+    """Materialized walk corpus, shared by the embedding front-end family
+    (q_events_walks / q_events_walk_vocab / q_events_skipgrams consume
+    the SAME corpus; q_events_walks_nb is the no-backtrack twin) — the
+    _cn_wedges_cached pattern: generate once per (sf_dir, variant,
+    events fingerprint), let downstream queries pay only their own
+    shuffles."""
+    from ligrust_ray.algos.walks import random_walks
+
+    key = (sf_dir, no_backtrack, _events_fp(sf_dir))
+    if key not in _WALK_CACHE:
+        _evict_stale(_WALK_CACHE, key)
+        _WALK_CACHE[key] = random_walks(
+            events_edges_ds(sf_dir), length=WALKS_SQL_LENGTH,
+            no_backtrack=no_backtrack).materialize()
+    return _WALK_CACHE[key]
 
 
 def q_events_common_neighbors(sf_dir: str):
@@ -647,10 +694,19 @@ def q_docs_clean(sf_dir: str):
 _GRAPH_CACHE: dict = {}
 
 
+def _events_tag(sf_dir: str) -> int:
+    """crc32 of (path, fingerprint) — names the on-disk CSR artifact, so
+    regenerated events data under the same path builds into a FRESH dir
+    instead of reusing a stale one."""
+    fp = _events_fp(sf_dir)
+    return zlib.crc32(f"{sf_dir}:{fp[0]}:{fp[1]}".encode()) & 0xFFFFFFFF
+
+
 def events_graph(sf_dir: str) -> DistGraph:
-    key = ("events", sf_dir)
+    key = ("events", sf_dir, _events_fp(sf_dir))
     if key not in _GRAPH_CACHE:
-        tag = zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF
+        _evict_stale(_GRAPH_CACHE, key)
+        tag = _events_tag(sf_dir)
         gd = os.path.join(tempfile.gettempdir(),
                           f"ligr_events_{tag:08x}_n{events_n(sf_dir)}")
         if not os.path.exists(os.path.join(gd, "manifest.json")):
@@ -663,9 +719,10 @@ def events_graph(sf_dir: str) -> DistGraph:
 def events_sym_graph(sf_dir: str) -> DistGraph:
     """Symmetrized simple events graph (for undirected algorithms like
     k-core): distinct non-loop undirected edges, stored both directions."""
-    key = ("events_sym", sf_dir)
+    key = ("events_sym", sf_dir, _events_fp(sf_dir))
     if key not in _GRAPH_CACHE:
-        tag = zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF
+        _evict_stale(_GRAPH_CACHE, key)
+        tag = _events_tag(sf_dir)
         gd = os.path.join(tempfile.gettempdir(),
                           f"ligr_events_sym_{tag:08x}_n{events_n(sf_dir)}")
         if not os.path.exists(os.path.join(gd, "manifest.json")):
@@ -681,9 +738,10 @@ def events_rev_graph(sf_dir: str) -> DistGraph:
     (n, num_partitions) so partition bounds match the forward graph —
     the backward-propagation twin for SCC / HITS (algos/scc.py's
     transfer_state moves state between the aligned shard actors)."""
-    key = ("events_rev", sf_dir)
+    key = ("events_rev", sf_dir, _events_fp(sf_dir))
     if key not in _GRAPH_CACHE:
-        tag = zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF
+        _evict_stale(_GRAPH_CACHE, key)
+        tag = _events_tag(sf_dir)
         gd = os.path.join(tempfile.gettempdir(),
                           f"ligr_events_rev_{tag:08x}_n{events_n(sf_dir)}")
         if not os.path.exists(os.path.join(gd, "manifest.json")):
@@ -1517,7 +1575,11 @@ def q_docs_token_bpe(sf_dir: str):
 
 
 def q_emb_near_dup_ivf(sf_dir: str):
-    ds = dedup.embedding_near_dup_ivf(_emb(sf_dir), threshold=0.45)
+    """Bucketed near-dup pairs with the md5 id-bucket quantizer — the
+    SQL-hash-checked plumbing variant (see q_emb_knn_ivf); k-means
+    recall is pytest-verified."""
+    ds = dedup.embedding_near_dup_ivf(_emb(sf_dir), threshold=0.45,
+                                      quantizer="md5")
     parts = [b for b in ds.iter_batches(batch_format="pyarrow")]
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     return pa.concat_tables([t.select(["a", "b"]).cast(schema)
@@ -2296,7 +2358,13 @@ def q_emb_knn(sf_dir: str):
 
 
 def q_emb_knn_ivf(sf_dir: str):
-    return ann.knn_ivf(_emb(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
+    """IVF top-k with the deterministic md5 id-bucket quantizer
+    (ann.md5_buckets) — identical bucketed-layout / probe / partial-top-k
+    plumbing as the k-means index, but every step is a pure function of
+    the data, so the whole approximate pipeline is SQL-hash-checked; the
+    k-means quantizer's RECALL is pytest-verified against brute force."""
+    return ann.knn_ivf(_emb(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10,
+                       quantizer="md5")
 
 
 def q_emb_near_dup(sf_dir: str):

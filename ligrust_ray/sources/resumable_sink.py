@@ -24,6 +24,7 @@ row per shard. Nothing returns to the driver but the stats table
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -49,6 +50,36 @@ def shard_of(key, num_shards: int) -> np.ndarray:
 
     return (md5_u64_lower_arrow([str(x) for x in arr])
             % np.uint64(num_shards)).astype(np.int64)
+
+
+def _check_sink_config(out_dir: str, cfg: dict) -> None:
+    """Validate-or-record this run's sink parameters + input fingerprint
+    (row count, column set). A _SUCCESS marker alone proves a shard was
+    COMMITTED, not that it was committed from THIS input with THIS
+    sharding — resuming with a different num_shards, key, or input would
+    silently keep stale shard contents and read_partitioned would mix
+    generations. Mismatch fails loudly; same-count same-columns content
+    drift is caught per shard by the marker row-count check instead."""
+    path = os.path.join(out_dir, "_SINK_CONFIG")
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        if old != cfg:
+            diff = {k: (old.get(k), cfg[k]) for k in cfg
+                    if old.get(k) != cfg[k]}
+            raise ValueError(
+                f"resumable sink mismatch under {out_dir}: committed vs "
+                f"current differ on {diff} — refusing to mix output "
+                "generations; use a fresh out_dir or delete the old one")
+        return
+    if any(n.startswith("shard=") for n in os.listdir(out_dir)):
+        raise ValueError(
+            f"{out_dir} holds shard output but no _SINK_CONFIG record — "
+            "cannot validate a resume against it; use a fresh out_dir")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cfg, f)
+    os.replace(tmp, path)
 
 
 def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
@@ -82,6 +113,19 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
             sdir = os.path.join(out_dir, f"shard={int(sh):05d}")
             marker = os.path.join(sdir, "_SUCCESS")
             if resume and os.path.exists(marker):
+                # committed-marker row count vs THIS run's routed rows for
+                # the shard: sharding is a pure key function, so any
+                # difference means the input changed since the commit —
+                # skipping would silently mix generations
+                with open(marker) as f:
+                    committed = int(f.read().strip().split("=", 1)[1])
+                if committed != len(g):
+                    raise ValueError(
+                        f"resume mismatch in {sdir}: committed rows="
+                        f"{committed} but current input routes {len(g)} "
+                        "rows here — the input changed since this shard "
+                        "was written; use a fresh out_dir (or resume="
+                        "False to overwrite)")
                 stats.append((int(sh), 0, 1))
                 continue
             os.makedirs(sdir, exist_ok=True)
@@ -108,6 +152,13 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
     # grouped_apply hash-routes by __shard so a shard never spans tasks
     # (each shard directory has exactly one writer)
     routed = ds.map_batches(route, batch_format="pandas").materialize()
+    if routed.count() > 0:      # empty input writes nothing to validate
+        _check_sink_config(out_dir, {
+            "key": key, "num_shards": int(num_shards),
+            "shard_col": shard_col, "order_by": order_by,
+            "n_rows": int(routed.count()),
+            "columns": sorted(c for c in routed.schema().names
+                              if not c.startswith("__"))})
     if routed.count() == 0:
         # map_batches/map_groups are skipped on empty blocks (the Ray
         # empty-block gotcha): the stats frame would come back schema-less

@@ -24,9 +24,54 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _FINAL_KIND = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def _arrow_agg(t: pa.Table, keys: list[str],
+               specs: dict[str, tuple[str | None, str]]) -> pa.Table:
+    """One Arrow hash-aggregate over ``t``: specs = {out: (col, kind)}
+    with kind in count/sum/min/max. Null-KEY rows are dropped first
+    (pandas-groupby dropna parity — Arrow would otherwise keep a null
+    group). Output columns: keys + outs, in that order."""
+    for k in keys:
+        col = t.column(k)
+        if col.null_count:
+            t = t.filter(pc.is_valid(col))
+    gspec, producers = [], {}
+    for out, (col, kind) in specs.items():
+        src = ([], "count_all") if kind == "count" else (col, kind)
+        name = "count_all" if kind == "count" else f"{col}_{kind}"
+        if name not in producers:
+            producers[name] = []
+            gspec.append(src)
+        producers[name].append(out)
+    g = t.group_by(keys).aggregate(gspec)
+    cols = {k: g.column(k) for k in keys}
+    for name, outs in producers.items():
+        for out in outs:
+            cols[out] = g.column(name)
+    return pa.table(cols)
+
+
+def _empty_agg_table(t: pa.Table, keys: list[str],
+                     specs: dict[str, tuple[str | None, str]],
+                     with_part: bool) -> pa.Table:
+    """Typed empty result for zero-column empty blocks (upstream
+    map_groups emits those): column type from ``t`` when present, int64
+    fallback (zero rows — concat takes dtype from the real blocks)."""
+    def typ(c):
+        return t.column(c).type if c in t.column_names else pa.int64()
+
+    cols = {k: pa.array([], type=typ(k)) for k in keys}
+    for out, (col, kind) in specs.items():
+        cols[out] = pa.array([], type=(pa.int64() if kind == "count"
+                                       else typ(col)))
+    if with_part:
+        cols["__part"] = pa.array([], type=pa.int64())
+    return pa.table(cols)
 
 
 def grouped_agg(ds: ray.data.Dataset, keys: list[str],
@@ -36,34 +81,39 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
 
     ``src_col`` is ignored for kind="count". Output columns: keys + out
     columns, one row per distinct key combination.
+
+    Both the map-side partial and the in-partition final combine run
+    Arrow's C++ hash aggregate (``Table.group_by``) — no Arrow->pandas
+    hop on the wide step, which for string-keyed aggregates (tokens,
+    urls) used to copy every key into a Python-object column per batch.
+    Only the already-combined key rows (one per distinct key per block)
+    touch pandas, for the partition hash.
     """
     for out, (_, kind) in aggs.items():
         if kind not in _FINAL_KIND:
             raise ValueError(f"unsupported agg kind {kind!r} for {out!r}")
+    needed = set(keys) | {c for c, k in aggs.values() if k != "count"}
+    finals = {out: (out, _FINAL_KIND[kind])
+              for out, (_, kind) in aggs.items()}
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return _empty_like(df, keys, aggs)
-        g = df.groupby(keys, as_index=False, sort=False)
-        named = {
-            out: pd.NamedAgg(column=(col if kind != "count" else keys[0]),
-                             aggfunc=("size" if kind == "count" else kind))
-            for out, (col, kind) in aggs.items()
-        }
-        r = g.agg(**named)
-        h = pd.util.hash_pandas_object(r[keys], index=False).to_numpy()
-        r["__part"] = (h % num_partitions).astype(np.int64)
-        return r
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows or not needed <= set(t.column_names):
+            return _empty_agg_table(t, keys, aggs, with_part=True)
+        r = _arrow_agg(t, keys, aggs)
+        # partition id from the COMBINED key rows (small) — the only
+        # pandas touch on the wide path
+        h = pd.util.hash_pandas_object(
+            r.select(keys).to_pandas(), index=False).to_numpy()
+        return r.append_column(
+            "__part", pa.array((h % num_partitions).astype(np.int64)))
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns="__part")
-        g = df.groupby(keys, as_index=False, sort=False)
-        named = {out: pd.NamedAgg(column=out, aggfunc=_FINAL_KIND[kind])
-                 for out, (_, kind) in aggs.items()}
-        return g.agg(**named)
+    def final(t: pa.Table) -> pa.Table:
+        if not t.num_rows or not set(keys) <= set(t.column_names):
+            return _empty_agg_table(t, keys, aggs, with_part=False)
+        return _arrow_agg(t.drop_columns(["__part"]), keys, finals)
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby("__part").map_groups(final, batch_format="pandas"))
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__part").map_groups(final, batch_format="pyarrow"))
 
 
 def _empty_like(df: pd.DataFrame, keys: list[str],

@@ -397,6 +397,12 @@ class CsrShard:
         vals = kernel.source_values(self.state, self.out_deg)
         return self.frontier, vals
 
+    def make_view_multi(self, kernels) -> tuple[np.ndarray, list]:
+        """(frontier slice, [values slice per kernel]) — one wave serves
+        every kernel of an ``edge_map_multi`` batch."""
+        return self.frontier, [k.source_values(self.state, self.out_deg)
+                               for k in kernels]
+
     # ---- dense / pull edge map ------------------------------------------
     def _resolve_hub_aggs(self, kernel, hub_partial_refs: list | None
                           ) -> dict | None:
@@ -567,6 +573,46 @@ class CsrShard:
             active = w if frontier_full is None else w[frontier_full[srcs]]
             out.append((hub, *self._chunk_partial(kernel, active)))
         return out
+
+    def pull_broadcast_multi(self, kernels, frontier_full: np.ndarray | None,
+                             values_refs: list,
+                             hub_partial_refs: list | None = None) -> dict:
+        """Apply a BATCH of independent kernels (disjoint written state,
+        shared frontier) back to back in one actor call — the driver pays
+        one dispatch instead of one per kernel. ``values_refs[k]`` is the
+        ObjectRef of kernel k's broadcast values (refs nested in a list
+        are not auto-resolved; each resolves zero-copy from local
+        plasma). Summary: last kernel's frontier state, edges_scanned
+        summed, scalars merged across kernels."""
+        hub_parts = ray.get(list(hub_partial_refs)) \
+            if hub_partial_refs else None
+        total_scanned = 0
+        scalars: dict = {}
+        s: dict = {}
+        for ki, kernel in enumerate(kernels):
+            values_full = ray.get(values_refs[ki])
+            hub_aggs = None
+            if hub_parts is not None:
+                hub_aggs = _merge_hub_partials_rows(
+                    kernel.reduce, [p[ki] for p in hub_parts],
+                    self.lo, self.hi)
+            s = self.pull_broadcast(kernel, frontier_full, values_full,
+                                    hub_aggs=hub_aggs or {})
+            total_scanned += s["edges_scanned"]
+            for k2, v2 in (s.get("scalars") or {}).items():
+                scalars[k2] = scalars.get(k2, 0) + v2
+        s["edges_scanned"] = total_scanned
+        s["scalars"] = scalars
+        return s
+
+    def hub_partials_multi(self, kernels,
+                           frontier_full: np.ndarray | None,
+                           values_refs: list) -> list:
+        """Per-kernel hub partials for an ``edge_map_multi`` batch:
+        returns [hub_partials(kernel_k) for k] (values refs resolved
+        locally, zero-copy)."""
+        return [self.hub_partials(k, frontier_full, ray.get(values_refs[ki]))
+                for ki, k in enumerate(kernels)]
 
     def hub_partials_aligned(self, kernel, view_refs: list) -> list:
         """Same partials, but partition-aligned: fetch ONLY the source
@@ -850,6 +896,46 @@ class DistGraph:
             ])
         self._view_cache = None
         return self._absorb(summaries)
+
+    def edge_map_multi(self, kernels: list) -> dict:
+        """Run a BATCH of independent edge_map kernels (disjoint written
+        state, same source frontier — e.g. JP coloring's per-word
+        neighbour-color mask gathers) in TWO actor waves total: one
+        ``make_view_multi`` returning every kernel's source values, one
+        ``pull_broadcast_multi`` applying them all, instead of
+        (make_view + pull) x K round trips. Round-dominated algorithms
+        are dispatch-bound at small per-round work (BASELINE §2d: ~20 ms
+        per wave), so this cuts a K-word round from 2K to 2 dispatches.
+        Dense broadcast mode only; other regimes fall back to sequential
+        ``edge_map`` (correct, just unbatched)."""
+        if not kernels:
+            return {}
+        if len(kernels) == 1:
+            return self.edge_map(kernels[0])
+        dense = self.frontier_degree_sum > self.threshold
+        if not (dense and self.n <= self.PULL_BROADCAST_MAX_NODES):
+            s: dict = {}
+            for k in kernels:
+                s = self.edge_map(k)
+            return s
+        views = ray.get([a.make_view_multi.remote(kernels)
+                         for a in self.actors])
+        full = self.frontier_count >= self.n
+        f_ref = None if full else \
+            ray.put(np.concatenate([f for f, _ in views]))
+        v_refs = [ray.put(np.concatenate([vs[ki] for _, vs in views]))
+                  for ki in range(len(kernels))]
+        hub_refs = None
+        if self.has_hubs:
+            self.edges_scanned += self.hub_edges_total * len(kernels)
+            # dispatch-only, merged inside the concurrent pull wave
+            hub_refs = [a.hub_partials_multi.remote(kernels, f_ref, v_refs)
+                        for a in self.actors]
+        out = ray.get([
+            a.pull_broadcast_multi.remote(kernels, f_ref, v_refs, hub_refs)
+            for a in self.actors])
+        self._view_cache = None
+        return self._absorb(out)
 
     def _hub_wave(self, kernel, f_ref, v_ref) -> dict | None:
         """Tiny pre-wave for split hubs: every shard reduces its held

@@ -985,7 +985,8 @@ def test_resumable_sink_roundtrip_and_resume(ray_session, tmp_path):
     os.remove(os.path.join(victim, "part.parquet"))
 
     before = {p: os.path.getmtime(os.path.join(out, p, "part.parquet"))
-              for p in os.listdir(out) if p != "shard=00003"}
+              for p in os.listdir(out)
+              if p.startswith("shard=") and p != "shard=00003"}
     stats2 = write_partitioned(ds, out, key="doc_id", num_shards=8,
                                num_partitions=4)
     # only the victim was rewritten; everything else skipped untouched
@@ -1221,3 +1222,63 @@ def test_cms_registers_and_point_query(ray_session):
               ["n"].sum().sort_values(["r", "c"]).reset_index(drop=True))
     whole = regs.sort_values(["r", "c"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(merged, whole)
+
+
+def test_unicode_whitespace_re2_parity():
+    """Engine tokenizers use an explicit [\\t\\n\\f\\r ] class so docs
+    containing UNICODE whitespace (NBSP, LINE SEPARATOR, \\x0b — all
+    Python-\\s but not RE2-\\s) tokenize identically to the DuckDB RE2
+    oracles."""
+    import duckdb
+    import pyarrow as pa
+
+    from ligrust_ray.dataops import textstats
+
+    texts = ["a\xa0b", "para break", "x\x0by", "a b", "a\t\nb", "", "  pad  "]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    got = textstats.token_count_batch(t).column("n_tokens").to_pylist()
+    con = duckdb.connect()
+    exp = [con.execute(
+        "SELECT length(regexp_split_to_array(trim(?), '\\s+'))",
+        [x]).fetchone()[0] for x in texts]
+    assert got == exp
+
+    got_fp = textstats.fingerprint_batch(t).column("fingerprint").to_pylist()
+    exp_fp = [con.execute(
+        "WITH h AS (SELECT md5_number_lower(regexp_replace(trim(?), "
+        "'\\s+', ' ', 'g')) AS u) "
+        "SELECT CAST(CAST(u AS HUGEINT) - (CASE WHEN u >= "
+        "9223372036854775808 THEN 18446744073709551616 ELSE 0 END) "
+        "AS BIGINT) FROM h", [x]).fetchone()[0] for x in texts]
+    assert got_fp == exp_fp
+
+
+def test_resumable_sink_rejects_mismatched_resume(ray_session, tmp_path):
+    """_SUCCESS alone must not authorize a skip: resuming with different
+    num_shards, a different key, or changed input data fails loudly
+    instead of silently mixing output generations."""
+    import pytest
+    import ray.data
+
+    from ligrust_ray.sources.resumable_sink import write_partitioned
+
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                       "text": [f"t{i}" for i in range(50)]})
+    out = str(tmp_path / "sink")
+    write_partitioned(ray.data.from_pandas(df), out, key="doc_id",
+                      num_shards=8)
+
+    with pytest.raises(ValueError, match="num_shards"):
+        write_partitioned(ray.data.from_pandas(df), out, key="doc_id",
+                          num_shards=4)
+    # changed input rows under the same params
+    df2 = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                        "text": [f"t{i}" for i in range(40)]})
+    with pytest.raises(ValueError, match="n_rows"):
+        write_partitioned(ray.data.from_pandas(df2), out, key="doc_id",
+                          num_shards=8)
+    # identical rerun still resumes cleanly (everything skipped)
+    stats = write_partitioned(ray.data.from_pandas(df), out, key="doc_id",
+                              num_shards=8)
+    assert stats["rows"].sum() == 0 and stats["skipped"].all()

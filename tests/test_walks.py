@@ -155,3 +155,33 @@ def test_no_backtrack_terminates_on_pendant(ray_session):
     assert len(nb) == 2                 # one step per start, then stuck
     assert set(nb["step"]) == {1}
     assert len(std) == 8                # 4 steps per start
+
+
+def test_walk_cache_invalidates_on_data_change(ray_session, tmp_path):
+    """_walks_cached keys on the events.parquet fingerprint: regenerating
+    the file under the SAME path must produce fresh walks (and evict the
+    stale cache entry), not serve the old corpus."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = str(tmp_path)
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                os.path.join(sf, "events.parquet"))
+    first = Q._walks_cached(sf).to_pandas()
+    n_keys = len(Q._WALK_CACHE)
+
+    # regenerate: keep only the first half of the rows (different graph)
+    t = pq.read_table(os.path.join(sf, "events.parquet"))
+    pq.write_table(t.slice(0, t.num_rows // 2),
+                   os.path.join(sf, "events.parquet"))
+    second = Q._walks_cached(sf).to_pandas()
+    assert len(Q._WALK_CACHE) == n_keys          # stale entry evicted
+    assert not first.equals(second)
+
+    Q.clear_caches()
+    assert not Q._WALK_CACHE and not Q._WEDGE_CACHE and not Q._GRAPH_CACHE
