@@ -154,7 +154,13 @@ class _FinishRound(VertexKernel):
         ids = np.arange(shard.lo, shard.hi, dtype=np.int64)
         state["prio"] = round_priorities(self.next_round, ids)
         unc = state["color"] < 0
-        return unc, {"uncolored": int(unc.sum())}
+        c = state["color"]
+        # per-shard palette max rides the same wave (keyed per partition —
+        # driver scalars are SUMMED, a shared key would add maxes): keeps
+        # the driver's word-count bound tracking the REAL palette instead
+        # of rounds, so long tails never gather always-zero mask words
+        return unc, {"uncolored": int(unc.sum()),
+                     f"maxc_{shard.part}": int(c.max()) if len(c) else -1}
 
 
 class _MaxColor(VertexKernel):
@@ -175,9 +181,11 @@ def color_graph(graph, max_rounds: int = 200) -> dict:
     graph.init_algo({"color": (np.int64, -1), "prio": (np.int64, 0)})
     graph.edges_scanned = 0
     rounds = 0
-    # Monotone palette bound that never reads results back: a round's new
-    # colors cannot exceed (bound + 1), so bumping by one per assigning
-    # round over-covers the true max (W grows a word every 63 rounds)
+    # Palette bound from the per-shard maxc scalars of each finish wave
+    # (free — they ride the wave summary): a round's new colors cannot
+    # exceed (current max + 1), so W = bound//63 + 2 words always cover
+    # the next assignment while tracking the REAL palette (a rounds-based
+    # bound gathered always-zero extra mask words on long round tails)
     cur_bound = -1
     words_alloc = 0
     graph.vertex_map(_DrawPriorities(1), over="all")
@@ -185,7 +193,14 @@ def color_graph(graph, max_rounds: int = 200) -> dict:
     # Per-round wave budget is the scaling cost on small graphs, so the
     # round is packed into 2 + (W-1) fused dispatches: [select minima +
     # switch frontier to colored] then [last mask gather + assign + draw
-    # next priorities + uncolored re-filter], each one actor wave.
+    # next priorities + uncolored re-filter], each one actor wave. The
+    # kernel objects are STABLE across rounds (per-round inputs live in
+    # shard state, not the kernels) so each fused wave can prefetch the
+    # NEXT kernel's source values under its identity tag — the
+    # alternating select/gather pair would otherwise miss the view cache
+    # every wave and pay a make_view round trip each (4 waves/round -> 2).
+    sel = _SelectMinima()
+    gathers: list[_GatherMaskWord] = []
     while graph.frontier_count != 0:
         rounds += 1
         if rounds > max_rounds:
@@ -198,15 +213,19 @@ def color_graph(graph, max_rounds: int = 200) -> dict:
             graph.init_algo({f"nbmask{w}": (np.int64, 0)
                              for w in range(words_alloc, n_words)})
             words_alloc = n_words
-        graph.edge_map_fused(_SelectMinima(), _SelectColored(), over="all")
+        while len(gathers) < n_words:
+            gathers.append(_GatherMaskWord(len(gathers)))
+        graph.edge_map_fused(sel, _SelectColored(), over="all",
+                             next_kernel=gathers[0])
         # mask-word gathers are INDEPENDENT (disjoint nbmask words, same
         # colored-source frontier): one batched two-wave dispatch instead
         # of (n_words - 2) sequential edge_map round trips
-        graph.edge_map_multi([_GatherMaskWord(w)
-                              for w in range(n_words - 1)])
-        graph.edge_map_fused(_GatherMaskWord(n_words - 1),
-                             _FinishRound(rounds + 1, n_words), over="all")
-        cur_bound += 1
+        graph.edge_map_multi(gathers[:n_words - 1])
+        s = graph.edge_map_fused(gathers[n_words - 1],
+                                 _FinishRound(rounds + 1, n_words),
+                                 over="all", next_kernel=sel)
+        cur_bound = max([cur_bound] + [v for k, v in s.items()
+                                       if k.startswith("maxc_")])
     s = graph.vertex_map(_MaxColor(), over="all")
     n_colors = 1 + max(v for k, v in s.items() if k.startswith("maxc_"))
     return {"rounds": rounds, "colors": n_colors,

@@ -1494,7 +1494,13 @@ def q_pages_anchor_text(sf_dir: str):
                           f"ligr_pagescorpus_{n_pages}")
     write_pages_corpus(corpus, n_pages, seed=42,
                        rows_per_file=max(200, n_pages // 16))
-    pages = _read_sized(corpus)
+    # CPU-bound per-page HTML parse: block count must track CPUS, not
+    # bytes (_read_sized's byte sizing collapses the small corpus to ONE
+    # block -> a serial extract; same rule as build_graph_from_pages)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nblocks = max(1, min(2 * ncpu, n_pages // 50))
+    pages = ray.data.read_parquet(corpus, columns=["url", "html"],
+                                  override_num_blocks=nblocks)
     anchors = pages.map_batches(
         ExtractAnchors(), batch_format="pyarrow",
         batch_size=256).select_columns(["dst_url", "anchor"]).materialize()

@@ -638,12 +638,18 @@ class CsrShard:
     def pull_fused(self, kernel, vkernel, over: str,
                    frontier_full: np.ndarray | None,
                    values_full: np.ndarray,
-                   hub_partial_refs: list | None = None):
+                   hub_partial_refs: list | None = None,
+                   next_kernel=None):
         """One wave = pull_broadcast + vertex_op + next-iteration view
         values. Collapses the 3 actor waves of an iterative round
         (make_view, pull, vertex_filter) into 1 — per-iteration dispatch
         overhead is the scaling killer for mid-size graphs. Returns
-        (summary, next_view_values)."""
+        (summary, next_view_values). ``next_kernel``: prefetch the view
+        values of a DIFFERENT kernel that the caller will dispatch next
+        (alternating-kernel rounds like JP coloring otherwise miss the
+        view cache every wave and pay a make_view round trip); values are
+        computed AFTER vkernel.update, so they see the post-round state
+        exactly as a separate make_view wave would."""
         s = self.pull_broadcast(kernel, frontier_full, values_full,
                                 hub_partial_refs=hub_partial_refs)
         mask = np.ones(self.nloc, dtype=bool) if over == "all" else self.frontier
@@ -654,7 +660,8 @@ class CsrShard:
         merged = dict(s.get("scalars") or {})
         merged.update(scalars or {})
         s2["scalars"] = merged
-        return s2, self.frontier, kernel.source_values(self.state, self.out_deg)
+        return s2, self.frontier, (next_kernel or kernel).source_values(
+            self.state, self.out_deg)
 
     # ---- sparse / push edge map -----------------------------------------
     def push(self, kernel):
@@ -984,11 +991,16 @@ class DistGraph:
             ray.put(np.concatenate([f for f, _ in views]))
         return f_ref, ray.put(np.concatenate([v for _, v in views]))
 
-    def edge_map_fused(self, kernel, vkernel, over: str = "all") -> dict:
+    def edge_map_fused(self, kernel, vkernel, over: str = "all",
+                       next_kernel=None) -> dict:
         """edge_map + vertex_filter in ONE actor wave (dense broadcast mode
         only; falls back to the two separate primitives otherwise). The
         wave also returns next-iteration source values, so steady-state
-        iterations cost one dispatch + one broadcast."""
+        iterations cost one dispatch + one broadcast. ``next_kernel``:
+        cache the returned views under a DIFFERENT kernel the caller will
+        dispatch next (alternating-kernel rounds — JP coloring runs
+        select-minima then mask-gather every round — otherwise miss the
+        identity-tagged cache on every wave and pay 2x the dispatches)."""
         if kernel.weight_spec and kernel.reduce == "mode":
             raise ValueError("weighted edgeMap is not defined for "
                              "reduce='mode' (labels + weights)")
@@ -999,9 +1011,9 @@ class DistGraph:
         f_ref, v_ref = self._broadcast_views(kernel)
         hub_refs = self._hub_wave(kernel, f_ref, v_ref)
         out = ray.get([a.pull_fused.remote(kernel, vkernel, over, f_ref, v_ref,
-                                           hub_refs)
+                                           hub_refs, next_kernel)
                        for a in self.actors])
-        self._view_cache = (self._kernel_key(kernel),
+        self._view_cache = (self._kernel_key(next_kernel or kernel),
                             np.concatenate([f for _, f, _ in out]),
                             np.concatenate([v for _, _, v in out]))
         return self._absorb([s for s, _, _ in out])

@@ -647,6 +647,29 @@ def test_coloring_clique_multiword(ray_session, tmp_path):
     np.testing.assert_array_equal(got, _coloring_oracle(n, a, b))
 
 
+def test_coloring_hub_split_batched_waves(ray_session, tmp_path):
+    """A 130-clique needs >=3 mask words near the end (colors past bit
+    126), so edge_map_multi batches >=2 gather kernels per round — and a
+    forced hub split (threshold 32 << in-degree 129) routes every word
+    through the batched hub-partials path (pull_broadcast_multi +
+    hub_partials_multi). Exact oracle parity must survive both."""
+    from ligrust_ray.algos.coloring import color_graph
+
+    n = 130
+    iu = np.triu_indices(n, k=1)
+    a, b = iu[0].astype(np.int64), iu[1].astype(np.int64)
+    t = pa.table({"src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                  "dst": pa.array(np.concatenate([b, a]), type=pa.int64())})
+    d = str(tmp_path / "colhub")
+    build_graph_from_edges(t, d, n=n, num_partitions=4, hub_in_threshold=32)
+    g = DistGraph.load(d)
+    assert g.has_hubs
+    m = color_graph(g, max_rounds=400)
+    got = g.collect_state(["color"])["color"]
+    assert m["colors"] == n and sorted(got.tolist()) == list(range(n))
+    np.testing.assert_array_equal(got, _coloring_oracle(n, a, b))
+
+
 def test_coloring_fast_path_matches_oracle(ray_session):
     """Single-task fast path (color_graph_fast) must reproduce the exact
     kernel-path coloring — same cases as the kernel test plus the
