@@ -872,6 +872,8 @@ def entry() -> Any:
 # Entries that have never appeared in any CORRECTNESS_r*.json come first,
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
+    # new in round 4 (never driver-checked)
+    "docs_dsir_sample",
     # never driver-checked through round 3 (40)
     "pages_anchor_text", "docs_token_quantiles_by_lang", "docs_best_per_source",
     "docs_simhash_dupes", "docs_simhash_clusters", "docs_lang_confusion",
@@ -1015,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_cms": Q.q_docs_token_cms,
         "docs_tfidf": Q.q_docs_tfidf,
         "docs_decontaminate": Q.q_docs_decontaminate,
+        "docs_dsir_sample": Q.q_docs_dsir_sample,
         # multimodal plumbing (deterministic stub decode/resize/frame-sample)
         "media_decode": Q.q_media_decode,
         "media_resize": Q.q_media_resize,
@@ -1896,6 +1899,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN df USING (token)) "
             "SELECT doc_id, token, tf, df FROM ranked WHERE rn <= 3"),
         "docs_decontaminate": _decontam_sql(eval_mod=10),
+        # DSIR-style importance resample (dataops/dsir.py spec): hashed
+        # unigram buckets (md5 % 8192), Laplace-smoothed integer
+        # likelihood ratio per token, length-normalised per-doc score,
+        # top-100 by (score DESC, doc_id). SUM(BIGINT) is HUGEINT in
+        # DuckDB -> cast the final score back to BIGINT for the schema.
+        "docs_dsir_sample": (
+            "WITH tok AS (SELECT doc_id, lang, "
+            "UNNEST(regexp_extract_all(text, '\\S+')) AS tk "
+            "FROM documents), "
+            "b AS (SELECT doc_id, lang, "
+            "CAST(md5_number_lower(tk) % 8192 AS BIGINT) AS bucket "
+            "FROM tok), "
+            "cnt AS (SELECT bucket, COUNT(*) AS nc, "
+            "COUNT(*) FILTER (WHERE lang = 'en') AS nt "
+            "FROM b GROUP BY bucket), "
+            "w AS (SELECT b.doc_id, "
+            "(1000000 * (c.nt + 1)) // (c.nc + 1) AS tw "
+            "FROM b JOIN cnt c USING (bucket)), "
+            "s AS (SELECT doc_id, CAST(SUM(tw) // COUNT(*) AS BIGINT) "
+            "AS score FROM w GROUP BY doc_id) "
+            "SELECT doc_id, score FROM s "
+            "ORDER BY score DESC, doc_id LIMIT 100"),
         "media_resize": (
             "SELECT doc_id AS media_id, CAST(224 AS BIGINT) AS width, "
             "CAST(224 AS BIGINT) AS height FROM documents"),

@@ -3059,6 +3059,23 @@ def q_docs_decontaminate(sf_dir: str):
     return pa.table({"doc_id": pa.array(vals)})
 
 
+DSIR_K = 100
+
+
+def q_docs_dsir_sample(sf_dir: str):
+    """(doc_id, score) — top-DSIR_K documents by DSIR-style hashed
+    importance score against the lang='en' target slice (dataops/dsir.py:
+    md5-hashed unigram buckets, Laplace-smoothed integer likelihood
+    ratios, length-normalised per-doc score, ties broken by doc_id). The
+    SQL oracle replicates every step with the same md5_number_lower
+    bucket hash and integer floor division, so the whole selection
+    pipeline is hash-checked."""
+    from ligrust_ray.dataops import dsir
+
+    return dsir.dsir_sample(_docs(sf_dir, columns=["doc_id", "text",
+                                                   "lang"]), k=DSIR_K)
+
+
 def q_docs_lang_hist(sf_dir: str):
     out = shuffle.grouped_agg(
         _docs(sf_dir).select_columns(["lang"]), ["lang"],

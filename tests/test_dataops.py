@@ -1282,3 +1282,50 @@ def test_resumable_sink_rejects_mismatched_resume(ray_session, tmp_path):
     stats = write_partitioned(ray.data.from_pandas(df), out, key="doc_id",
                               num_shards=8)
     assert stats["rows"].sum() == 0 and stats["skipped"].all()
+
+
+def test_dsir_scores_match_duckdb(ray_session):
+    """Engine DSIR scores == the SQL spec on an adversarial corpus:
+    unicode whitespace (NBSP is a TOKEN character under RE2 \\s), empty
+    and whitespace-only docs (no score row), exact ties (broken by
+    doc_id), and a skewed target slice."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from ligrust_ray.dataops import dsir
+
+    texts = ["the cat sat", "the\xa0cat", "", "   ", "le chat noir",
+             "the the the", "cat", "\tcat\n", "der hund", "the cat sat"]
+    langs = ["en", "en", "en", "fr", "fr", "en", "de", "de", "de", "fr"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string()),
+                  "lang": pa.array(langs, type=pa.string())})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    got = dsir.dsir_sample(ds, k=8).to_pandas()
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(
+        "WITH tok AS (SELECT doc_id, lang, "
+        "UNNEST(regexp_extract_all(text, '\\S+')) AS tk FROM documents), "
+        "b AS (SELECT doc_id, lang, "
+        "CAST(md5_number_lower(tk) % 8192 AS BIGINT) AS bucket FROM tok), "
+        "cnt AS (SELECT bucket, COUNT(*) AS nc, "
+        "COUNT(*) FILTER (WHERE lang = 'en') AS nt FROM b GROUP BY bucket), "
+        "w AS (SELECT b.doc_id, (1000000 * (c.nt + 1)) // (c.nc + 1) AS tw "
+        "FROM b JOIN cnt c USING (bucket)), "
+        "s AS (SELECT doc_id, CAST(SUM(tw) // COUNT(*) AS BIGINT) AS score "
+        "FROM w GROUP BY doc_id) "
+        "SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 8"
+    ).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
+    # empty/whitespace-only docs (2, 3) never appear
+    assert not set(got["doc_id"]) & {2, 3}
+    # determinism across a re-run with different partitioning
+    got2 = dsir.dsir_sample(ray.data.from_arrow(t).repartition(7),
+                            k=8).to_pandas()
+    pd.testing.assert_frame_equal(got, got2)
