@@ -468,6 +468,10 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_docs_best_per_source(SF_DIR).materialize()
     q["docs_best_per_source"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    Q.q_docs_dsir_sample(SF_DIR)          # returns a bounded pa.Table
+    q["docs_dsir_sample"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,
@@ -511,6 +515,98 @@ def _scaling_child(num_cpus: int) -> None:
     ray.shutdown()
 
 
+SCALE_DEDUP_DIR = "/tmp/ligr_scale_dedup"
+# corpus = sf documents replicated this many times; at the default 10 the
+# 32-CPU wall is ~5 s of mostly per-stage dispatch floors — use >= 100 for
+# a measurement where compute, not fixed latency, is the scaled quantity
+SCALE_DEDUP_FACTOR = int(os.environ.get("GRAFT_SCALE_DEDUP_FACTOR", "10"))
+
+
+def _scale_dedup_corpus() -> str:
+    """Deterministic duplicate-heavy corpus for the dedup scaling runs:
+    the sf documents table replicated SCALE_DEDUP_FACTOR x (the minhash
+    stress shape — forces the fully distributed LSH/verify/components
+    path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(SCALE_DEDUP_DIR,
+                        f"docs_x{SCALE_DEDUP_FACTOR}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(SCALE_DEDUP_DIR, exist_ok=True)
+        t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        texts = t.column("text").combine_chunks()
+        big = pa.table({
+            "doc_id": pa.array(np.arange(t.num_rows * SCALE_DEDUP_FACTOR,
+                                         dtype=np.int64)),
+            "text": pa.concat_arrays([texts] * SCALE_DEDUP_FACTOR)})
+        tmp = path + ".tmp"
+        pq.write_table(big, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _scaling_dedup_child(num_cpus: int) -> None:
+    """Pinned N-core child for the corpus-op scaling evidence: minhash-LSH
+    dedup over the 10x-replica corpus (same affinity protocol as the
+    PageRank child — BASELINE.md §3)."""
+    os.sched_setaffinity(0, range(num_cpus))
+    _init(num_cpus)
+    import ray
+    import ray.data
+
+    from ligrust_ray.dataops.dedup import minhash_lsh_dedup
+
+    path = _scale_dedup_corpus()
+    ds = ray.data.read_parquet(path,
+                               override_num_blocks=PARTITIONS).materialize()
+    n = ds.count()
+    minhash_lsh_dedup(ds).count()             # warm actors / object store
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = minhash_lsh_dedup(ds).count()
+        wall = min(wall, time.perf_counter() - t0)
+    print("SCALING_RESULT " + json.dumps({
+        "num_cpus": num_cpus, "wall_s": wall, "docs": n,
+        "rows_out": out, "docs_per_sec": n / wall,
+        "partitions": PARTITIONS}))
+    ray.shutdown()
+
+
+def run_scaling_dedup() -> dict:
+    _init(NUM_CPUS)
+    _scale_dedup_corpus()
+    import ray
+
+    ray.shutdown()
+    results: dict = {}
+    n_reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    for rep in range(n_reps):
+        for ncpu in (2, 8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-dedup-child", str(ncpu)],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in out.stdout.splitlines():
+                if line.startswith("SCALING_RESULT "):
+                    r = json.loads(line[len("SCALING_RESULT "):])
+                    if ncpu not in results or \
+                            r["wall_s"] < results[ncpu]["wall_s"]:
+                        results[ncpu] = r
+
+    def eff(a: int, b: int) -> float:
+        return (results[b]["docs_per_sec"] / results[a]["docs_per_sec"]) \
+            / (b / a)
+
+    return {"runs": results,
+            "scaling_efficiency": eff(2, 8),
+            "scaling_efficiency_8_to_32": eff(8, 32)}
+
+
 def run_scaling() -> dict:
     # ensure the scaling graph exists before the measured children run
     _init(NUM_CPUS)
@@ -551,6 +647,19 @@ def run_scaling() -> dict:
 def main() -> int:
     if "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+        return 0
+    if "--scaling-dedup-child" in sys.argv:
+        _scaling_dedup_child(int(
+            sys.argv[sys.argv.index("--scaling-dedup-child") + 1]))
+        return 0
+    if "--scaling-dedup" in sys.argv:
+        res = run_scaling_dedup()
+        print(json.dumps({
+            "metric": "minhash_dedup_scaling_efficiency_N2_to_4N8_cpus",
+            "value": res["scaling_efficiency"], "unit": "ratio",
+            "scaling_efficiency_8_to_32": res["scaling_efficiency_8_to_32"],
+            "runs": res["runs"], "sf": SF_DIR, "partitions": PARTITIONS,
+        }))
         return 0
     if "--scaling" in sys.argv:
         res = run_scaling()
