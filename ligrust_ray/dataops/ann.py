@@ -23,6 +23,17 @@ def _matrix(tbl: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
+def _arrow_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, L2-normalized float64 matrix) from an Arrow batch —
+    fixed-width list flatten+reshape (zero-copy view, one cast) instead
+    of a per-row to_pylist/np.stack materialization (the hot-path shape
+    shared with dedup._block_matrix)."""
+    ids = t.column("vec_id").to_numpy()
+    emb = t.column("embedding").combine_chunks()
+    m = emb.flatten().to_numpy().reshape(len(ids), -1).astype(np.float64)
+    return ids, _normalize(m)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
@@ -44,10 +55,7 @@ def knn_bruteforce(emb: ray.data.Dataset, query_ids: list[int], k: int = 10
 
     def score(t: pa.Table) -> pa.Table:
         qi, qm = ray.get(q_ref)
-        ids = t.column("vec_id").to_numpy()
-        m = _normalize(np.stack([np.asarray(v)
-                                 for v in t.column("embedding").to_pylist()]
-                                ).astype(np.float64))
+        ids, m = _arrow_matrix(t)
         sims = qm @ m.T                      # (nq, batch)
         kk = min(k, sims.shape[1])
         # per-batch candidate top-k (ties -> smaller id first)
@@ -237,10 +245,7 @@ def knn_ivf(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
 
     def score(t: pa.Table) -> pa.Table:
         mo, qi, qm, pr = ray.get(bcast)
-        ids = t.column("vec_id").to_numpy()
-        m = _normalize(np.stack([np.asarray(v)
-                                 for v in t.column("embedding").to_pylist()]
-                                ).astype(np.float64))
+        ids, m = _arrow_matrix(t)
         assign = md5_buckets(ids, mo[1]) if mo[0] == "md5" \
             else assign_buckets(mo[1], m, 1)[0][:, 0]
         out_q, out_n, out_s = [], [], []

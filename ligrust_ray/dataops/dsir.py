@@ -119,13 +119,15 @@ def dsir_scores(docs: ray.data.Dataset, target_col: str = "lang",
         if not len(parents):
             return empty
         tw = ray.get(tw_ref)
-        sums = np.bincount(parents, weights=None, minlength=t.num_rows)
-        # int64-exact per-doc sums: bincount(weights=) is float64, which
-        # silently rounds above 2^53 — segment-add on sorted parents
-        # keeps the arithmetic integral
+        # int64-exact per-doc sums: bincount(weights=) is float64 (rounds
+        # above 2^53) and np.add.at is the slow unbuffered scatter —
+        # parents is NONDECREASING by construction (np.repeat of arange,
+        # order-preserving filter), so one np.add.reduceat segment sum
+        # does it at vector speed with integral arithmetic
+        starts = np.flatnonzero(np.r_[True, parents[1:] != parents[:-1]])
         wsum = np.zeros(t.num_rows, dtype=np.int64)
-        np.add.at(wsum, parents, tw[bucket])
-        ntok = sums.astype(np.int64)
+        wsum[parents[starts]] = np.add.reduceat(tw[bucket], starts)
+        ntok = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
         has = ntok > 0
         ids = t.column("doc_id").to_numpy().astype(np.int64)
         return pa.table({"doc_id": pa.array(ids[has]),

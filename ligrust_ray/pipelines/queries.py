@@ -718,13 +718,37 @@ def _events_tag(sf_dir: str) -> int:
     return zlib.crc32(f"{sf_dir}:{fp[0]}:{fp[1]}".encode()) & 0xFFFFFFFF
 
 
+def _sf_tag(sf_dir: str) -> int:
+    """crc32 of the sf_dir path alone — the GENERATION-STABLE half of an
+    on-disk artifact name, so a fresh data generation can find (and GC)
+    the stale generations' dirs of the same source."""
+    return zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF
+
+
+def _graph_dir(sf_dir: str, kind: str) -> str:
+    """/tmp CSR dir for (sf_dir, kind, data generation):
+    ``ligr_{kind}_{sf_tag}_{gen_tag}_n{n}``. When the current generation's
+    dir is absent (fresh data), OTHER generations of the same (kind,
+    sf_dir) are deleted first — the in-memory cache eviction alone would
+    leak one CSR dir per regeneration into tempdir."""
+    import glob
+    import shutil
+
+    stem = os.path.join(tempfile.gettempdir(),
+                        f"ligr_{kind}_{_sf_tag(sf_dir):08x}")
+    gd = f"{stem}_{_events_tag(sf_dir):08x}_n{events_n(sf_dir)}"
+    if not os.path.exists(os.path.join(gd, "manifest.json")):
+        for stale in glob.glob(stem + "_*"):
+            if stale != gd:
+                shutil.rmtree(stale, ignore_errors=True)
+    return gd
+
+
 def events_graph(sf_dir: str) -> DistGraph:
     key = ("events", sf_dir, _events_fp(sf_dir))
     if key not in _GRAPH_CACHE:
         _evict_stale(_GRAPH_CACHE, key)
-        tag = _events_tag(sf_dir)
-        gd = os.path.join(tempfile.gettempdir(),
-                          f"ligr_events_{tag:08x}_n{events_n(sf_dir)}")
+        gd = _graph_dir(sf_dir, "events")
         if not os.path.exists(os.path.join(gd, "manifest.json")):
             build_graph_from_edges(events_edges_ds(sf_dir), gd,
                                    n=events_n(sf_dir), num_partitions=4)
@@ -738,9 +762,7 @@ def events_sym_graph(sf_dir: str) -> DistGraph:
     key = ("events_sym", sf_dir, _events_fp(sf_dir))
     if key not in _GRAPH_CACHE:
         _evict_stale(_GRAPH_CACHE, key)
-        tag = _events_tag(sf_dir)
-        gd = os.path.join(tempfile.gettempdir(),
-                          f"ligr_events_sym_{tag:08x}_n{events_n(sf_dir)}")
+        gd = _graph_dir(sf_dir, "events_sym")
         if not os.path.exists(os.path.join(gd, "manifest.json")):
             build_graph_from_edges(events_edges_ds(sf_dir), gd,
                                    n=events_n(sf_dir), num_partitions=4,
@@ -757,9 +779,7 @@ def events_rev_graph(sf_dir: str) -> DistGraph:
     key = ("events_rev", sf_dir, _events_fp(sf_dir))
     if key not in _GRAPH_CACHE:
         _evict_stale(_GRAPH_CACHE, key)
-        tag = _events_tag(sf_dir)
-        gd = os.path.join(tempfile.gettempdir(),
-                          f"ligr_events_rev_{tag:08x}_n{events_n(sf_dir)}")
+        gd = _graph_dir(sf_dir, "events_rev")
         if not os.path.exists(os.path.join(gd, "manifest.json")):
             rev = events_edges_ds(sf_dir).map_batches(
                 lambda t: pa.table({"src": t.column("dst"),

@@ -52,16 +52,24 @@ def shard_of(key, num_shards: int) -> np.ndarray:
             % np.uint64(num_shards)).astype(np.int64)
 
 
-def _check_sink_config(out_dir: str, cfg: dict) -> None:
+def _check_sink_config(out_dir: str, cfg: dict, resume: bool) -> None:
     """Validate-or-record this run's sink parameters + input fingerprint
     (row count, column set). A _SUCCESS marker alone proves a shard was
     COMMITTED, not that it was committed from THIS input with THIS
     sharding — resuming with a different num_shards, key, or input would
     silently keep stale shard contents and read_partitioned would mix
-    generations. Mismatch fails loudly; same-count same-columns content
-    drift is caught per shard by the marker row-count check instead."""
+    generations. Mismatch on a RESUME fails loudly; ``resume=False``
+    declares a fresh generation, so the config is simply replaced (every
+    shard gets rewritten below regardless). Same-count same-columns
+    content drift is caught per shard by the marker row-count check.
+
+    A pre-upgrade sink (shard= dirs, no _SINK_CONFIG) is ADOPTED: the
+    current config is recorded and the resume proceeds — the per-shard
+    committed-rows check still fails loudly if the input changed, which
+    is strictly better than forcing a from-scratch rewrite of every
+    committed shard."""
     path = os.path.join(out_dir, "_SINK_CONFIG")
-    if os.path.exists(path):
+    if resume and os.path.exists(path):
         with open(path) as f:
             old = json.load(f)
         if old != cfg:
@@ -70,12 +78,9 @@ def _check_sink_config(out_dir: str, cfg: dict) -> None:
             raise ValueError(
                 f"resumable sink mismatch under {out_dir}: committed vs "
                 f"current differ on {diff} — refusing to mix output "
-                "generations; use a fresh out_dir or delete the old one")
+                "generations; use a fresh out_dir, delete the old one, or "
+                "pass resume=False to rewrite it as a new generation")
         return
-    if any(n.startswith("shard=") for n in os.listdir(out_dir)):
-        raise ValueError(
-            f"{out_dir} holds shard output but no _SINK_CONFIG record — "
-            "cannot validate a resume against it; use a fresh out_dir")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(cfg, f)
@@ -158,7 +163,18 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
             "shard_col": shard_col, "order_by": order_by,
             "n_rows": int(routed.count()),
             "columns": sorted(c for c in routed.schema().names
-                              if not c.startswith("__"))})
+                              if not c.startswith("__"))}, resume)
+        if not resume:
+            # fresh generation: the new routing may touch FEWER shard ids
+            # than the old one (smaller num_shards, different key) —
+            # lingering committed dirs would mix generations in
+            # read_partitioned, so clear every old shard dir up front
+            import shutil
+
+            for name in os.listdir(out_dir):
+                if name.startswith("shard="):
+                    shutil.rmtree(os.path.join(out_dir, name),
+                                  ignore_errors=True)
     if routed.count() == 0:
         # map_batches/map_groups are skipped on empty blocks (the Ray
         # empty-block gotcha): the stats frame would come back schema-less

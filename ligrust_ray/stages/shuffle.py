@@ -97,8 +97,17 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
               for out, (_, kind) in aggs.items()}
 
     def partial(t: pa.Table) -> pa.Table:
-        if not t.num_rows or not needed <= set(t.column_names):
+        if not t.num_rows:
+            # Ray's group-less empty blocks arrive zero-column — pass a
+            # TYPED empty through so concat keeps the schema
             return _empty_agg_table(t, keys, aggs, with_part=True)
+        if not needed <= set(t.column_names):
+            # a NON-empty block missing a needed column is an upstream
+            # schema bug — dropping it would silently corrupt the totals
+            raise KeyError(
+                f"grouped_agg: block missing columns "
+                f"{sorted(needed - set(t.column_names))} "
+                f"(has {t.column_names})")
         r = _arrow_agg(t, keys, aggs)
         # partition id from the COMBINED key rows (small) — the only
         # pandas touch on the wide path

@@ -921,10 +921,14 @@ class DistGraph:
             return self.edge_map(kernels[0])
         dense = self.frontier_degree_sum > self.threshold
         if not (dense and self.n <= self.PULL_BROADCAST_MAX_NODES):
-            s: dict = {}
+            # sequential fallback must honor the same contract as the
+            # batched path: scalars MERGED across kernels (summed per
+            # key), not just the last kernel's
+            merged: dict = {}
             for k in kernels:
-                s = self.edge_map(k)
-            return s
+                for k2, v2 in (self.edge_map(k) or {}).items():
+                    merged[k2] = merged.get(k2, 0) + v2
+            return merged
         views = ray.get([a.make_view_multi.remote(kernels)
                          for a in self.actors])
         full = self.frontier_count >= self.n

@@ -1258,6 +1258,8 @@ def test_resumable_sink_rejects_mismatched_resume(ray_session, tmp_path):
     """_SUCCESS alone must not authorize a skip: resuming with different
     num_shards, a different key, or changed input data fails loudly
     instead of silently mixing output generations."""
+    import os
+
     import pytest
     import ray.data
 
@@ -1282,6 +1284,24 @@ def test_resumable_sink_rejects_mismatched_resume(ray_session, tmp_path):
     stats = write_partitioned(ray.data.from_pandas(df), out, key="doc_id",
                               num_shards=8)
     assert stats["rows"].sum() == 0 and stats["skipped"].all()
+
+    # resume=False declares a NEW generation: different params succeed,
+    # every old shard dir is cleared (no generation mixing), config
+    # replaced
+    stats = write_partitioned(ray.data.from_pandas(df2), out, key="doc_id",
+                              num_shards=4, resume=False)
+    assert stats["rows"].sum() == 40 and not stats["skipped"].any()
+    shard_dirs = [n for n in os.listdir(out) if n.startswith("shard=")]
+    assert len(shard_dirs) <= 4          # 8-shard generation fully gone
+    from ligrust_ray.sources.resumable_sink import read_partitioned
+    assert read_partitioned(out).count() == 40
+
+    # pre-upgrade sink (no _SINK_CONFIG) is ADOPTED on resume, not refused
+    os.remove(os.path.join(out, "_SINK_CONFIG"))
+    stats = write_partitioned(ray.data.from_pandas(df2), out, key="doc_id",
+                              num_shards=4)
+    assert stats["rows"].sum() == 0 and stats["skipped"].all()
+    assert os.path.exists(os.path.join(out, "_SINK_CONFIG"))
 
 
 def test_dsir_scores_match_duckdb(ray_session):
