@@ -143,6 +143,19 @@ def main(argv=None):
     se.add_argument("-o", "--output", required=True)
     se.add_argument("--no-resume", dest="se_resume", action="store_false")
 
+    sl = sub.add_parser("select", help="DSIR importance-resample a "
+                        "documents corpus against a target slice "
+                        "(dataops/dsir.py) and export the selected docs "
+                        "as resumable shards")
+    sl.add_argument("sf_dir", help="dir containing documents.parquet")
+    sl.add_argument("-o", "--output", required=True)
+    sl.add_argument("-k", "--keep", type=int, required=True,
+                    help="number of documents to keep (top-K by score)")
+    sl.add_argument("--target", default="lang=en",
+                    help="col=value defining the target slice")
+    sl.add_argument("--shards", type=int, default=64)
+    sl.add_argument("--no-resume", dest="sl_resume", action="store_false")
+
     cs = sub.add_parser("corpus-stats", help="one-line JSON accounting "
                         "for a documents corpus")
     cs.add_argument("input", help="sf dir containing documents.parquet, "
@@ -235,6 +248,42 @@ def main(argv=None):
             "n_clean": int(n_clean), "n_kept": int(n_kept),
             "method": args.method, "shards": int(len(stats)),
             "rows_written": int(stats["rows"].sum()),
+            "shards_skipped": int(stats["skipped"].sum())}))
+        return 0
+
+    if args.cmd == "select":
+        import os
+
+        import pyarrow as pa
+
+        from ligrust_ray.dataops import dsir
+        from ligrust_ray.sources.resumable_sink import write_partitioned
+        from ligrust_ray.stages.shuffle import semi_join
+
+        col, eq, val = args.target.partition("=")
+        if not eq or not col or not val:
+            raise SystemExit(f"--target must be col=value, got "
+                             f"{args.target!r}")
+        docs = ray.data.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet")).materialize()
+        n_docs = docs.count()
+        top = dsir.dsir_sample(docs, k=args.keep,
+                               target_col=col, target_value=val)
+        # bounded: K rows — semi-join keeps full doc rows for the export
+        selected = semi_join(
+            docs, ray.data.from_arrow(top.select(["doc_id"])),
+            l_on="doc_id", r_on="doc_id",
+            r_key_type=pa.int64()).materialize()
+        stats = write_partitioned(selected, args.output, key="doc_id",
+                                  num_shards=args.shards,
+                                  resume=args.sl_resume)
+        print(json.dumps({
+            "target": args.target, "n_docs": int(n_docs),
+            "n_selected": int(selected.count()),
+            "min_score": int(top.column("score")[-1].as_py())
+            if top.num_rows else None,
+            "rows_written": int(stats["rows"].sum()),
+            "output": args.output, "shards": int(len(stats)),
             "shards_skipped": int(stats["skipped"].sum())}))
         return 0
 

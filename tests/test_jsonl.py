@@ -266,3 +266,45 @@ def test_dedup_collapses_duplicate_ids(ray_session, tmp_path, capsys):
     assert len(back) == 3
     assert sorted(back["doc_id"]) == [4, 7, 9]
     assert back["text"].nunique() == 3
+
+
+def test_select_cli_dsir(ray_session, tmp_path, capsys):
+    """`select` exports exactly the DuckDB-computed DSIR top-K doc set as
+    committed resumable shards; a rerun resumes (all skipped)."""
+    import json
+
+    import duckdb
+
+    from ligrust_ray.cli import main
+
+    out = str(tmp_path / "sel")
+    assert main(["select", "/root/testdata/sf0.001", "-o", out,
+                 "-k", "20", "--shards", "4"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_selected"] == 20 and rep["rows_written"] == 20
+
+    con = duckdb.connect()
+    got = set(con.execute(
+        f"SELECT doc_id FROM read_parquet('{out}/shard=*/part.parquet')"
+    ).df()["doc_id"])
+    want = set(con.execute(
+        "WITH tok AS (SELECT doc_id, lang, "
+        "UNNEST(regexp_extract_all(text, '\\S+')) AS tk "
+        "FROM read_parquet('/root/testdata/sf0.001/documents.parquet')), "
+        "b AS (SELECT doc_id, lang, "
+        "CAST(md5_number_lower(tk) % 8192 AS BIGINT) AS bucket FROM tok), "
+        "cnt AS (SELECT bucket, COUNT(*) AS nc, "
+        "COUNT(*) FILTER (WHERE lang = 'en') AS nt FROM b GROUP BY bucket), "
+        "w AS (SELECT b.doc_id, (1000000 * (c.nt + 1)) // (c.nc + 1) AS tw "
+        "FROM b JOIN cnt c USING (bucket)), "
+        "s AS (SELECT doc_id, CAST(SUM(tw) // COUNT(*) AS BIGINT) AS score "
+        "FROM w GROUP BY doc_id) "
+        "SELECT doc_id FROM s ORDER BY score DESC, doc_id LIMIT 20"
+    ).df()["doc_id"])
+    assert got == want
+
+    # rerun resumes: everything skipped
+    assert main(["select", "/root/testdata/sf0.001", "-o", out,
+                 "-k", "20", "--shards", "4"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["rows_written"] == 0 and rep2["shards_skipped"] == rep2["shards"]
