@@ -212,3 +212,34 @@ def test_semi_anti_join_property(ray_session, lr):
     pd.testing.assert_frame_equal(norm(semi), exp_semi.astype(np.int64))
     pd.testing.assert_frame_equal(norm(anti), exp_anti.astype(np.int64))
     assert len(semi) + len(anti) == len(left)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2060),
+    max_size=40), min_size=1, max_size=8))
+def test_dsir_tokenize_hash_matches_duckdb(texts):
+    """The DSIR per-token (bucket) stream — pyarrow RE2 whitespace split
+    + md5 bucket hash — equals DuckDB's regexp_extract_all('\\S+') +
+    md5_number_lower on arbitrary unicode text (both engines are RE2, so
+    exotic whitespace must tokenize identically). Pure-kernel property:
+    no Ray job per example."""
+    import duckdb
+    import pyarrow as pa
+
+    from ligrust_ray.dataops import dsir
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    parents, bucket = dsir._doc_token_buckets(t, "text")
+    got = sorted(zip(parents.tolist(), bucket.tolist()))
+
+    con = duckdb.connect()
+    con.register("d", t)
+    exp = sorted(map(tuple, con.execute(
+        "SELECT doc_id, CAST(md5_number_lower(tk) % 8192 AS BIGINT) "
+        "FROM (SELECT doc_id, "
+        "UNNEST(regexp_extract_all(text, '\\S+')) AS tk FROM d)"
+    ).fetchall()))
+    assert got == exp
