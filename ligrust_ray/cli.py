@@ -107,6 +107,16 @@ def main(argv=None):
                     help="skip the cleaning pipeline; export as-is")
     ex.add_argument("--no-resume", dest="ex_resume", action="store_false")
 
+    iw = sub.add_parser("import-warc", help="WARC / WARC.gz crawl "
+                        "archives (Common Crawl's native format) -> "
+                        "resumable pages parquet shards "
+                        "(url, warc_ts, html, text, lang)")
+    iw.add_argument("input", nargs="+", help=".warc/.warc.gz file(s) or "
+                    "dir(s)")
+    iw.add_argument("-o", "--output", required=True)
+    iw.add_argument("--shards", type=int, default=64)
+    iw.add_argument("--no-resume", dest="iw_resume", action="store_false")
+
     ij = sub.add_parser("import-jsonl", help="NDJSON docs -> resumable "
                         "key-hashed documents parquet shards")
     ij.add_argument("input", nargs="+", help="jsonl file(s)/dir(s)")
@@ -248,6 +258,21 @@ def main(argv=None):
             "n_clean": int(n_clean), "n_kept": int(n_kept),
             "method": args.method, "shards": int(len(stats)),
             "rows_written": int(stats["rows"].sum()),
+            "shards_skipped": int(stats["skipped"].sum())}))
+        return 0
+
+    if args.cmd == "import-warc":
+        from ligrust_ray.sources.resumable_sink import write_partitioned
+        from ligrust_ray.sources.warc import warc_to_pages
+
+        pages = warc_to_pages(args.input).materialize()
+        stats = write_partitioned(pages, args.output, key="url",
+                                  num_shards=args.shards,
+                                  resume=args.iw_resume)
+        print(json.dumps({
+            "n_pages": int(pages.count()),
+            "rows_written": int(stats["rows"].sum()),
+            "output": args.output, "shards": int(len(stats)),
             "shards_skipped": int(stats["skipped"].sum())}))
         return 0
 
