@@ -291,7 +291,22 @@ def main(argv=None):
                              f"{args.target!r}")
         docs = ray.data.read_parquet(
             os.path.join(args.sf_dir, "documents.parquet")).materialize()
+        schema = docs.schema()
+        if col not in schema.names:
+            raise SystemExit(f"--target column {col!r} not in corpus "
+                             f"(has {schema.names})")
+        import pyarrow as _pa
+
+        if schema.base_schema.field(col).type != _pa.string():
+            raise SystemExit(f"--target column {col!r} must be a string "
+                             "column (e.g. lang, source)")
         n_docs = docs.count()
+        # collapse duplicate doc_id rows first (content-addressed imports)
+        # — duplicates would both skew the top-K (one slot per physical
+        # row) and fan out through the semi-join into the export
+        from ligrust_ray.dataops import dedup as D
+
+        docs = D.unique_by_id(docs).materialize()
         top = dsir.dsir_sample(docs, k=args.keep,
                                target_col=col, target_value=val)
         # bounded: K rows — semi-join keeps full doc rows for the export

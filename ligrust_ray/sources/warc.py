@@ -70,48 +70,97 @@ def iter_warc_records(buf: bytes):
 
 
 def _dechunk(body: bytes) -> bytes:
-    """Decode an HTTP/1.1 chunked body (size-hex CRLF data CRLF ...)."""
+    """Decode an HTTP/1.1 chunked body (size-hex CRLF data CRLF ...).
+    Malformed or truncated chunk framing raises — same fail-loud policy
+    as the record framing (a silently truncated page would corrupt the
+    corpus with no signal)."""
     out, i = [], 0
     while True:
         j = body.find(b"\r\n", i)
         if j < 0:
-            break
-        try:
-            size = int(body[i:j].split(b";")[0], 16)
-        except ValueError:
-            break
+            raise ValueError("warc: chunked body missing size line")
+        size = int(body[i:j].split(b";")[0], 16)   # ValueError if corrupt
         if size == 0:
-            break
-        out.append(body[j + 2:j + 2 + size])
-        i = j + 2 + size + 2
-    return b"".join(out)
+            return b"".join(out)
+        end = j + 2 + size
+        if end > len(body):
+            raise ValueError("warc: truncated chunk in chunked body")
+        out.append(body[j + 2:end])
+        i = end + 2
+
+
+def _http_head_body(payload: bytes) -> tuple[str, bytes]:
+    """(lower-cased header text, body) of a raw HTTP response. Handles
+    CRLFCRLF and bare-LF header blocks (some servers emit LF-only
+    headers and crawls store them verbatim); a payload with no header
+    separator at all is treated as a bare body."""
+    he = payload.find(_CRLF2)
+    sep = len(_CRLF2)
+    le = payload.find(b"\n\n")
+    if he < 0 or (0 <= le < he):
+        he, sep = le, 2
+    if he < 0:
+        return "", payload
+    return (payload[:he].decode("latin-1", "replace").lower(),
+            payload[he + sep:])
+
+
+def _header_value(head: str, name: str) -> str:
+    """First value of an HTTP header in a lower-cased header block."""
+    key = name + ":"
+    for ln in head.splitlines():
+        if ln.startswith(key):
+            return ln[len(key):].strip()
+    return ""
 
 
 def _http_body(payload: bytes) -> bytes:
-    """Body of a raw HTTP response: after the first CRLFCRLF, de-chunked
-    when the headers say so. A payload with no header separator is
-    returned whole (lenient: some writers store bare bodies)."""
-    he = payload.find(_CRLF2)
-    if he < 0:
-        return payload
-    head = payload[:he].decode("latin-1", "replace").lower()
-    body = payload[he + len(_CRLF2):]
-    if "transfer-encoding:" in head and "chunked" in \
-            head.split("transfer-encoding:", 1)[1].split("\r\n", 1)[0]:
-        return _dechunk(body)
-    return body
+    """Decoded body of a raw HTTP response: de-chunked when
+    Transfer-Encoding says so, then content-decoded (gzip / deflate —
+    crawls store responses verbatim, so compressed bodies occur).
+    Unknown content encodings raise rather than leaking compressed
+    bytes into the html column."""
+    import zlib
+
+    head, body = _http_head_body(payload)
+    if "chunked" in _header_value(head, "transfer-encoding"):
+        body = _dechunk(body)
+    enc = _header_value(head, "content-encoding")
+    if enc in ("", "identity"):
+        return body
+    if enc in ("gzip", "x-gzip"):
+        return gzip.decompress(body)
+    if enc == "deflate":
+        try:
+            return zlib.decompress(body)
+        except zlib.error:            # raw-deflate servers (no zlib wrapper)
+            return zlib.decompress(body, -zlib.MAX_WBITS)
+    raise ValueError(f"warc: unsupported Content-Encoding {enc!r}")
 
 
-def parse_warc_bytes(buf: bytes) -> pa.Table:
-    """One WARC file's bytes -> (url, warc_ts, html) Arrow table
-    (response records only). ``warc_ts`` is timestamp[us] from the
-    ISO-8601 WARC-Date header."""
+def parse_warc_bytes(buf: bytes, html_only: bool = True) -> pa.Table:
+    """One WARC file's bytes -> (url, warc_ts, html) Arrow table.
+
+    Rows come from ``WARC-Type: response`` records; with ``html_only``
+    (default) only successful HTML pages qualify — 2xx status AND a
+    Content-Type that is html or absent. Redirects, error pages, and
+    image/PDF payloads would otherwise flow garbage text into every
+    downstream corpus statistic and the graph build. ``warc_ts`` is
+    timestamp[us] from the ISO-8601 WARC-Date header."""
     urls: list[str] = []
     stamps: list[np.datetime64] = []
     htmls: list[bytes] = []
     for hdrs, payload in iter_warc_records(buf):
         if hdrs.get("warc-type") != "response":
             continue
+        if html_only:
+            head, _ = _http_head_body(payload)
+            status = head.split("\n", 1)[0].split()
+            if len(status) >= 2 and not status[1].startswith("2"):
+                continue
+            ctype = _header_value(head, "content-type")
+            if ctype and "html" not in ctype:
+                continue
         url = hdrs.get("warc-target-uri", "")
         date = hdrs.get("warc-date", "")
         ts = np.datetime64(date.rstrip("Z"), "us") if date else \
@@ -126,17 +175,26 @@ def parse_warc_bytes(buf: bytes) -> pa.Table:
 
 
 def _expand(paths: list[str] | str) -> list[str]:
+    """Resolve inputs to .warc/.warc.gz files (dirs scanned recursively,
+    case-insensitive extensions). An input that contributes NO files is
+    an error — a typo'd directory among several inputs must not silently
+    drop part of the corpus."""
     if isinstance(paths, str):
         paths = [paths]
     out: list[str] = []
     for p in paths:
         if os.path.isdir(p):
-            out.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
-                       if f.endswith((".warc", ".warc.gz")))
-        else:
+            found = sorted(
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(p) for f in fs
+                if f.lower().endswith((".warc", ".warc.gz")))
+            if not found:
+                raise ValueError(f"no .warc/.warc.gz files under {p!r}")
+            out.extend(found)
+        elif os.path.exists(p):
             out.append(p)
-    if not out:
-        raise ValueError(f"no .warc/.warc.gz files under {paths}")
+        else:
+            raise ValueError(f"warc input does not exist: {p!r}")
     return out
 
 

@@ -308,3 +308,40 @@ def test_select_cli_dsir(ray_session, tmp_path, capsys):
                  "-k", "20", "--shards", "4"]) == 0
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["rows_written"] == 0 and rep2["shards_skipped"] == rep2["shards"]
+
+
+def test_select_cli_validates_target_and_collapses_dups(ray_session,
+                                                        tmp_path, capsys):
+    """--target must name an existing string column, and duplicate
+    doc_id rows are collapsed before scoring/export (like dedup/prepare)
+    so the top-K holds K distinct docs and shards carry no dup rows."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from ligrust_ray.cli import main
+
+    with pytest.raises(SystemExit, match="not in corpus"):
+        main(["select", "/root/testdata/sf0.001", "-o",
+              str(tmp_path / "x"), "-k", "5", "--target", "nope=1"])
+    with pytest.raises(SystemExit, match="string column"):
+        main(["select", "/root/testdata/sf0.001", "-o",
+              str(tmp_path / "x"), "-k", "5", "--target", "n_chars=10"])
+    capsys.readouterr()
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    dup = pa.concat_tables([src, src.slice(0, 20)])   # 20 duplicate ids
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(dup, str(sf / "documents.parquet"))
+    out = str(tmp_path / "sel")
+    assert main(["select", str(sf), "-o", out, "-k", "15",
+                 "--shards", "4"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_selected"] == 15 and rep["rows_written"] == 15
+    got = pd.concat([pd.read_parquet(str(p))
+                     for p in (tmp_path / "sel").glob("shard=*/part.parquet")])
+    assert len(got) == 15 and got["doc_id"].is_unique

@@ -134,3 +134,59 @@ def test_import_warc_cli_and_build(ray_session, tmp_path, capsys):
     cc(g2)
     np.testing.assert_array_equal(g1.collect_state(["ids"])["ids"],
                                   g2.collect_state(["ids"])["ids"])
+
+
+def test_http_body_encodings_and_filters():
+    """Content-Encoding gzip/deflate bodies are decoded, LF-only header
+    blocks are split correctly, non-2xx and non-html responses are
+    filtered, and malformed chunked framing raises."""
+    import pytest
+
+    from ligrust_ray.sources.warc import _http_body
+
+    html = b"<p>enc</p>"
+    gz = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+          + gzip.compress(html))
+    assert _http_body(gz) == html
+    import zlib
+    fl = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+          + zlib.compress(html))
+    assert _http_body(fl) == html
+    lf = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n" + html
+    assert _http_body(lf) == html
+    with pytest.raises(ValueError, match="Content-Encoding"):
+        _http_body(b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxx")
+    with pytest.raises(ValueError, match="chunk"):
+        _http_body(b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+                   b"\r\nff\r\nshort")
+
+    rows = [("http://ok/1", "2020-01-01T00:00:00Z", b"<p>ok</p>")]
+    buf = (_make_warc(rows, chunked_every=0)
+           + _record("response",
+                     b"HTTP/1.1 301 Moved\r\nLocation: x\r\n\r\n",
+                     "http://redir/2", "2020-01-01T00:00:00Z")
+           + _record("response",
+                     b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n"
+                     b"\x89PNG", "http://img/3", "2020-01-01T00:00:00Z"))
+    t = parse_warc_bytes(buf)
+    assert t.column("url").to_pylist() == ["http://ok/1"]
+    t_all = parse_warc_bytes(buf, html_only=False)
+    assert t_all.num_rows == 3
+
+
+def test_expand_rejects_empty_inputs(tmp_path):
+    import pytest
+
+    from ligrust_ray.sources.warc import _expand
+
+    good = tmp_path / "a"
+    nested = good / "seg" / "x.WARC.GZ"      # recursive + case-insensitive
+    nested.parent.mkdir(parents=True)
+    nested.write_bytes(b"")
+    assert _expand(str(good)) == [str(nested)]
+    empty = tmp_path / "b"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no .warc"):
+        _expand([str(good), str(empty)])
+    with pytest.raises(ValueError, match="does not exist"):
+        _expand(str(tmp_path / "typo"))
