@@ -145,6 +145,66 @@ tg AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM shing
 SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.x = t.x"""
 
 
+def _dup_spans_sql(k: int = 16) -> str:
+    """Intra-corpus duplicated-span oracle (dedup.dup_spans spec): per doc,
+    the number of distinct word k-gram shingles (minhash shingle spec —
+    lowered text, md5-low-32, whole-text fallback under k tokens) shared
+    with at least one other document. Per-doc-distinct shingles make
+    COUNT(*) per gram the distinct-doc count."""
+    shingle_concat = " || ' ' || ".join(f"w[i.i + {j}]" for j in range(k))
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT * FROM (SELECT doc_id,
+    regexp_extract_all(lower(text), '\\S+') AS w FROM documents)
+  WHERE len(w) > 0
+),
+shing AS MATERIALIZED (
+  SELECT DISTINCT doc_id, md5_number_lower(sh) % 4294967296 AS x FROM (
+    SELECT doc_id, CASE WHEN len(w) < {k} THEN array_to_string(w, ' ')
+      ELSE NULL END AS sh FROM toks WHERE len(w) < {k}
+    UNION ALL
+    SELECT t.doc_id, {shingle_concat} AS sh
+    FROM toks t, UNNEST(range(1, len(t.w) - {k} + 2)) AS i(i)
+    WHERE len(t.w) >= {k}
+  ) WHERE sh IS NOT NULL AND sh <> ''
+),
+c AS (SELECT x FROM shing GROUP BY x HAVING COUNT(*) >= 2)
+SELECT s.doc_id, COUNT(*) AS n_dup_spans
+FROM shing s JOIN c ON c.x = s.x GROUP BY s.doc_id"""
+
+
+def _gopher_sql() -> str:
+    """Gopher composite-filter oracle (q_docs_gopher_filter spec): token
+    band + mean-word-length band (via the identity sum-of-token-lengths =
+    #non-ws chars) + top-trigram repetition cap (docs under 3 tokens pass
+    vacuously) + alphabetic-fraction floor, all integer comparisons."""
+    from ligrust_ray.pipelines.queries import (
+        GOPHER_MAX_MEAN_WL, GOPHER_MAX_TOKENS, GOPHER_MAX_TRI_PERMILLE,
+        GOPHER_MIN_ALPHA_10, GOPHER_MIN_MEAN_WL, GOPHER_MIN_TOKENS)
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS arr,
+  length(regexp_replace(text, '[\\t\\n\\f\\r ]', '', 'g')) AS n_nonws,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents),
+tk AS (SELECT doc_id, unnest(arr) AS tok, unnest(range(len(arr))) AS i
+  FROM t),
+tg AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+  lead(tok, 2) OVER w AS g FROM tk
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+c AS (SELECT doc_id, g, COUNT(*) AS n FROM tg WHERE g IS NOT NULL
+  GROUP BY doc_id, g),
+p AS (SELECT doc_id, SUM(n) AS n_trigrams, MAX(n) AS top_n FROM c
+  GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.arr) AS BIGINT) AS n_tokens
+FROM t LEFT JOIN p ON p.doc_id = t.doc_id
+WHERE len(t.arr) BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+  AND {GOPHER_MIN_MEAN_WL} * len(t.arr) <= t.n_nonws
+  AND t.n_nonws <= {GOPHER_MAX_MEAN_WL} * len(t.arr)
+  AND (p.n_trigrams IS NULL
+       OR (1000 * p.top_n) // p.n_trigrams <= {GOPHER_MAX_TRI_PERMILLE})
+  AND 10 * t.n_alpha >= {GOPHER_MIN_ALPHA_10} * t.n_nonws"""
+
+
 def _line_dedup_sql(min_count: int = 3) -> str:
     """Corpus-level line-dedup oracle (dedup.line_dedup spec): explode to
     (doc_id, position, line) via zipped unnests, count by
@@ -873,7 +933,8 @@ def entry() -> Any:
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
-    "docs_dsir_sample",
+    "events_modularity", "events_jaccard_pairs", "docs_gopher_filter",
+    "docs_dup_spans", "docs_dsir_sample",
     # never driver-checked through round 3 (40)
     "pages_anchor_text", "docs_token_quantiles_by_lang", "docs_best_per_source",
     "docs_simhash_dupes", "docs_simhash_clusters", "docs_lang_confusion",
@@ -917,6 +978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lcc": Q.q_events_lcc,
         "events_common_neighbors": Q.q_events_common_neighbors,
         "events_link_pred": Q.q_events_link_pred,
+        "events_jaccard_pairs": Q.q_events_jaccard_pairs,
+        "events_modularity": Q.q_events_modularity,
         # windowed / sessionized aggregates (streaming-window family)
         "events_sessions": Q.q_events_sessions,
         "events_windows": Q.q_events_windows,
@@ -1018,6 +1081,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf": Q.q_docs_tfidf,
         "docs_decontaminate": Q.q_docs_decontaminate,
         "docs_dsir_sample": Q.q_docs_dsir_sample,
+        "docs_gopher_filter": Q.q_docs_gopher_filter,
+        "docs_dup_spans": Q.q_docs_dup_spans,
         # multimodal plumbing (deterministic stub decode/resize/frame-sample)
         "media_decode": Q.q_media_decode,
         "media_resize": Q.q_media_resize,
@@ -1481,6 +1546,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(1000000000 // l1.d) AS BIGINT) AS ra_ppb "
             "FROM low l1 JOIN low l2 ON l1.v = l2.v AND l1.w < l2.w "
             "GROUP BY l1.w, l2.w HAVING COUNT(*) >= 2"),
+        # Jaccard link prediction: same capped wedges; union size via the
+        # FULL simple degrees of both endpoints; integer ppb score
+        "events_jaccard_pairs": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM sym "
+            "GROUP BY v), "
+            "low AS MATERIALIZED (SELECT s.v, s.w FROM sym s "
+            "JOIN deg dv ON dv.v = s.v WHERE dv.d <= 500), "
+            "p AS (SELECT l1.w AS a, l2.w AS b, COUNT(*) AS n_common "
+            "FROM low l1 JOIN low l2 ON l1.v = l2.v AND l1.w < l2.w "
+            "GROUP BY l1.w, l2.w HAVING COUNT(*) >= 2) "
+            "SELECT p.a, p.b, CAST(p.n_common AS BIGINT) AS n_common, "
+            "CAST((1000000000 * p.n_common) "
+            "// (da.d + db.d - p.n_common) AS BIGINT) AS jac_ppb "
+            "FROM p JOIN deg da ON da.v = p.a "
+            "JOIN deg db ON db.v = p.b"),
+        # directed modularity of the LP partition, exact integer pair
+        "events_modularity": (
+            f"WITH lp AS ({_labelprop_sql(20)}), "
+            f"ed AS ({_EDGES_CTE}), "
+            "le AS (SELECT ls.label AS lsrc, ld.label AS ldst FROM ed "
+            "JOIN lp ls ON ls.node_id = ed.src "
+            "JOIN lp ld ON ld.node_id = ed.dst), "
+            "mm AS (SELECT COUNT(*) AS m FROM le), "
+            "sides AS (SELECT lsrc AS label, "
+            "CASE WHEN lsrc = ldst THEN 1 ELSE 0 END AS e, "
+            "1 AS kout, 0 AS kin FROM le "
+            "UNION ALL SELECT ldst, 0, 0, 1 FROM le), "
+            "per AS (SELECT label, SUM(e) AS e_c, SUM(kout) AS kout, "
+            "SUM(kin) AS kin FROM sides GROUP BY label) "
+            "SELECT CAST(COALESCE(SUM(mm.m * per.e_c "
+            "- per.kout * per.kin), 0) AS BIGINT) AS q_num, "
+            "CAST(mm.m * mm.m AS BIGINT) AS q_den, "
+            "CAST(mm.m AS BIGINT) AS m "
+            "FROM per, mm GROUP BY mm.m"),
         "events_triangles_per_node": (
             f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
             "WHERE src <> dst), "
@@ -1899,6 +2004,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN df USING (token)) "
             "SELECT doc_id, token, tf, df FROM ranked WHERE rn <= 3"),
         "docs_decontaminate": _decontam_sql(eval_mod=10),
+        "docs_dup_spans": _dup_spans_sql(16),
+        "docs_gopher_filter": _gopher_sql(),
         # DSIR-style importance resample (dataops/dsir.py spec): hashed
         # unigram buckets (md5 % 8192), Laplace-smoothed integer
         # likelihood ratio per token, length-normalised per-doc score,

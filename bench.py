@@ -696,16 +696,40 @@ def main() -> int:
     r = run_headline(NUM_CPUS)
     total = time.perf_counter() - t0
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(json.dumps({
+    # The harness that records this run keeps only the TAIL of stdout
+    # (~2000 chars), so the final JSON line must fit: per-query seconds
+    # are rounded to 0.1 ms and, if the full map would still overflow,
+    # only the slowest entries ride the line (the full-precision map is
+    # always written to bench_full.json next to this script).
+    queries = {k: round(v, 4) for k, v in r["queries"].items()}
+    payload = {
         "metric": "headline_pipelines_total_sec",
-        "value": total, "unit": "sec",
-        "queries": r["queries"],
+        "value": round(total, 3), "unit": "sec",
+        "queries": queries,
+        "n_queries": len(queries),
+        "queries_full": "bench_full.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": NUM_CPUS,
-        "pagerank_iters_per_sec": r["pagerank_iters_per_sec"],
-        "pagerank_edges_per_sec": r["pagerank_edges_per_sec"],
+        "pagerank_iters_per_sec": round(r["pagerank_iters_per_sec"], 2),
+        "pagerank_edges_per_sec": round(r["pagerank_edges_per_sec"]),
         "graph_n": r["graph_n"], "graph_m": r["graph_m"],
-    }))
+    }
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+        with open(full_path, "w") as f:
+            json.dump({**payload, "queries": r["queries"]}, f, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > 1900 and len(queries) > 10:
+        # drop the fastest remaining query entries until the line fits
+        keep = sorted(queries, key=queries.get, reverse=True)[:len(queries) - 8]
+        queries = {k: queries[k] for k in r["queries"] if k in keep}
+        payload["queries"] = queries
+        payload["n_queries_shown"] = len(queries)
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     import ray
 
     ray.shutdown()

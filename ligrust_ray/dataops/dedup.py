@@ -1063,6 +1063,49 @@ def decontaminate(docs: ray.data.Dataset, eval_mod: int = 97,
                             num_partitions=num_partitions)
 
 
+def dup_spans(docs: ray.data.Dataset, shingle_k: int = 16,
+              min_docs: int = 2, num_partitions: int = 32
+              ) -> ray.data.Dataset:
+    """(doc_id, n_dup_spans): per document, the number of DISTINCT word
+    ``shingle_k``-gram spans that also occur in at least ``min_docs - 1``
+    OTHER documents — the intra-corpus exact-substring-duplication signal
+    (the bounded-span analog of Lee et al. 2022's ExactSubstr; a doc with
+    a high count is a near-copy or heavy quoter). Gram spec is the
+    minhash shingle spec (lowered text, md5-low-32, whole-text fallback
+    under k tokens), so the DuckDB oracle reuses the same CTE shape.
+
+    Scale shape: docs explode to per-doc-UNIQUE (doc_id, gram) rows in
+    map_batches, then ONE gram-keyed grouped_apply marks rows whose gram
+    reaches ``min_docs`` distinct docs (per-doc-unique rows make the
+    group size the distinct-doc count — no COUNT DISTINCT needed), and
+    one doc-keyed grouped_agg rolls up the per-doc span counts. Two
+    shuffles, both carrying int64 pairs; document bodies never move."""
+    row_schema = pa.schema([("doc_id", pa.int64()), ("g", pa.int64())])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        sets = _shingle_sets_batch(t.column("text").to_pylist(), shingle_k)
+        counts = [len(s) for s in sets]
+        g = (np.concatenate(sets) if sets
+             else np.zeros(0, dtype=np.int64))
+        return pa.table({"doc_id": pa.array(np.repeat(ids, counts)),
+                         "g": pa.array(g)}, schema=row_schema)
+
+    rows = docs.map_batches(gram_rows, batch_format="pyarrow")
+
+    def shared(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[["doc_id"]]
+        n = df.groupby("g")["doc_id"].transform("size")
+        return df.loc[n.to_numpy() >= min_docs, ["doc_id"]]
+
+    hits = shuffle.grouped_apply(rows, ["g"], shared,
+                                 num_partitions=num_partitions)
+    return shuffle.grouped_agg(hits, ["doc_id"],
+                               {"n_dup_spans": (None, "count")},
+                               num_partitions=num_partitions)
+
+
 def _block_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = t.column("vec_id").to_numpy()
     # fixed-width list<float> -> zero-copy (n, dim) view, then one cast

@@ -677,6 +677,58 @@ def q_events_link_pred(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_jaccard_pairs(sf_dir: str):
+    """(a, b, n_common, jac_ppb) Jaccard link-prediction scores over the
+    shared capped wedge set (Liben-Nowell/Kleinberg 2003): jac_ppb =
+    (1e9 * n_common) // (deg(a) + deg(b) - n_common), deg = FULL simple
+    undirected degree — CN_DEGREE_CAP applies only to wedge CENTERS,
+    exactly as in the CN/RA family, so |A ∪ B| in the denominator is the
+    true union size. Non-negative integer floor division end to end
+    (DuckDB's `//` truncates toward zero = floor for non-negatives), so
+    the oracle hash compare is exact. Endpoint degrees attach via two
+    keyed hash_joins against the degree table — co-partitioned shuffles,
+    never a broadcast of the degree side."""
+    counts = shuffle.grouped_agg(_cn_wedges_cached(sf_dir), ["a", "b"],
+                                 {"n_common": (None, "count")})
+    counts = counts.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("n_common"), CN_MIN_COMMON)),
+        batch_format="pyarrow")
+    deg = _simple_degree(sf_dir).map_batches(
+        lambda t: pa.table({"node_id": t.column("node_id"),
+                            "degree": t.column("degree").cast(pa.int64())}),
+        batch_format="pyarrow")
+    j1 = shuffle.hash_join(
+        counts.map_batches(lambda t: pa.table({
+            "node_id": t.column("a").cast(pa.int64()),
+            "b": t.column("b").cast(pa.int64()),
+            "n_common": t.column("n_common").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        deg.map_batches(lambda t: pa.table({
+            "node_id": t.column("node_id"), "da": t.column("degree")}),
+            batch_format="pyarrow"),
+        on="node_id", l_cols=["b", "n_common"], r_cols=["da"])
+    j2 = shuffle.hash_join(
+        j1.map_batches(lambda t: pa.table({
+            "node_id": t.column("b"), "a": t.column("node_id"),
+            "n_common": t.column("n_common"), "da": t.column("da")}),
+            batch_format="pyarrow"),
+        deg.map_batches(lambda t: pa.table({
+            "node_id": t.column("node_id"), "db": t.column("degree")}),
+            batch_format="pyarrow"),
+        on="node_id", l_cols=["a", "n_common", "da"], r_cols=["db"])
+
+    def score(t: pa.Table) -> pa.Table:
+        nc = t.column("n_common").to_numpy()
+        un = (t.column("da").to_numpy() + t.column("db").to_numpy() - nc)
+        return pa.table({
+            "a": t.column("a"), "b": t.column("node_id"),
+            "n_common": pa.array(nc),
+            "jac_ppb": pa.array(1_000_000_000 * nc // un)})
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
 def q_docs_clean(sf_dir: str):
     """Composite corpus-cleaning pipeline (the realistic end-to-end
     training-data prep): predicted-English docs above a quality floor,
@@ -1165,6 +1217,75 @@ def q_events_community_stats(sf_dir: str):
         l_schema=pa.schema([("label", i64), ("n_nodes", i64)]),
         r_schema=pa.schema([("label", i64), ("n_internal", i64),
                             ("n_outgoing", i64)]))
+
+
+def q_events_modularity(sf_dir: str):
+    """One-row directed modularity of the label-propagation partition
+    (Leicht/Newman 2008: Q = Σ_c [e_c/m − Kout_c·Kin_c/m²] over the raw
+    directed edge multiset — the objective LP implicitly climbs). Kept as
+    the exact integer pair (q_num, q_den) with q_num = Σ_c (m·e_c −
+    Kout_c·Kin_c) and q_den = m², so the DuckDB hash compare is exact and
+    callers divide at display time. int64 is safe while m·e_c < 2⁶³
+    (m < ~3·10⁹ edges per partition-disjoint label set); beyond that the
+    per-label fold would move to the decimal128 path. Labels attach to
+    edge endpoints via two co-partitioned hash_joins (the
+    community_stats shape); each labeled edge then emits its source-side
+    (e_c, Kout) and target-side (Kin) contributions into ONE label-keyed
+    grouped_agg, and the per-label table folds to a single row through a
+    per-block partial — nothing n-sized ever reaches the driver."""
+    lp = ray.data.from_arrow(q_labelprop_events(sf_dir))
+    edges = events_edges_ds(sf_dir)
+    m = edges.count()
+    j1 = shuffle.hash_join(
+        edges.map_batches(lambda t: pa.table({
+            "node_id": t.column("src").cast(pa.int64()),
+            "dst": t.column("dst").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        lp.map_batches(lambda t: pa.table({
+            "node_id": t.column("node_id"),
+            "lsrc": t.column("label").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        on="node_id", l_cols=["dst"], r_cols=["lsrc"]).map_batches(
+        lambda t: pa.table({"node_id": t.column("dst"),
+                            "lsrc": t.column("lsrc")}),
+        batch_format="pyarrow")
+    j2 = shuffle.hash_join(
+        j1,
+        lp.map_batches(lambda t: pa.table({
+            "node_id": t.column("node_id"),
+            "ldst": t.column("label").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        on="node_id", l_cols=["lsrc"], r_cols=["ldst"])
+
+    def sides(t: pa.Table) -> pa.Table:
+        ls = t.column("lsrc").to_numpy()
+        ld = t.column("ldst").to_numpy()
+        same = (ls == ld).astype(np.int64)
+        zero = np.zeros(len(ls), dtype=np.int64)
+        one = np.ones(len(ls), dtype=np.int64)
+        return pa.table({
+            "label": pa.array(np.concatenate([ls, ld])),
+            "e": pa.array(np.concatenate([same, zero])),
+            "kout": pa.array(np.concatenate([one, zero])),
+            "kin": pa.array(np.concatenate([zero, one]))})
+
+    per = shuffle.grouped_agg(
+        j2.map_batches(sides, batch_format="pyarrow"),
+        ["label"], {"e_c": ("e", "sum"), "kout": ("kout", "sum"),
+                    "kin": ("kin", "sum")})
+
+    def contrib(t: pa.Table) -> pa.Table:
+        e_c = t.column("e_c").to_numpy().astype(np.int64)
+        ko = t.column("kout").to_numpy().astype(np.int64)
+        ki = t.column("kin").to_numpy().astype(np.int64)
+        return pa.table({"part": pa.array(
+            [int((m * e_c - ko * ki).sum())], type=pa.int64())})
+
+    parts = per.map_batches(contrib, batch_format="pyarrow").to_pandas()
+    q_num = int(parts["part"].sum()) if len(parts) else 0
+    return pa.table({"q_num": pa.array([q_num], type=pa.int64()),
+                     "q_den": pa.array([m * m], type=pa.int64()),
+                     "m": pa.array([m], type=pa.int64())})
 
 
 def q_bfs_events(sf_dir: str):
@@ -1701,6 +1822,60 @@ def q_docs_quality(sf_dir: str):
     # seconds of spin-up per call (see dedup.MinHasher note)
     return _docs(sf_dir).map_batches(
         lambda t: textstats.quality_scorer()(t), batch_format="pyarrow")
+
+
+# Gopher-style composite filter thresholds (Rae et al. 2021 §A1.1, adapted
+# to this corpus's scale): token-count floor/ceiling, mean-word-length
+# band, max top-trigram repetition, min alphabetic fraction of non-ws
+# chars. All rules are integer comparisons so the SQL oracle is exact.
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WL = 3      # 3·n_tokens ≤ n_nonws_chars
+GOPHER_MAX_MEAN_WL = 10     # n_nonws_chars ≤ 10·n_tokens
+GOPHER_MAX_TRI_PERMILLE = 120
+GOPHER_MIN_ALPHA_10 = 6     # 10·n_alpha ≥ 6·n_nonws  (alpha ratio ≥ 0.6)
+
+
+def q_docs_gopher_filter(sf_dir: str):
+    """(doc_id, n_tokens) of documents passing ALL Gopher-style quality
+    rules — the composite pre-training document filter (token-count band,
+    mean-word-length band, top-trigram repetition cap, alphabetic-ratio
+    floor). One stateless streaming map_batches pass, no shuffle: at
+    100 TB this runs at read bandwidth. Tokens are '\\S+' runs over
+    lower(text) (ASCII-ws class, RE2 parity); char censuses are
+    vectorised pyarrow count_substring_regex; only the per-doc trigram
+    top-count loops rows (the docs_dup_trigrams kernel). Mean word
+    length uses the identity Σ token lengths = #non-ws chars, so no
+    second tokenize pass is needed."""
+    def keep(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts_raw = t.column("text")
+        n_chars = pc.utf8_length(texts_raw).to_numpy()
+        n_ws = pc.count_substring_regex(texts_raw, "[\t\n\f\r ]").to_numpy()
+        n_alpha = pc.count_substring_regex(texts_raw, "[A-Za-z]").to_numpy()
+        n_nonws = (n_chars - n_ws).astype(np.int64)
+        ids = t.column("doc_id").to_numpy()
+        texts = texts_raw.to_pylist()
+        n_tok = np.zeros(len(texts), dtype=np.int64)
+        tri_ok = np.ones(len(texts), dtype=bool)
+        for i, x in enumerate(texts):
+            w = _WORD_RE.findall(x.lower())
+            n_tok[i] = len(w)
+            if len(w) >= 3:
+                top = max(Counter(zip(w, w[1:], w[2:])).values())
+                tri_ok[i] = (1000 * top // (len(w) - 2)
+                             <= GOPHER_MAX_TRI_PERMILLE)
+        ok = ((n_tok >= GOPHER_MIN_TOKENS) & (n_tok <= GOPHER_MAX_TOKENS)
+              & (GOPHER_MIN_MEAN_WL * n_tok <= n_nonws)
+              & (n_nonws <= GOPHER_MAX_MEAN_WL * n_tok)
+              & tri_ok
+              & (10 * n_alpha >= GOPHER_MIN_ALPHA_10 * n_nonws))
+        return pa.table({"doc_id": pa.array(ids[ok].astype(np.int64)),
+                         "n_tokens": pa.array(n_tok[ok])})
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow")
 
 
 BEST_PER_SOURCE_K = 3
@@ -3077,6 +3252,23 @@ def q_docs_decontaminate(sf_dir: str):
     vals = df["doc_id"].to_numpy(dtype=np.int64) if len(df.columns) \
         else np.zeros(0, dtype=np.int64)
     return pa.table({"doc_id": pa.array(vals)})
+
+
+DUP_SPAN_K = 16
+
+
+def q_docs_dup_spans(sf_dir: str):
+    """(doc_id, n_dup_spans) — per doc, distinct 16-token spans shared
+    with at least one other document (dedup.dup_spans; the intra-corpus
+    exact-substring-duplication signal). Docs with no shared span emit no
+    row."""
+    out = dedup.dup_spans(_docs(sf_dir, columns=["doc_id", "text"]),
+                          shingle_k=DUP_SPAN_K)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_dup_spans": t.column("n_dup_spans").cast(pa.int64())}),
+        batch_format="pyarrow")
 
 
 DSIR_K = 100

@@ -1349,3 +1349,86 @@ def test_dsir_scores_match_duckdb(ray_session):
     got2 = dsir.dsir_sample(ray.data.from_arrow(t).repartition(7),
                             k=8).to_pandas()
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_dup_spans_planted(ray_session, tmp_path):
+    """Hand-checked duplicated-span semantics: one shared 16-token span
+    between two long docs, a disjoint long doc (no row), and an exactly
+    duplicated short doc pair (whole-text fallback under 16 tokens)."""
+    import pyarrow.parquet as pq
+
+    from ligrust_ray.pipelines import queries as Q
+
+    span = " ".join(f"w{i}" for i in range(16))
+    texts = [
+        "lead in tokens " + span,              # shares exactly [w0..w15]
+        span + " trailing stuff here",         # with this doc
+        " ".join(f"z{i}" for i in range(30)),  # disjoint -> no row
+        "tiny little doc five tokens",         # whole-text fallback,
+        "tiny little doc five tokens",         # duplicated -> 1 each
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                    "text": pa.array(texts)})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = (Q.q_docs_dup_spans(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = pd.DataFrame({"doc_id": [0, 1, 3, 4],
+                        "n_dup_spans": [1, 1, 1, 1]})
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  exp.astype(np.int64))
+
+
+def test_gopher_filter_planted(ray_session, tmp_path):
+    """Each rule knocks out exactly one planted doc: token floor, trigram
+    repetition cap, alphabetic-ratio floor, mean-word-length ceiling."""
+    import pyarrow.parquet as pq
+
+    from ligrust_ray.pipelines import queries as Q
+
+    ok_doc = " ".join(f"word{chr(97 + i)}x" for i in range(25))  # 7-char words
+    texts = [
+        ok_doc,                                     # passes everything
+        "five short tokens only here",              # < 20 tokens
+        " ".join(["spam"] * 24),                    # top trigram 1000 permille
+        " ".join(str(1000 + i) for i in range(24)),  # digits: alpha ratio 0
+        " ".join("abcdefghijkl" + str(i) for i in range(24)),  # mean wl 13
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                    "text": pa.array(texts)})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = (Q.q_docs_gopher_filter(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = pd.DataFrame({"doc_id": [0], "n_tokens": [25]})
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  exp.astype(np.int64))
+
+
+def test_round4_link_and_modularity_vs_duckdb(ray_session):
+    """events_modularity / events_jaccard_pairs / docs_gopher_filter /
+    docs_dup_spans vs their contract SQL on sf0.001 — in-repo mirror of
+    the driver compare."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    sqls = E.oracle_sql()
+    for name, fn in [("events_modularity", Q.q_events_modularity),
+                     ("events_jaccard_pairs", Q.q_events_jaccard_pairs),
+                     ("docs_gopher_filter", Q.q_docs_gopher_filter),
+                     ("docs_dup_spans", Q.q_docs_dup_spans)]:
+        got = fn(sf)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        exp = con.execute(sqls[name]).df()
+        cols = sorted(exp.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        exp = exp[cols].sort_values(cols).reset_index(drop=True)
+        assert len(got) == len(exp), name
+        for c in cols:
+            np.testing.assert_array_equal(
+                got[c].to_numpy(dtype=np.int64),
+                exp[c].to_numpy(dtype=np.int64), err_msg=f"{name}.{c}")
