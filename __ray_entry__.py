@@ -933,8 +933,8 @@ def entry() -> Any:
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
-    "events_modularity", "events_jaccard_pairs", "docs_gopher_filter",
-    "docs_dup_spans", "docs_dsir_sample",
+    "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
+    "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
     # never driver-checked through round 3 (40)
     "pages_anchor_text", "docs_token_quantiles_by_lang", "docs_best_per_source",
     "docs_simhash_dupes", "docs_simhash_clusters", "docs_lang_confusion",
@@ -990,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph algorithms (rows-only; exactness in pytest oracle)
         "pagerank_events": Q.q_pagerank_events,
         "cc_events": Q.q_cc_events,
+        "cc_incremental_events": Q.q_cc_incremental_events,
         "bfs_events": Q.q_bfs_events,
         "labelprop_events": Q.q_labelprop_events,
         "events_kcore": Q.q_events_kcore,
@@ -2034,4 +2035,18 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": (
             "SELECT doc_id AS media_id, f.i AS frame_idx FROM documents "
             "CROSS JOIN (SELECT CAST(UNNEST(range(4)) AS BIGINT) AS i) f"),
-    }
+    } | _aliases()
+
+
+def _aliases() -> dict[str, str]:
+    """Oracle entries that are BY CONSTRUCTION the same SQL as another
+    query's: the incremental-CC contract is that a warm-started update
+    run equals the from-scratch fixed point, so it is checked against
+    cc_events' recursive CTE verbatim."""
+    return {"cc_incremental_events": (
+        f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+        f"nodes AS ({_NODES_CTE}), "
+        "r(node, reach) AS (SELECT id, id FROM nodes "
+        "UNION SELECT e.dst, r.reach FROM r JOIN e ON e.src = r.node) "
+        "SELECT node AS node_id, CAST(MIN(reach) AS BIGINT) AS comp "
+        "FROM r GROUP BY node")}

@@ -326,6 +326,14 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_events_neighbor_sample(SF_DIR).materialize()
     q["events_neighbor_sample"] = time.perf_counter() - t0
 
+    # the pages-graph disk artifact is shared by the whole pages_* family;
+    # time its (re)build separately so the first pages query doesn't absorb
+    # a one-time cost the other family members then skip (misattribution
+    # measured at ~8s cold vs the 2s steady-state pages_degree)
+    t0 = time.perf_counter()
+    Q._pages_graph(SF_DIR)
+    q["pages_graph_artifact"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     Q.q_pages_degree(SF_DIR).materialize()
     q["pages_degree"] = time.perf_counter() - t0

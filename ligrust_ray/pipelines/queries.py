@@ -1140,6 +1140,53 @@ def q_cc_events(sf_dir: str):
                      "comp": pa.array(st["ids"])})
 
 
+def q_cc_incremental_events(sf_dir: str):
+    """(node_id, comp) — streaming-update connected components: the edge
+    multiset splits deterministically into a ~90% base batch and a ~10%
+    delta batch ((src*31 + dst) % 10 == 0 — an arbitrary stable rule; the
+    oracle never sees it); CC runs to fixed point on the base graph, then
+    ``cc_incremental`` warm-starts over the union CSR from the base labels
+    with the frontier seeded at the delta sources. The result must equal —
+    and is hash-checked against — the SAME from-scratch recursive-CTE
+    oracle as cc_events, which is precisely the incremental algorithm's
+    correctness contract."""
+    from ligrust_ray.algos.cc import cc_incremental
+
+    n = events_n(sf_dir)
+    gd = _graph_dir(sf_dir, "events_base")
+    if not os.path.exists(os.path.join(gd, "manifest.json")):
+        def keep_base(t: pa.Table) -> pa.Table:
+            s = t.column("src").to_numpy().astype(np.int64)
+            d = t.column("dst").to_numpy().astype(np.int64)
+            return t.filter(pa.array((s * 31 + d) % 10 != 0))
+
+        base_edges = events_edges_ds(sf_dir).map_batches(
+            keep_base, batch_format="pyarrow")
+        build_graph_from_edges(base_edges, gd, n=n, num_partitions=4)
+    gb = DistGraph.load(gd)
+    cc(gb)
+    base_ids = gb.collect_state(["ids"])["ids"]
+
+    def keep_delta_src(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        return pa.table({"src": pa.array(np.unique(s[(s * 31 + d) % 10
+                                                     == 0]))})
+
+    delta_srcs = np.unique(np.concatenate(
+        [b.column("src").to_numpy() for b in
+         events_edges_ds(sf_dir).map_batches(
+             keep_delta_src, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]
+        or [np.zeros(0, dtype=np.int64)]))
+
+    g = events_graph(sf_dir)
+    cc_incremental(g, base_ids, delta_srcs)
+    st = g.collect_state(["ids"])
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "comp": pa.array(st["ids"])})
+
+
 def q_events_component_sizes(sf_dir: str):
     """(size, n_components) — connected-component size histogram (the
     classic first question asked of any web-graph CC run: is there one

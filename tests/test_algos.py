@@ -1055,3 +1055,36 @@ def test_maximal_matching_empty_and_modes(ray_session):
     assert len(out) == 0
     with pytest.raises(ValueError, match="unknown mode"):
         maximal_matching(empty, mode="bogus")
+
+
+@pytest.mark.parametrize("name", [g[0] for g in GRAPHS])
+def test_cc_incremental_matches_full(graphs, name, tmp_path):
+    """Warm-started incremental CC over a 90/10 edge split equals the
+    from-scratch fixed point bitwise on every graph shape."""
+    from ligrust_ray.algos.cc import cc_incremental
+
+    g, n, src, dst = graphs[name]
+    keep = (src * 31 + dst) % 10 != 0
+    if keep.all() or not keep.any():
+        pytest.skip("split degenerate for this seed")
+    gb = make_graph(str(tmp_path / "base"), src[keep], dst[keep], n)
+    cc(gb)
+    base_ids = gb.collect_state(["ids"])["ids"]
+
+    res = cc_incremental(g, base_ids, np.unique(src[~keep]))
+    got = g.collect_state(["ids"])["ids"]
+    np.testing.assert_array_equal(got, oracle.cc_oracle(n, src, dst))
+    assert res["iterations"] >= 1
+
+
+def test_cc_incremental_empty_delta(graphs):
+    """An empty insertion batch must run ZERO edge_map waves and leave the
+    base fixed point untouched (the incremental fast path)."""
+    from ligrust_ray.algos.cc import cc_incremental
+
+    g, n, src, dst = graphs["er-64"]
+    cc(g)
+    base_ids = g.collect_state(["ids"])["ids"].copy()
+    res = cc_incremental(g, base_ids, np.zeros(0, dtype=np.int64))
+    assert res["iterations"] == 0 and res["edges_scanned"] == 0
+    np.testing.assert_array_equal(g.collect_state(["ids"])["ids"], base_ids)

@@ -130,3 +130,43 @@ def test_sssp_resume_bitwise(ray_session, tmp_path):
     g3 = _graph(tmp_path, src, dst, 200, "sc")
     bellman_ford(g3, source=0, checkpoint_dir=cdir, resume=True)
     np.testing.assert_array_equal(g3.collect_state(["dist"])["dist"], want)
+
+
+def test_cc_resume_after_actor_kill(ray_session, tmp_path):
+    """Cluster-style failure: a CSR shard ACTOR dies mid-algorithm (node
+    loss), not just the driver. The surviving checkpoint + graph dir must
+    be enough: reload the graph (fresh actors) and resume to the same
+    bitwise result as an uninterrupted run."""
+    import ray
+
+    src, dst = oracle.random_digraph(200, 4.0, seed=11)
+    g1 = _graph(tmp_path, src, dst, 200, "ka")
+    cc(g1)
+    want = g1.collect_state(["ids"])["ids"]
+
+    g2 = _graph(tmp_path, src, dst, 200, "kb")
+    cdir = str(tmp_path / "ck_kill")
+    real_edge_map = g2.edge_map
+    calls = {"k": 0}
+
+    def kill_then_run(kernel):
+        if calls["k"] == 2:        # after iter-2's checkpoint committed
+            ray.kill(g2.actors[1], no_restart=True)
+        calls["k"] += 1
+        return real_edge_map(kernel)
+
+    g2.edge_map = kill_then_run
+    try:
+        cc(g2, checkpoint_dir=cdir)
+        raise AssertionError("expected the killed actor to surface")
+    except ray.exceptions.RayError:
+        pass
+    man = ckpt.latest_checkpoint(cdir, "cc")
+    assert man is not None and man["iteration"] >= 1
+
+    # new actor set over the same persisted graph dir; resume
+    g3 = DistGraph.load(man["graph_dir"])
+    res = cc(g3, checkpoint_dir=cdir, resume=True)
+    got = g3.collect_state(["ids"])["ids"]
+    np.testing.assert_array_equal(got, want)
+    assert res["iterations"] >= man["iteration"]
