@@ -933,6 +933,7 @@ def entry() -> Any:
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
+    "pagerank_weighted_events",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
     # never driver-checked through round 3 (40)
@@ -989,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_by_priority": Q.q_order_revenue_by_priority,
         # iterative graph algorithms (rows-only; exactness in pytest oracle)
         "pagerank_events": Q.q_pagerank_events,
+        "pagerank_weighted_events": Q.q_pagerank_weighted_events,
         "cc_events": Q.q_cc_events,
         "cc_incremental_events": Q.q_cc_incremental_events,
         "bfs_events": Q.q_bfs_events,
@@ -1179,6 +1181,25 @@ def oracle_sql() -> dict[str, str]:
             "SUM((1.0 / nn.n) / deg.d) AS nbr "
             "FROM e JOIN deg ON deg.src = e.src CROSS JOIN nn "
             "GROUP BY e.dst) "
+            "SELECT nodes.id AS node_id, "
+            "CAST(FLOOR((COALESCE(g.nbr, 0.0) * 0.85 + 0.15) * 1000000 "
+            "+ 0.5) AS BIGINT) AS rank_ppm "
+            "FROM nodes LEFT JOIN gather g ON g.node = nodes.id"),
+        # weighted PageRankDelta closed form — the weight expression is
+        # weight_sql_expr(queries.PR_WEIGHT_SPEC); the division grouping
+        # ((1/n)/wsum)·w mirrors the engine's (delta/w_out)·w op order
+        "pagerank_weighted_events": (
+            f"WITH e AS ({_EDGES_CTE}), nodes AS ({_NODES_CTE}), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+            "ew AS (SELECT e.src, e.dst, "
+            + weight_sql_expr("md5:32", "e.src", "e.dst")
+            + " AS w FROM e), "
+            "ws AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS wsum FROM ew "
+            "GROUP BY src), "
+            "gather AS (SELECT ew.dst AS node, "
+            "SUM(((1.0 / nn.n) / ws.wsum) * ew.w) AS nbr "
+            "FROM ew JOIN ws ON ws.src = ew.src CROSS JOIN nn "
+            "GROUP BY ew.dst) "
             "SELECT nodes.id AS node_id, "
             "CAST(FLOOR((COALESCE(g.nbr, 0.0) * 0.85 + 0.15) * 1000000 "
             "+ 0.5) AS BIGINT) AS rank_ppm "

@@ -36,20 +36,36 @@ STATE = ["deltas", "page_rank", "nbr"]
 
 
 class PREdge(EdgeKernel):
+    """Unweighted: message = deltas[s] / out_degree(s) (algos.rs:225-231).
+    Weighted (``weight_spec``): message = (deltas[s] / w_out(s)) · w(s,t)
+    — the plus-times semiring via weight_combine="mul"; ``w_out`` is the
+    per-node weighted out-degree precomputed by
+    ``DistGraph.init_out_strength`` (each edge then carries its share of
+    the source's delta, Σ_t w(s,t)/w_out(s) = 1 exactly as 1/out_degree
+    sums to 1 unweighted)."""
+
     reduce = "sum"
     value_dtype = np.float64
     has_output_frontier = False
 
+    def __init__(self, weight_spec: str | None = None):
+        self.weight_spec = weight_spec
+        self.weight_combine = "mul" if weight_spec else "add"
+
+    def _denom(self, state, out_deg):
+        return state["w_out"] if self.weight_spec else out_deg
+
     def source_values(self, state, out_deg):
         d = state["deltas"]
+        dg = self._denom(state, out_deg)
         out = np.zeros_like(d)
-        np.divide(d, out_deg, out=out, where=out_deg > 0)
+        np.divide(d, dg, out=out, where=dg > 0)
         return out
 
     def source_values_at(self, state, out_deg, idx):
         # masked: only the frontier's deltas are divided (push path)
         d = state["deltas"][idx]
-        dg = out_deg[idx]
+        dg = self._denom(state, out_deg)[idx]
         out = np.zeros_like(d)
         np.divide(d, dg, out=out, where=dg > 0)
         return out
@@ -107,20 +123,24 @@ class PRClassicRound(VertexKernel):
 
 
 def page_rank_classic(graph, max_iterations: int = 100,
-                      tolerance: float = TOLERANCE) -> dict:
+                      tolerance: float = TOLERANCE,
+                      weight_spec: str | None = None) -> dict:
     """Iterative-to-convergence variant used for benchmarking (the
     reference-exact variant stops after 2 rounds by construction). Same
     unnormalized fixed point; push/pull switching is exercised as the
-    frontier shrinks."""
+    frontier shrinks. ``weight_spec`` runs the weighted gather (see
+    PREdge) to ITS fixed point r = 0.15 + 0.85·Σ r_u·w(u,v)/w_out(u)."""
     t0 = time.perf_counter()
     graph.init_algo({
         "deltas": (np.float64, ALPHA),      # r_0 = delta_0 = 0.15 everywhere
         "page_rank": (np.float64, ALPHA),
         "nbr": (np.float64, 0.0),
     })
+    if weight_spec:
+        graph.init_out_strength(weight_spec)
     graph.set_frontier("all")
     graph.edges_scanned = 0
-    edge_kernel = PREdge()
+    edge_kernel = PREdge(weight_spec)
     round_kernel = PRClassicRound()
     iteration = 0
     error = float("inf")
@@ -137,11 +157,12 @@ def page_rank_classic(graph, max_iterations: int = 100,
 
 def page_rank_delta(graph, max_iterations: int = 100,
                     checkpoint_dir: str | None = None,
-                    checkpoint_every: int = 1, resume: bool = True) -> dict:
+                    checkpoint_every: int = 1, resume: bool = True,
+                    weight_spec: str | None = None) -> dict:
     t0 = time.perf_counter()
     n = graph.n
     one_over_n = 1.0 / n
-    edge_kernel = PREdge()
+    edge_kernel = PREdge(weight_spec)
     iteration = 0
     man = ckpt.latest_checkpoint(checkpoint_dir, "pagerank") if (
         checkpoint_dir and resume) else None
@@ -150,6 +171,8 @@ def page_rank_delta(graph, max_iterations: int = 100,
         "page_rank": (np.float64, 0.0),
         "nbr": (np.float64, 0.0),
     })
+    if weight_spec:
+        graph.init_out_strength(weight_spec)
     graph.edges_scanned = 0
     if man is not None:
         ckpt.restore_checkpoint(graph, man)

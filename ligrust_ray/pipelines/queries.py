@@ -1132,6 +1132,25 @@ def q_pagerank_events(sf_dir: str):
                      "rank_ppm": pa.array(ppm)})
 
 
+PR_WEIGHT_SPEC = "md5:32"    # same derived-weight spec as events_strength
+
+
+def q_pagerank_weighted_events(sf_dir: str):
+    """Weighted reference-semantics PageRankDelta: each edge carries the
+    derived weight w(s,t) (state/weights.py md5:32 — the events_strength
+    spec), the gather is (delta/w_out(s))·w(s,t), and the same round-1
+    frontier quirk empties the frontier for n >= 4, so the fixed point is
+    0.15 + 0.85·Σ_in (1/n)·w(s,t)/w_out(s). rank_ppm integer micro-units
+    like pagerank_events; the oracle replicates the closed form with
+    weight_sql_expr so engine and SQL hash the same weights."""
+    g = events_graph(sf_dir)
+    page_rank_delta(g, max_iterations=100, weight_spec=PR_WEIGHT_SPEC)
+    st = g.collect_state(["page_rank"])
+    ppm = np.floor(st["page_rank"] * 1e6 + 0.5).astype(np.int64)
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "rank_ppm": pa.array(ppm)})
+
+
 def q_cc_events(sf_dir: str):
     g = events_graph(sf_dir)
     cc(g)

@@ -40,12 +40,15 @@ class EdgeKernel:
     has_output_frontier: bool = True  # = !has_no_result (ligra.rs:53-55)
     # Weighted edgeMap (Ligra's wgh field; the reference is unweighted):
     # a state/weights.py spec string (e.g. "md5:32") makes every edge
-    # contribution ``source_value + w(src, dst)`` — the min-plus semiring
-    # for Bellman-Ford under reduce="min", weighted accumulate under
-    # "sum"/"or". Weights are derived (pure hash of the endpoint ids),
-    # computed once per shard per CSR layout and cached; NOT supported
-    # with reduce="mode" (a label plus a weight is meaningless).
+    # contribution ``source_value (+|*) w(src, dst)`` — weight_combine
+    # "add" is the min-plus semiring for Bellman-Ford under reduce="min"
+    # / weighted accumulate under "sum"/"or"; "mul" is the plus-times
+    # semiring (weighted PageRank: message = (delta / w_out) * w).
+    # Weights are derived (pure hash of the endpoint ids), computed once
+    # per shard per CSR layout and cached; NOT supported with
+    # reduce="mode" (a label plus a weight is meaningless).
     weight_spec: str | None = None
+    weight_combine: str = "add"
 
     def source_values(self, state: dict, out_deg: np.ndarray) -> np.ndarray:
         raise NotImplementedError

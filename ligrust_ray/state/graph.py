@@ -41,6 +41,13 @@ import ray
 INT_SENTINEL = np.iinfo(np.int64).max
 
 
+def _weighted(kernel, vals: np.ndarray, ew: np.ndarray) -> np.ndarray:
+    """Combine per-edge source values with derived edge weights under the
+    kernel's semiring: "add" (min-plus / weighted accumulate) or "mul"
+    (plus-times — weighted PageRank)."""
+    return vals * ew if kernel.weight_combine == "mul" else vals + ew
+
+
 def _multi_range(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Concatenate [s, s+l) ranges, vectorised."""
     total = int(lens.sum())
@@ -332,6 +339,17 @@ class CsrShard:
             self._ew_cache[key] = edge_weights(spec, src, dst)
         return self._ew_cache[key]
 
+    def compute_out_strength(self, spec: str, name: str) -> None:
+        """state[name] <- per-local-node weighted out-degree (Σ of derived
+        out-edge weights; float64). The out-CSR is complete per shard —
+        hub splitting only spills IN-edge lists — so this is one local
+        segment sum, no exchange."""
+        ew = self._edge_weights(spec, "out").astype(np.float64)
+        # cumsum differences are exact here (weights are small integers,
+        # far below 2^53) and robust to empty segments anywhere
+        c = np.concatenate(([0.0], np.cumsum(ew)))
+        self.state[name] = c[self.out_indptr[1:]] - c[self.out_indptr[:-1]]
+
     def in_tgt_idx(self) -> np.ndarray:
         if self._in_tgt_idx is None:
             self._in_tgt_idx = np.repeat(
@@ -477,8 +495,8 @@ class CsrShard:
             w = values_arr[sel] if sel.size else \
                 np.zeros(0, dtype=values_arr.dtype)
             if kernel.weight_spec and w.size:
-                w = w + self._edge_weights(kernel.weight_spec,
-                                           "in")[edge_idx]
+                w = _weighted(kernel, w, self._edge_weights(
+                    kernel.weight_spec, "in")[edge_idx])
             sub_agg, sub_touched = _segment_reduce(
                 kernel.reduce, sub_indptr, w, contrib, kernel.value_dtype)
             if kernel.reduce == "sum":
@@ -497,7 +515,8 @@ class CsrShard:
         w = values_arr[idx] if idx.size else \
             np.zeros(0, dtype=values_arr.dtype)
         if kernel.weight_spec and w.size:
-            w = w + self._edge_weights(kernel.weight_spec, "in")
+            w = _weighted(kernel, w,
+                          self._edge_weights(kernel.weight_spec, "in"))
         agg, touched = _segment_reduce(kernel.reduce, self.in_indptr, w,
                                        contrib, kernel.value_dtype,
                                        self.in_tgt_idx()
@@ -569,7 +588,8 @@ class CsrShard:
             w = values_full[srcs]
             if kernel.weight_spec and w.size:
                 ew = self._edge_weights(kernel.weight_spec, "hub")
-                w = w + ew[self.hub_chunk_ptr[i]:self.hub_chunk_ptr[i + 1]]
+                w = _weighted(kernel, w, ew[
+                    self.hub_chunk_ptr[i]:self.hub_chunk_ptr[i + 1]])
             active = w if frontier_full is None else w[frontier_full[srcs]]
             out.append((hub, *self._chunk_partial(kernel, active)))
         return out
@@ -630,7 +650,8 @@ class CsrShard:
             w = values_c[idx]
             if kernel.weight_spec and w.size:
                 ew = self._edge_weights(kernel.weight_spec, "hub")
-                w = w + ew[self.hub_chunk_ptr[i]:self.hub_chunk_ptr[i + 1]]
+                w = _weighted(kernel, w, ew[
+                    self.hub_chunk_ptr[i]:self.hub_chunk_ptr[i + 1]])
             active = w[frontier_c[idx]]
             out.append((hub, *self._chunk_partial(kernel, active)))
         return out
@@ -680,8 +701,8 @@ class CsrShard:
         dst = self.out_flat[edge_idx]
         vals = np.repeat(vals_f, lens)
         if kernel.weight_spec and vals.size:
-            vals = vals + self._edge_weights(kernel.weight_spec,
-                                             "out")[edge_idx]
+            vals = _weighted(kernel, vals, self._edge_weights(
+                kernel.weight_spec, "out")[edge_idx])
         uk, uv = _combine_by_key(kernel.reduce, dst, vals)
         part_of = np.searchsorted(self.bounds, uk, side="right") - 1
         cut = np.searchsorted(part_of, np.arange(self.nparts + 1))
@@ -837,6 +858,15 @@ class DistGraph:
     def init_algo(self, spec: dict) -> None:
         self._view_cache = None
         ray.get([a.init_state.remote(spec) for a in self.actors])
+
+    def init_out_strength(self, weight_spec: str, name: str = "w_out"
+                          ) -> None:
+        """Materialize per-node weighted out-degree into vertex state —
+        one local pass per shard (weights derive from the cached out
+        layout), no exchange."""
+        self._view_cache = None
+        ray.get([a.compute_out_strength.remote(weight_spec, name)
+                 for a in self.actors])
 
     def set_frontier(self, kind: str, ids: np.ndarray | None = None) -> None:
         if kind == "all" and self._view_cache is not None:

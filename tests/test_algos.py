@@ -1088,3 +1088,53 @@ def test_cc_incremental_empty_delta(graphs):
     res = cc_incremental(g, base_ids, np.zeros(0, dtype=np.int64))
     assert res["iterations"] == 0 and res["edges_scanned"] == 0
     np.testing.assert_array_equal(g.collect_state(["ids"])["ids"], base_ids)
+
+
+def _wpr_oracle(n, src, dst, spec="md5:32"):
+    """Closed form of weighted PageRankDelta (the round-1 frontier quirk
+    empties the frontier for n >= 4): 0.15 + 0.85·Σ_in (1/n)·w/w_out."""
+    from ligrust_ray.state.weights import edge_weights
+
+    w = edge_weights(spec, src, dst).astype(np.float64)
+    w_out = np.zeros(n)
+    if len(src):
+        np.add.at(w_out, src, w)
+    gather = np.zeros(n)
+    if len(src):
+        np.add.at(gather, dst, (1.0 / n) / w_out[src] * w)
+    return 0.15 + 0.85 * gather
+
+
+@pytest.mark.parametrize("name", [g[0] for g in GRAPHS])
+def test_pagerank_weighted_allclose(graphs, name):
+    g, n, src, dst = graphs[name]
+    if n < 4:
+        pytest.skip("closed form needs the n >= 4 frontier-empty regime")
+    page_rank_delta(g, max_iterations=100, weight_spec="md5:32")
+    got = g.collect_state(["page_rank"])["page_rank"]
+    np.testing.assert_allclose(got, _wpr_oracle(n, src, dst), atol=1e-6)
+
+
+def test_pagerank_weighted_push_pull_agree(ray_session, tmp_path):
+    """Weighted gather through forced push, forced pull (broadcast AND
+    partition-aligned) and the hub-spill path must agree with the numpy
+    closed form — the 'mul' weight combine exercises every layout."""
+    src, dst = oracle.random_digraph(150, 4.0, seed=9)
+    # a 40-in-degree hub to force hub chunks under a low spill threshold
+    hub_src = np.arange(40, 100, dtype=np.int64)
+    src = np.concatenate([src, hub_src])
+    dst = np.concatenate([dst, np.full(60, 7, dtype=np.int64)])
+    exp = _wpr_oracle(150, src, dst)
+    for sub, m_override, hub_thr in (("p", 10**12, None), ("q", 0, None),
+                                     ("r", 0, 16), ("s", None, 16)):
+        d = str(tmp_path / sub)
+        build_graph_from_edges(pa.table({"src": src, "dst": dst}), d,
+                               n=150, num_partitions=4,
+                               hub_in_threshold=hub_thr)
+        g = DistGraph.load(d)
+        if m_override is not None:
+            g.m = m_override
+        page_rank_delta(g, max_iterations=100, weight_spec="md5:32")
+        np.testing.assert_allclose(
+            g.collect_state(["page_rank"])["page_rank"], exp, atol=1e-6,
+            err_msg=sub)
