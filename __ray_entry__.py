@@ -933,7 +933,7 @@ def entry() -> Any:
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
-    "pagerank_weighted_events",
+    "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
     # never driver-checked through round 3 (40)
@@ -1064,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-pipeline utilities (r3)
         "events_distinct_users": Q.q_events_distinct_users,
         "events_user_hll": Q.q_events_user_hll,
+        "events_user_bloom": Q.q_events_user_bloom,
         "docs_sample": Q.q_docs_sample,
         "docs_pack": Q.q_docs_pack,
         "docs_shuffle": Q.q_docs_shuffle,
@@ -1871,6 +1872,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(md5_number_lower(CAST(rws.r AS VARCHAR) || ':' || tok) "
             "% 1024 AS BIGINT) AS c, COUNT(*) AS n "
             "FROM rws CROSS JOIN toks GROUP BY 1, 2"),
+        # Bloom filter bit set, k=4 salted md5 rows x m=65536 bits
+        "events_user_bloom": (
+            "SELECT DISTINCT CAST(md5_number_lower("
+            "CAST(r.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) "
+            "% 65536 AS BIGINT) AS bit "
+            "FROM events CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS j) r"),
         "events_user_hll": (
             "SELECT event_type, "
             "CAST(hv // 4503599627370496 AS BIGINT) AS reg, "

@@ -166,3 +166,54 @@ def cms_point_query(registers: "pd.DataFrame", tokens: list[str],
         c = (h % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, reg[r, c])
     return est
+
+
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def bloom_bits(ds: ray.data.Dataset, value_col: str, k: int = BLOOM_K,
+               m: int = BLOOM_BITS, num_partitions: int = 32
+               ) -> ray.data.Dataset:
+    """(bit,) — the distinct set bit positions of a Bloom filter over
+    ``value_col``: position_j(v) = md5-lower-u64(f"{j}:{v}") % m for
+    j in 1..k (the CMS row-salt hash spec, so the DuckDB oracle is one
+    cross-join + DISTINCT). Like the HLL/CMS family, the SKETCH IS DATA:
+    each batch collapses to a local m-bit bitmap and emits its nonzero
+    positions, so at most m rows per batch enter the ONE distinct wide
+    step and the merged filter is bounded at m rows no matter how many
+    raw values stream through; merging two corpora's filters is a bitmap
+    OR = row union. Membership via ``bloom_contains`` (no false
+    negatives; FP rate ~(1-e^{-kn/m})^k, pytest-checked)."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = [str(v) for v in t.column(value_col).to_pylist()]
+        bits = np.zeros(m, dtype=bool)
+        for j in range(1, k + 1):
+            h = md5_u64_lower_arrow(
+                pa.array([f"{j}:{v}" for v in vals], type=pa.string()))
+            bits[(h % np.uint64(m)).astype(np.int64)] = True
+        return pa.table({"bit": pa.array(np.flatnonzero(bits)
+                                         .astype(np.int64))})
+
+    return shuffle.distinct(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bit"],
+        num_partitions=num_partitions)
+
+
+def bloom_contains(bits: "pd.DataFrame | np.ndarray", values: list,
+                   k: int = BLOOM_K, m: int = BLOOM_BITS) -> np.ndarray:
+    """Membership test against a (bit,) table: True iff ALL k positions
+    are set. Never false-negative for inserted values."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    arr = bits if isinstance(bits, np.ndarray) else bits["bit"].to_numpy()
+    filt = np.zeros(m, dtype=bool)
+    filt[arr] = True
+    out = np.ones(len(values), dtype=bool)
+    for j in range(1, k + 1):
+        h = md5_u64_lower_arrow(
+            pa.array([f"{j}:{v}" for v in values], type=pa.string()))
+        out &= filt[(h % np.uint64(m)).astype(np.int64)]
+    return out

@@ -2822,6 +2822,21 @@ def q_docs_token_cms(sf_dir: str):
     return sketch.cms_registers(_docs(sf_dir, columns=["text"]))
 
 
+def q_events_user_bloom(sf_dir: str):
+    """Bloom-filter bit positions over events.user_id (k=4, m=2^16) —
+    the crawl-frontier / seen-set sketch. Bits ARE the contract output
+    (dataops/sketch.py bloom_bits): bounded at m rows however many
+    events stream through; membership is pytest-checked (zero false
+    negatives, FP rate near theory)."""
+    from ligrust_ray.dataops import sketch
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["user_id"])
+    return sketch.bloom_bits(ev, "user_id").map_batches(
+        lambda t: pa.table({"bit": t.column("bit").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_events_user_hll(sf_dir: str):
     """Per-event-type HyperLogLog registers over user_id (p=12). The
     registers ARE the contract output — pure integers, order-insensitive,

@@ -1432,3 +1432,29 @@ def test_round4_link_and_modularity_vs_duckdb(ray_session):
             np.testing.assert_array_equal(
                 got[c].to_numpy(dtype=np.int64),
                 exp[c].to_numpy(dtype=np.int64), err_msg=f"{name}.{c}")
+
+
+def test_bloom_no_false_negatives_and_fp_rate(ray_session):
+    """Every inserted value tests positive; FP rate on disjoint probes is
+    near (1 - e^{-kn/m})^k; merging two halves' bit sets = the whole's."""
+    import ray.data
+
+    from ligrust_ray.dataops import sketch
+
+    vals = np.arange(3000, dtype=np.int64)
+    t = pa.table({"user_id": pa.array(vals)})
+    bits = sketch.bloom_bits(ray.data.from_arrow(t), "user_id").to_pandas()
+    assert bits["bit"].is_unique and len(bits) <= sketch.BLOOM_BITS
+    # no false negatives
+    assert sketch.bloom_contains(bits, [str(v) for v in vals]).all()
+    # FP rate on 5000 disjoint probes: theory ~ (1-e^{-kn/m})^k = 0.028%
+    probes = [str(v) for v in range(10**6, 10**6 + 5000)]
+    fp = sketch.bloom_contains(bits, probes).mean()
+    assert fp < 0.01
+    # merge = row union: two halves OR'd equal the whole
+    h1 = sketch.bloom_bits(
+        ray.data.from_arrow(t.slice(0, 1500)), "user_id").to_pandas()
+    h2 = sketch.bloom_bits(
+        ray.data.from_arrow(t.slice(1500)), "user_id").to_pandas()
+    merged = np.union1d(h1["bit"].to_numpy(), h2["bit"].to_numpy())
+    np.testing.assert_array_equal(np.sort(bits["bit"].to_numpy()), merged)
