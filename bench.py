@@ -480,6 +480,21 @@ def run_headline(num_cpus: int) -> dict:
     Q.q_docs_dsir_sample(SF_DIR)          # returns a bounded pa.Table
     q["docs_dsir_sample"] = time.perf_counter() - t0
 
+    # late round-4 operators
+    for name, fn, mat in (
+            ("events_modularity", Q.q_events_modularity, False),
+            ("events_jaccard_pairs", Q.q_events_jaccard_pairs, True),
+            ("docs_gopher_filter", Q.q_docs_gopher_filter, True),
+            ("docs_dup_spans", Q.q_docs_dup_spans, True),
+            ("cc_incremental", Q.q_cc_incremental_events, False),
+            ("pagerank_weighted", Q.q_pagerank_weighted_events, False),
+            ("events_user_bloom", Q.q_events_user_bloom, True)):
+        t0 = time.perf_counter()
+        r = fn(SF_DIR)
+        if mat:
+            r.materialize()
+        q[name] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,
