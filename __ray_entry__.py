@@ -933,6 +933,7 @@ def entry() -> Any:
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
+    "events_funnel",
     "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
@@ -983,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_modularity": Q.q_events_modularity,
         # windowed / sessionized aggregates (streaming-window family)
         "events_sessions": Q.q_events_sessions,
+        "events_funnel": Q.q_events_funnel,
         "events_windows": Q.q_events_windows,
         "events_hopping": Q.q_events_hopping,
         "events_rolling": Q.q_events_rolling,
@@ -1359,6 +1361,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS n_triangles FROM u e1 "
             "JOIN u e2 ON e1.b = e2.a "
             "JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b"),
+        # ordered conversion funnel: reach stage k+1 strictly after the
+        # first-reach ts of stage k (strict > in both engines)
+        "events_funnel": (
+            "WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND e.ts > v.t1 "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND e.ts > c.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT stage, n_users FROM (VALUES "
+            "('1_view', (SELECT COUNT(*) FROM v)), "
+            "('2_click', (SELECT COUNT(*) FROM c)), "
+            "('3_purchase', (SELECT COUNT(*) FROM p))) "
+            "AS t(stage, n_users)"),
         "events_sessions": (
             "WITH o AS (SELECT user_id, ts, "
             "LAG(ts) OVER (PARTITION BY user_id "

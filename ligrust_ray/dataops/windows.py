@@ -347,6 +347,59 @@ def hopping_window_counts(events: ray.data.Dataset,
 ROLL_N = 3   # trailing events per rolling sum
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_counts(events: ray.data.Dataset,
+                  stages: tuple[str, ...] = FUNNEL_STAGES,
+                  num_partitions: int = 32) -> ray.data.Dataset:
+    """(stage, n_users): ordered-conversion funnel — a user reaches stage
+    k+1 when an event of that type occurs STRICTLY AFTER the user's
+    first-reach timestamp of stage k (first stage: the user's earliest
+    event of that type). The classic product-analytics window op.
+
+    Plan: one user-keyed hash shuffle, then a vectorised per-partition
+    sweep (each user's full history sits in one partition — the
+    sessionize partitioning assumption), emitting one partial count row
+    per stage per partition; a 3-row grouped_agg sums the partials.
+    Stage labels are ordinal-prefixed (``1_view``) so output order is
+    self-describing."""
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        labels = [f"{i + 1}_{s}" for i, s in enumerate(stages)]
+        if not len(df):
+            return pd.DataFrame({
+                "stage": pd.Series(labels, dtype=object),
+                "n_users": pd.Series(np.zeros(len(stages), np.int64))})
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(__ts=ts)
+        counts = []
+        reached = None      # Series: user_id -> first-reach ts of prev stage
+        for st in stages:
+            sub = df[df["event_type"] == st]
+            if reached is None:
+                reached = sub.groupby("user_id")["__ts"].min()
+            else:
+                m = sub.merge(reached.rename("prev").reset_index(),
+                              on="user_id")
+                m = m[m["__ts"] > m["prev"]]
+                reached = m.groupby("user_id")["__ts"].min()
+            counts.append(len(reached))
+        return pd.DataFrame({"stage": labels,
+                             "n_users": np.asarray(counts, np.int64)})
+
+    parts = shuffle.grouped_apply(
+        events.select_columns(["ts", "user_id", "event_type"]),
+        ["user_id"], per_partition, num_partitions=num_partitions)
+    agg = shuffle.grouped_agg(parts, ["stage"],
+                              {"n_users": ("n_users", "sum")})
+    return agg.map_batches(
+        lambda t: pa.table({
+            "stage": t.column("stage").cast(pa.string()),
+            "n_users": t.column("n_users").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def rolling_user_sum(events: ray.data.Dataset, n: int = ROLL_N,
                      num_partitions: int = 32) -> ray.data.Dataset:
     """(event_id, user_id, roll_cents): per-event trailing sum of the

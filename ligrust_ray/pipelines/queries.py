@@ -1379,6 +1379,16 @@ def q_events_sessions(sf_dir: str):
     return windows.sessionize(ev)
 
 
+def q_events_funnel(sf_dir: str):
+    """(stage, n_users) — ordered view->click->purchase conversion funnel
+    (windows.funnel_counts); SQL oracle = three chained MIN-after joins."""
+    from ligrust_ray.dataops import windows
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts", "user_id", "event_type"])
+    return windows.funnel_counts(ev)
+
+
 def q_events_rolling(sf_dir: str):
     """(event_id, user_id, roll_cents) — per-event trailing sum of the
     previous 3 same-user events' integer cents in (ts, event_id) order

@@ -1458,3 +1458,36 @@ def test_bloom_no_false_negatives_and_fp_rate(ray_session):
         ray.data.from_arrow(t.slice(1500)), "user_id").to_pandas()
     merged = np.union1d(h1["bit"].to_numpy(), h2["bit"].to_numpy())
     np.testing.assert_array_equal(np.sort(bits["bit"].to_numpy()), merged)
+
+
+def test_funnel_counts_planted(ray_session):
+    """Ordered funnel: strict-after semantics, per-stage counts.
+
+    user 1: view@1 click@2 purchase@3          -> reaches all 3
+    user 2: view@5 click@4 (click BEFORE view) -> view only
+    user 3: click@1 purchase@2 (never views)   -> nothing
+    user 4: view@1 click@1 (same ts, not >)    -> view only
+    user 5: view@2 view@1 click@3 purchase@2   -> view+click (purchase
+            at ts2 is before click-reach ts3)
+    """
+    from ligrust_ray.dataops.windows import funnel_counts
+
+    rows = [  # (user, type, ts_sec)
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        (2, "view", 5), (2, "click", 4),
+        (3, "click", 1), (3, "purchase", 2),
+        (4, "view", 1), (4, "click", 1),
+        (5, "view", 2), (5, "view", 1), (5, "click", 3),
+        (5, "purchase", 2),
+    ]
+    df = pd.DataFrame({
+        "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "event_type": [r[1] for r in rows],
+        "ts": pd.to_datetime([r[2] for r in rows], unit="s")})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (funnel_counts(ds).to_pandas()
+           .sort_values("stage").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "stage": ["1_view", "2_click", "3_purchase"],
+        "n_users": np.array([4, 2, 1], dtype=np.int64)})
+    pd.testing.assert_frame_equal(got, exp)
