@@ -933,7 +933,7 @@ def entry() -> Any:
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
-    "events_funnel",
+    "events_funnel", "docs_winnowing",
     "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
@@ -1034,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_best_per_source": Q.q_docs_best_per_source,
         "docs_langid": Q.q_docs_langid,
         "docs_fingerprint": Q.q_docs_fingerprint,
+        "docs_winnowing": Q.q_docs_winnowing,
         "docs_clean": Q.q_docs_clean,
         "docs_minhash_dedup": Q.q_docs_minhash_dedup,
         "docs_simhash": Q.q_docs_simhash,
@@ -1470,6 +1471,25 @@ def oracle_sql() -> dict[str, str]:
             "AS n_punct FROM documents"),
         # deterministic text ops (specs defined DuckDB-first; see
         # dataops/textstats.py + dataops/hashing.py)
+        # winnowing (k=3 token grams, window w=4, rightmost-min): grams
+        # via lateral positions over the RE2 token list, window p covers
+        # grams [p, p+3]; member i joins windows p = i-3..i clipped to
+        # the full-window range; selection = ROW_NUMBER(hv ASC, i DESC)
+        "docs_winnowing": (
+            "WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[^\\t\\n\\f\\r ]+') AS tk FROM documents), "
+            "g AS (SELECT doc_id, s.i AS i, len(tk) - 2 AS ng, "
+            + _signed64("md5_number_lower(tk[s.i] || ' ' || "
+                        "tk[s.i + 1] || ' ' || tk[s.i + 2])")
+            + " AS hv FROM d, UNNEST(range(1, len(tk) - 1)) "
+            "AS s(i) WHERE len(tk) >= 3), "
+            "m AS (SELECT doc_id, i - o.o AS p, i, hv FROM g, "
+            "generate_series(0, 3) AS o(o) "
+            "WHERE i - o.o >= 1 AND i - o.o <= ng - 3), "
+            "sel AS (SELECT doc_id, hv, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id, p ORDER BY hv ASC, i DESC) AS rn "
+            "FROM m) "
+            "SELECT DISTINCT doc_id, hv AS fp FROM sel WHERE rn = 1"),
         "docs_fingerprint": (
             "SELECT doc_id, "
             + _signed64("md5_number_lower(regexp_replace(trim(text), "

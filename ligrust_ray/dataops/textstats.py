@@ -197,6 +197,78 @@ def repetition_stats_batch(t: pa.Table) -> pa.Table:
                      "n_dup_lines": pa.array(n_dup, type=pa.int64())})
 
 
+WINNOW_K = 3      # tokens per k-gram
+WINNOW_W = 4      # winnowing window: w consecutive k-gram hashes
+
+
+def winnow_batch(t: pa.Table, k: int = WINNOW_K, w: int = WINNOW_W
+                 ) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram of the
+    lowercased text (md5-lower-u64 of the space-joined tokens, as int64),
+    then for every window of ``w`` consecutive gram hashes select the
+    minimum with RIGHTMOST tie-break; emit DISTINCT selected hashes per
+    doc as ``(doc_id, fp)``. Guarantee: any shared token run of length
+    >= w + k - 1 between two docs shares at least one fingerprint, with
+    expected density 2/(w+1) — the local-fingerprint primitive between
+    exact hashing (fragile) and MinHash (global-only).
+
+    Fully shuffle-free: tokenize/gram/hash are batch-vectorised (Arrow
+    split + one chunked DuckDB md5 call); the winnow sweep is a numpy
+    sliding-window argmin per doc. Docs shorter than k tokens (no gram)
+    or w + k - 1 tokens (no full window) emit nothing, per the paper.
+    DuckDB parity: the docs_winnowing oracle replays gram/hash/window
+    selection with ROW_NUMBER OVER (ORDER BY hv ASC, i DESC)."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "fp": pa.array([], type=pa.int64())})
+    if not t.num_rows:
+        return empty
+    ids = t.column("doc_id").to_numpy()
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(t.column("text")), RE2_WS + "+").combine_chunks()
+    if isinstance(toks, pa.ChunkedArray):      # plain Arrays from here on
+        toks = toks.chunk(0) if toks.num_chunks else \
+            pa.array([], type=toks.type)
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(ids)), lens)
+    # split emits "" at string edges; RE2's extract_all never does
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, doc_idx = flat.filter(pa.array(keep)), doc_idx[keep]
+    n = len(flat)
+    if n < k:
+        return empty
+    # k-gram strings via shifted zero-copy slices; mask grams that cross
+    # a doc boundary (first/last token must sit in the same doc)
+    parts = [flat.slice(j, n - k + 1) for j in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    same_doc = doc_idx[: n - k + 1] == doc_idx[k - 1:]
+    hv_all = md5_u64_lower_arrow(grams).view(np.int64)
+    hv, gdoc = hv_all[same_doc], doc_idx[: n - k + 1][same_doc]
+
+    out_doc, out_fp = [], []
+    bounds = np.flatnonzero(np.concatenate(
+        ([True], gdoc[1:] != gdoc[:-1], [True])))
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        m = b - a
+        if m < w:
+            continue
+        seg = hv[a:b]
+        swv = np.lib.stride_tricks.sliding_window_view(seg, w)
+        # rightmost argmin: argmin of the reversed window, mirrored
+        sel = np.arange(m - w + 1) + (w - 1 - np.argmin(swv[:, ::-1],
+                                                        axis=1))
+        fps = np.unique(seg[np.unique(sel)])
+        out_doc.append(np.full(len(fps), ids[gdoc[a]], dtype=np.int64))
+        out_fp.append(fps)
+    if not out_doc:
+        return empty
+    return pa.table({"doc_id": pa.array(np.concatenate(out_doc)),
+                     "fp": pa.array(np.concatenate(out_fp))})
+
+
 # ---- PII scrubbing (round 3) ---------------------------------------------
 # Both sides of the contract run RE2: pyarrow.compute's regex kernels here,
 # DuckDB's regexp_* in the oracle — identical leftmost-first matching by

@@ -2618,6 +2618,13 @@ def q_docs_fingerprint(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+def q_docs_winnowing(sf_dir: str):
+    """(doc_id, fp) winnowing fingerprints (textstats.winnow_batch) —
+    MOSS-style local fingerprinting; shuffle-free per-doc map."""
+    return _docs(sf_dir).map_batches(textstats.winnow_batch,
+                                     batch_format="pyarrow")
+
+
 def q_docs_minhash_dedup(sf_dir: str):
     return dedup.minhash_lsh_dedup(_docs(sf_dir))
 

@@ -1491,3 +1491,52 @@ def test_funnel_counts_planted(ray_session):
         "stage": ["1_view", "2_click", "3_purchase"],
         "n_users": np.array([4, 2, 1], dtype=np.int64)})
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_winnowing_matches_bruteforce(ray_session):
+    """winnow_batch == a per-doc pure-Python winnow (k-gram md5, window
+    min with rightmost tie-break); the paper's guarantee holds: two docs
+    sharing a run of w+k-1 tokens share a fingerprint; docs shorter than
+    w+k-1 tokens emit nothing."""
+    from ligrust_ray.dataops.hashing import md5_i64_lower
+    from ligrust_ray.dataops.textstats import WINNOW_K, WINNOW_W, winnow_batch
+
+    k, w = WINNOW_K, WINNOW_W
+    shared = "alpha beta gamma delta epsilon zeta"       # w+k-1 = 6 tokens
+    texts = [
+        "one two three " + shared + " four five",
+        shared + " completely different trailing words here",
+        "tiny doc",                                       # < k tokens
+        "exactly five tokens only here",                  # k grams < w
+        "a a a a a a a a a a",                            # degenerate ties
+        "",                                               # empty
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+
+    import re
+
+    def brute(doc_id, text):
+        toks = [x for x in re.split("[\t\n\f\r ]+", text.lower()) if x]
+        hs = [md5_i64_lower(" ".join(toks[i:i + k]).encode())
+              for i in range(len(toks) - k + 1)]
+        sel = set()
+        for p in range(len(hs) - w + 1):
+            win = hs[p:p + w]
+            best = min(range(w), key=lambda j: (win[j], -j))
+            sel.add(win[best])
+        return {(doc_id, fp) for fp in sel}
+
+    exp = set()
+    for i, x in enumerate(texts):
+        exp |= brute(i, x)
+    got = winnow_batch(t)
+    got_set = set(zip(got.column("doc_id").to_pylist(),
+                      got.column("fp").to_pylist()))
+    assert got_set == exp
+    # guarantee: docs 0 and 1 share a fingerprint from the shared run
+    assert {f for d, f in got_set if d == 0} & {f for d, f in got_set
+                                                if d == 1}
+    assert not {f for d, f in got_set if d in (2, 3, 5)}
+    # degenerate all-equal hashes still yield exactly one fingerprint
+    assert len({f for d, f in got_set if d == 4}) == 1
