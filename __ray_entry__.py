@@ -60,6 +60,28 @@ _MULTIBFS_CTE = (
     "d AS (SELECT s, node, MIN(lvl) AS dist FROM b GROUP BY s, node) ")
 
 
+# Product-quantization oracle prefix (mirrors ann.PQ_M/PQ_K/PQ_SCALE):
+# fixed-point scale, md5-medoid codebook (codeword j = subvectors of the
+# min vec_id in md5 bucket j), per-(vec, subspace) argmin code with
+# (d2 ASC, j ASC) tie-break — all int64-exact in both engines.
+_PQ_PREFIX = (
+    "WITH v AS (SELECT vec_id, list_transform(embedding, "
+    "e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS x, "
+    "CAST(md5_number_lower(CAST(vec_id AS VARCHAR)) % 16 AS BIGINT) AS b "
+    "FROM embeddings), "
+    "rep AS (SELECT b, MIN(vec_id) AS rid FROM v GROUP BY b), "
+    "cent AS (SELECT r.b AS j, v.x FROM rep r JOIN v "
+    "ON v.vec_id = r.rid), "
+    "dist AS (SELECT v.vec_id, s.s, c.j, "
+    "SUM((v.x[s.s * 8 + d.d] - c.x[s.s * 8 + d.d]) "
+    "* (v.x[s.s * 8 + d.d] - c.x[s.s * 8 + d.d])) AS d2 "
+    "FROM v, generate_series(0, 7) AS s(s), cent c, "
+    "generate_series(1, 8) AS d(d) GROUP BY 1, 2, 3), "
+    "codes AS (SELECT vec_id, s, j AS code FROM ("
+    "SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s "
+    "ORDER BY d2, j) AS rn FROM dist) WHERE rn = 1)")
+
+
 def _signed64(expr: str) -> str:
     """UBIGINT expression -> two's-complement BIGINT (DuckDB CAST raises
     on overflow, so wrap through HUGEINT)."""
@@ -933,7 +955,7 @@ def entry() -> Any:
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
-    "events_funnel", "docs_winnowing",
+    "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
     "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
@@ -1043,6 +1065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_dupes": Q.q_docs_ngram_dupes,
         # embeddings: similarity search + near-dup
         "emb_knn": Q.q_emb_knn,
+        "emb_pq_codes": Q.q_emb_pq_codes,
+        "emb_knn_pq": Q.q_emb_knn_pq,
         "emb_knn_ivf": Q.q_emb_knn_ivf,
         "emb_near_dup": Q.q_emb_near_dup,
         "emb_near_dup_ivf": Q.q_emb_near_dup_ivf,
@@ -1751,6 +1775,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
             "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
             "FROM s) WHERE rank <= 10"),
+        # PQ: exact int64 fixed-point arithmetic end-to-end (ann.PQ_*)
+        "emb_pq_codes": (
+            _PQ_PREFIX + " SELECT vec_id, s, code FROM codes"),
+        "emb_knn_pq": (
+            _PQ_PREFIX + ", qd AS (SELECT q.vec_id AS qid, s.s, c.j, "
+            "SUM((q.x[s.s * 8 + d.d] - c.x[s.s * 8 + d.d]) "
+            "* (q.x[s.s * 8 + d.d] - c.x[s.s * 8 + d.d])) AS d2 "
+            "FROM v q, generate_series(0, 7) AS s(s), cent c, "
+            "generate_series(1, 8) AS d(d) WHERE q.vec_id < 5 "
+            "GROUP BY 1, 2, 3), "
+            "adc AS (SELECT qd.qid AS query_id, codes.vec_id AS "
+            "neighbor_id, SUM(qd.d2) AS dist FROM codes "
+            "JOIN qd ON qd.s = codes.s AND qd.j = codes.code "
+            "GROUP BY 1, 2) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank "
+            "FROM adc) WHERE rank <= 10"),
         "emb_near_dup_ivf": (
             "WITH prm AS (SELECT CAST(LEAST(GREATEST(16, "
             "ROUND(SQRT(COUNT(*)))), 65536) AS BIGINT) AS nb "

@@ -273,3 +273,153 @@ def knn_ivf(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
     return (emb.select_columns(["vec_id", "embedding"])
             .map_batches(score, batch_format="pyarrow", batch_size=4096)
             .groupby("query_id").map_groups(merge, batch_format="pandas"))
+
+
+# ---- Product quantization (PQ) -------------------------------------------
+# The memory-scale path for 100-TB embedding stores: each vector compresses
+# to M sub-codes (M bytes at K<=256), and queries scan codes via an ADC
+# lookup table instead of raw floats. The codebook here is deterministic —
+# codeword j of subspace s = the subvector of the MINIMUM vec_id whose
+# md5 bucket is j (a data-sampled "medoid" codebook, the standard cheap
+# baseline; k-means refinement would drop in behind the same interface) —
+# and ALL distances are exact int64 arithmetic over floor(e*1000)-scaled
+# components, so the DuckDB oracle reproduces codes and rankings bit-for-
+# bit (no float-summation-order hazards). Recall vs exact cosine is
+# property-tested, not oracled.
+
+PQ_M = 8            # subspaces
+PQ_K = 16           # codewords per subspace (md5 buckets)
+PQ_SCALE = 1000.0   # fixed-point grid: x_int = floor(float64(e) * 1000)
+
+
+def _scaled_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, int64 fixed-point matrix) — same flatten/reshape shape as
+    _arrow_matrix but onto the exact-arithmetic grid."""
+    ids = t.column("vec_id").to_numpy()
+    emb = t.column("embedding").combine_chunks()
+    m = emb.flatten().to_numpy().reshape(len(ids), -1).astype(np.float64)
+    return ids, np.floor(m * PQ_SCALE).astype(np.int64)
+
+
+def _scaled_pd(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ids, np.floor(m * PQ_SCALE).astype(np.int64)
+
+
+def pq_codebook(emb: ray.data.Dataset, n_codes: int = PQ_K
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Train the deterministic codebook: (bucket ids j ascending,
+    centroid tensor int64 (nj, D)). Distributed: the rep choice is a
+    16-row grouped_agg (min vec_id per md5 bucket); only the <=n_codes
+    representative vectors ever reach the driver."""
+    from ligrust_ray.stages import shuffle
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        return pa.table({
+            "b": pa.array(md5_buckets(ids.astype(np.int64), n_codes)),
+            "vec_id": pa.array(ids.astype(np.int64))})
+
+    reps = shuffle.grouped_agg(
+        emb.select_columns(["vec_id"]).map_batches(
+            bucketize, batch_format="pyarrow"),
+        ["b"], {"rid": ("vec_id", "min")}).to_pandas()
+    reps = reps.sort_values("b")
+    rid = pa.array(reps["rid"].to_numpy().astype(np.int64))
+
+    rep_df = emb.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("vec_id"),
+                                            value_set=rid)),
+        batch_format="pyarrow").to_pandas()
+    ids, mat = _scaled_pd(rep_df)
+    order = {int(v): i for i, v in enumerate(ids)}
+    cent = mat[[order[int(v)] for v in reps["rid"].to_numpy()]]
+    return reps["b"].to_numpy().astype(np.int64), cent
+
+
+def _pq_assign(x: np.ndarray, cent: np.ndarray, buckets: np.ndarray,
+               m_sub: int = PQ_M) -> np.ndarray:
+    """codes (B, M): argmin_j L2^2(subvector, codeword) with smallest-j
+    tie-break (np.argmin picks the first occurrence; buckets ascend)."""
+    bsz, d = x.shape
+    sub = d // m_sub
+    xs = x.reshape(bsz, m_sub, 1, sub)
+    cs = cent.reshape(1, len(cent), m_sub, sub).transpose(0, 2, 1, 3)
+    d2 = ((xs - cs) ** 2).sum(axis=3)            # (B, M, nj)
+    return buckets[np.argmin(d2, axis=2)]        # (B, M)
+
+
+def pq_codes(emb: ray.data.Dataset, m_sub: int = PQ_M) -> ray.data.Dataset:
+    """(vec_id, s, code) — one row per vector per subspace. Codebook is
+    broadcast once (ray.put); assignment is one vectorised map."""
+    buckets, cent = pq_codebook(emb)
+    cb = ray.put((buckets, cent))
+
+    def assign(t: pa.Table) -> pa.Table:
+        bks, cn = ray.get(cb)
+        ids, x = _scaled_matrix(t)
+        codes = _pq_assign(x, cn, bks, m_sub)
+        bsz = len(ids)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids.astype(np.int64), m_sub)),
+            "s": pa.array(np.tile(np.arange(m_sub, dtype=np.int64), bsz)),
+            "code": pa.array(codes.reshape(-1))})
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pyarrow", batch_size=4096))
+
+
+def knn_pq(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
+           m_sub: int = PQ_M) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank) — ADC search: dist(q, x) =
+    sum_s lut[s, q, code_s(x)] where lut is the (M, nq, nj) int64 table
+    of query-subvector-to-codeword distances. Ranks by (dist asc,
+    neighbor_id asc); self included, like knn_bruteforce. Per batch the
+    scan cost is O(B * M) table lookups — never a full float matmul."""
+    import pyarrow.compute as pc
+
+    buckets, cent = pq_codebook(emb)
+    qarr = pa.array(sorted(int(q) for q in query_ids), type=pa.int64())
+    q_df = emb.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=qarr)),
+        batch_format="pyarrow").to_pandas()
+    q_ids, q_mat = _scaled_pd(q_df)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order].astype(np.int64), q_mat[order]
+    nq, d = q_mat.shape
+    sub = d // m_sub
+    qs = q_mat.reshape(nq, m_sub, 1, sub)
+    cs = cent.reshape(1, len(cent), m_sub, sub).transpose(0, 2, 1, 3)
+    lut = ((qs - cs) ** 2).sum(axis=3).transpose(1, 0, 2)  # (M, nq, nj)
+    jpos = np.full(int(buckets.max()) + 1, -1, dtype=np.int64)
+    jpos[buckets] = np.arange(len(buckets))
+    bcast = ray.put((buckets, cent, q_ids, lut, jpos))
+
+    def score(t: pa.Table) -> pa.Table:
+        bks, cn, qi, lt, jp = ray.get(bcast)
+        ids, x = _scaled_matrix(t)
+        codes = _pq_assign(x, cn, bks, m_sub)     # (B, M) bucket ids
+        acc = np.zeros((len(qi), len(ids)), dtype=np.int64)
+        for s in range(m_sub):
+            acc += lt[s][:, jp[codes[:, s]]]
+        out_q, out_n, out_d = [], [], []
+        for row, q in enumerate(qi):
+            top = np.lexsort((ids, acc[row]))[:k]   # per-batch partial
+            out_q.extend([int(q)] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_d.extend(acc[row][top].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "neighbor_id": pa.array(out_n, type=pa.int64()),
+                         "dist": pa.array(out_d, type=pa.int64())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"]).head(k)
+        return pd.DataFrame({"query_id": g["query_id"].to_numpy(),
+                             "neighbor_id": g["neighbor_id"].to_numpy(),
+                             "rank": np.arange(1, len(g) + 1,
+                                               dtype=np.int64)})
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(score, batch_format="pyarrow", batch_size=4096)
+            .groupby("query_id").map_groups(merge, batch_format="pandas"))

@@ -2657,6 +2657,19 @@ def q_emb_knn(sf_dir: str):
     return ann.knn_bruteforce(_emb(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def q_emb_pq_codes(sf_dir: str):
+    """(vec_id, s, code) product-quantization codes (ann.pq_codes):
+    deterministic md5-medoid codebook, exact int64 fixed-point distances
+    — the full code-assignment path is SQL-hash-checked."""
+    return ann.pq_codes(_emb(sf_dir))
+
+
+def q_emb_knn_pq(sf_dir: str):
+    """(query_id, neighbor_id, rank) ADC top-k over PQ codes
+    (ann.knn_pq) — the compressed-domain scan; int64-exact, oracled."""
+    return ann.knn_pq(_emb(sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
 def q_emb_knn_ivf(sf_dir: str):
     """IVF top-k with the deterministic md5 id-bucket quantizer
     (ann.md5_buckets) — identical bucketed-layout / probe / partial-top-k

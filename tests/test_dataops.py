@@ -1540,3 +1540,69 @@ def test_winnowing_matches_bruteforce(ray_session):
     assert not {f for d, f in got_set if d in (2, 3, 5)}
     # degenerate all-equal hashes still yield exactly one fingerprint
     assert len({f for d, f in got_set if d == 4}) == 1
+
+
+def test_pq_codes_match_numpy_reference(ray_session):
+    """pq_codes == an independent numpy replay of the spec: fixed-point
+    scale, md5-medoid codebook, argmin with smallest-bucket tie-break."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower
+
+    ds, mat = _emb_ds(n=80, d=16, seed=7)
+    got = (ann.pq_codes(ds, m_sub=8).to_pandas()
+           .sort_values(["vec_id", "s"]).reset_index(drop=True))
+    assert len(got) == 80 * 8
+
+    x = np.floor(mat.astype(np.float64) * ann.PQ_SCALE).astype(np.int64)
+    b = np.array([md5_u64_lower(str(i).encode()) % ann.PQ_K
+                  for i in range(80)])
+    buckets = np.unique(b)
+    reps = np.array([np.min(np.flatnonzero(b == j)) for j in buckets])
+    cent = x[reps]                     # (nj, 16)
+    sub = 16 // 8
+    for i in range(80):
+        for s in range(8):
+            seg = slice(s * sub, (s + 1) * sub)
+            d2 = ((cent[:, seg] - x[i, seg]) ** 2).sum(axis=1)
+            exp_code = buckets[np.argmin(d2)]
+            r = got[(got["vec_id"] == i) & (got["s"] == s)]
+            assert int(r["code"].iloc[0]) == exp_code
+
+
+def test_pq_knn_is_exact_adc_and_has_signal(ray_session):
+    """knn_pq reproduces the exact ADC ranking computed in numpy, and
+    beats the random-baseline recall vs true cosine top-k."""
+    ds, mat = _emb_ds(n=300, d=64, seed=11)
+    k = 10
+    got = ann.knn_pq(ds, query_ids=[0, 1, 2], k=k).to_pandas()
+
+    # numpy ADC replay
+    from ligrust_ray.dataops.hashing import md5_u64_lower
+
+    x = np.floor(mat.astype(np.float64) * ann.PQ_SCALE).astype(np.int64)
+    b = np.array([md5_u64_lower(str(i).encode()) % ann.PQ_K
+                  for i in range(300)])
+    buckets = np.unique(b)
+    cent = x[[np.min(np.flatnonzero(b == j)) for j in buckets]]
+    sub = 64 // 8
+    codes = np.empty((300, 8), dtype=np.int64)
+    for s in range(8):
+        seg = slice(s * sub, (s + 1) * sub)
+        d2 = ((x[:, None, seg] - cent[None, :, seg]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d2, axis=1)          # position in buckets
+    for q in (0, 1, 2):
+        dist = np.zeros(300, dtype=np.int64)
+        for s in range(8):
+            seg = slice(s * sub, (s + 1) * sub)
+            lut = ((cent[:, seg] - x[q, seg]) ** 2).sum(axis=1)
+            dist += lut[codes[:, s]]
+        exp = np.lexsort((np.arange(300), dist))[:k]
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert g["neighbor_id"].tolist() == exp.tolist()
+
+    exact = ann.knn_bruteforce(ds, query_ids=[0, 1, 2], k=k).to_pandas()
+    recalls = []
+    for q in (0, 1, 2):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(got[got["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) > k / 300 * 3   # >> random baseline
