@@ -956,6 +956,7 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
+    "docs_quality_model",
     "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
@@ -1057,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": Q.q_docs_langid,
         "docs_fingerprint": Q.q_docs_fingerprint,
         "docs_winnowing": Q.q_docs_winnowing,
+        "docs_quality_model": Q.q_docs_quality_model,
         "docs_clean": Q.q_docs_clean,
         "docs_minhash_dedup": Q.q_docs_minhash_dedup,
         "docs_simhash": Q.q_docs_simhash,
@@ -1495,6 +1497,18 @@ def oracle_sql() -> dict[str, str]:
             "AS n_punct FROM documents"),
         # deterministic text ops (specs defined DuckDB-first; see
         # dataops/textstats.py + dataops/hashing.py)
+        # hashed linear classifier: token -> md5 % 4096 bucket -> integer
+        # weight md5("w:" || bucket) % 2001 - 1000; score = SUM (exact)
+        "docs_quality_model": (
+            "WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[^\\t\\n\\f\\r ]+') AS tk FROM documents), "
+            "t AS (SELECT doc_id, u.tok FROM d, UNNEST(tk) AS u(tok)), "
+            "s AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+            "SUM(CAST(md5_number_lower('w:' || CAST("
+            "md5_number_lower(tok) % 4096 AS VARCHAR)) % 2001 "
+            "AS BIGINT) - 1000) AS score FROM t GROUP BY 1) "
+            "SELECT doc_id, n_tokens, CAST(score AS BIGINT) AS score, "
+            "score >= 0 AS keep FROM s"),
         # winnowing (k=3 token grams, window w=4, rightmost-min): grams
         # via lateral positions over the RE2 token list, window p covers
         # grams [p, p+3]; member i joins windows p = i-3..i clipped to

@@ -269,6 +269,74 @@ def winnow_batch(t: pa.Table, k: int = WINNOW_K, w: int = WINNOW_W
                      "fp": pa.array(np.concatenate(out_fp))})
 
 
+QMODEL_BUCKETS = 4096      # hashed feature space (vocabulary-free)
+QMODEL_WRANGE = 2001       # integer weights in [-1000, 1000]
+
+
+class HashedLinearScorer:
+    """Model-scoring stage shaped like a fasttext-style quality
+    classifier: token -> hashed feature bucket -> integer weight; doc
+    score = sum of weights (int64 exact, so the DuckDB oracle replays it
+    bit-for-bit). The weight table is the trained artifact — here derived
+    deterministically from md5 so the contract can check the FULL
+    inference path; swapping in real learned weights is a one-line
+    change. Actor-pool pattern: the table is built ONCE per actor in
+    __init__ (stand-in for a model load), __call__ only does vectorised
+    tokenize/hash/gather per batch."""
+
+    def __init__(self, n_buckets: int = QMODEL_BUCKETS):
+        from ligrust_ray.dataops.hashing import md5_u64_lower
+
+        self.n_buckets = n_buckets
+        self.w = np.fromiter(
+            (md5_u64_lower(f"w:{j}".encode()) % QMODEL_WRANGE - 1000
+             for j in range(n_buckets)),
+            dtype=np.int64, count=n_buckets)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_tokens": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.int64()),
+                          "keep": pa.array([], type=pa.bool_())})
+        if not t.num_rows:
+            return empty
+        ids = t.column("doc_id").to_numpy()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), RE2_WS + "+").combine_chunks()
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.chunk(0) if toks.num_chunks else \
+                pa.array([], type=toks.type)
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids)), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, doc_idx = flat.filter(pa.array(keep)), doc_idx[keep]
+        if not len(flat):
+            return empty
+        h = (md5_u64_lower_arrow(flat)
+             % np.uint64(self.n_buckets)).astype(np.int64)
+        wv = self.w[h]
+        n_tok = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
+        score = np.bincount(doc_idx, weights=wv.astype(np.float64),
+                            minlength=len(ids)).astype(np.int64)
+        nz = n_tok > 0                       # zero-token docs emit nothing
+        return pa.table({
+            "doc_id": pa.array(ids[nz].astype(np.int64)),
+            "n_tokens": pa.array(n_tok[nz]),
+            "score": pa.array(score[nz]),
+            "keep": pa.array(score[nz] >= 0)})
+
+
+@functools.lru_cache(maxsize=1)
+def quality_model() -> "HashedLinearScorer":
+    """Per-process scorer instance (the 4096-entry weight table builds
+    once per worker; pass the CLASS to map_batches(concurrency=N) instead
+    when the artifact is a real multi-second model load)."""
+    return HashedLinearScorer()
+
+
 # ---- PII scrubbing (round 3) ---------------------------------------------
 # Both sides of the contract run RE2: pyarrow.compute's regex kernels here,
 # DuckDB's regexp_* in the oracle — identical leftmost-first matching by

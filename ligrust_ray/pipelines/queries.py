@@ -1900,6 +1900,14 @@ def q_docs_quality(sf_dir: str):
         lambda t: textstats.quality_scorer()(t), batch_format="pyarrow")
 
 
+def q_docs_quality_model(sf_dir: str):
+    """(doc_id, n_tokens, score, keep) hashed-linear-classifier scoring
+    (textstats.HashedLinearScorer) — the model-inference stage of a
+    filtering pipeline, int64-exact vs the SQL oracle."""
+    return _docs(sf_dir).map_batches(
+        lambda t: textstats.quality_model()(t), batch_format="pyarrow")
+
+
 # Gopher-style composite filter thresholds (Rae et al. 2021 §A1.1, adapted
 # to this corpus's scale): token-count floor/ceiling, mean-word-length
 # band, max top-trigram repetition, min alphabetic fraction of non-ws

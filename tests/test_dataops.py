@@ -1606,3 +1606,25 @@ def test_pq_knn_is_exact_adc_and_has_signal(ray_session):
         a = set(got[got["query_id"] == q]["neighbor_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) > k / 300 * 3   # >> random baseline
+
+
+def test_quality_model_planted(ray_session):
+    """Hashed-linear scoring: per-token weight lookup sums exactly; empty
+    and whitespace-only docs emit nothing; keep == (score >= 0)."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower
+    from ligrust_ray.dataops.textstats import (QMODEL_BUCKETS,
+                                               HashedLinearScorer)
+
+    def w_of(tok: str) -> int:
+        b = md5_u64_lower(tok.encode()) % QMODEL_BUCKETS
+        return md5_u64_lower(f"w:{b}".encode()) % 2001 - 1000
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array(["Hello world hello",
+                                    "  \t\n ", "", "single"])})
+    got = HashedLinearScorer()(t).to_pandas()
+    assert got["doc_id"].tolist() == [1, 4]
+    assert got["n_tokens"].tolist() == [3, 1]
+    exp1 = 2 * w_of("hello") + w_of("world")
+    assert got["score"].tolist() == [exp1, w_of("single")]
+    assert got["keep"].tolist() == [exp1 >= 0, w_of("single") >= 0]
