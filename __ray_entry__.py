@@ -60,6 +60,17 @@ _MULTIBFS_CTE = (
     "d AS (SELECT s, node, MIN(lvl) AS dist FROM b GROUP BY s, node) ")
 
 
+# HyperBall register round (p=12, same md5 split/rho spec as
+# events_user_hll): one round = registers UNION ALL the dst-side
+# registers pulled across each edge, max-merged per (node, reg)
+def _hyperball_round(prev: str) -> str:
+    return (f"SELECT node, reg, MAX(rho) AS rho FROM ("
+            f"SELECT node, reg, rho FROM {prev} "
+            f"UNION ALL SELECT e.src AS node, {prev}.reg, {prev}.rho "
+            f"FROM {prev} JOIN e ON {prev}.node = e.dst) "
+            "GROUP BY node, reg")
+
+
 # Product-quantization oracle prefix (mirrors ann.PQ_M/PQ_K/PQ_SCALE):
 # fixed-point scale, md5-medoid codebook (codeword j = subvectors of the
 # min vec_id in md5 bucket j), per-(vec, subspace) argmin code with
@@ -956,7 +967,7 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
-    "docs_quality_model",
+    "docs_quality_model", "events_hyperball",
     "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
@@ -990,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph build + per-edge/degree ops (SQL-checked)
         "events_edges": Q.q_events_edges,
         "events_out_degree": Q.q_events_out_degree,
+        "events_hyperball": Q.q_events_hyperball,
         "events_strength": Q.q_events_strength,
         "events_degree_histogram": Q.q_events_degree_histogram,
         "events_mutual_edges": Q.q_events_mutual_edges,
@@ -1972,6 +1984,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) "
             "% 65536 AS BIGINT) AS bit "
             "FROM events CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS j) r"),
+        # HyperBall t=2 (algos/hyperball.py): seed one register per node,
+        # two unrolled pull rounds, integer summary per node
+        "events_hyperball": (
+            f"WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_CTE})), "
+            "n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e "
+            "UNION ALL SELECT dst FROM e)), "
+            "r0 AS (SELECT node, CAST(hv // 4503599627370496 AS BIGINT) "
+            "AS reg, CASE WHEN hv % 4503599627370496 = 0 THEN 53 ELSE "
+            "53 - length(bin(CAST(hv % 4503599627370496 AS BIGINT))) END "
+            "AS rho FROM (SELECT node, md5_number_lower("
+            "CAST(node AS VARCHAR)) AS hv FROM n)), "
+            f"r1 AS ({_hyperball_round('r0')}), "
+            f"r2 AS ({_hyperball_round('r1')}) "
+            "SELECT node AS node_id, COUNT(*) AS n_regs, "
+            "CAST(SUM(rho) AS BIGINT) AS rho_sum FROM r2 GROUP BY 1"),
         "events_user_hll": (
             "SELECT event_type, "
             "CAST(hv // 4503599627370496 AS BIGINT) AS reg, "

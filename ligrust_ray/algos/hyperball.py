@@ -1,0 +1,125 @@
+"""HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+Centralities with HyperBall", 2013): per-node neighborhood-size
+estimation via HyperLogLog counters propagated along edges.
+
+counter_0(v) = {v}; counter_t(v) = counter_{t-1}(v) MAX-merged with
+counter_{t-1}(w) for every out-edge (v, w) — after t rounds counter(v)
+sketches the OUT-ball {u : dist(v, u) <= t}. The neighborhood function
+sum_v |ball(v, t)| over growing t yields distance distributions /
+effective diameter at graph sizes where exact all-pairs BFS is hopeless
+— THE large-graph trick for Common-Crawl-scale link graphs.
+
+Ray-Data shape: registers live as a (node, reg, rho) Dataset (only
+non-zero registers materialize — the sketch of a sparse ball stays
+sparse); one round = one co_group join (registers x edges, partitioned
+on the join key) feeding one grouped max — the same two-wide-step merge
+economics as the repo's message-passing kernels, with NO per-node 2^p
+dense arrays anywhere. Register spec (p, md5 split, rho) is shared with
+dataops.sketch.hll_registers, so the DuckDB oracle replays every round
+exactly (integer registers; the float estimator is pytest-checked
+against exact BFS ball sizes instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ligrust_ray.dataops.sketch import HLL_P, _bitlen_u64
+from ligrust_ray.stages import shuffle
+
+_I64 = pa.int64()
+_REG_SCHEMA = pa.schema([("node", _I64), ("reg", _I64), ("rho", _I64)])
+_EDGE_SCHEMA = pa.schema([("src", _I64), ("dst", _I64)])
+
+
+def _init_registers(edges: ray.data.Dataset, p: int) -> ray.data.Dataset:
+    """counter_0: one register per node (its own hash). Node universe =
+    distinct src UNION dst, never collected on the driver."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    rem_bits = 64 - p
+    rem_mask = np.uint64((1 << rem_bits) - 1)
+
+    def seed(t: pa.Table) -> pa.Table:
+        v = t.column("node").to_numpy().astype(np.int64)
+        h = md5_u64_lower_arrow(pa.array(v).cast(pa.string()))
+        reg = (h >> np.uint64(rem_bits)).astype(np.int64)
+        rho = rem_bits + 1 - _bitlen_u64(h & rem_mask)
+        return pa.table({"node": pa.array(v), "reg": pa.array(reg),
+                         "rho": pa.array(rho)})
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(np.unique(
+            np.concatenate([s, d])))})
+
+    nodes = shuffle.distinct(
+        edges.map_batches(both_ends, batch_format="pyarrow"), ["node"])
+    return nodes.map_batches(seed, batch_format="pyarrow")
+
+
+def hyperball_registers(edges: ray.data.Dataset, t: int = 2,
+                        p: int = HLL_P, num_partitions: int | None = None
+                        ) -> ray.data.Dataset:
+    """(node, reg, rho) after ``t`` propagation rounds. Edges are deduped
+    once up front (multiplicity is irrelevant under max-merge and would
+    multiply join fan-out). ``num_partitions`` defaults to the deduped
+    edge set's block count (each of the 2t wide steps launches that many
+    tasks — a fixed 32 is pure coordination overhead on small graphs and
+    a ceiling on large ones)."""
+    e = shuffle.distinct(
+        edges.map_batches(
+            lambda b: pa.table({"src": b.column("src").cast(_I64),
+                                "dst": b.column("dst").cast(_I64)}),
+            batch_format="pyarrow"),
+        ["src", "dst"]).materialize()
+    if num_partitions is None:
+        num_partitions = max(4, min(256, e.num_blocks()))
+
+    def pull(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        # registers of dst flow to src: counter(v) |= counter(w), (v,w) in E
+        j = lf.merge(rf, left_on="node", right_on="dst", how="inner")
+        return pd.DataFrame({"node": j["src"].to_numpy(dtype=np.int64),
+                             "reg": j["reg"].to_numpy(dtype=np.int64),
+                             "rho": j["rho"].to_numpy(dtype=np.int64)})
+
+    regs = _init_registers(e, p).materialize()
+    for _ in range(t):
+        prop = shuffle.co_group(regs, e, "node", "dst", pull,
+                                l_schema=_REG_SCHEMA,
+                                r_schema=_EDGE_SCHEMA,
+                                num_partitions=num_partitions)
+        regs = shuffle.grouped_agg(
+            regs.union(prop), ["node", "reg"], {"rho": ("rho", "max")},
+            num_partitions=num_partitions).materialize()
+    return regs
+
+
+def hyperball_summary(edges: ray.data.Dataset, t: int = 2,
+                      p: int = HLL_P) -> ray.data.Dataset:
+    """(node_id, n_regs, rho_sum): integer register summary per node —
+    the SQL-exact contract surface (the float HLL estimate is a pure
+    driver-side function of the registers; see hyperball_estimates)."""
+    regs = hyperball_registers(edges, t=t, p=p)
+    agg = shuffle.grouped_agg(regs, ["node"],
+                              {"n_regs": (None, "count"),
+                               "rho_sum": ("rho", "sum")})
+    return agg.map_batches(
+        lambda b: pa.table({"node_id": b.column("node").cast(_I64),
+                            "n_regs": b.column("n_regs").cast(_I64),
+                            "rho_sum": b.column("rho_sum").cast(_I64)}),
+        batch_format="pyarrow")
+
+
+def hyperball_estimates(edges: ray.data.Dataset, t: int = 2,
+                        p: int = HLL_P) -> pd.DataFrame:
+    """(node, estimate): standard HLL estimator over each node's
+    registers — |ball(node, t)| up to ~1.04/sqrt(2^p) relative error."""
+    from ligrust_ray.dataops.sketch import hll_estimate
+
+    regs = hyperball_registers(edges, t=t, p=p).to_pandas()
+    return hll_estimate(regs, "node", p=p)

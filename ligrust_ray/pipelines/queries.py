@@ -150,6 +150,16 @@ def q_events_edges(sf_dir: str):
     return events_edges_ds(sf_dir)
 
 
+def q_events_hyperball(sf_dir: str):
+    """(node_id, n_regs, rho_sum) — HyperBall t=2 out-ball HLL registers
+    over the events graph (algos/hyperball.py), integer-exact vs the
+    unrolled SQL oracle; the float |ball| estimator is pytest-checked
+    against exact BFS ball sizes."""
+    from ligrust_ray.algos.hyperball import hyperball_summary
+
+    return hyperball_summary(events_edges_ds(sf_dir), t=2)
+
+
 def q_events_out_degree(sf_dir: str):
     return shuffle.grouped_agg(events_edges_ds(sf_dir), ["src"],
                                {"out_degree": (None, "count")})

@@ -1138,3 +1138,49 @@ def test_pagerank_weighted_push_pull_agree(ray_session, tmp_path):
         np.testing.assert_allclose(
             g.collect_state(["page_rank"])["page_rank"], exp, atol=1e-6,
             err_msg=sub)
+
+
+def test_hyperball_estimates_match_exact_balls(ray_session):
+    """HyperBall t-ball estimates vs exact BFS ball sizes on a random
+    sparse digraph: registers count EXACTLY the ball's distinct nodes
+    (HLL with p=12 is linear-counting-exact at these cardinalities),
+    so estimates land within a few percent."""
+    import ray
+
+    from ligrust_ray.algos.hyperball import (hyperball_estimates,
+                                             hyperball_summary)
+
+    rng = np.random.default_rng(5)
+    n, m = 60, 180
+    src = rng.integers(0, n, size=m)
+    dst = rng.integers(0, n, size=m)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64())})).repartition(3)
+
+    adj = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        adj[a].add(b)
+
+    def ball(v, t):
+        seen, frontier = {v}, {v}
+        for _ in range(t):
+            frontier = {w for u in frontier for w in adj[u]} - seen
+            seen |= frontier
+        return seen
+
+    for t in (1, 2):
+        est = hyperball_estimates(edges, t=t).set_index("node")["estimate"]
+        touched = set(src) | set(dst)
+        assert set(est.index) == touched
+        for v in sorted(touched):
+            exact = len(ball(v, t))       # seen starts at {v}: v included
+            assert abs(est[v] - exact) / exact < 0.05, (t, v, est[v], exact)
+
+    # summary rows agree with the registers' own counts at t=2
+    summ = hyperball_summary(edges, t=2).to_pandas()
+    assert len(summ) == len(touched)
+    assert (summ["n_regs"] >= 1).all()
+    big = summ.set_index("node_id")["n_regs"]
+    for v in sorted(touched):
+        assert big[v] <= len(ball(v, 2))   # distinct hashes <= ball size
