@@ -488,7 +488,13 @@ def run_headline(num_cpus: int) -> dict:
             ("docs_dup_spans", Q.q_docs_dup_spans, True),
             ("cc_incremental", Q.q_cc_incremental_events, False),
             ("pagerank_weighted", Q.q_pagerank_weighted_events, False),
-            ("events_user_bloom", Q.q_events_user_bloom, True)):
+            ("events_user_bloom", Q.q_events_user_bloom, True),
+            ("events_funnel", Q.q_events_funnel, True),
+            ("docs_winnowing", Q.q_docs_winnowing, True),
+            ("docs_quality_model", Q.q_docs_quality_model, True),
+            ("emb_pq_codes", Q.q_emb_pq_codes, True),
+            ("emb_knn_pq", Q.q_emb_knn_pq, True),
+            ("events_hyperball", Q.q_events_hyperball, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:
