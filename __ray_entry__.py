@@ -967,7 +967,7 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
-    "docs_quality_model", "events_hyperball",
+    "docs_quality_model", "events_hyperball", "events_louvain_move",
     "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
@@ -1017,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_link_pred": Q.q_events_link_pred,
         "events_jaccard_pairs": Q.q_events_jaccard_pairs,
         "events_modularity": Q.q_events_modularity,
+        "events_louvain_move": Q.q_events_louvain_move,
         # windowed / sessionized aggregates (streaming-window family)
         "events_sessions": Q.q_events_sessions,
         "events_funnel": Q.q_events_funnel,
@@ -1679,6 +1680,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN deg da ON da.v = p.a "
             "JOIN deg db ON db.v = p.b"),
         # directed modularity of the LP partition, exact integer pair
+        # one synchronous Louvain local-move round over the LP partition:
+        # integer score s_c = m*w_vc - kout_v*(Kin_c\v) - kin_v*(Kout_c\v),
+        # candidates = own + neighbor communities, tie -> smallest c
+        "events_louvain_move": (
+            f"WITH lp AS ({_labelprop_sql(20)}), "
+            f"e AS ({_EDGES_CTE}), "
+            "mm AS (SELECT COUNT(*) AS m FROM e), "
+            "ko AS (SELECT src AS v, COUNT(*) AS kout FROM e GROUP BY 1), "
+            "ki AS (SELECT dst AS v, COUNT(*) AS kin FROM e GROUP BY 1), "
+            "nd AS (SELECT lp.node_id AS v, lp.label AS lv, "
+            "COALESCE(ko.kout, 0) AS kout, COALESCE(ki.kin, 0) AS kin "
+            "FROM lp LEFT JOIN ko ON ko.v = lp.node_id "
+            "LEFT JOIN ki ON ki.v = lp.node_id), "
+            "vol AS (SELECT lv AS c, SUM(kout) AS kout_c, "
+            "SUM(kin) AS kin_c FROM nd GROUP BY 1), "
+            "le AS (SELECT e.src, e.dst, s.lv AS lsrc, d.lv AS ldst "
+            "FROM e JOIN nd s ON s.v = e.src JOIN nd d ON d.v = e.dst), "
+            "cand AS (SELECT v, c, CAST(SUM(w) AS BIGINT) AS w FROM ("
+            "SELECT src AS v, ldst AS c, 1 AS w FROM le "
+            "UNION ALL SELECT dst AS v, lsrc AS c, 1 AS w FROM le "
+            "UNION ALL SELECT v, lv AS c, 0 AS w FROM nd) GROUP BY 1, 2), "
+            "sc AS (SELECT cand.v, cand.c, "
+            "(SELECT m FROM mm) * cand.w "
+            "- nd.kout * (vol.kin_c - CASE WHEN cand.c = nd.lv "
+            "THEN nd.kin ELSE 0 END) "
+            "- nd.kin * (vol.kout_c - CASE WHEN cand.c = nd.lv "
+            "THEN nd.kout ELSE 0 END) AS s "
+            "FROM cand JOIN nd ON nd.v = cand.v "
+            "JOIN vol ON vol.c = cand.c) "
+            "SELECT v AS node_id, c AS community FROM ("
+            "SELECT v, c, ROW_NUMBER() OVER (PARTITION BY v "
+            "ORDER BY s DESC, c) AS rn FROM sc) WHERE rn = 1"),
         "events_modularity": (
             f"WITH lp AS ({_labelprop_sql(20)}), "
             f"ed AS ({_EDGES_CTE}), "

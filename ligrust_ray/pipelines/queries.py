@@ -68,6 +68,7 @@ def clear_caches() -> None:
     _WALK_CACHE.clear()
     _GRAPH_CACHE.clear()
     _TRI_CACHE.clear()
+    _LP_CACHE.clear()
 
 
 def events_n(sf_dir: str) -> int:
@@ -1295,6 +1296,134 @@ def q_events_community_stats(sf_dir: str):
                             ("n_outgoing", i64)]))
 
 
+def q_events_louvain_move(sf_dir: str):
+    """(node_id, community) — ONE deterministic synchronous Louvain
+    local-move round refining the label-propagation partition: node v
+    moves to the candidate community c (its own + every in/out-neighbor
+    community) maximizing the directed modularity gain. The gain
+    comparison is kept integer-exact — score s_c = m·w_vc −
+    kout_v·(Kin_c\\v) − kin_v·(Kout_c\\v) with w_vc = edges between v and
+    c in either direction and C\\v excluding v's own degrees when c is
+    v's current community — ties to the smallest c (int64 safe while
+    m < ~3·10⁹ per community, the events_modularity bound).
+
+    Plan: degrees (two grouped counts) and labels left-join into a
+    per-node table; labeled edges via the two co-partitioned hash_joins
+    (the modularity shape); candidate weights = one grouped sum over the
+    union of out-side, in-side and always-present self rows; scores
+    attach via two more keyed joins; one grouped_apply argmax per node.
+    Everything is keyed shuffles — nothing community- or node-sized on
+    the driver."""
+    lp = ray.data.from_arrow(_lp_cached(sf_dir))
+    edges = events_edges_ds(sf_dir).materialize()
+    m = edges.count()
+    # all eight wide steps are keyed shuffles: size their task count to
+    # the input (a fixed 32 is pure dispatch floor at test scale)
+    npart = max(4, min(64, edges.num_blocks()))
+    i64 = pa.int64()
+
+    def col(*cols):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({out: t.column(src).cast(i64)
+                             for out, src in cols})
+        return f
+
+    kout = shuffle.grouped_agg(
+        edges.map_batches(col(("node_id", "src")),
+                          batch_format="pyarrow"),
+        ["node_id"], {"kout": (None, "count")}, num_partitions=npart)
+    kin = shuffle.grouped_agg(
+        edges.map_batches(col(("node_id", "dst")),
+                          batch_format="pyarrow"),
+        ["node_id"], {"kin": (None, "count")}, num_partitions=npart)
+    nd = shuffle.hash_join(
+        lp.map_batches(col(("node_id", "node_id"), ("lv", "label")),
+                       batch_format="pyarrow"),
+        kout, on="node_id", l_cols=["lv"], r_cols=["kout"],
+        how="left", fill={"kout": 0}, num_partitions=npart)
+    nd = shuffle.hash_join(
+        nd, kin, on="node_id", l_cols=["lv", "kout"], r_cols=["kin"],
+        how="left", fill={"kin": 0}, num_partitions=npart).materialize()
+
+    vol = shuffle.grouped_agg(
+        nd.map_batches(col(("c", "lv"), ("kout", "kout"),
+                           ("kin", "kin")), batch_format="pyarrow"),
+        ["c"], {"kout_c": ("kout", "sum"), "kin_c": ("kin", "sum")},
+        num_partitions=npart)
+
+    le = shuffle.hash_join(
+        edges.map_batches(col(("node_id", "src"), ("dst", "dst")),
+                          batch_format="pyarrow"),
+        nd.map_batches(col(("node_id", "node_id"), ("lsrc", "lv")),
+                       batch_format="pyarrow"),
+        on="node_id", l_cols=["dst"], r_cols=["lsrc"],
+        num_partitions=npart).map_batches(
+        col(("src_node", "node_id"), ("node_id", "dst"),
+            ("lsrc", "lsrc")), batch_format="pyarrow")
+    le = shuffle.hash_join(
+        le,
+        nd.map_batches(col(("node_id", "node_id"), ("ldst", "lv")),
+                       batch_format="pyarrow"),
+        on="node_id", l_cols=["src_node", "lsrc"], r_cols=["ldst"],
+        num_partitions=npart)
+
+    def sides(t: pa.Table) -> pa.Table:
+        sn = t.column("src_node").to_numpy().astype(np.int64)
+        dn = t.column("node_id").to_numpy().astype(np.int64)
+        ls = t.column("lsrc").to_numpy().astype(np.int64)
+        ld = t.column("ldst").to_numpy().astype(np.int64)
+        one = np.ones(len(sn), dtype=np.int64)
+        return pa.table({"v": pa.array(np.concatenate([sn, dn])),
+                         "c": pa.array(np.concatenate([ld, ls])),
+                         "w": pa.array(np.concatenate([one, one]))})
+
+    self_rows = nd.map_batches(
+        lambda t: pa.table({"v": t.column("node_id").cast(i64),
+                            "c": t.column("lv").cast(i64),
+                            "w": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    cand = shuffle.grouped_agg(
+        le.map_batches(sides, batch_format="pyarrow").union(self_rows),
+        ["v", "c"], {"w": ("w", "sum")}, num_partitions=npart)
+
+    cand = shuffle.hash_join(
+        cand,
+        nd.map_batches(col(("v", "node_id"), ("lv", "lv"),
+                           ("kout", "kout"), ("kin", "kin")),
+                       batch_format="pyarrow"),
+        on="v", l_cols=["c", "w"], r_cols=["lv", "kout", "kin"],
+        num_partitions=npart)
+    cand = shuffle.hash_join(
+        cand, vol, on="c", l_cols=["v", "w", "lv", "kout", "kin"],
+        r_cols=["kout_c", "kin_c"], num_partitions=npart)
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy().astype(np.int64)
+        lv = t.column("lv").to_numpy().astype(np.int64)
+        own = (c == lv).astype(np.int64)
+        kout_v = t.column("kout").to_numpy().astype(np.int64)
+        kin_v = t.column("kin").to_numpy().astype(np.int64)
+        s = (m * t.column("w").to_numpy().astype(np.int64)
+             - kout_v * (t.column("kin_c").to_numpy().astype(np.int64)
+                         - own * kin_v)
+             - kin_v * (t.column("kout_c").to_numpy().astype(np.int64)
+                        - own * kout_v))
+        return pa.table({"v": t.column("v").cast(i64), "c": pa.array(c),
+                         "s": pa.array(s)})
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        best = (df.sort_values(["v", "s", "c"],
+                               ascending=[True, False, True])
+                .drop_duplicates("v"))
+        return pd.DataFrame({
+            "node_id": best["v"].to_numpy(dtype=np.int64),
+            "community": best["c"].to_numpy(dtype=np.int64)})
+
+    return shuffle.grouped_apply(
+        cand.map_batches(score, batch_format="pyarrow"), ["v"], argmax,
+        num_partitions=npart)
+
+
 def q_events_modularity(sf_dir: str):
     """One-row directed modularity of the label-propagation partition
     (Leicht/Newman 2008: Q = Σ_c [e_c/m − Kout_c·Kin_c/m²] over the raw
@@ -1309,7 +1438,7 @@ def q_events_modularity(sf_dir: str):
     (e_c, Kout) and target-side (Kin) contributions into ONE label-keyed
     grouped_agg, and the per-label table folds to a single row through a
     per-block partial — nothing n-sized ever reaches the driver."""
-    lp = ray.data.from_arrow(q_labelprop_events(sf_dir))
+    lp = ray.data.from_arrow(_lp_cached(sf_dir))
     edges = events_edges_ds(sf_dir)
     m = edges.count()
     j1 = shuffle.hash_join(
@@ -1373,12 +1502,27 @@ def q_bfs_events(sf_dir: str):
                      "level": pa.array(st["level"])})
 
 
+_LP_CACHE: dict = {}
+
+
+def _lp_cached(sf_dir: str) -> pa.Table:
+    """LP labels computed ONCE per events fingerprint — shared by
+    labelprop_events, events_modularity and events_louvain_move (the
+    _tri_cached pattern; the 20-wave engine run is the expensive part)."""
+    key = (sf_dir, _events_fp(sf_dir))
+    if key not in _LP_CACHE:
+        _evict_stale(_LP_CACHE, key)
+        g = events_graph(sf_dir)
+        label_propagation(g, max_iterations=20)
+        st = g.collect_state(["labels"])
+        _LP_CACHE[key] = pa.table({
+            "node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+            "label": pa.array(st["labels"])})
+    return _LP_CACHE[key]
+
+
 def q_labelprop_events(sf_dir: str):
-    g = events_graph(sf_dir)
-    label_propagation(g, max_iterations=20)
-    st = g.collect_state(["labels"])
-    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
-                     "label": pa.array(st["labels"])})
+    return _lp_cached(sf_dir)
 
 
 def q_events_sessions(sf_dir: str):

@@ -1184,3 +1184,32 @@ def test_hyperball_estimates_match_exact_balls(ray_session):
     big = summ.set_index("node_id")["n_regs"]
     for v in sorted(touched):
         assert big[v] <= len(ball(v, 2))   # distinct hashes <= ball size
+
+
+def test_louvain_move_candidate_invariant(ray_session):
+    """One-round Louvain refinement: every node lands in its own LP
+    community or a community owned by an in/out neighbor, and isolated
+    nodes never move."""
+    import pandas as pd
+
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = Q.q_events_louvain_move(sf).to_pandas()
+    lp = Q.q_labelprop_events(sf).to_pandas()
+    edges = Q.events_edges_ds(sf).to_pandas()
+
+    lab = lp.set_index("node_id")["label"]
+    nbrs: dict[int, set] = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        nbrs.setdefault(int(s), set()).add(int(d))
+        nbrs.setdefault(int(d), set()).add(int(s))
+    assert len(got) == len(lp)
+    for v, c in zip(got["node_id"], got["community"]):
+        allowed = {int(lab[v])} | {int(lab[u]) for u in nbrs.get(int(v),
+                                                                 set())}
+        assert int(c) in allowed, (v, c, allowed)
+    iso = set(lab.index) - set(nbrs)
+    moved = got.set_index("node_id")["community"]
+    for v in iso:
+        assert int(moved[v]) == int(lab[v])
