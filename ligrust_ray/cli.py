@@ -86,6 +86,13 @@ def main(argv=None):
     t.add_argument("--per-node", action="store_true")
     t.add_argument("-o", "--output", default=None)
 
+    hb = sub.add_parser("hyperball",
+                        help="HLL neighborhood-size estimates per node")
+    hb.add_argument("edges", help="edge parquet (src,dst) path/dir")
+    hb.add_argument("-t", "--radius", type=int, default=2)
+    hb.add_argument("-o", "--output", default=None,
+                    help="write per-node (node, estimate) parquet")
+
     d = sub.add_parser("dump", help="graph dir -> reference-format .bin "
                                     "(graph.rs:322-357 layout)")
     d.add_argument("graph", help="graph dir from `build`")
@@ -511,6 +518,24 @@ def main(argv=None):
                                   num_partitions=args.partitions)
         print(json.dumps({"n": man["n"], "m": man["m"],
                           "partitions": man["num_partitions"]}))
+        return 0
+
+    if args.cmd == "hyperball":
+        from ligrust_ray.algos.hyperball import hyperball_estimates
+
+        e = ray.data.read_parquet(args.edges)
+        est = hyperball_estimates(e, t=args.radius)
+        if args.output:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(pa.Table.from_pandas(est, preserve_index=False),
+                           args.output)
+        print(json.dumps({
+            "t": args.radius, "nodes": int(len(est)),
+            "mean_ball": round(float(est["estimate"].mean()), 3),
+            "max_ball": round(float(est["estimate"].max()), 3),
+            "sum_balls": round(float(est["estimate"].sum()), 3)}))
         return 0
 
     if args.cmd == "triangles":

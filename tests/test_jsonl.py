@@ -345,3 +345,25 @@ def test_select_cli_validates_target_and_collapses_dups(ray_session,
     got = pd.concat([pd.read_parquet(str(p))
                      for p in (tmp_path / "sel").glob("shard=*/part.parquet")])
     assert len(got) == 15 and got["doc_id"].is_unique
+
+
+def test_hyperball_cli(ray_session, tmp_path, capsys):
+    """hyperball CLI over an edge parquet: JSON summary + optional
+    per-node parquet, estimates near-exact on a tiny path graph."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ligrust_ray.cli import main
+
+    edges = str(tmp_path / "e.parquet")
+    pq.write_table(pa.table({       # 0->1->2->3 path
+        "src": pa.array([0, 1, 2], type=pa.int64()),
+        "dst": pa.array([1, 2, 3], type=pa.int64())}), edges)
+    out = str(tmp_path / "hb.parquet")
+    assert main(["hyperball", edges, "-t", "2", "-o", out]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["nodes"] == 4 and got["t"] == 2
+    per = pq.read_table(out).to_pandas().set_index("node")["estimate"]
+    # out-balls at t=2 (exact at these sizes): {0,1,2} {1,2,3} {2,3} {3}
+    for node, exact in ((0, 3), (1, 3), (2, 2), (3, 1)):
+        assert abs(per[node] - exact) / exact < 0.05
