@@ -101,6 +101,28 @@ def _signed64(expr: str) -> str:
             "AS BIGINT)")
 
 
+# Winnowing oracle prefix (mirrors textstats.WINNOW_K/WINNOW_W): grams
+# via lateral positions over the RE2 token list, window p covers grams
+# [p, p+3]; member i joins windows p = i-3..i clipped to the full-window
+# range; selection = ROW_NUMBER(hv ASC, i DESC); fps = distinct per doc
+_WINNOW_PREFIX = (
+    "WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    "'[^\\t\\n\\f\\r ]+') AS tk FROM documents), "
+    "g AS (SELECT doc_id, s.i AS i, len(tk) - 2 AS ng, "
+    + _signed64("md5_number_lower(tk[s.i] || ' ' || "
+                "tk[s.i + 1] || ' ' || tk[s.i + 2])")
+    + " AS hv FROM d, UNNEST(range(1, len(tk) - 1)) "
+    "AS s(i) WHERE len(tk) >= 3), "
+    "m AS (SELECT doc_id, i - o.o AS p, i, hv FROM g, "
+    "generate_series(0, 3) AS o(o) "
+    "WHERE i - o.o >= 1 AND i - o.o <= ng - 3), "
+    "sel AS (SELECT doc_id, hv, ROW_NUMBER() OVER ("
+    "PARTITION BY doc_id, p ORDER BY hv ASC, i DESC) AS rn FROM m), "
+    "fps AS (SELECT DISTINCT doc_id, hv AS fp FROM sel WHERE rn = 1)")
+
+
+
+
 def _labelprop_sql(iters: int = 20) -> str:
     """Synchronous label propagation unrolled to ``iters`` layers (matches
     the engine's max_iterations=20: LP's fixed point is idempotent, so an
@@ -968,6 +990,7 @@ _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
     "docs_quality_model", "events_hyperball", "events_louvain_move",
+    "docs_winnow_pairs",
     "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
@@ -1071,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": Q.q_docs_langid,
         "docs_fingerprint": Q.q_docs_fingerprint,
         "docs_winnowing": Q.q_docs_winnowing,
+        "docs_winnow_pairs": Q.q_docs_winnow_pairs,
         "docs_quality_model": Q.q_docs_quality_model,
         "docs_clean": Q.q_docs_clean,
         "docs_minhash_dedup": Q.q_docs_minhash_dedup,
@@ -1522,25 +1546,15 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) - 1000) AS score FROM t GROUP BY 1) "
             "SELECT doc_id, n_tokens, CAST(score AS BIGINT) AS score, "
             "score >= 0 AS keep FROM s"),
-        # winnowing (k=3 token grams, window w=4, rightmost-min): grams
-        # via lateral positions over the RE2 token list, window p covers
-        # grams [p, p+3]; member i joins windows p = i-3..i clipped to
-        # the full-window range; selection = ROW_NUMBER(hv ASC, i DESC)
+        # winnowing (k=3 token grams, window w=4, rightmost-min): see
+        # _WINNOW_PREFIX; pairs = fps self-joined on fp with a < b
         "docs_winnowing": (
-            "WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), "
-            "'[^\\t\\n\\f\\r ]+') AS tk FROM documents), "
-            "g AS (SELECT doc_id, s.i AS i, len(tk) - 2 AS ng, "
-            + _signed64("md5_number_lower(tk[s.i] || ' ' || "
-                        "tk[s.i + 1] || ' ' || tk[s.i + 2])")
-            + " AS hv FROM d, UNNEST(range(1, len(tk) - 1)) "
-            "AS s(i) WHERE len(tk) >= 3), "
-            "m AS (SELECT doc_id, i - o.o AS p, i, hv FROM g, "
-            "generate_series(0, 3) AS o(o) "
-            "WHERE i - o.o >= 1 AND i - o.o <= ng - 3), "
-            "sel AS (SELECT doc_id, hv, ROW_NUMBER() OVER ("
-            "PARTITION BY doc_id, p ORDER BY hv ASC, i DESC) AS rn "
-            "FROM m) "
-            "SELECT DISTINCT doc_id, hv AS fp FROM sel WHERE rn = 1"),
+            _WINNOW_PREFIX + " SELECT doc_id, fp FROM fps"),
+        "docs_winnow_pairs": (
+            _WINNOW_PREFIX + ", p AS (SELECT x.doc_id AS a, "
+            "y.doc_id AS b, COUNT(*) AS shared FROM fps x JOIN fps y "
+            "ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT a, b, shared FROM p WHERE shared >= 2"),
         "docs_fingerprint": (
             "SELECT doc_id, "
             + _signed64("md5_number_lower(regexp_replace(trim(text), "

@@ -494,7 +494,8 @@ def run_headline(num_cpus: int) -> dict:
             ("docs_quality_model", Q.q_docs_quality_model, True),
             ("emb_pq_codes", Q.q_emb_pq_codes, True),
             ("emb_knn_pq", Q.q_emb_knn_pq, True),
-            ("events_hyperball", Q.q_events_hyperball, True)):
+            ("events_hyperball", Q.q_events_hyperball, True),
+            ("events_louvain_move", Q.q_events_louvain_move, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:

@@ -1106,6 +1106,44 @@ def dup_spans(docs: ray.data.Dataset, shingle_k: int = 16,
                                num_partitions=num_partitions)
 
 
+def winnow_pairs(docs: ray.data.Dataset, min_shared: int = 2,
+                 num_partitions: int = 32) -> ray.data.Dataset:
+    """(a, b, shared) with a < b: near-dup CANDIDATE pairs sharing at
+    least ``min_shared`` winnowing fingerprints (textstats.winnow_batch)
+    — the MOSS pair generator: local fingerprints catch partially
+    overlapping documents (shared paragraphs, quotes) that whole-doc
+    MinHash dilutes away. ``shared`` is the exact common-fingerprint
+    count, a plagiarism-style overlap score.
+
+    Scale shape: the fingerprint rows are already per-doc-distinct, so
+    ONE fp-keyed grouped_apply emits each bucket's pairs (a C merge, no
+    Python loop; bucket sizes are winnowing-fingerprint families — the
+    LSH-bucket economics) and one (a, b)-keyed grouped count folds the
+    per-fp hits into the shared score. Document bodies never move."""
+    from ligrust_ray.dataops.textstats import winnow_batch
+
+    fps = docs.map_batches(winnow_batch, batch_format="pyarrow")
+
+    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        j = df.merge(df, on="fp", suffixes=("_x", "_y"))
+        j = j[j["doc_id_x"] < j["doc_id_y"]]
+        return pd.DataFrame({"a": j["doc_id_x"].to_numpy(dtype=np.int64),
+                             "b": j["doc_id_y"].to_numpy(dtype=np.int64)})
+
+    hits = shuffle.grouped_apply(fps, ["fp"], pairgen,
+                                 num_partitions=num_partitions)
+    counts = shuffle.grouped_agg(hits, ["a", "b"],
+                                 {"shared": (None, "count")},
+                                 num_partitions=num_partitions)
+    return counts.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t.column("shared"), min_shared)),
+        batch_format="pyarrow")
+
+
 def _block_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = t.column("vec_id").to_numpy()
     # fixed-width list<float> -> zero-copy (n, dim) view, then one cast

@@ -2787,6 +2787,12 @@ def q_docs_winnowing(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+def q_docs_winnow_pairs(sf_dir: str):
+    """(a, b, shared) near-dup candidate pairs sharing >= 2 winnowing
+    fingerprints (dedup.winnow_pairs) — the MOSS pair generator."""
+    return dedup.winnow_pairs(_docs(sf_dir), min_shared=2)
+
+
 def q_docs_minhash_dedup(sf_dir: str):
     return dedup.minhash_lsh_dedup(_docs(sf_dir))
 

@@ -1628,3 +1628,29 @@ def test_quality_model_planted(ray_session):
     exp1 = 2 * w_of("hello") + w_of("world")
     assert got["score"].tolist() == [exp1, w_of("single")]
     assert got["keep"].tolist() == [exp1 >= 0, w_of("single") >= 0]
+
+
+def test_winnow_pairs_planted(ray_session):
+    """Docs sharing a long run share >= min_shared fingerprints and pair
+    up; unrelated docs never pair; shared counts are symmetric-exact."""
+    from ligrust_ray.dataops.dedup import winnow_pairs
+
+    shared = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+              "sed do eiusmod tempor incididunt ut labore")
+    texts = [
+        "intro one two three " + shared + " outro alpha",
+        shared + " tail beta gamma delta epsilon zeta",
+        "totally different content with no overlap whatsoever here",
+        "intro one two three " + shared + " outro alpha",   # exact copy of 0
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)})).repartition(2)
+    got = winnow_pairs(ds, min_shared=2).to_pandas()
+    pairs = {(int(a), int(b)): int(s)
+             for a, b, s in zip(got["a"], got["b"], got["shared"])}
+    assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
+    assert not any(2 in p for p in pairs)
+    # identical docs share ALL fingerprints; the overlapped pair fewer
+    assert pairs[(0, 3)] > pairs[(0, 1)]
+    assert pairs[(0, 1)] == pairs[(1, 3)]
