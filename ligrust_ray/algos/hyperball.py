@@ -123,3 +123,65 @@ def hyperball_estimates(edges: ray.data.Dataset, t: int = 2,
 
     regs = hyperball_registers(edges, t=t, p=p).to_pandas()
     return hll_estimate(regs, "node", p=p)
+
+
+def neighborhood_function(edges: ray.data.Dataset, max_t: int = 16,
+                          p: int = HLL_P, eps: float = 0.01
+                          ) -> pd.DataFrame:
+    """(t, n_pairs): the neighborhood function N(t) = estimated number of
+    ordered pairs (u, v) with dist(u, v) <= t — HyperBall's headline
+    output. Iterates until N(t) grows by less than ``eps`` relative (the
+    paper's stopping rule) or ``max_t``; each round reuses the running
+    register Dataset, so round cost is the two wide steps regardless of
+    t. N(t)/N(max) yields the distance CDF and effective diameter."""
+    from ligrust_ray.dataops.sketch import hll_estimate
+
+    e = shuffle.distinct(
+        edges.map_batches(
+            lambda b: pa.table({"src": b.column("src").cast(_I64),
+                                "dst": b.column("dst").cast(_I64)}),
+            batch_format="pyarrow"),
+        ["src", "dst"]).materialize()
+    num_partitions = max(4, min(256, e.num_blocks()))
+
+    def pull(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        j = lf.merge(rf, left_on="node", right_on="dst", how="inner")
+        return pd.DataFrame({"node": j["src"].to_numpy(dtype=np.int64),
+                             "reg": j["reg"].to_numpy(dtype=np.int64),
+                             "rho": j["rho"].to_numpy(dtype=np.int64)})
+
+    def total(regs: ray.data.Dataset) -> float:
+        est = hll_estimate(regs.to_pandas(), "node", p=p)
+        return float(est["estimate"].sum())
+
+    regs = _init_registers(e, p).materialize()
+    out_t, out_n = [0], [total(regs)]
+    for t in range(1, max_t + 1):
+        prop = shuffle.co_group(regs, e, "node", "dst", pull,
+                                l_schema=_REG_SCHEMA,
+                                r_schema=_EDGE_SCHEMA,
+                                num_partitions=num_partitions)
+        regs = shuffle.grouped_agg(
+            regs.union(prop), ["node", "reg"], {"rho": ("rho", "max")},
+            num_partitions=num_partitions).materialize()
+        n = total(regs)
+        out_t.append(t)
+        out_n.append(n)
+        if n <= out_n[-2] * (1.0 + eps):
+            break
+    return pd.DataFrame({"t": np.asarray(out_t, dtype=np.int64),
+                         "n_pairs": np.asarray(out_n)})
+
+
+def effective_diameter(nf: pd.DataFrame, q: float = 0.9) -> float:
+    """Interpolated q-effective diameter from a neighborhood function:
+    the smallest (fractional) t with N(t) >= q * N(max) — the standard
+    HyperANF readout."""
+    n = nf["n_pairs"].to_numpy(dtype=np.float64)
+    ts = nf["t"].to_numpy(dtype=np.float64)
+    target = q * n[-1]
+    i = int(np.searchsorted(n >= target, True))
+    if i == 0 or n[i] == n[i - 1]:
+        return float(ts[i])
+    frac = (target - n[i - 1]) / (n[i] - n[i - 1])
+    return float(ts[i - 1] + frac * (ts[i] - ts[i - 1]))

@@ -92,6 +92,10 @@ def main(argv=None):
     hb.add_argument("-t", "--radius", type=int, default=2)
     hb.add_argument("-o", "--output", default=None,
                     help="write per-node (node, estimate) parquet")
+    hb.add_argument("--diameter", action="store_true",
+                    help="iterate to the neighborhood-function fixed "
+                         "point and report the 90%% effective diameter "
+                         "instead of fixed-t per-node balls")
 
     d = sub.add_parser("dump", help="graph dir -> reference-format .bin "
                                     "(graph.rs:322-357 layout)")
@@ -521,9 +525,20 @@ def main(argv=None):
         return 0
 
     if args.cmd == "hyperball":
-        from ligrust_ray.algos.hyperball import hyperball_estimates
+        from ligrust_ray.algos.hyperball import (effective_diameter,
+                                                 hyperball_estimates,
+                                                 neighborhood_function)
 
         e = ray.data.read_parquet(args.edges)
+        if args.diameter:
+            nf = neighborhood_function(e)
+            print(json.dumps({
+                "rounds": int(nf["t"].max()),
+                "n_pairs": round(float(nf["n_pairs"].iloc[-1]), 1),
+                "effective_diameter_90": round(effective_diameter(nf), 3),
+                "neighborhood_function": [round(float(x), 1)
+                                          for x in nf["n_pairs"]]}))
+            return 0
         est = hyperball_estimates(e, t=args.radius)
         if args.output:
             import pyarrow as pa

@@ -1213,3 +1213,26 @@ def test_louvain_move_candidate_invariant(ray_session):
     moved = got.set_index("node_id")["community"]
     for v in iso:
         assert int(moved[v]) == int(lab[v])
+
+
+def test_neighborhood_function_and_effective_diameter(ray_session):
+    """N(t) on a directed 6-cycle is exactly 6*(t+1) until saturation at
+    N=36; the interpolated 90% effective diameter lands between the true
+    distances bracketing the 0.9 quantile."""
+    import ray
+
+    from ligrust_ray.algos.hyperball import (effective_diameter,
+                                             neighborhood_function)
+
+    n = 6
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(range(n), type=pa.int64()),
+        "dst": pa.array([(i + 1) % n for i in range(n)],
+                        type=pa.int64())}))
+    nf = neighborhood_function(edges, max_t=10, eps=0.0)
+    exact = [min(n * (t + 1), n * n) for t in nf["t"]]
+    np.testing.assert_allclose(nf["n_pairs"].to_numpy(),
+                               np.asarray(exact, dtype=float), rtol=0.05)
+    # 0.9*36 = 32.4 pairs sits between N(4)=30 and N(5)=36 -> d_eff in (4,5)
+    d = effective_diameter(nf)
+    assert 4.0 < d <= 5.0
