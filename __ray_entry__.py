@@ -990,7 +990,7 @@ _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
     "docs_quality_model", "events_hyperball", "events_louvain_move",
-    "docs_winnow_pairs",
+    "docs_winnow_pairs", "docs_dedup_keep_best",
     "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
@@ -1098,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_model": Q.q_docs_quality_model,
         "docs_clean": Q.q_docs_clean,
         "docs_minhash_dedup": Q.q_docs_minhash_dedup,
+        "docs_dedup_keep_best": Q.q_docs_dedup_keep_best,
         "docs_simhash": Q.q_docs_simhash,
         "docs_simhash_dupes": Q.q_docs_simhash_dupes,
         "docs_simhash_clusters": Q.q_docs_simhash_clusters,
@@ -1796,6 +1797,25 @@ def oracle_sql() -> dict[str, str]:
             "WHERE json_type(j) IN ('BIGINT', 'UBIGINT') "
             "GROUP BY event_type"),
         "docs_minhash_dedup": _minhash_sql(),
+        # keep-best survivor: minhash clusters x quality-model scores,
+        # argmax (score DESC, doc_id ASC), unscored docs at -(2^62)
+        "docs_dedup_keep_best": (
+            "WITH mh AS (" + _minhash_sql() + "), "
+            "qm AS (WITH d AS (SELECT doc_id, regexp_extract_all("
+            "lower(text), '[^\\t\\n\\f\\r ]+') AS tk FROM documents), "
+            "t AS (SELECT doc_id, u.tok FROM d, UNNEST(tk) AS u(tok)) "
+            "SELECT doc_id, CAST(SUM(CAST(md5_number_lower('w:' || CAST("
+            "md5_number_lower(tok) % 4096 AS VARCHAR)) % 2001 "
+            "AS BIGINT) - 1000) AS BIGINT) AS score FROM t GROUP BY 1), "
+            "j AS (SELECT mh.cluster, mh.doc_id, "
+            "COALESCE(qm.score, -4611686018427387904) AS score "
+            "FROM mh LEFT JOIN qm ON qm.doc_id = mh.doc_id), "
+            "r AS (SELECT cluster, doc_id, score, "
+            "ROW_NUMBER() OVER (PARTITION BY cluster "
+            "ORDER BY score DESC, doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY cluster) AS n_members FROM j) "
+            "SELECT cluster, doc_id AS keep_id, n_members, "
+            "score AS best_score FROM r WHERE rn = 1"),
         "docs_ngram_dupes": _minhash_sql(bands=32, threshold=0.5,
                                          pairs_only=True),
         "docs_quality": _QUALITY_SQL,

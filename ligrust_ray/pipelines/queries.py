@@ -2793,6 +2793,42 @@ def q_docs_winnow_pairs(sf_dir: str):
     return dedup.winnow_pairs(_docs(sf_dir), min_shared=2)
 
 
+QM_MISSING_SCORE = -(1 << 62)     # zero-token docs: rank below any real score
+
+
+def q_docs_dedup_keep_best(sf_dir: str):
+    """(cluster, keep_id, n_members, best_score) — near-dup survivor
+    selection that keeps the BEST copy instead of the arbitrary min-id:
+    minhash-LSH clusters join the hashed-linear quality scores
+    (docs_quality_model), then one cluster-keyed argmax (score DESC,
+    doc_id ASC; unscored zero-token docs rank at QM_MISSING_SCORE). The
+    production shape: cluster table and score table co-partition through
+    one keyed join, bodies never move."""
+    clusters = dedup.minhash_lsh_dedup(_docs(sf_dir))
+    scores = _docs(sf_dir).map_batches(
+        lambda t: textstats.quality_model()(t),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "score": t.column("score")}),
+        batch_format="pyarrow")
+    j = shuffle.hash_join(clusters, scores, on="doc_id",
+                          l_cols=["cluster"], r_cols=["score"],
+                          how="left", fill={"score": QM_MISSING_SCORE})
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster", "score", "doc_id"],
+                            ascending=[True, False, True])
+        n = df.groupby("cluster", sort=False)["doc_id"].transform("size")
+        top = df.assign(n_members=n).drop_duplicates("cluster")
+        return pd.DataFrame({
+            "cluster": top["cluster"].to_numpy(dtype=np.int64),
+            "keep_id": top["doc_id"].to_numpy(dtype=np.int64),
+            "n_members": top["n_members"].to_numpy(dtype=np.int64),
+            "best_score": top["score"].to_numpy(dtype=np.int64)})
+
+    return shuffle.grouped_apply(j, ["cluster"], best)
+
+
 def q_docs_minhash_dedup(sf_dir: str):
     return dedup.minhash_lsh_dedup(_docs(sf_dir))
 

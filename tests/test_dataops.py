@@ -1654,3 +1654,46 @@ def test_winnow_pairs_planted(ray_session):
     # identical docs share ALL fingerprints; the overlapped pair fewer
     assert pairs[(0, 3)] > pairs[(0, 1)]
     assert pairs[(0, 1)] == pairs[(1, 3)]
+
+
+def test_dedup_keep_best_prefers_quality(ray_session):
+    """Keep-best survivor: within a near-dup cluster the highest
+    quality-model score wins (not the min doc_id); ties fall back to the
+    min id; singletons keep themselves."""
+    from ligrust_ray.pipelines.queries import (q_docs_dedup_keep_best,
+                                               QM_MISSING_SCORE)
+    import os
+    import tempfile
+
+    from ligrust_ray.dataops.hashing import md5_u64_lower
+    from ligrust_ray.dataops.textstats import QMODEL_BUCKETS
+
+    def w_of(tok):
+        b = md5_u64_lower(tok.encode()) % QMODEL_BUCKETS
+        return md5_u64_lower(f"w:{b}".encode()) % 2001 - 1000
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "and keeps running through the endless green fields forever")
+    # find a suffix word making the longer variant strictly higher-scored
+    extra = next(wd for wd in ("sunrise", "meadow", "quiet", "golden")
+                 if w_of(wd) > 0)
+    texts = {10: base, 11: base + " " + extra,   # near-dups, 11 scores higher
+             30: "completely unrelated content lives here on its own"}
+    sf = tempfile.mkdtemp(prefix="keepbest_")
+    pa_tbl = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(texts[k]) for k in sorted(texts)],
+                            type=pa.int64())})
+    import pyarrow.parquet as pq
+    pq.write_table(pa_tbl, os.path.join(sf, "documents.parquet"))
+
+    got = (q_docs_dedup_keep_best(sf).to_pandas()
+           .sort_values("cluster").reset_index(drop=True))
+    by_cluster = got.set_index("cluster")
+    assert int(by_cluster.loc[10, "keep_id"]) == 11      # quality beats min-id
+    assert int(by_cluster.loc[10, "n_members"]) == 2
+    assert int(by_cluster.loc[30, "keep_id"]) == 30
+    assert (got["best_score"] > QM_MISSING_SCORE).all()
