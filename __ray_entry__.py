@@ -990,7 +990,7 @@ _CHECK_PRIORITY = [
     # new in round 4 (never driver-checked)
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
     "docs_quality_model", "events_hyperball", "events_louvain_move",
-    "docs_winnow_pairs", "docs_dedup_keep_best",
+    "docs_winnow_pairs", "docs_dedup_keep_best", "docs_sim_join",
     "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
@@ -1095,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": Q.q_docs_fingerprint,
         "docs_winnowing": Q.q_docs_winnowing,
         "docs_winnow_pairs": Q.q_docs_winnow_pairs,
+        "docs_sim_join": Q.q_docs_sim_join,
         "docs_quality_model": Q.q_docs_quality_model,
         "docs_clean": Q.q_docs_clean,
         "docs_minhash_dedup": Q.q_docs_minhash_dedup,
@@ -1551,6 +1552,22 @@ def oracle_sql() -> dict[str, str]:
         # _WINNOW_PREFIX; pairs = fps self-joined on fp with a < b
         "docs_winnowing": (
             _WINNOW_PREFIX + " SELECT doc_id, fp FROM fps"),
+        # exact set-similarity join: brute-force oracle (the engine's
+        # prefix filter is lossless, so outputs must be identical)
+        "docs_sim_join": (
+            "WITH d AS (SELECT doc_id, list_distinct(regexp_extract_all("
+            "lower(text), '[^\\t\\n\\f\\r ]+')) AS tk FROM documents), "
+            "t AS (SELECT DISTINCT doc_id, "
+            + _signed64("md5_number_lower(u.tok)")
+            + " AS h FROM d, UNNEST(tk) AS u(tok) WHERE u.tok <> ''), "
+            "sz AS (SELECT doc_id, COUNT(*) AS s FROM t GROUP BY 1), "
+            "px AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c "
+            "FROM t x JOIN t y ON x.h = y.h AND x.doc_id < y.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT a, b, c AS n_common, sa.s + sb.s - c AS n_union "
+            "FROM px JOIN sz sa ON sa.doc_id = px.a "
+            "JOIN sz sb ON sb.doc_id = px.b "
+            "WHERE c * 10 >= 9 * (sa.s + sb.s - c)"),
         "docs_winnow_pairs": (
             _WINNOW_PREFIX + ", p AS (SELECT x.doc_id AS a, "
             "y.doc_id AS b, COUNT(*) AS shared FROM fps x JOIN fps y "

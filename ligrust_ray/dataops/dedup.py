@@ -1106,6 +1106,162 @@ def dup_spans(docs: ray.data.Dataset, shingle_k: int = 16,
                                num_partitions=num_partitions)
 
 
+def similarity_join(docs: ray.data.Dataset, thr_num: int = 7,
+                    thr_den: int = 10, num_partitions: int = 32
+                    ) -> ray.data.Dataset:
+    """(a, b, n_common, n_union) with a < b: EXACT token-set similarity
+    join — every pair with Jaccard >= thr_num/thr_den over the per-doc
+    DISTINCT md5-hashed token sets, with the exact intersection/union
+    sizes (integers; callers divide). Unlike MinHash-LSH this is the
+    lossless plan: prefix filtering (AllPairs, Bayardo et al. 2007)
+    guarantees the SAME output as the quadratic all-pairs join, so the
+    DuckDB oracle can BE the brute force while the engine runs the
+    scalable shape.
+
+    Plan: token rows explode once; a global doc-frequency grouped count
+    orders tokens rarest-first ((df ASC, hash ASC) — the total order the
+    prefix guarantee needs); a doc-keyed grouped_apply keeps each doc's
+    first s - ceil(t*s) + 1 tokens; candidate pairs form per prefix
+    token (rare tokens -> tiny buckets; that is the point of the
+    ordering) and dedupe through one grouped count; the exact verify is
+    the minhash exploded-merge co_group shape with integer c*den >=
+    num*(sa+sb-c) compares. Bodies never move; nothing corpus-sized on
+    the driver."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+    from ligrust_ray.dataops.textstats import RE2_WS
+
+    def sh_lists(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), RE2_WS + "+").combine_chunks()
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.chunk(0) if toks.num_chunks else \
+                pa.array([], type=toks.type)
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        di = np.repeat(np.arange(len(ids)), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, di = flat.filter(pa.array(keep)), di[keep]
+        h = md5_u64_lower_arrow(flat).view(np.int64) if len(flat) else \
+            np.zeros(0, np.int64)
+        out_id, out_sh = [], []
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], di[1:] != di[:-1], [True])))
+        for x, y in zip(bounds[:-1], bounds[1:]):
+            out_id.append(ids[di[x]])
+            out_sh.append(np.unique(h[x:y]))
+        return pa.table(
+            {"doc_id": pa.array(np.asarray(out_id, dtype=np.int64)),
+             "sh": pa.array([s for s in out_sh], type=pa.list_(pa.int64()))},
+            schema=_SHINGLE_SCHEMA)
+
+    sh_ds = docs.map_batches(sh_lists, batch_format="pyarrow").materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        sh = t.column("sh").combine_chunks()
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.chunk(0) if sh.num_chunks else \
+                pa.array([], type=sh.type)
+        lens = pc.list_value_length(sh).to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.repeat(ids, lens)),
+                         "h": pc.list_flatten(sh)})
+
+    rows = sh_ds.map_batches(explode, batch_format="pyarrow")
+    df_tbl = shuffle.grouped_agg(rows, ["h"], {"df": (None, "count")},
+                                 num_partitions=num_partitions)
+
+    def attach_df(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        return lf.merge(rf, on="h", how="inner")
+
+    rows_df = shuffle.co_group(
+        rows, df_tbl, "h", "h", attach_df,
+        l_schema=pa.schema([("doc_id", pa.int64()), ("h", pa.int64())]),
+        r_schema=pa.schema([("h", pa.int64()), ("df", pa.int64())]),
+        num_partitions=num_partitions)
+
+    def prefix(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "h": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["doc_id", "df", "h"])
+        s = df.groupby("doc_id", sort=False)["h"].transform("size") \
+            .to_numpy()
+        pos = df.groupby("doc_id", sort=False).cumcount().to_numpy()
+        plen = s - (thr_num * s + thr_den - 1) // thr_den + 1
+        keep = pos < plen
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[keep],
+            "h": df["h"].to_numpy(dtype=np.int64)[keep]})
+
+    pref = shuffle.grouped_apply(rows_df, ["doc_id"], prefix,
+                                 num_partitions=num_partitions)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        j = df.merge(df, on="h", suffixes=("_x", "_y"))
+        j = j[j["doc_id_x"] < j["doc_id_y"]]
+        return pd.DataFrame({"a": j["doc_id_x"].to_numpy(dtype=np.int64),
+                             "b": j["doc_id_y"].to_numpy(dtype=np.int64)})
+
+    cand = shuffle.grouped_agg(
+        shuffle.grouped_apply(pref, ["h"], bucket_pairs,
+                              num_partitions=num_partitions),
+        ["a", "b"], {"n": (None, "count")},
+        num_partitions=num_partitions).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+    # exact verify with integer compares and count output
+    def attach(lf: pd.DataFrame, rf: pd.DataFrame) -> pa.Table:
+        j = lf.merge(rf.rename(columns={"doc_id": "a"}), on="a",
+                     how="inner")
+        return pa.table(
+            {"a": pa.array(j["a"].to_numpy(dtype=np.int64)),
+             "b": pa.array(j["b"].to_numpy(dtype=np.int64)),
+             "sh": pa.array([np.asarray(x, dtype=np.int64)
+                             for x in j["sh"]], type=pa.list_(pa.int64()))},
+            schema=_PAIR_SH_SCHEMA)
+
+    def verify(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                              for c in ("a", "b", "n_common", "n_union")})
+        j = lf.merge(rf.rename(columns={"doc_id": "b", "sh": "shb"}),
+                     on="b", how="inner")
+        if not len(j):
+            return empty
+        sa, sb = list(j["sh"]), list(j["shb"])
+        na = np.fromiter((len(x) for x in sa), dtype=np.int64, count=len(j))
+        nb = np.fromiter((len(x) for x in sb), dtype=np.int64, count=len(j))
+        fa = pd.DataFrame({"i": np.repeat(np.arange(len(j)), na),
+                           "v": np.concatenate(sa) if na.sum() else
+                           np.zeros(0, np.int64)})
+        fb = pd.DataFrame({"i": np.repeat(np.arange(len(j)), nb),
+                           "v": np.concatenate(sb) if nb.sum() else
+                           np.zeros(0, np.int64)})
+        inter = fa.merge(fb, on=["i", "v"], how="inner")
+        common = np.zeros(len(j), dtype=np.int64)
+        if len(inter):
+            iv, ic = np.unique(inter["i"].to_numpy(), return_counts=True)
+            common[iv] = ic
+        union = na + nb - common
+        keep = common * thr_den >= thr_num * union
+        return pd.DataFrame({
+            "a": j["a"].to_numpy(dtype=np.int64)[keep],
+            "b": j["b"].to_numpy(dtype=np.int64)[keep],
+            "n_common": common[keep], "n_union": union[keep]})
+
+    with_sh_a = shuffle.co_group(
+        cand, sh_ds, l_on="a", r_on="doc_id", fn=attach,
+        num_partitions=num_partitions,
+        l_schema=_PAIR_SCHEMA, r_schema=_SHINGLE_SCHEMA)
+    return shuffle.co_group(
+        with_sh_a, sh_ds, l_on="b", r_on="doc_id", fn=verify,
+        num_partitions=num_partitions,
+        l_schema=_PAIR_SH_SCHEMA, r_schema=_SHINGLE_SCHEMA)
+
+
 def winnow_pairs(docs: ray.data.Dataset, min_shared: int = 2,
                  num_partitions: int = 32) -> ray.data.Dataset:
     """(a, b, shared) with a < b: near-dup CANDIDATE pairs sharing at

@@ -2787,6 +2787,13 @@ def q_docs_winnowing(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+def q_docs_sim_join(sf_dir: str):
+    """(a, b, n_common, n_union) exact token-set similarity join at
+    Jaccard >= 0.9 (dedup.similarity_join) — prefix-filtered AllPairs;
+    lossless, so the oracle is the brute-force quadratic join."""
+    return dedup.similarity_join(_docs(sf_dir), thr_num=9, thr_den=10)
+
+
 def q_docs_winnow_pairs(sf_dir: str):
     """(a, b, shared) near-dup candidate pairs sharing >= 2 winnowing
     fingerprints (dedup.winnow_pairs) — the MOSS pair generator."""

@@ -1697,3 +1697,51 @@ def test_dedup_keep_best_prefers_quality(ray_session):
     assert int(by_cluster.loc[10, "n_members"]) == 2
     assert int(by_cluster.loc[30, "keep_id"]) == 30
     assert (got["best_score"] > QM_MISSING_SCORE).all()
+
+
+def test_similarity_join_equals_bruteforce(ray_session):
+    """Prefix-filtered AllPairs == quadratic brute force (the lossless
+    guarantee), on a mixed corpus of heavy/partial/no overlap plus
+    single-token and empty docs."""
+    from itertools import combinations
+
+    from ligrust_ray.dataops.dedup import similarity_join
+    from ligrust_ray.dataops.hashing import md5_i64_lower
+
+    import re as _re
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {}
+    base = list(rng.choice(vocab, size=12, replace=False))
+    texts[0] = " ".join(base)
+    texts[1] = " ".join(base[:11] + ["extra1"])          # high overlap
+    texts[2] = " ".join(base[:6] + ["x1 x2 x3 x4 x5 x6".split()[i]
+                                    for i in range(6)])  # ~0.33
+    texts[3] = " ".join(rng.choice(vocab, size=12, replace=False))
+    texts[4] = "solo"
+    texts[5] = ""
+    texts[6] = " ".join(base)                            # exact copy of 0
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)])})
+    ).repartition(3)
+
+    for num, den in ((9, 10), (1, 2)):
+        got = similarity_join(ds, thr_num=num, thr_den=den).to_pandas()
+        got_set = {(int(a), int(b), int(c), int(u)) for a, b, c, u in
+                   zip(got["a"], got["b"], got["n_common"],
+                       got["n_union"])}
+        sets = {k: {md5_i64_lower(w.encode())
+                    for w in _re.split("[\t\n\f\r ]+", v.lower()) if w}
+                for k, v in texts.items()}
+        exp = set()
+        for a, b in combinations(sorted(texts), 2):
+            c = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and c * den >= num * u:
+                exp.add((a, b, c, u))
+        assert got_set == exp, (num, den)
+    # sanity: the exact copy and the 11/13 pair survive 9/10... copy only
+    got9 = {(r[0], r[1]) for r in got_set}
+    assert (0, 6) in got9
