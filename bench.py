@@ -495,7 +495,10 @@ def run_headline(num_cpus: int) -> dict:
             ("emb_pq_codes", Q.q_emb_pq_codes, True),
             ("emb_knn_pq", Q.q_emb_knn_pq, True),
             ("events_hyperball", Q.q_events_hyperball, True),
-            ("events_louvain_move", Q.q_events_louvain_move, True)):
+            ("events_louvain_move", Q.q_events_louvain_move, True),
+            ("docs_winnow_pairs", Q.q_docs_winnow_pairs, True),
+            ("docs_dedup_keep_best", Q.q_docs_dedup_keep_best, True),
+            ("docs_sim_join", Q.q_docs_sim_join, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:

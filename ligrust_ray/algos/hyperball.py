@@ -22,6 +22,11 @@ against exact BFS ball sizes instead).
 
 from __future__ import annotations
 
+import json
+import os
+import re
+import shutil
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -62,40 +67,105 @@ def _init_registers(edges: ray.data.Dataset, p: int) -> ray.data.Dataset:
     return nodes.map_batches(seed, batch_format="pyarrow")
 
 
+
+# ---- round-level checkpoint / resume (north_rule F6 commit protocol:
+# parquet partition files first, manifest.json LAST -> manifest existence
+# is the commit point; a killed run leaves an ignorable manifest-less dir)
+
+def _ckpt_dir(root: str, t: int) -> str:
+    return os.path.join(root, f"iter_{t:06d}")
+
+
+def _ckpt_write(root: str, t: int, regs: ray.data.Dataset,
+                loop_state: dict) -> None:
+    d = _ckpt_dir(root, t)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(os.path.join(d, "regs"))
+    regs.write_parquet(os.path.join(d, "regs"))
+    tmp = os.path.join(root, f".manifest_{t}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"complete": True, "t": t, "loop_state": loop_state}, fh)
+    os.replace(tmp, os.path.join(d, "manifest.json"))
+
+
+def _ckpt_latest(root: str) -> tuple[int, ray.data.Dataset, dict] | None:
+    best = None
+    if not os.path.isdir(root):
+        return None
+    for name in os.listdir(root):
+        m = re.match(r"iter_(\d{6})$", name)
+        if not m:
+            continue
+        man = os.path.join(root, name, "manifest.json")
+        try:
+            with open(man) as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if meta.get("complete") and (best is None or meta["t"] > best[0]):
+            best = (meta["t"], meta.get("loop_state", {}))
+    if best is None:
+        return None
+    regs = ray.data.read_parquet(
+        os.path.join(_ckpt_dir(root, best[0]), "regs"))
+    return best[0], regs, best[1]
+
+
+def _round(regs: ray.data.Dataset, e: ray.data.Dataset,
+           num_partitions: int) -> ray.data.Dataset:
+    """One HyperBall pull round: registers of dst flow to src, max-merge."""
+
+    def pull(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        j = lf.merge(rf, left_on="node", right_on="dst", how="inner")
+        return pd.DataFrame({"node": j["src"].to_numpy(dtype=np.int64),
+                             "reg": j["reg"].to_numpy(dtype=np.int64),
+                             "rho": j["rho"].to_numpy(dtype=np.int64)})
+
+    prop = shuffle.co_group(regs, e, "node", "dst", pull,
+                            l_schema=_REG_SCHEMA, r_schema=_EDGE_SCHEMA,
+                            num_partitions=num_partitions)
+    return shuffle.grouped_agg(
+        regs.union(prop), ["node", "reg"], {"rho": ("rho", "max")},
+        num_partitions=num_partitions).materialize()
+
+
+def _dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    return shuffle.distinct(
+        edges.map_batches(
+            lambda b: pa.table({"src": b.column("src").cast(_I64),
+                                "dst": b.column("dst").cast(_I64)}),
+            batch_format="pyarrow"),
+        ["src", "dst"]).materialize()
+
+
 def hyperball_registers(edges: ray.data.Dataset, t: int = 2,
-                        p: int = HLL_P, num_partitions: int | None = None
+                        p: int = HLL_P, num_partitions: int | None = None,
+                        checkpoint_dir: str | None = None
                         ) -> ray.data.Dataset:
     """(node, reg, rho) after ``t`` propagation rounds. Edges are deduped
     once up front (multiplicity is irrelevant under max-merge and would
     multiply join fan-out). ``num_partitions`` defaults to the deduped
     edge set's block count (each of the 2t wide steps launches that many
     tasks — a fixed 32 is pure coordination overhead on small graphs and
-    a ceiling on large ones)."""
-    e = shuffle.distinct(
-        edges.map_batches(
-            lambda b: pa.table({"src": b.column("src").cast(_I64),
-                                "dst": b.column("dst").cast(_I64)}),
-            batch_format="pyarrow"),
-        ["src", "dst"]).materialize()
+    a ceiling on large ones). ``checkpoint_dir`` persists the register
+    Dataset after every round (manifest-last commit protocol) and resumes
+    from the newest complete round — registers are exact integers, so a
+    resumed run equals an uninterrupted one bitwise."""
+    e = _dedup_edges(edges)
     if num_partitions is None:
         num_partitions = max(4, min(256, e.num_blocks()))
-
-    def pull(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        # registers of dst flow to src: counter(v) |= counter(w), (v,w) in E
-        j = lf.merge(rf, left_on="node", right_on="dst", how="inner")
-        return pd.DataFrame({"node": j["src"].to_numpy(dtype=np.int64),
-                             "reg": j["reg"].to_numpy(dtype=np.int64),
-                             "rho": j["rho"].to_numpy(dtype=np.int64)})
-
-    regs = _init_registers(e, p).materialize()
-    for _ in range(t):
-        prop = shuffle.co_group(regs, e, "node", "dst", pull,
-                                l_schema=_REG_SCHEMA,
-                                r_schema=_EDGE_SCHEMA,
-                                num_partitions=num_partitions)
-        regs = shuffle.grouped_agg(
-            regs.union(prop), ["node", "reg"], {"rho": ("rho", "max")},
-            num_partitions=num_partitions).materialize()
+    t0 = 0
+    regs = None
+    if checkpoint_dir:
+        got = _ckpt_latest(checkpoint_dir)
+        if got is not None and got[0] <= t:
+            t0, regs, _ = got
+    if regs is None:
+        regs = _init_registers(e, p).materialize()
+    for k in range(t0 + 1, t + 1):
+        regs = _round(regs, e, num_partitions)
+        if checkpoint_dir:
+            _ckpt_write(checkpoint_dir, k, regs, {})
     return regs
 
 
@@ -116,57 +186,58 @@ def hyperball_summary(edges: ray.data.Dataset, t: int = 2,
 
 
 def hyperball_estimates(edges: ray.data.Dataset, t: int = 2,
-                        p: int = HLL_P) -> pd.DataFrame:
+                        p: int = HLL_P,
+                        checkpoint_dir: str | None = None) -> pd.DataFrame:
     """(node, estimate): standard HLL estimator over each node's
     registers — |ball(node, t)| up to ~1.04/sqrt(2^p) relative error."""
     from ligrust_ray.dataops.sketch import hll_estimate
 
-    regs = hyperball_registers(edges, t=t, p=p).to_pandas()
+    regs = hyperball_registers(edges, t=t, p=p,
+                               checkpoint_dir=checkpoint_dir).to_pandas()
     return hll_estimate(regs, "node", p=p)
 
 
 def neighborhood_function(edges: ray.data.Dataset, max_t: int = 16,
-                          p: int = HLL_P, eps: float = 0.01
+                          p: int = HLL_P, eps: float = 0.01,
+                          checkpoint_dir: str | None = None
                           ) -> pd.DataFrame:
     """(t, n_pairs): the neighborhood function N(t) = estimated number of
     ordered pairs (u, v) with dist(u, v) <= t — HyperBall's headline
     output. Iterates until N(t) grows by less than ``eps`` relative (the
-    paper's stopping rule) or ``max_t``; each round reuses the running
-    register Dataset, so round cost is the two wide steps regardless of
-    t. N(t)/N(max) yields the distance CDF and effective diameter."""
+    paper's stopping rule) or ``max_t``. With ``checkpoint_dir`` every
+    round commits (registers + the N(t) history in loop_state) and a
+    rerun resumes after the newest complete round — the registers are
+    exact integers, so resume is bitwise-equivalent."""
     from ligrust_ray.dataops.sketch import hll_estimate
 
-    e = shuffle.distinct(
-        edges.map_batches(
-            lambda b: pa.table({"src": b.column("src").cast(_I64),
-                                "dst": b.column("dst").cast(_I64)}),
-            batch_format="pyarrow"),
-        ["src", "dst"]).materialize()
+    e = _dedup_edges(edges)
     num_partitions = max(4, min(256, e.num_blocks()))
-
-    def pull(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        j = lf.merge(rf, left_on="node", right_on="dst", how="inner")
-        return pd.DataFrame({"node": j["src"].to_numpy(dtype=np.int64),
-                             "reg": j["reg"].to_numpy(dtype=np.int64),
-                             "rho": j["rho"].to_numpy(dtype=np.int64)})
 
     def total(regs: ray.data.Dataset) -> float:
         est = hll_estimate(regs.to_pandas(), "node", p=p)
         return float(est["estimate"].sum())
 
-    regs = _init_registers(e, p).materialize()
-    out_t, out_n = [0], [total(regs)]
-    for t in range(1, max_t + 1):
-        prop = shuffle.co_group(regs, e, "node", "dst", pull,
-                                l_schema=_REG_SCHEMA,
-                                r_schema=_EDGE_SCHEMA,
-                                num_partitions=num_partitions)
-        regs = shuffle.grouped_agg(
-            regs.union(prop), ["node", "reg"], {"rho": ("rho", "max")},
-            num_partitions=num_partitions).materialize()
+    regs = None
+    out_t, out_n = [0], None
+    if checkpoint_dir:
+        got = _ckpt_latest(checkpoint_dir)
+        if got is not None and got[2].get("n_hist"):
+            k, regs, state = got
+            out_t = list(range(k + 1))
+            out_n = [float(x) for x in state["n_hist"]]
+    if regs is None:
+        regs = _init_registers(e, p).materialize()
+        out_n = [total(regs)]
+    done = len(out_n) >= 2 and out_n[-1] <= out_n[-2] * (1.0 + eps)
+    for t in range(out_t[-1] + 1, max_t + 1):
+        if done:
+            break
+        regs = _round(regs, e, num_partitions)
         n = total(regs)
         out_t.append(t)
         out_n.append(n)
+        if checkpoint_dir:
+            _ckpt_write(checkpoint_dir, t, regs, {"n_hist": out_n})
         if n <= out_n[-2] * (1.0 + eps):
             break
     return pd.DataFrame({"t": np.asarray(out_t, dtype=np.int64),

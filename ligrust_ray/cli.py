@@ -92,6 +92,9 @@ def main(argv=None):
     hb.add_argument("-t", "--radius", type=int, default=2)
     hb.add_argument("-o", "--output", default=None,
                     help="write per-node (node, estimate) parquet")
+    hb.add_argument("--checkpoint-dir", default=None,
+                    help="persist registers per round; rerun resumes "
+                         "after the newest complete round")
     hb.add_argument("--diameter", action="store_true",
                     help="iterate to the neighborhood-function fixed "
                          "point and report the 90%% effective diameter "
@@ -531,7 +534,7 @@ def main(argv=None):
 
         e = ray.data.read_parquet(args.edges)
         if args.diameter:
-            nf = neighborhood_function(e)
+            nf = neighborhood_function(e, checkpoint_dir=args.checkpoint_dir)
             print(json.dumps({
                 "rounds": int(nf["t"].max()),
                 "n_pairs": round(float(nf["n_pairs"].iloc[-1]), 1),
@@ -539,7 +542,8 @@ def main(argv=None):
                 "neighborhood_function": [round(float(x), 1)
                                           for x in nf["n_pairs"]]}))
             return 0
-        est = hyperball_estimates(e, t=args.radius)
+        est = hyperball_estimates(e, t=args.radius,
+                                   checkpoint_dir=args.checkpoint_dir)
         if args.output:
             import pyarrow as pa
             import pyarrow.parquet as pq

@@ -4,6 +4,7 @@ run (bitwise for integer algorithms)."""
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 import oracle
 from ligrust_ray.algos.cc import cc
@@ -170,3 +171,50 @@ def test_cc_resume_after_actor_kill(ray_session, tmp_path):
     got = g3.collect_state(["ids"])["ids"]
     np.testing.assert_array_equal(got, want)
     assert res["iterations"] >= man["iteration"]
+
+
+def test_hyperball_checkpoint_resume_bitwise(ray_session, tmp_path):
+    """HyperBall round checkpoints: a run that stops after round 1 and a
+    fresh process-equivalent resume to round 3 produce registers and
+    N(t) history identical to an uninterrupted run; an incomplete
+    (manifest-less) round dir is ignored."""
+    import os
+
+    import pandas as pd
+
+    from ligrust_ray.algos import hyperball as hb
+
+    rng = np.random.default_rng(23)
+    src, dst = rng.integers(0, 40, 120), rng.integers(0, 40, 120)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64())}))
+
+    def regs_df(d):
+        return (d.to_pandas().sort_values(["node", "reg"])
+                .reset_index(drop=True))
+
+    plain = regs_df(hb.hyperball_registers(edges, t=3))
+
+    ck = str(tmp_path / "hb")
+    r1 = hb.hyperball_registers(edges, t=1, checkpoint_dir=ck)
+    assert os.path.isdir(os.path.join(ck, "iter_000001"))
+    resumed = regs_df(hb.hyperball_registers(edges, t=3,
+                                             checkpoint_dir=ck))
+    pd.testing.assert_frame_equal(resumed, plain)
+
+    # neighborhood function resume carries the N(t) history
+    ck2 = str(tmp_path / "nf")
+    full = hb.neighborhood_function(edges, max_t=3, eps=0.0)
+    hb.neighborhood_function(edges, max_t=1, eps=0.0, checkpoint_dir=ck2)
+    resumed_nf = hb.neighborhood_function(edges, max_t=3, eps=0.0,
+                                          checkpoint_dir=ck2)
+    pd.testing.assert_frame_equal(resumed_nf, full)
+
+    # an incomplete round (no manifest) is invisible to resume
+    broken = os.path.join(ck, "iter_000009")
+    os.makedirs(broken)
+    with open(os.path.join(broken, "part-0.parquet"), "w") as fh:
+        fh.write("torn write")
+    again = regs_df(hb.hyperball_registers(edges, t=3, checkpoint_dir=ck))
+    pd.testing.assert_frame_equal(again, plain)
