@@ -991,6 +991,7 @@ _CHECK_PRIORITY = [
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
     "docs_quality_model", "events_hyperball", "events_louvain_move",
     "docs_winnow_pairs", "docs_dedup_keep_best", "docs_sim_join",
+    "docs_chunk",
     "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
@@ -1096,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnowing": Q.q_docs_winnowing,
         "docs_winnow_pairs": Q.q_docs_winnow_pairs,
         "docs_sim_join": Q.q_docs_sim_join,
+        "docs_chunk": Q.q_docs_chunk,
         "docs_quality_model": Q.q_docs_quality_model,
         "docs_clean": Q.q_docs_clean,
         "docs_minhash_dedup": Q.q_docs_minhash_dedup,
@@ -1552,6 +1554,18 @@ def oracle_sql() -> dict[str, str]:
         # _WINNOW_PREFIX; pairs = fps self-joined on fp with a < b
         "docs_winnowing": (
             _WINNOW_PREFIX + " SELECT doc_id, fp FROM fps"),
+        # sliding-window chunking: starts at range(0, n, stride); the
+        # 1-based inclusive slice tk[s+1 : s+64] clamps at the list end
+        "docs_chunk": (
+            "WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[^\\t\\n\\f\\r ]+') AS tk FROM documents), "
+            "c AS (SELECT doc_id, s.s // 48 AS chunk_id, s.s AS start_tok, "
+            "tk[s.s + 1 : s.s + 64] AS seg "
+            "FROM d, UNNEST(range(0, GREATEST(len(tk), 1), 48)) AS s(s) "
+            "WHERE s.s < len(tk)) "
+            "SELECT doc_id, chunk_id, start_tok, len(seg) AS n_tokens, "
+            + _signed64("md5_number_lower(array_to_string(seg, ' '))")
+            + " AS chunk_fp FROM c"),
         # exact set-similarity join: brute-force oracle (the engine's
         # prefix filter is lossless, so outputs must be identical)
         "docs_sim_join": (

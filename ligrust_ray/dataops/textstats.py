@@ -269,6 +269,44 @@ def winnow_batch(t: pa.Table, k: int = WINNOW_K, w: int = WINNOW_W
                      "fp": pa.array(np.concatenate(out_fp))})
 
 
+CHUNK_TOKENS = 64          # training context-window chunk size
+CHUNK_STRIDE = 48          # stride (16-token overlap between chunks)
+
+
+def chunk_batch(t: pa.Table, size: int = CHUNK_TOKENS,
+                stride: int = CHUNK_STRIDE) -> pa.Table:
+    """(doc_id, chunk_id, start_tok, n_tokens, chunk_fp) — deterministic
+    sliding-window document chunking for training-sequence construction:
+    chunk i covers tokens [i*stride, i*stride + size) of the lowercased
+    RE2-token stream; the final partial chunk is kept (every token lands
+    in >= 1 chunk). chunk_fp = md5-lower-i64 of the space-joined chunk
+    (the per-chunk dedup/provenance key). Shuffle-free per-doc map;
+    DuckDB-replicable via range(0, n, stride) + list slicing."""
+    from ligrust_ray.dataops.hashing import md5_i64_lower
+
+    out = {"doc_id": [], "chunk_id": [], "start_tok": [],
+           "n_tokens": [], "chunk_fp": []}
+    ids = t.column("doc_id").to_pylist()
+    for did, x in zip(ids, t.column("text").to_pylist()):
+        toks = _LINE_TOKENS.findall(x.lower())
+        n = len(toks)
+        for ci, s in enumerate(range(0, max(n, 1), stride)):
+            if s >= n:
+                break
+            seg = toks[s:s + size]
+            out["doc_id"].append(did)
+            out["chunk_id"].append(ci)
+            out["start_tok"].append(s)
+            out["n_tokens"].append(len(seg))
+            out["chunk_fp"].append(md5_i64_lower(" ".join(seg).encode()))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        "chunk_id": pa.array(out["chunk_id"], type=pa.int64()),
+        "start_tok": pa.array(out["start_tok"], type=pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+        "chunk_fp": pa.array(out["chunk_fp"], type=pa.int64())})
+
+
 QMODEL_BUCKETS = 4096      # hashed feature space (vocabulary-free)
 QMODEL_WRANGE = 2001       # integer weights in [-1000, 1000]
 

@@ -2787,6 +2787,13 @@ def q_docs_winnowing(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+def q_docs_chunk(sf_dir: str):
+    """(doc_id, chunk_id, start_tok, n_tokens, chunk_fp) sliding-window
+    training chunks (textstats.chunk_batch) — shuffle-free per-doc map."""
+    return _docs(sf_dir).map_batches(textstats.chunk_batch,
+                                     batch_format="pyarrow")
+
+
 def q_docs_sim_join(sf_dir: str):
     """(a, b, n_common, n_union) exact token-set similarity join at
     Jaccard >= 0.9 (dedup.similarity_join) — prefix-filtered AllPairs;

@@ -1745,3 +1745,26 @@ def test_similarity_join_equals_bruteforce(ray_session):
     # sanity: the exact copy and the 11/13 pair survive 9/10... copy only
     got9 = {(r[0], r[1]) for r in got_set}
     assert (0, 6) in got9
+
+
+def test_chunk_batch_planted(ray_session):
+    """Sliding-window chunking: full coverage with overlap, correct
+    partial tail, empty docs emit nothing, fp = md5 of the joined seg."""
+    from ligrust_ray.dataops.hashing import md5_i64_lower
+    from ligrust_ray.dataops.textstats import chunk_batch
+
+    toks = [f"t{i}" for i in range(100)]     # 100 tokens: chunks at 0,48,96
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array([" ".join(toks), "one two", "  "])})
+    got = (chunk_batch(t).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    d1 = got[got["doc_id"] == 1]
+    assert d1["start_tok"].tolist() == [0, 48, 96]
+    assert d1["n_tokens"].tolist() == [64, 52, 4]
+    assert int(d1["chunk_fp"].iloc[0]) == md5_i64_lower(
+        " ".join(toks[:64]).encode())
+    assert int(d1["chunk_fp"].iloc[2]) == md5_i64_lower(
+        " ".join(toks[96:]).encode())
+    d2 = got[got["doc_id"] == 2]
+    assert d2["n_tokens"].tolist() == [2] and d2["start_tok"].tolist() == [0]
+    assert (got["doc_id"] != 3).all()
