@@ -214,7 +214,10 @@ def neighborhood_function(edges: ray.data.Dataset, max_t: int = 16,
     num_partitions = max(4, min(256, e.num_blocks()))
 
     def total(regs: ray.data.Dataset) -> float:
-        est = hll_estimate(regs.to_pandas(), "node", p=p)
+        df = regs.to_pandas()
+        if not len(df):                      # edgeless input: no nodes
+            return 0.0
+        est = hll_estimate(df, "node", p=p)
         return float(est["estimate"].sum())
 
     regs = None

@@ -1156,6 +1156,9 @@ def similarity_join(docs: ray.data.Dataset, thr_num: int = 7,
             schema=_SHINGLE_SCHEMA)
 
     sh_ds = docs.map_batches(sh_lists, batch_format="pyarrow").materialize()
+    # size the eight keyed wide steps to the input (fixed 32 is pure
+    # dispatch floor on a small corpus, a ceiling on a large one)
+    num_partitions = max(4, min(num_partitions, sh_ds.num_blocks() * 4))
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy().astype(np.int64)

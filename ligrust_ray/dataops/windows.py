@@ -391,7 +391,12 @@ def funnel_counts(events: ray.data.Dataset,
     parts = shuffle.grouped_apply(
         events.select_columns(["ts", "user_id", "event_type"]),
         ["user_id"], per_partition, num_partitions=num_partitions)
-    agg = shuffle.grouped_agg(parts, ["stage"],
+    # zero-count seed: the funnel always reports every stage (the SQL
+    # oracle's VALUES rows), even over an empty event stream
+    seed = ray.data.from_arrow(pa.table({
+        "stage": pa.array([f"{i + 1}_{s}" for i, s in enumerate(stages)]),
+        "n_users": pa.array(np.zeros(len(stages), np.int64))}))
+    agg = shuffle.grouped_agg(parts.union(seed), ["stage"],
                               {"n_users": ("n_users", "sum")})
     return agg.map_batches(
         lambda t: pa.table({

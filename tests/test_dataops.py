@@ -1768,3 +1768,44 @@ def test_chunk_batch_planted(ray_session):
     d2 = got[got["doc_id"] == 2]
     assert d2["n_tokens"].tolist() == [2] and d2["start_tok"].tolist() == [0]
     assert (got["doc_id"] != 3).all()
+
+
+def test_new_ops_empty_inputs(ray_session):
+    """Every round-4f operator handles an empty table without crashing
+    and returns its schema with zero rows."""
+    from ligrust_ray.algos.hyperball import (hyperball_summary,
+                                             neighborhood_function)
+    from ligrust_ray.dataops.dedup import similarity_join, winnow_pairs
+    from ligrust_ray.dataops.textstats import (HashedLinearScorer,
+                                               chunk_batch, winnow_batch)
+    from ligrust_ray.dataops.windows import funnel_counts
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    assert winnow_batch(pa.table({"doc_id": pa.array([], pa.int64()),
+                                  "text": pa.array([], pa.string())})
+                        ).num_rows == 0
+    assert chunk_batch(pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "text": pa.array([], pa.string())})
+                       ).num_rows == 0
+    assert HashedLinearScorer()(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())})).num_rows == 0
+    assert winnow_pairs(docs).count() == 0
+    assert similarity_join(docs).count() == 0
+
+    ev = ray.data.from_arrow(pa.table({
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "user_id": pa.array([], type=pa.int64()),
+        "event_type": pa.array([], type=pa.string())}))
+    f = funnel_counts(ev).to_pandas()
+    assert sorted(f["stage"]) == ["1_view", "2_click", "3_purchase"]
+    assert (f["n_users"] == 0).all()
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64())}))
+    assert hyperball_summary(edges).count() == 0
+    nf = neighborhood_function(edges, max_t=2)
+    assert set(nf["n_pairs"]) == {0.0} and len(nf) <= 2
