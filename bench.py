@@ -497,13 +497,29 @@ def run_headline(num_cpus: int) -> dict:
             ("events_hyperball", Q.q_events_hyperball, True),
             ("events_louvain_move", Q.q_events_louvain_move, True),
             ("docs_winnow_pairs", Q.q_docs_winnow_pairs, True),
-            ("docs_dedup_keep_best", Q.q_docs_dedup_keep_best, True),
-            ("docs_sim_join", Q.q_docs_sim_join, True)):
+            ("docs_dedup_keep_best", Q.q_docs_dedup_keep_best, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:
             r.materialize()
         q[name] = time.perf_counter() - t0
+
+    # exact set-similarity join on a deterministic 1/8 doc sample: the
+    # sf0.1 corpus carries ~250-member near-dup families, so the FULL
+    # exact join's OUTPUT alone is ~1M pairs (inherent to exactness —
+    # production runs LSH first); the sample keeps the bench entry
+    # proportional while the full join stays contract-checked at sf0.01
+    import pyarrow.compute as _pc
+
+    from ligrust_ray.dataops.dedup import similarity_join as _sj
+
+    t0 = time.perf_counter()
+    docs10 = Q._docs(SF_DIR).map_batches(
+        lambda t: t.filter(_pc.equal(
+            _pc.bit_wise_and(t.column("doc_id"), 7), 0)),
+        batch_format="pyarrow")
+    _sj(docs10, thr_num=9, thr_den=10).materialize()
+    q["docs_sim_join_s8"] = time.perf_counter() - t0
 
     return {
         "queries": q,

@@ -1113,24 +1113,38 @@ def similarity_join(docs: ray.data.Dataset, thr_num: int = 7,
     join — every pair with Jaccard >= thr_num/thr_den over the per-doc
     DISTINCT md5-hashed token sets, with the exact intersection/union
     sizes (integers; callers divide). Unlike MinHash-LSH this is the
-    lossless plan: prefix filtering (AllPairs, Bayardo et al. 2007)
-    guarantees the SAME output as the quadratic all-pairs join, so the
-    DuckDB oracle can BE the brute force while the engine runs the
-    scalable shape.
+    lossless plan: prefix filtering (AllPairs, Bayardo et al. 2007) plus
+    the PPJoin length filter guarantee the SAME output as the quadratic
+    all-pairs join, so the DuckDB oracle can BE the brute force while
+    the engine runs the scalable shape.
 
-    Plan: token rows explode once; a global doc-frequency grouped count
-    orders tokens rarest-first ((df ASC, hash ASC) — the total order the
-    prefix guarantee needs); a doc-keyed grouped_apply keeps each doc's
-    first s - ceil(t*s) + 1 tokens; candidate pairs form per prefix
-    token (rare tokens -> tiny buckets; that is the point of the
-    ordering) and dedupe through one grouped count; the exact verify is
-    the minhash exploded-merge co_group shape with integer c*den >=
-    num*(sa+sb-c) compares. Bodies never move; nothing corpus-sized on
-    the driver."""
+    Plan: per-doc-distinct (doc_id, hash) token rows explode once; a
+    global doc-frequency grouped count orders tokens rarest-first
+    ((df ASC, hash ASC) — the total order the prefix guarantee needs); a
+    doc-keyed grouped_apply keeps each doc's first s - ceil(t*s) + 1
+    tokens WITH its set size; candidate pairs form per prefix token
+    (rare tokens -> tiny buckets) carrying both set sizes, pruned by the
+    length filter (min*den >= max*num) before dedup. Verify is FLAT:
+    candidates co-partition with a's token rows (keyed a), the exploded
+    (a, b, h) rows re-key by b where ONE composite in-partition merge
+    against b's token rows counts intersections to completion (each
+    (a, b) group lives wholly in b's partition — no second count
+    shuffle, no token-list payloads ever cross the wire). Bodies never
+    move; nothing corpus-sized on the driver. At replica-heavy corpora
+    the OUTPUT is inherently quadratic per family — run exact dedup
+    first when families are known to be large (the minhash pipeline's
+    collapse step)."""
     from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
     from ligrust_ray.dataops.textstats import RE2_WS
 
-    def sh_lists(t: pa.Table) -> pa.Table:
+    i64 = pa.int64()
+    row_schema = pa.schema([("doc_id", i64), ("h", i64)])
+    cand_schema = pa.schema([("a", i64), ("b", i64),
+                             ("sa", i64), ("sb", i64)])
+    abh_schema = pa.schema([("a", i64), ("b", i64), ("sa", i64),
+                            ("sb", i64), ("h", i64)])
+
+    def token_rows(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy().astype(np.int64)
         toks = pc.split_pattern_regex(
             pc.utf8_lower(t.column("text")), RE2_WS + "+").combine_chunks()
@@ -1142,35 +1156,22 @@ def similarity_join(docs: ray.data.Dataset, thr_num: int = 7,
         di = np.repeat(np.arange(len(ids)), lens)
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         flat, di = flat.filter(pa.array(keep)), di[keep]
-        h = md5_u64_lower_arrow(flat).view(np.int64) if len(flat) else \
-            np.zeros(0, np.int64)
-        out_id, out_sh = [], []
-        bounds = np.flatnonzero(np.concatenate(
-            ([True], di[1:] != di[:-1], [True])))
-        for x, y in zip(bounds[:-1], bounds[1:]):
-            out_id.append(ids[di[x]])
-            out_sh.append(np.unique(h[x:y]))
-        return pa.table(
-            {"doc_id": pa.array(np.asarray(out_id, dtype=np.int64)),
-             "sh": pa.array([s for s in out_sh], type=pa.list_(pa.int64()))},
-            schema=_SHINGLE_SCHEMA)
+        if not len(flat):
+            return pa.table({"doc_id": pa.array([], type=i64),
+                             "h": pa.array([], type=i64)},
+                            schema=row_schema)
+        h = md5_u64_lower_arrow(flat).view(np.int64)
+        # per-doc distinct: docs are whole rows, so an in-batch unique
+        # over (doc, hash) is globally distinct
+        key = pd.DataFrame({"d": di, "h": h}).drop_duplicates()
+        return pa.table({
+            "doc_id": pa.array(ids[key["d"].to_numpy()]),
+            "h": pa.array(key["h"].to_numpy())}, schema=row_schema)
 
-    sh_ds = docs.map_batches(sh_lists, batch_format="pyarrow").materialize()
-    # size the eight keyed wide steps to the input (fixed 32 is pure
-    # dispatch floor on a small corpus, a ceiling on a large one)
-    num_partitions = max(4, min(num_partitions, sh_ds.num_blocks() * 4))
+    rows = docs.map_batches(token_rows,
+                            batch_format="pyarrow").materialize()
+    num_partitions = max(4, min(num_partitions, rows.num_blocks() * 4))
 
-    def explode(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy().astype(np.int64)
-        sh = t.column("sh").combine_chunks()
-        if isinstance(sh, pa.ChunkedArray):
-            sh = sh.chunk(0) if sh.num_chunks else \
-                pa.array([], type=sh.type)
-        lens = pc.list_value_length(sh).to_numpy().astype(np.int64)
-        return pa.table({"doc_id": pa.array(np.repeat(ids, lens)),
-                         "h": pc.list_flatten(sh)})
-
-    rows = sh_ds.map_batches(explode, batch_format="pyarrow")
     df_tbl = shuffle.grouped_agg(rows, ["h"], {"df": (None, "count")},
                                  num_partitions=num_partitions)
 
@@ -1179,14 +1180,15 @@ def similarity_join(docs: ray.data.Dataset, thr_num: int = 7,
 
     rows_df = shuffle.co_group(
         rows, df_tbl, "h", "h", attach_df,
-        l_schema=pa.schema([("doc_id", pa.int64()), ("h", pa.int64())]),
-        r_schema=pa.schema([("h", pa.int64()), ("df", pa.int64())]),
+        l_schema=row_schema,
+        r_schema=pa.schema([("h", i64), ("df", i64)]),
         num_partitions=num_partitions)
 
     def prefix(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                 "h": pd.Series([], dtype=np.int64)})
+                                 "h": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.int64)})
         df = df.sort_values(["doc_id", "df", "h"])
         s = df.groupby("doc_id", sort=False)["h"].transform("size") \
             .to_numpy()
@@ -1195,74 +1197,73 @@ def similarity_join(docs: ray.data.Dataset, thr_num: int = 7,
         keep = pos < plen
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[keep],
-            "h": df["h"].to_numpy(dtype=np.int64)[keep]})
+            "h": df["h"].to_numpy(dtype=np.int64)[keep],
+            "s": s[keep]})
 
     pref = shuffle.grouped_apply(rows_df, ["doc_id"], prefix,
                                  num_partitions=num_partitions)
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                              for c in ("a", "b", "sa", "sb")})
         if not len(df):
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
+            return empty
         j = df.merge(df, on="h", suffixes=("_x", "_y"))
-        j = j[j["doc_id_x"] < j["doc_id_y"]]
+        sx = j["s_x"].to_numpy()
+        sy = j["s_y"].to_numpy()
+        # PPJoin length filter (lossless): J >= t implies the smaller
+        # set is >= t * the larger — prune size-mismatched candidates
+        # before they reach verify
+        keep = ((j["doc_id_x"].to_numpy() < j["doc_id_y"].to_numpy())
+                & (np.minimum(sx, sy) * thr_den >=
+                   np.maximum(sx, sy) * thr_num))
+        j = j[keep]
         return pd.DataFrame({"a": j["doc_id_x"].to_numpy(dtype=np.int64),
-                             "b": j["doc_id_y"].to_numpy(dtype=np.int64)})
+                             "b": j["doc_id_y"].to_numpy(dtype=np.int64),
+                             "sa": j["s_x"].to_numpy(dtype=np.int64),
+                             "sb": j["s_y"].to_numpy(dtype=np.int64)})
 
     cand = shuffle.grouped_agg(
         shuffle.grouped_apply(pref, ["h"], bucket_pairs,
                               num_partitions=num_partitions),
-        ["a", "b"], {"n": (None, "count")},
+        ["a", "b", "sa", "sb"], {"n": (None, "count")},
         num_partitions=num_partitions).map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        lambda t: t.select(["a", "b", "sa", "sb"]),
+        batch_format="pyarrow")
 
-    # exact verify with integer compares and count output
-    def attach(lf: pd.DataFrame, rf: pd.DataFrame) -> pa.Table:
-        j = lf.merge(rf.rename(columns={"doc_id": "a"}), on="a",
-                     how="inner")
-        return pa.table(
-            {"a": pa.array(j["a"].to_numpy(dtype=np.int64)),
-             "b": pa.array(j["b"].to_numpy(dtype=np.int64)),
-             "sh": pa.array([np.asarray(x, dtype=np.int64)
-                             for x in j["sh"]], type=pa.list_(pa.int64()))},
-            schema=_PAIR_SH_SCHEMA)
+    def explode_a(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        return lf.merge(rf.rename(columns={"doc_id": "a"}), on="a",
+                        how="inner")
 
-    def verify(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+    abh = shuffle.co_group(cand, rows, "a", "doc_id", explode_a,
+                           l_schema=cand_schema, r_schema=row_schema,
+                           num_partitions=num_partitions)
+
+    def count_verify(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
                               for c in ("a", "b", "n_common", "n_union")})
-        j = lf.merge(rf.rename(columns={"doc_id": "b", "sh": "shb"}),
-                     on="b", how="inner")
-        if not len(j):
+        if not len(lf) or not len(rf):
             return empty
-        sa, sb = list(j["sh"]), list(j["shb"])
-        na = np.fromiter((len(x) for x in sa), dtype=np.int64, count=len(j))
-        nb = np.fromiter((len(x) for x in sb), dtype=np.int64, count=len(j))
-        fa = pd.DataFrame({"i": np.repeat(np.arange(len(j)), na),
-                           "v": np.concatenate(sa) if na.sum() else
-                           np.zeros(0, np.int64)})
-        fb = pd.DataFrame({"i": np.repeat(np.arange(len(j)), nb),
-                           "v": np.concatenate(sb) if nb.sum() else
-                           np.zeros(0, np.int64)})
-        inter = fa.merge(fb, on=["i", "v"], how="inner")
-        common = np.zeros(len(j), dtype=np.int64)
-        if len(inter):
-            iv, ic = np.unique(inter["i"].to_numpy(), return_counts=True)
-            common[iv] = ic
-        union = na + nb - common
+        # composite in-partition merge: (b, h) vs b's (doc_id, h) rows —
+        # every (a, b) group is wholly in b's partition, so the groupby
+        # count is FINAL here
+        m = lf.merge(rf.rename(columns={"doc_id": "b"}), on=["b", "h"],
+                     how="inner")
+        if not len(m):
+            return empty
+        g = m.groupby(["a", "b", "sa", "sb"], as_index=False).size()
+        common = g["size"].to_numpy().astype(np.int64)
+        union = (g["sa"].to_numpy() + g["sb"].to_numpy()
+                 - common).astype(np.int64)
         keep = common * thr_den >= thr_num * union
         return pd.DataFrame({
-            "a": j["a"].to_numpy(dtype=np.int64)[keep],
-            "b": j["b"].to_numpy(dtype=np.int64)[keep],
+            "a": g["a"].to_numpy(dtype=np.int64)[keep],
+            "b": g["b"].to_numpy(dtype=np.int64)[keep],
             "n_common": common[keep], "n_union": union[keep]})
 
-    with_sh_a = shuffle.co_group(
-        cand, sh_ds, l_on="a", r_on="doc_id", fn=attach,
-        num_partitions=num_partitions,
-        l_schema=_PAIR_SCHEMA, r_schema=_SHINGLE_SCHEMA)
-    return shuffle.co_group(
-        with_sh_a, sh_ds, l_on="b", r_on="doc_id", fn=verify,
-        num_partitions=num_partitions,
-        l_schema=_PAIR_SH_SCHEMA, r_schema=_SHINGLE_SCHEMA)
+    return shuffle.co_group(abh, rows, "b", "doc_id", count_verify,
+                            l_schema=abh_schema, r_schema=row_schema,
+                            num_partitions=num_partitions)
 
 
 def winnow_pairs(docs: ray.data.Dataset, min_shared: int = 2,
