@@ -991,7 +991,7 @@ _CHECK_PRIORITY = [
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
     "docs_quality_model", "events_hyperball", "events_louvain_move",
     "docs_winnow_pairs", "docs_dedup_keep_best", "docs_sim_join",
-    "docs_chunk",
+    "docs_chunk", "docs_containment",
     "pagerank_weighted_events", "events_user_bloom",
     "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
     "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
@@ -1097,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnowing": Q.q_docs_winnowing,
         "docs_winnow_pairs": Q.q_docs_winnow_pairs,
         "docs_sim_join": Q.q_docs_sim_join,
+        "docs_containment": Q.q_docs_containment,
         "docs_chunk": Q.q_docs_chunk,
         "docs_quality_model": Q.q_docs_quality_model,
         "docs_clean": Q.q_docs_clean,
@@ -1582,6 +1583,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM px JOIN sz sa ON sa.doc_id = px.a "
             "JOIN sz sb ON sb.doc_id = px.b "
             "WHERE c * 10 >= 9 * (sa.s + sb.s - c)"),
+        # exact directional containment join: brute-force oracle (the
+        # probing-side prefix filter is lossless with the containing
+        # side fully indexed, so outputs must be identical)
+        "docs_containment": (
+            "WITH d AS (SELECT doc_id, list_distinct(regexp_extract_all("
+            "lower(text), '[^\\t\\n\\f\\r ]+')) AS tk FROM documents), "
+            "t AS (SELECT DISTINCT doc_id, "
+            + _signed64("md5_number_lower(u.tok)")
+            + " AS h FROM d, UNNEST(tk) AS u(tok) WHERE u.tok <> ''), "
+            "sz AS (SELECT doc_id, COUNT(*) AS s FROM t GROUP BY 1), "
+            "px AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c "
+            "FROM t x JOIN t y ON x.h = y.h AND x.doc_id <> y.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT a, b, c AS n_common, sa.s AS n_a "
+            "FROM px JOIN sz sa ON sa.doc_id = px.a "
+            "WHERE c * 10 >= 9 * sa.s"),
         "docs_winnow_pairs": (
             _WINNOW_PREFIX + ", p AS (SELECT x.doc_id AS a, "
             "y.doc_id AS b, COUNT(*) AS shared FROM fps x JOIN fps y "

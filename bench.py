@@ -521,6 +521,16 @@ def run_headline(num_cpus: int) -> dict:
     _sj(docs10, thr_num=9, thr_den=10).materialize()
     q["docs_sim_join_s8"] = time.perf_counter() - t0
 
+    from ligrust_ray.dataops.dedup import containment_join as _cj
+
+    t0 = time.perf_counter()
+    docs10 = Q._docs(SF_DIR).map_batches(
+        lambda t: t.filter(_pc.equal(
+            _pc.bit_wise_and(t.column("doc_id"), 7), 0)),
+        batch_format="pyarrow")
+    _cj(docs10, thr_num=9, thr_den=10).materialize()
+    q["docs_containment_s8"] = time.perf_counter() - t0
+
     return {
         "queries": q,
         "pagerank_iters": pr_iters,

@@ -1106,43 +1106,21 @@ def dup_spans(docs: ray.data.Dataset, shingle_k: int = 16,
                                num_partitions=num_partitions)
 
 
-def similarity_join(docs: ray.data.Dataset, thr_num: int = 7,
-                    thr_den: int = 10, num_partitions: int = 32
-                    ) -> ray.data.Dataset:
-    """(a, b, n_common, n_union) with a < b: EXACT token-set similarity
-    join — every pair with Jaccard >= thr_num/thr_den over the per-doc
-    DISTINCT md5-hashed token sets, with the exact intersection/union
-    sizes (integers; callers divide). Unlike MinHash-LSH this is the
-    lossless plan: prefix filtering (AllPairs, Bayardo et al. 2007) plus
-    the PPJoin length filter guarantee the SAME output as the quadratic
-    all-pairs join, so the DuckDB oracle can BE the brute force while
-    the engine runs the scalable shape.
-
-    Plan: per-doc-distinct (doc_id, hash) token rows explode once; a
-    global doc-frequency grouped count orders tokens rarest-first
-    ((df ASC, hash ASC) — the total order the prefix guarantee needs); a
-    doc-keyed grouped_apply keeps each doc's first s - ceil(t*s) + 1
-    tokens WITH its set size; candidate pairs form per prefix token
-    (rare tokens -> tiny buckets) carrying both set sizes, pruned by the
-    length filter (min*den >= max*num) before dedup. Verify is FLAT:
-    candidates co-partition with a's token rows (keyed a), the exploded
-    (a, b, h) rows re-key by b where ONE composite in-partition merge
-    against b's token rows counts intersections to completion (each
-    (a, b) group lives wholly in b's partition — no second count
-    shuffle, no token-list payloads ever cross the wire). Bodies never
-    move; nothing corpus-sized on the driver. At replica-heavy corpora
-    the OUTPUT is inherently quadratic per family — run exact dedup
-    first when families are known to be large (the minhash pipeline's
-    collapse step)."""
+def _token_set_stages(docs: ray.data.Dataset, thr_num: int, thr_den: int,
+                      num_partitions: int):
+    """Shared front end of the exact set-join family (similarity_join /
+    containment_join): per-doc-distinct (doc_id, h) token rows, the
+    global rarest-first ((df ASC, h ASC)) token order from one df
+    grouped count, and each doc's AllPairs prefix (first
+    s - ceil(t*s) + 1 tokens in that order — the same length bound
+    serves Jaccard >= t and containment >= t, since both need an
+    overlap of at least ceil(t*s) of the probing doc's s tokens) WITH
+    its set size. Returns (rows, pref, num_partitions)."""
     from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
     from ligrust_ray.dataops.textstats import RE2_WS
 
     i64 = pa.int64()
     row_schema = pa.schema([("doc_id", i64), ("h", i64)])
-    cand_schema = pa.schema([("a", i64), ("b", i64),
-                             ("sa", i64), ("sb", i64)])
-    abh_schema = pa.schema([("a", i64), ("b", i64), ("sa", i64),
-                            ("sb", i64), ("h", i64)])
 
     def token_rows(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy().astype(np.int64)
@@ -1202,6 +1180,46 @@ def similarity_join(docs: ray.data.Dataset, thr_num: int = 7,
 
     pref = shuffle.grouped_apply(rows_df, ["doc_id"], prefix,
                                  num_partitions=num_partitions)
+    return rows, pref, num_partitions
+
+
+def similarity_join(docs: ray.data.Dataset, thr_num: int = 7,
+                    thr_den: int = 10, num_partitions: int = 32
+                    ) -> ray.data.Dataset:
+    """(a, b, n_common, n_union) with a < b: EXACT token-set similarity
+    join — every pair with Jaccard >= thr_num/thr_den over the per-doc
+    DISTINCT md5-hashed token sets, with the exact intersection/union
+    sizes (integers; callers divide). Unlike MinHash-LSH this is the
+    lossless plan: prefix filtering (AllPairs, Bayardo et al. 2007) plus
+    the PPJoin length filter guarantee the SAME output as the quadratic
+    all-pairs join, so the DuckDB oracle can BE the brute force while
+    the engine runs the scalable shape.
+
+    Plan: per-doc-distinct (doc_id, hash) token rows explode once; a
+    global doc-frequency grouped count orders tokens rarest-first
+    ((df ASC, hash ASC) — the total order the prefix guarantee needs); a
+    doc-keyed grouped_apply keeps each doc's first s - ceil(t*s) + 1
+    tokens WITH its set size; candidate pairs form per prefix token
+    (rare tokens -> tiny buckets) carrying both set sizes, pruned by the
+    length filter (min*den >= max*num) before dedup. Verify is FLAT:
+    candidates co-partition with a's token rows (keyed a), the exploded
+    (a, b, h) rows re-key by b where ONE composite in-partition merge
+    against b's token rows counts intersections to completion (each
+    (a, b) group lives wholly in b's partition — no second count
+    shuffle, no token-list payloads ever cross the wire). Bodies never
+    move; nothing corpus-sized on the driver. At replica-heavy corpora
+    the OUTPUT is inherently quadratic per family — run exact dedup
+    first when families are known to be large (the minhash pipeline's
+    collapse step)."""
+    i64 = pa.int64()
+    row_schema = pa.schema([("doc_id", i64), ("h", i64)])
+    cand_schema = pa.schema([("a", i64), ("b", i64),
+                             ("sa", i64), ("sb", i64)])
+    abh_schema = pa.schema([("a", i64), ("b", i64), ("sa", i64),
+                            ("sb", i64), ("h", i64)])
+
+    rows, pref, num_partitions = _token_set_stages(
+        docs, thr_num, thr_den, num_partitions)
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
@@ -1260,6 +1278,90 @@ def similarity_join(docs: ray.data.Dataset, thr_num: int = 7,
             "a": g["a"].to_numpy(dtype=np.int64)[keep],
             "b": g["b"].to_numpy(dtype=np.int64)[keep],
             "n_common": common[keep], "n_union": union[keep]})
+
+    return shuffle.co_group(abh, rows, "b", "doc_id", count_verify,
+                            l_schema=abh_schema, r_schema=row_schema,
+                            num_partitions=num_partitions)
+
+
+def containment_join(docs: ray.data.Dataset, thr_num: int = 9,
+                     thr_den: int = 10, num_partitions: int = 32
+                     ) -> ray.data.Dataset:
+    """(a, b, n_common, n_a) with a != b: EXACT directional containment
+    join — every ORDERED pair where |A∩B| >= t·|A| over the per-doc
+    DISTINCT md5-hashed token sets (A = doc a's set; n_common/n_a is
+    the containment score, integers so callers divide). This is what
+    symmetric Jaccard misses: a quote or a fully-wrapped copy of a
+    short doc inside a long one has tiny Jaccard but containment ~1.
+
+    Lossless plan, same skeleton as similarity_join: the probing doc's
+    AllPairs prefix (s - ceil(t*s) + 1 rarest-first tokens — an overlap
+    of ceil(t*s) tokens cannot avoid the prefix) pairs against the FULL
+    token rows of every other doc per shared token (containment puts no
+    lower bound on Jaccard, so the containing side must be fully
+    indexed and there is no length filter); candidates dedupe through
+    one grouped count; the verify is the same flat composite-merge
+    count, finalized in b's partition, with the one-sided integer
+    compare c·den >= num·s_a. Rare prefix tokens keep buckets small —
+    a doc whose rarest tokens are corpus-wide stopwords degrades the
+    bucket, not the result. Bodies never move; nothing corpus-sized on
+    the driver. Output is inherently per-family-quadratic on
+    replica-heavy corpora (run exact-dup collapse first, as the minhash
+    pipeline does)."""
+    i64 = pa.int64()
+    row_schema = pa.schema([("doc_id", i64), ("h", i64)])
+    cand_schema = pa.schema([("a", i64), ("b", i64), ("sa", i64)])
+    abh_schema = pa.schema([("a", i64), ("b", i64), ("sa", i64),
+                            ("h", i64)])
+
+    rows, pref, num_partitions = _token_set_stages(
+        docs, thr_num, thr_den, num_partitions)
+
+    def bucket_pairs(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        # lf: prefix rows (doc_id, h, s) of the probing side; rf: full
+        # token rows (doc_id, h) of the containing side
+        j = lf.merge(rf.rename(columns={"doc_id": "b"}), on="h",
+                     how="inner")
+        j = j[j["doc_id"].to_numpy() != j["b"].to_numpy()]
+        return pd.DataFrame({"a": j["doc_id"].to_numpy(dtype=np.int64),
+                             "b": j["b"].to_numpy(dtype=np.int64),
+                             "sa": j["s"].to_numpy(dtype=np.int64)})
+
+    cand = shuffle.grouped_agg(
+        shuffle.co_group(pref, rows, "h", "h", bucket_pairs,
+                         l_schema=pa.schema([("doc_id", i64), ("h", i64),
+                                             ("s", i64)]),
+                         r_schema=row_schema,
+                         num_partitions=num_partitions),
+        ["a", "b", "sa"], {"n": (None, "count")},
+        num_partitions=num_partitions).map_batches(
+        lambda t: t.select(["a", "b", "sa"]), batch_format="pyarrow")
+
+    def explode_a(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        return lf.merge(rf.rename(columns={"doc_id": "a"}), on="a",
+                        how="inner")
+
+    abh = shuffle.co_group(cand, rows, "a", "doc_id", explode_a,
+                           l_schema=cand_schema, r_schema=row_schema,
+                           num_partitions=num_partitions)
+
+    def count_verify(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                              for c in ("a", "b", "n_common", "n_a")})
+        if not len(lf) or not len(rf):
+            return empty
+        m = lf.merge(rf.rename(columns={"doc_id": "b"}), on=["b", "h"],
+                     how="inner")
+        if not len(m):
+            return empty
+        g = m.groupby(["a", "b", "sa"], as_index=False).size()
+        common = g["size"].to_numpy().astype(np.int64)
+        sa = g["sa"].to_numpy().astype(np.int64)
+        keep = common * thr_den >= thr_num * sa
+        return pd.DataFrame({
+            "a": g["a"].to_numpy(dtype=np.int64)[keep],
+            "b": g["b"].to_numpy(dtype=np.int64)[keep],
+            "n_common": common[keep], "n_a": sa[keep]})
 
     return shuffle.co_group(abh, rows, "b", "doc_id", count_verify,
                             l_schema=abh_schema, r_schema=row_schema,

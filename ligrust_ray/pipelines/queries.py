@@ -2801,6 +2801,14 @@ def q_docs_sim_join(sf_dir: str):
     return dedup.similarity_join(_docs(sf_dir), thr_num=9, thr_den=10)
 
 
+def q_docs_containment(sf_dir: str):
+    """(a, b, n_common, n_a) exact DIRECTIONAL containment join at
+    |A∩B| >= 0.9·|A| (dedup.containment_join) — catches quotes and
+    wrapped copies that symmetric Jaccard misses; prefix filter is
+    lossless, so the oracle is the brute-force quadratic join."""
+    return dedup.containment_join(_docs(sf_dir), thr_num=9, thr_den=10)
+
+
 def q_docs_winnow_pairs(sf_dir: str):
     """(a, b, shared) near-dup candidate pairs sharing >= 2 winnowing
     fingerprints (dedup.winnow_pairs) — the MOSS pair generator."""

@@ -1747,6 +1747,54 @@ def test_similarity_join_equals_bruteforce(ray_session):
     assert (0, 6) in got9
 
 
+def test_containment_join_equals_bruteforce(ray_session):
+    """Probing-side prefix filter + fully-indexed containing side ==
+    quadratic brute force, on a corpus with a full wrap (quote inside a
+    long doc — the low-Jaccard/high-containment case), a 9/10 partial,
+    an exact copy, single-token and empty docs."""
+    from ligrust_ray.dataops.dedup import containment_join
+    from ligrust_ray.dataops.hashing import md5_i64_lower
+
+    import re as _re
+
+    w = [f"v{i}" for i in range(30)]
+    texts = {
+        0: " ".join(w[:10]),                        # the short doc
+        1: " ".join(w[:10] + w[10:30]),             # wraps 0 (J = 1/3)
+        2: " ".join(w[:9] + ["odd"]),               # 9/10 of 0
+        3: " ".join(w[20:26]),                      # contained in 1 only
+        4: "solo",
+        5: "",
+        6: " ".join(w[:10]),                        # exact copy of 0
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)])})
+    ).repartition(3)
+
+    sets = {k: {md5_i64_lower(x.encode())
+                for x in _re.split("[\t\n\f\r ]+", v.lower()) if x}
+            for k, v in texts.items()}
+    for num, den in ((9, 10), (1, 2)):
+        got = containment_join(ds, thr_num=num, thr_den=den).to_pandas()
+        got_set = {(int(a), int(b), int(c), int(s)) for a, b, c, s in
+                   zip(got["a"], got["b"], got["n_common"], got["n_a"])}
+        exp = set()
+        for a in texts:
+            for b in texts:
+                if a == b or not sets[a]:
+                    continue
+                c = len(sets[a] & sets[b])
+                if c * den >= num * len(sets[a]):
+                    exp.add((a, b, c, len(sets[a])))
+        assert got_set == exp, (num, den)
+    # the directional wrap survives 9/10 one way only
+    got9 = {(r[0], r[1]) for r in got_set}
+    assert (0, 1) in got9 and (1, 0) not in got9
+    assert (3, 1) in got9
+    assert (0, 6) in got9 and (6, 0) in got9      # exact copy: both ways
+
+
 def test_chunk_batch_planted(ray_session):
     """Sliding-window chunking: full coverage with overlap, correct
     partial tail, empty docs emit nothing, fp = md5 of the joined seg."""
@@ -1794,6 +1842,8 @@ def test_new_ops_empty_inputs(ray_session):
         "text": pa.array([], pa.string())})).num_rows == 0
     assert winnow_pairs(docs).count() == 0
     assert similarity_join(docs).count() == 0
+    from ligrust_ray.dataops.dedup import containment_join
+    assert containment_join(docs).count() == 0
 
     ev = ray.data.from_arrow(pa.table({
         "ts": pa.array([], type=pa.timestamp("us")),
