@@ -987,6 +987,9 @@ def entry() -> Any:
 # Entries that have never appeared in any CORRECTNESS_r*.json come first,
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
+    # newest in round 4 (never driver-checked)
+    "docs_lm_perplexity", "events_triangles_doulion",
+    "pages_domain_pagerank",
     # new in round 4 (never driver-checked)
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
     "docs_quality_model", "events_hyperball", "events_louvain_move",
@@ -1035,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_community_stats": Q.q_events_community_stats,
         "events_global_clustering": Q.q_events_global_clustering,
         "events_triangles": Q.q_events_triangles,
+        "events_triangles_doulion": Q.q_events_triangles_doulion,
         "events_triangles_per_node": Q.q_events_triangles_per_node,
         "events_lcc": Q.q_events_lcc,
         "events_common_neighbors": Q.q_events_common_neighbors,
@@ -1082,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_degree": Q.q_pages_degree,
         "pages_reciprocity": Q.q_pages_reciprocity,
         "pages_domain_graph": Q.q_pages_domain_graph,
+        "pages_domain_pagerank": Q.q_pages_domain_pagerank,
         "pages_anchor_text": Q.q_pages_anchor_text,
         # documents: text analysis + dedup family
         "docs_exact_dedup": Q.q_docs_exact_dedup,
@@ -1145,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_bigrams": Q.q_docs_dup_bigrams,
         "docs_dup_trigrams": Q.q_docs_dup_trigrams,
         "docs_bigram_counts": Q.q_docs_bigram_counts,
+        "docs_lm_perplexity": Q.q_docs_lm_perplexity,
         "docs_dup_families": Q.q_docs_dup_families,
         "docs_char_classes": Q.q_docs_char_classes,
         "docs_pii_scrub": Q.q_docs_pii_scrub,
@@ -1276,6 +1282,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR((COALESCE(g.nbr, 0.0) * 0.85 + 0.15) * 1000000 "
             "+ 0.5) AS BIGINT) AS rank_ppm "
             "FROM nodes LEFT JOIN gather g ON g.node = nodes.id"),
+        # host-level PageRank (queries.q_pages_domain_pagerank spec):
+        # PageRankDelta's round-1 fixed point on the domain-collapsed
+        # multigraph, scored on domain strings (ids cancel out)
+        "pages_domain_pagerank": (
+            "WITH m AS (SELECT id, regexp_extract(url, "
+            "'https://([^/]+)/', 1) AS dom FROM read_parquet("
+            f"'{_PAGES_ORACLE}/url_map/*.parquet')), "
+            "doms AS (SELECT DISTINCT dom FROM m), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM doms), "
+            "e0 AS (SELECT src, dst FROM read_parquet("
+            f"'{_PAGES_ORACLE}/edges/*.parquet')), "
+            "e AS (SELECT ms.dom AS sd, md.dom AS dd FROM e0 "
+            "JOIN m ms ON ms.id = e0.src JOIN m md ON md.id = e0.dst), "
+            "deg AS (SELECT sd, COUNT(*) AS d FROM e GROUP BY sd), "
+            "gather AS (SELECT e.dd AS dom, "
+            "SUM((1.0 / nn.n) / deg.d) AS nbr FROM e "
+            "JOIN deg ON deg.sd = e.sd CROSS JOIN nn GROUP BY e.dd) "
+            "SELECT doms.dom AS domain, "
+            "CAST(FLOOR((COALESCE(g.nbr, 0.0) * 0.85 + 0.15) * 1000000 "
+            "+ 0.5) AS BIGINT) AS rank_ppm "
+            "FROM doms LEFT JOIN gather g ON g.dom = doms.dom"),
         "pages_domain_graph": (
             "WITH m AS (SELECT id, regexp_extract(url, "
             "'https://([^/]+)/', 1) AS dom FROM read_parquet("
@@ -1430,6 +1457,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS n_triangles FROM u e1 "
             "JOIN u e2 ON e1.b = e2.a "
             "JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b"),
+        # DOULION (queries.q_events_triangles_doulion spec): deterministic
+        # md5 edge coin on the canonical unordered pair, p = 1/4,
+        # exact count on the sample, scale 1/p^3 = 64
+        "events_triangles_doulion": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u0 AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "u AS (SELECT a, b FROM u0 WHERE md5_number_lower("
+            "CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)) % 4 = 0), "
+            "c AS (SELECT COUNT(*) AS n FROM u e1 "
+            "JOIN u e2 ON e1.b = e2.a "
+            "JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT CAST(n AS BIGINT) AS n_sampled_triangles, "
+            "CAST(n * 64 AS BIGINT) AS est_triangles FROM c"),
         # ordered conversion funnel: reach stage k+1 strictly after the
         # first-reach ts of stage k (strict > in both engines)
         "events_funnel": (
@@ -2233,6 +2275,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM tk) "
             "SELECT b AS bigram, COUNT(*) AS n FROM bg "
             "WHERE b IS NOT NULL GROUP BY b HAVING COUNT(*) >= 5"),
+        # CCNet-style bigram-LM cross-entropy (queries.q_docs_lm_perplexity
+        # spec): add-one-smoothed bigram LM trained on the corpus itself;
+        # per distinct bigram nll = round(-ln((cb+1)/(cu+V))*1e6) integer
+        # micro-nats, per-doc sums exact int64, ce = floor-div
+        "docs_lm_perplexity": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS arr "
+            "FROM documents), "
+            "tk AS (SELECT doc_id, unnest(arr) AS tok, "
+            "unnest(range(len(arr))) AS i FROM t), "
+            "uni AS (SELECT tok AS token, COUNT(*) AS cu FROM tk "
+            "GROUP BY tok), "
+            "v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni), "
+            "bg AS (SELECT doc_id, tok AS w1, tok || ' ' || "
+            "lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b "
+            "FROM tk), "
+            "bgn AS (SELECT doc_id, w1, b FROM bg WHERE b IS NOT NULL), "
+            "cb AS (SELECT b, MIN(w1) AS w1, COUNT(*) AS cb FROM bgn "
+            "GROUP BY b), "
+            "nll AS (SELECT cb.b, CAST(FLOOR(-ln((cb.cb + 1.0) / "
+            "(uni.cu + v.v)) * 1000000 + 0.5) AS BIGINT) AS nll "
+            "FROM cb JOIN uni ON uni.token = cb.w1 CROSS JOIN v), "
+            "d AS (SELECT bgn.doc_id, COUNT(*) AS n_bigrams, "
+            "SUM(nll.nll) AS s FROM bgn JOIN nll ON nll.b = bgn.b "
+            "GROUP BY bgn.doc_id) "
+            "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, "
+            "CAST(s AS BIGINT) AS nll_sum_micro, "
+            "CAST(s // n_bigrams AS BIGINT) AS ce_micro FROM d"),
         "docs_pii_scrub": _pii_sql(),
         "docs_line_dedup": _line_dedup_sql(3),
         # composed cleaning pipeline: the two oracles nested as CTEs

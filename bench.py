@@ -497,7 +497,11 @@ def run_headline(num_cpus: int) -> dict:
             ("events_hyperball", Q.q_events_hyperball, True),
             ("events_louvain_move", Q.q_events_louvain_move, True),
             ("docs_winnow_pairs", Q.q_docs_winnow_pairs, True),
-            ("docs_dedup_keep_best", Q.q_docs_dedup_keep_best, True)):
+            ("docs_dedup_keep_best", Q.q_docs_dedup_keep_best, True),
+            ("docs_lm_perplexity", Q.q_docs_lm_perplexity, True),
+            ("events_triangles_doulion",
+             Q.q_events_triangles_doulion, False),
+            ("pages_domain_pagerank", Q.q_pages_domain_pagerank, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:

@@ -251,6 +251,45 @@ def q_events_triangles_per_node(sf_dir: str):
     return _tri_cached(sf_dir)[1]
 
 
+DOULION_DEN = 4   # keep probability p = 1/4 -> estimate scale 1/p^3 = 64
+
+
+def q_events_triangles_doulion(sf_dir: str):
+    """(n_sampled_triangles, est_triangles) — DOULION approximate triangle
+    counting (Tsourakakis et al., KDD 2009): sparsify the undirected graph
+    by keeping each edge with probability p, count triangles on the
+    sample, scale by 1/p^3. The coin is DETERMINISTIC — keep iff
+    md5_number_lower("lo,hi") % DOULION_DEN == 0 on the canonical
+    unordered pair — so both directions of an edge get the same decision,
+    the run is reproducible, and the DuckDB oracle replays it exactly.
+    At p=1/4 the exact-count stage sees ~1/4 of the edges and ~1/64 of
+    the wedge-probe work; the estimator's variance bound is the paper's.
+    Scale shape: the filter is a stateless vectorised map on the edge
+    stream (one DuckDB-backed md5 call per batch), everything after is
+    the existing bucketed triangle machinery on a 4x smaller graph."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+    from ligrust_ray.algos.triangles import triangle_count
+
+    def sample(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        key = pc.binary_join_element_wise(
+            pc.cast(pa.array(lo), pa.string()),
+            pc.cast(pa.array(hi), pa.string()), ",")
+        keep = (md5_u64_lower_arrow(key) % DOULION_DEN) == 0
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    sampled = events_edges_ds(sf_dir).map_batches(
+        sample, batch_format="pyarrow")
+    t_s = triangle_count(sampled, n=events_n(sf_dir))
+    scale = DOULION_DEN ** 3
+    return pa.table({
+        "n_sampled_triangles": pa.array([t_s], type=pa.int64()),
+        "est_triangles": pa.array([t_s * scale], type=pa.int64())})
+
+
 WALKS_SQL_LENGTH = 4   # unroll depth of the DuckDB oracle = walk length
 
 
@@ -1690,15 +1729,8 @@ def q_pages_pagerank(sf_dir: str):
 _DOMAIN_RE = re.compile(r"https://([^/]+)/")
 
 
-def q_pages_domain_graph(sf_dir: str):
-    """Domain-level link graph (the host-graph collapse every web-corpus
-    pipeline runs): page edges joined to their endpoint domains, grouped to
-    (src_domain, dst_domain, n_edges). Fully distributed — the (id, domain)
-    map and the edge table co-partition through two co_group passes, then
-    one grouped count; nothing page-graph-sized touches the driver."""
-    gd, g = _pages_graph(sf_dir)
-    _refresh_pages_oracle(gd, g.n)
-
+def _page_domains(gd: str) -> ray.data.Dataset:
+    """(id, dom) map derived from the persisted url_map."""
     def to_dom(t: pa.Table) -> pa.Table:
         # UNANCHORED search — DuckDB regexp_extract also searches, so a
         # url embedding 'https://...' mid-string must match identically
@@ -1707,8 +1739,15 @@ def q_pages_domain_graph(sf_dir: str):
         return pa.table({"id": t.column("id").cast(pa.int64()),
                          "dom": pa.array(doms, type=pa.string())})
 
-    dommap = _read_sized(os.path.join(gd, "url_map")).map_batches(
+    return _read_sized(os.path.join(gd, "url_map")).map_batches(
         to_dom, batch_format="pyarrow")
+
+
+def _domain_edge_rows(gd: str) -> ray.data.Dataset:
+    """(src_domain, dst_domain) at PAGE-edge multiplicity: the persisted
+    page edge table joined to its endpoint domains through two co_group
+    passes. Fully distributed — nothing page-graph-sized on the driver."""
+    dommap = _page_domains(gd)
     edges = _read_sized(os.path.join(gd, "edges"))
 
     e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
@@ -1726,11 +1765,20 @@ def q_pages_domain_graph(sf_dir: str):
                           fn=attach("src", "src_domain",
                                     ["dst", "src_domain"]),
                           l_schema=e_schema, r_schema=m_schema)
-    e2 = shuffle.co_group(e1, dommap, l_on="dst", r_on="id",
-                          fn=attach("dst", "dst_domain",
-                                    ["src_domain", "dst_domain"]),
-                          l_schema=e1_schema, r_schema=m_schema)
-    out = shuffle.grouped_agg(e2, ["src_domain", "dst_domain"],
+    return shuffle.co_group(e1, dommap, l_on="dst", r_on="id",
+                            fn=attach("dst", "dst_domain",
+                                      ["src_domain", "dst_domain"]),
+                            l_schema=e1_schema, r_schema=m_schema)
+
+
+def q_pages_domain_graph(sf_dir: str):
+    """Domain-level link graph (the host-graph collapse every web-corpus
+    pipeline runs): page edges joined to their endpoint domains, grouped to
+    (src_domain, dst_domain, n_edges)."""
+    gd, g = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, g.n)
+    out = shuffle.grouped_agg(_domain_edge_rows(gd),
+                              ["src_domain", "dst_domain"],
                               {"n_edges": (None, "count")})
     return out.map_batches(
         lambda t: pa.table({
@@ -1738,6 +1786,76 @@ def q_pages_domain_graph(sf_dir: str):
             "dst_domain": t.column("dst_domain"),
             "n_edges": t.column("n_edges").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def _pages_domain_graph(sf_dir: str) -> tuple[str, DistGraph]:
+    """Build-or-load the HOST-level graph: the pages link graph collapsed
+    to domains (page-edge multiplicity preserved), domains re-id'd through
+    the same distributed ``assign_ids`` / ``edges_with_ids`` machinery the
+    page build uses, rolled into its own CSR dir with a persisted
+    (dom, id) map. At crawl scale the host graph is ~10^4x smaller than
+    the page graph (10^8 hosts vs 10^12 pages) but the collapse itself is
+    page-graph-sized, so every step streams: two co_group joins to attach
+    endpoint domains, bucket-ranked id assignment, one CSR shuffle."""
+    import shutil
+
+    from ligrust_ray.pipelines.build import assign_ids, edges_with_ids
+
+    gd, gp = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, gp.n)
+    n_pages = max(100, int(20000 * _sf_of(sf_dir)))
+    key = ("pages_dom", n_pages)
+    dgd = os.path.join(tempfile.gettempdir(), f"ligr_pages_dom_{n_pages}")
+    if key not in _GRAPH_CACHE:
+        if not (os.path.exists(os.path.join(dgd, "manifest.json"))
+                and os.path.isdir(os.path.join(dgd, "dom_map"))):
+            shutil.rmtree(dgd, ignore_errors=True)
+            dom_edges = _domain_edge_rows(gd).map_batches(
+                lambda t: pa.table({"src_url": t.column("src_domain"),
+                                    "dst_url": t.column("dst_domain")}),
+                batch_format="pyarrow")
+            doms = _page_domains(gd).map_batches(
+                lambda t: pa.table({"url": t.column("dom")}),
+                batch_format="pyarrow")
+            mapping, n_dom = assign_ids(doms)
+            build_graph_from_edges(edges_with_ids(dom_edges, mapping),
+                                   dgd, n=n_dom, num_partitions=4)
+            mapping.map_batches(
+                lambda t: pa.table({"dom": t.column("url"),
+                                    "id": t.column("id")}),
+                batch_format="pyarrow").write_parquet(
+                    os.path.join(dgd, "dom_map"))
+        _GRAPH_CACHE[key] = DistGraph.load(dgd)
+    return dgd, _GRAPH_CACHE[key]
+
+
+def q_pages_domain_pagerank(sf_dir: str):
+    """(domain, rank_ppm) — HOST-level PageRank (the Common-Crawl
+    host-ranking artifact): reference-semantics PageRankDelta over the
+    domain-collapsed link graph built by _pages_domain_graph. Same
+    round-1 fixed point as pagerank_events (n_domains >= 4), so the
+    DuckDB oracle scores the closed form 0.15 + 0.85*sum_in (1/n)/outdeg
+    on domain strings directly — id assignment cancels out. rank_ppm
+    integer micro-units; ids map back to domains through one co_group
+    join against the persisted dom_map (never a driver-side dict)."""
+    dgd, g = _pages_domain_graph(sf_dir)
+    page_rank_delta(g, max_iterations=50)
+    st = g.collect_state(["page_rank"])
+    ppm = np.floor(st["page_rank"] * 1e6 + 0.5).astype(np.int64)
+    ranks = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(g.n, dtype=np.int64)),
+        "rank_ppm": pa.array(ppm)}))
+
+    def attach(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        j = lf.merge(rf, on="id", how="inner")
+        return j.rename(columns={"dom": "domain"})[["domain", "rank_ppm"]]
+
+    i64 = pa.int64()
+    return shuffle.co_group(
+        ranks, _read_sized(os.path.join(dgd, "dom_map")),
+        l_on="id", r_on="id", fn=attach,
+        l_schema=pa.schema([("id", i64), ("rank_ppm", i64)]),
+        r_schema=pa.schema([("dom", pa.string()), ("id", i64)]))
 
 
 def q_pages_degree(sf_dir: str):
@@ -3324,6 +3442,131 @@ def q_docs_bigram_counts(sf_dir: str):
     return total.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("n"),
                                             BIGRAM_MIN_COUNT)),
+        batch_format="pyarrow")
+
+
+def q_docs_lm_perplexity(sf_dir: str):
+    """(doc_id, n_bigrams, nll_sum_micro, ce_micro) — CCNet-style LM
+    quality signal: an add-one-smoothed bigram language model is trained
+    on the corpus itself and every doc is scored by its cross-entropy
+    under it (CCNet ranks docs by KenLM perplexity; this is the same
+    signal with the LM trained in-engine). Per distinct bigram (w1,w2):
+    p = (c(w1 w2)+1) / (c(w1)+V), nll = round(-ln p * 1e6) in integer
+    micro-nats, so the per-doc sum is exact int64 arithmetic and the
+    only float op is one ln per DISTINCT bigram (the pagerank ppm
+    precedent). ce_micro = nll_sum_micro // n_bigrams (floor). Docs
+    with fewer than two tokens emit no row (no bigram exists — same
+    rule as q_docs_dup_bigrams).
+
+    Scale shape (5 keyed steps, never a row per token occurrence past
+    the map side): (1) unigram grouped_agg and (2) bigram grouped_agg,
+    both per-block Counter partials; (3) V = distinct-unigram count
+    (driver scalar); (4) one co_group of the distinct-bigram table with
+    the unigram table on w1 producing the (bigram, nll) model — model
+    size is bounded by the corpus' distinct-bigram vocabulary, never
+    materialized on the driver; (5) per-doc (doc_id, bigram, k) partials
+    co_group'd with the model on bigram, then a doc-keyed grouped sum.
+    Hot bigrams (stopword pairs) fan IN to one model row but the merge
+    is a hash lookup per (doc, distinct-bigram) row, not a cross
+    product."""
+    from collections import Counter
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def uni_part(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            cnt.update(_WORD_RE.findall(x.lower()))
+        return pa.table({
+            "token": pa.array(list(cnt.keys()), type=pa.string()),
+            "cu": pa.array(list(cnt.values()), type=pa.int64())})
+
+    uni = shuffle.grouped_agg(
+        docs.map_batches(uni_part, batch_format="pyarrow"),
+        ["token"], {"cu": ("cu", "sum")}).materialize()
+    vocab = uni.count()
+
+    def big_part(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            w = _WORD_RE.findall(x.lower())
+            cnt.update(" ".join(p) for p in zip(w, w[1:]))
+        return pa.table({
+            "bigram": pa.array(list(cnt.keys()), type=pa.string()),
+            "cb": pa.array(list(cnt.values()), type=pa.int64())})
+
+    big = shuffle.grouped_agg(
+        docs.map_batches(big_part, batch_format="pyarrow"),
+        ["bigram"], {"cb": ("cb", "sum")})
+    # tokens contain no ' ' (the tokenizer splits on it), so the first
+    # space inside a bigram string is an unambiguous w1/w2 boundary
+    big = big.map_batches(
+        lambda t: t.append_column("w1", pc.list_element(
+            pc.split_pattern(t.column("bigram"), " ", max_splits=1), 0)),
+        batch_format="pyarrow")
+
+    def model_merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lf):
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "nll": pd.Series([], dtype=np.int64)})
+        cu = rf.set_index("token")["cu"]
+        cuv = cu.reindex(lf["w1"]).to_numpy(dtype=np.float64)
+        p = (lf["cb"].to_numpy(np.float64) + 1.0) / (cuv + float(vocab))
+        nll = np.floor(-np.log(p) * 1_000_000 + 0.5).astype(np.int64)
+        return pd.DataFrame({"bigram": lf["bigram"].to_numpy(),
+                             "nll": nll})
+
+    model = shuffle.co_group(
+        big, uni, l_on="w1", r_on="token", fn=model_merge,
+        l_schema=pa.schema([("bigram", pa.string()), ("cb", pa.int64()),
+                            ("w1", pa.string())]),
+        r_schema=pa.schema([("token", pa.string()), ("cu", pa.int64())]))
+
+    def doc_part(t: pa.Table) -> pa.Table:
+        ids, bgs, ks = [], [], []
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            w = _WORD_RE.findall(x.lower())
+            cnt = Counter(" ".join(p) for p in zip(w, w[1:]))
+            ids.extend([d] * len(cnt))
+            bgs.extend(cnt.keys())
+            ks.extend(cnt.values())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "bigram": pa.array(bgs, type=pa.string()),
+            "k": pa.array(ks, type=pa.int64())})
+
+    def score_merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lf):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_bigrams": pd.Series([], dtype=np.int64),
+                "nll_sum_micro": pd.Series([], dtype=np.int64)})
+        nll = rf.set_index("bigram")["nll"]
+        k = lf["k"].to_numpy(np.int64)
+        s = k * nll.reindex(lf["bigram"]).to_numpy(dtype=np.int64)
+        part = pd.DataFrame({"doc_id": lf["doc_id"].to_numpy(np.int64),
+                             "n_bigrams": k, "nll_sum_micro": s})
+        return part.groupby("doc_id", as_index=False, sort=False).sum()
+
+    scored = shuffle.co_group(
+        docs.map_batches(doc_part, batch_format="pyarrow"),
+        model, l_on="bigram", r_on="bigram", fn=score_merge,
+        l_schema=pa.schema([("doc_id", pa.int64()),
+                            ("bigram", pa.string()),
+                            ("k", pa.int64())]),
+        r_schema=pa.schema([("bigram", pa.string()),
+                            ("nll", pa.int64())]))
+    out = shuffle.grouped_agg(
+        scored, ["doc_id"],
+        {"n_bigrams": ("n_bigrams", "sum"),
+         "nll_sum_micro": ("nll_sum_micro", "sum")})
+    # exact int64 floor division (both operands non-negative, so Arrow's
+    # truncating integer divide == DuckDB's // floor division)
+    return out.map_batches(
+        lambda t: t.append_column(
+            "ce_micro", pc.divide(t.column("nll_sum_micro"),
+                                  t.column("n_bigrams"))),
         batch_format="pyarrow")
 
 

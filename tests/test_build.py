@@ -192,3 +192,24 @@ def test_hashed_resolver_matches_index_in(ray_session, monkeypatch):
     monkeypatch.setattr(build, "INDEX_IN_MAX", 0)
     hashed = norm(edges_with_ids(edge_urls, mapping))
     pd.testing.assert_frame_equal(small, hashed)
+
+
+def test_pages_domain_pagerank_matches_oracle(ray_session):
+    """Host-level PageRank vs its contract SQL at sf0.001: the engine
+    runs PageRankDelta over the re-id'd domain CSR; the oracle scores the
+    closed form on domain strings — id assignment must cancel out.
+    Also pins the no-in-edge fixed point (0.15 -> 150000 ppm)."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = (Q.q_pages_domain_pagerank(sf).to_pandas()
+           .sort_values("domain").reset_index(drop=True))
+    exp = (duckdb.connect().execute(E.oracle_sql()["pages_domain_pagerank"])
+           .df().sort_values("domain").reset_index(drop=True))
+    assert list(got["domain"]) == list(exp["domain"])
+    np.testing.assert_array_equal(got["rank_ppm"].to_numpy(np.int64),
+                                  exp["rank_ppm"].to_numpy(np.int64))
+    assert (got["rank_ppm"] >= 150000).all()

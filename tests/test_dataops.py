@@ -1151,7 +1151,8 @@ def test_new_relational_and_bigrams_vs_duckdb(ray_session):
     for name, fn in [("supplier_nation_revenue",
                       Q.q_supplier_nation_revenue),
                      ("part_brand_revenue", Q.q_part_brand_revenue),
-                     ("docs_dup_bigrams", Q.q_docs_dup_bigrams)]:
+                     ("docs_dup_bigrams", Q.q_docs_dup_bigrams),
+                     ("docs_lm_perplexity", Q.q_docs_lm_perplexity)]:
         got = fn(sf)
         got = got.to_pandas() if hasattr(got, "to_pandas") else got
         exp = con.execute(sqls[name]).df()
@@ -1193,6 +1194,29 @@ def test_dup_bigrams_planted_edge_cases(ray_session, tmp_path):
                                                              1000]})
     pd.testing.assert_frame_equal(got.astype(np.int64),
                                   exp.astype(np.int64))
+
+
+def test_lm_perplexity_planted(ray_session, tmp_path):
+    """Hand-computed add-one bigram-LM cross-entropy: corpus = {"a b a",
+    "a a", "b"} -> unigrams a:4 b:2 (V=2), bigrams "a b":1 "b a":1
+    "a a":1; nll("a b") = nll("a a") = round(ln(3)*1e6) = 1098612,
+    nll("b a") = round(ln(2)*1e6) = 693147; single-token doc emits no
+    row; ce is exact integer floor division."""
+    import pyarrow.parquet as pq
+
+    from ligrust_ray.pipelines import queries as Q
+
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": pa.array(["a b a", "a a", "b"])})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = (Q.q_docs_lm_perplexity(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "doc_id": [0, 1],
+        "n_bigrams": [2, 1],
+        "nll_sum_micro": [1098612 + 693147, 1098612],
+        "ce_micro": [(1098612 + 693147) // 2, 1098612]})
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp.astype(np.int64))
 
 
 def test_cms_registers_and_point_query(ray_session):

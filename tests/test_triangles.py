@@ -104,3 +104,31 @@ def test_triangles_empty(ray_session):
     t = pa.table({"src": pa.array([], type=pa.int64()),
                   "dst": pa.array([], type=pa.int64())})
     assert triangle_count(t, n=5) == 0
+
+
+def test_doulion_matches_hash_filtered_bruteforce(ray_session):
+    """DOULION's deterministic md5 coin: the sampled triangle count must
+    equal the brute-force count of the hash-filtered edge set (replayed
+    here with hashlib), est = 64 x sampled, and on the sf0.001 events
+    graph the estimate lands within 30% of the exact count."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = Q.q_events_triangles_doulion(sf).to_pandas()
+    assert got["est_triangles"].iloc[0] == \
+        got["n_sampled_triangles"].iloc[0] * 64
+
+    ed = Q.events_edges_ds(sf).to_pandas()
+    src, dst = ed["src"].to_numpy(), ed["dst"].to_numpy()
+    pairs = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    kept = [(a, b) for a, b in pairs
+            if md5_u64_lower(f"{a},{b}".encode()) % Q.DOULION_DEN == 0]
+    n = int(max(src.max(), dst.max())) + 1
+    exp_sampled, _ = _per_node_oracle(
+        n, np.array([a for a, _ in kept]), np.array([b for _, b in kept]))
+    assert got["n_sampled_triangles"].iloc[0] == exp_sampled
+
+    exact, _ = _per_node_oracle(n, src, dst)
+    est = got["est_triangles"].iloc[0]
+    assert 0.7 * exact <= est <= 1.3 * exact
