@@ -555,6 +555,32 @@ def _ppr_sql(rounds: int = 4, source: int = 0) -> str:
     return "".join(parts)
 
 
+def _temporal_sql(rounds: int = 8, source: int = 0) -> str:
+    """Earliest-arrival oracle (algos/temporal.py spec): ``rounds``
+    unrolled time-respecting relaxations over the timestamped events
+    multigraph — candidate arrivals c_k = min t of edges departing at
+    t >= arr_{k-1}(src), merged by grouped MIN. Exact integer epoch-us
+    arithmetic on both engines."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT user_id AS src, "
+        "CAST(FLOOR(value * 100) AS BIGINT) % 150 AS dst, "
+        "epoch_us(ts) AS t FROM events), "
+        f"a0(node, arr) AS (SELECT CAST({source} AS BIGINT), "
+        "CAST(-1 AS BIGINT))"]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f", c{k} AS (SELECT e.dst AS node, MIN(e.t) AS arr FROM e "
+            f"JOIN a{k-1} ON a{k-1}.node = e.src AND e.t >= a{k-1}.arr "
+            "GROUP BY e.dst)"
+            f", a{k} AS MATERIALIZED (SELECT node, MIN(arr) AS arr FROM "
+            f"(SELECT * FROM a{k-1} UNION ALL SELECT * FROM c{k}) "
+            "GROUP BY node)")
+    parts.append(
+        f" SELECT node AS node_id, CAST(arr AS BIGINT) AS arrival_us "
+        f"FROM a{rounds}")
+    return "".join(parts)
+
+
 def _simhash_dupes_sql(max_hamming: int = 3) -> str:
     """Manku simhash near-dup pairs oracle (dedup.simhash_dup_pairs
     spec): nonzero signatures from the simhash CTE, 4x16-bit band join
@@ -989,7 +1015,7 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
     "docs_lm_perplexity", "events_triangles_doulion",
-    "pages_domain_pagerank",
+    "pages_domain_pagerank", "events_temporal_bfs",
     # new in round 4 (never driver-checked)
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
     "docs_quality_model", "events_hyperball", "events_louvain_move",
@@ -1067,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mis": Q.q_events_mis,
         "events_matching": Q.q_events_matching,
         "events_sssp": Q.q_events_sssp,
+        "events_temporal_bfs": Q.q_events_temporal_bfs,
         "events_bc": Q.q_events_bc,
         "events_coloring": Q.q_events_coloring,
         "events_radii": Q.q_events_radii,
@@ -1382,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "events_matching": _matching_sql(24),
         # Bellman-Ford, 32 unrolled relaxation rounds (= SSSP_SQL_ROUNDS)
         "events_sssp": _sssp_sql(32),
+        "events_temporal_bfs": _temporal_sql(8),
         # Brandes BC, 24 unrolled BFS levels + per-level dependency tables
         "events_bc": _bc_sql(24),
         # Jones-Plassmann coloring, 100 unrolled rounds (81 used at sf0.01)

@@ -501,7 +501,8 @@ def run_headline(num_cpus: int) -> dict:
             ("docs_lm_perplexity", Q.q_docs_lm_perplexity, True),
             ("events_triangles_doulion",
              Q.q_events_triangles_doulion, False),
-            ("pages_domain_pagerank", Q.q_pages_domain_pagerank, True)):
+            ("pages_domain_pagerank", Q.q_pages_domain_pagerank, True),
+            ("events_temporal_bfs", Q.q_events_temporal_bfs, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:

@@ -251,6 +251,41 @@ def q_events_triangles_per_node(sf_dir: str):
     return _tri_cached(sf_dir)[1]
 
 
+TEMPORAL_SQL_ROUNDS = 8   # unroll depth of the DuckDB oracle = round cap
+
+
+def q_events_temporal_bfs(sf_dir: str):
+    """(node_id, arrival_us) — time-respecting earliest arrival from node
+    0 over the TEMPORAL events multigraph (each event row is an edge
+    usable only at its own timestamp; a path must have non-decreasing
+    edge times — algos/temporal.py, Wu et al. VLDB 2014). Exactly
+    TEMPORAL_SQL_ROUNDS synchronous relaxation rounds on both engines
+    (the PPR fixed-round pattern: extra rounds are no-ops at fixpoint,
+    so engine and oracle agree bit-for-bit regardless of convergence
+    depth). Only reached nodes emit rows; the source departs 'before
+    time' (arrival -1). Timestamps are integer epoch microseconds —
+    the relaxation is exact integer arithmetic end to end."""
+    from ligrust_ray.algos.temporal import earliest_arrival
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        v = t.column("value").to_numpy()
+        dst = (np.floor(v * 100).astype(np.int64)) % N_EVENT_NODES
+        ts = t.column("ts").cast(pa.int64())   # timestamp[us] -> epoch us
+        return pa.table({"src": pa.array(u), "dst": pa.array(dst),
+                         "t": ts})
+
+    edges = _read_sized(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "value", "ts"]).map_batches(
+            derive, batch_format="pyarrow")
+    arr = earliest_arrival(edges, source=0, rounds=TEMPORAL_SQL_ROUNDS)
+    return arr.map_batches(
+        lambda t: pa.table({"node_id": t.column("node"),
+                            "arrival_us": t.column("arr")}),
+        batch_format="pyarrow")
+
+
 DOULION_DEN = 4   # keep probability p = 1/4 -> estimate scale 1/p^3 = 64
 
 

@@ -1236,3 +1236,61 @@ def test_neighborhood_function_and_effective_diameter(ray_session):
     # 0.9*36 = 32.4 pairs sits between N(4)=30 and N(5)=36 -> d_eff in (4,5)
     d = effective_diameter(nf)
     assert 4.0 < d <= 5.0
+
+
+def test_temporal_earliest_arrival_planted(ray_session):
+    """Time-respecting semantics: an edge departing BEFORE the arrival at
+    its source is unusable; equal times chain (non-decreasing paths);
+    unreached nodes emit no row. Local fast path == forced-distributed
+    co_group rounds == hand-computed arrivals."""
+    import pandas as pd
+    import ray.data
+
+    from ligrust_ray.algos.temporal import earliest_arrival
+
+    #        0 -(10)-> 1 -(5: too early)-> 2   1 -(20)-> 2
+    #        0 -(7)->  3 -(7: equal ok)->  4   5 isolated, 6 -(1)-> 0
+    e = pa.table({
+        "src": pa.array([0, 1, 1, 0, 3, 6], type=pa.int64()),
+        "dst": pa.array([1, 2, 2, 3, 4, 0], type=pa.int64()),
+        "t":   pa.array([10, 5, 20, 7, 7, 1], type=pa.int64())})
+    ds = ray.data.from_arrow(e)
+    exp = pd.DataFrame({"node": [0, 1, 2, 3, 4],
+                        "arr": [-1, 10, 20, 7, 7]})
+    for mode in ("local", "distributed"):
+        got = (earliest_arrival(ds, source=0, rounds=8, mode=mode)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), exp.astype("int64"), obj=mode)
+
+
+def test_temporal_distributed_matches_local_sf(ray_session):
+    """sf0.001 events graph: the forced-distributed path must reproduce
+    the single-task fixpoint bit-for-bit."""
+    from ligrust_ray.algos.temporal import earliest_arrival
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    import os
+
+    import ray.data
+
+    def derive(t):
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        v = t.column("value").to_numpy()
+        dst = (np.floor(v * 100).astype(np.int64)) % Q.N_EVENT_NODES
+        return pa.table({"src": pa.array(u), "dst": pa.array(dst),
+                         "t": t.column("ts").cast(pa.int64())})
+
+    edges = ray.data.read_parquet(
+        os.path.join(sf, "events.parquet"),
+        columns=["user_id", "value", "ts"]).map_batches(
+            derive, batch_format="pyarrow")
+    loc = (earliest_arrival(edges, rounds=8, mode="local").to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    dist = (earliest_arrival(edges, rounds=8, mode="distributed")
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    np.testing.assert_array_equal(loc["node"].to_numpy(),
+                                  dist["node"].to_numpy())
+    np.testing.assert_array_equal(loc["arr"].to_numpy(),
+                                  dist["arr"].to_numpy())
