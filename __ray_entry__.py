@@ -1015,7 +1015,9 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
     "docs_lm_perplexity", "events_triangles_doulion",
-    "pages_domain_pagerank", "events_temporal_bfs",
+    "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
+    "events_negative_samples", "emb_label_centroids",
+    "docs_dedup_incremental",
     # new in round 4 (never driver-checked)
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
     "docs_quality_model", "events_hyperball", "events_louvain_move",
@@ -1070,10 +1072,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_common_neighbors": Q.q_events_common_neighbors,
         "events_link_pred": Q.q_events_link_pred,
         "events_jaccard_pairs": Q.q_events_jaccard_pairs,
+        "events_negative_samples": Q.q_events_negative_samples,
         "events_modularity": Q.q_events_modularity,
         "events_louvain_move": Q.q_events_louvain_move,
         # windowed / sessionized aggregates (streaming-window family)
         "events_sessions": Q.q_events_sessions,
+        "events_markov": Q.q_events_markov,
         "events_funnel": Q.q_events_funnel,
         "events_windows": Q.q_events_windows,
         "events_hopping": Q.q_events_hopping,
@@ -1117,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_anchor_text": Q.q_pages_anchor_text,
         # documents: text analysis + dedup family
         "docs_exact_dedup": Q.q_docs_exact_dedup,
+        "docs_dedup_incremental": Q.q_docs_dedup_incremental,
         "docs_token_count": Q.q_docs_token_count,
         "docs_token_bpe": Q.q_docs_token_bpe,
         "docs_token_quantiles": Q.q_docs_token_quantiles,
@@ -1145,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_pq": Q.q_emb_knn_pq,
         "emb_knn_ivf": Q.q_emb_knn_ivf,
         "emb_near_dup": Q.q_emb_near_dup,
+        "emb_label_centroids": Q.q_emb_label_centroids,
         "emb_near_dup_ivf": Q.q_emb_near_dup_ivf,
         # relational breadth over the TPC-H-ish tables (SQL-checked)
         "lineitem_pricing": Q.q_lineitem_pricing,
@@ -1561,6 +1567,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN orders o "
             "ON l.l_orderkey = o.o_orderkey "
             "GROUP BY o.o_orderpriority"),
+        # first-order Markov transition counts (queries.q_events_markov
+        # spec): lag() over (user_id, ts, event_id) total order
+        "events_markov": (
+            "WITH o AS (SELECT user_id, event_type, lag(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_type FROM events) "
+            "SELECT prev_type, event_type, COUNT(*) AS n FROM o "
+            "WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"),
+        # deterministic link-pred negative sampling
+        # (queries.q_events_negative_samples spec): md5 coin per
+        # (src, slot), anti-join vs the distinct real edges
+        "events_negative_samples": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+            "s AS (SELECT DISTINCT src FROM e), "
+            "c AS (SELECT s.src, CAST(r.j AS BIGINT) AS slot, "
+            "CAST(md5_number_lower(CAST(s.src AS VARCHAR) || ':' || "
+            "CAST(r.j AS VARCHAR)) % 150 AS BIGINT) AS dst "
+            "FROM s CROSS JOIN (SELECT UNNEST(range(4)) AS j) r) "
+            "SELECT src, dst, slot FROM c WHERE dst <> src AND "
+            "NOT EXISTS (SELECT 1 FROM e "
+            "WHERE e.src = c.src AND e.dst = c.dst)"),
+        # per-label centroid accumulators on the PQ fixed-point grid
+        # (queries.q_emb_label_centroids spec)
+        "emb_label_centroids": (
+            "WITH f AS (SELECT CAST(label AS BIGINT) AS label, "
+            "UNNEST(embedding) AS e, "
+            "UNNEST(range(len(embedding))) AS dim FROM embeddings) "
+            "SELECT label, CAST(dim AS BIGINT) AS dim, "
+            "CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) "
+            "AS BIGINT) AS sum_milli, COUNT(*) AS n_vecs FROM f "
+            "GROUP BY label, dim"),
+        # incremental intake dedup (queries.q_docs_dedup_incremental
+        # spec): md5-hash-keyed semi-join, incoming = doc_id % 10 == 0
+        "docs_dedup_incremental": (
+            "WITH h AS (SELECT doc_id, md5_number_lower(text) AS h "
+            "FROM documents) "
+            "SELECT a.doc_id FROM h a WHERE a.doc_id % 10 = 0 AND "
+            "EXISTS (SELECT 1 FROM h b WHERE b.doc_id % 10 <> 0 "
+            "AND b.h = a.h)"),
         "docs_exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"),
         "docs_token_count": (

@@ -502,7 +502,13 @@ def run_headline(num_cpus: int) -> dict:
             ("events_triangles_doulion",
              Q.q_events_triangles_doulion, False),
             ("pages_domain_pagerank", Q.q_pages_domain_pagerank, True),
-            ("events_temporal_bfs", Q.q_events_temporal_bfs, True)):
+            ("events_temporal_bfs", Q.q_events_temporal_bfs, True),
+            ("events_markov", Q.q_events_markov, True),
+            ("events_negative_samples",
+             Q.q_events_negative_samples, True),
+            ("emb_label_centroids", Q.q_emb_label_centroids, True),
+            ("docs_dedup_incremental",
+             Q.q_docs_dedup_incremental, False)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:

@@ -762,6 +762,66 @@ def q_events_link_pred(sf_dir: str):
         batch_format="pyarrow")
 
 
+NEG_SAMPLES_K = 4    # candidate negative slots per source node
+
+
+def q_events_negative_samples(sf_dir: str):
+    """(src, dst, slot) — deterministic negative sampling for link-
+    prediction training data: for every source node with at least one
+    out-edge, NEG_SAMPLES_K candidate destinations dst =
+    md5_number_lower("src:slot") % n, keeping only candidates that are
+    neither self-loops nor REAL edges (the anti-join every GNN training
+    pipeline runs to pair positives with negatives). Deterministic coin
+    -> reproducible training sets and an exact SQL replay. Scale shape:
+    candidate generation is a stateless vectorised map over the distinct
+    source set (K rows per source); the anti-join is ONE composite-keyed
+    co_group against the distinct edge table — candidates co-partition
+    with the edges they must miss, bodies never broadcast."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    de = _distinct_edges(sf_dir)
+    srcs = shuffle.distinct(
+        de.map_batches(lambda t: pa.table({"src": t.column("src")}),
+                       batch_format="pyarrow"), ["src"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        rs = np.repeat(s, NEG_SAMPLES_K)
+        js = np.tile(np.arange(NEG_SAMPLES_K, dtype=np.int64), len(s))
+        key = pc.binary_join_element_wise(
+            pc.cast(pa.array(rs), pa.string()),
+            pc.cast(pa.array(js), pa.string()), ":")
+        dst = (md5_u64_lower_arrow(key) % N_EVENT_NODES).astype(np.int64)
+        keep = dst != rs
+        return pa.table({"src": pa.array(rs[keep]),
+                         "dst": pa.array(dst[keep]),
+                         "slot": pa.array(js[keep]),
+                         "k": pa.array(rs[keep] * N_EVENT_NODES
+                                       + dst[keep])})
+
+    cands = srcs.map_batches(gen, batch_format="pyarrow")
+    ek = de.map_batches(
+        lambda t: pa.table({"k": pc.add(
+            pc.multiply(t.column("src"), N_EVENT_NODES),
+            t.column("dst"))}),
+        batch_format="pyarrow")
+
+    def anti(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lf):
+            return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                 "dst": pd.Series([], dtype=np.int64),
+                                 "slot": pd.Series([], dtype=np.int64)})
+        keep = ~lf["k"].isin(rf["k"])
+        return lf.loc[keep, ["src", "dst", "slot"]]
+
+    i64 = pa.int64()
+    return shuffle.co_group(
+        cands, ek, l_on="k", r_on="k", fn=anti,
+        l_schema=pa.schema([("src", i64), ("dst", i64), ("slot", i64),
+                            ("k", i64)]),
+        r_schema=pa.schema([("k", i64)]))
+
+
 def q_events_jaccard_pairs(sf_dir: str):
     """(a, b, n_common, jac_ppb) Jaccard link-prediction scores over the
     shared capped wedge set (Liben-Nowell/Kleinberg 2003): jac_ppb =
@@ -1607,6 +1667,36 @@ def q_events_sessions(sf_dir: str):
     return windows.sessionize(ev)
 
 
+def q_events_markov(sf_dir: str):
+    """(prev_type, event_type, n) — first-order Markov transition counts
+    over each user's timeline, ordered by (ts, event_id) (event_id breaks
+    timestamp ties deterministically — same total order as the SQL lag()
+    window). Scale shape: one user-keyed grouped_apply (each user's
+    timeline sorts inside its partition, counts collapse to at most
+    |types|^2 rows per partition) + one tiny keyed sum — the sort is
+    per-partition, never a Dataset-level global sort."""
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_id", "ts", "user_id", "event_type"])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "prev_type": pd.Series([], dtype=object),
+                "event_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        prev = df.groupby("user_id")["event_type"].shift(1)
+        m = prev.notna()
+        out = pd.DataFrame({"prev_type": prev[m],
+                            "event_type": df["event_type"][m]})
+        return (out.groupby(["prev_type", "event_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = shuffle.grouped_apply(ev, ["user_id"], per_part)
+    return shuffle.grouped_agg(parts, ["prev_type", "event_type"],
+                               {"n": ("n", "sum")})
+
+
 def q_events_funnel(sf_dir: str):
     """(stage, n_users) — ordered view->click->purchase conversion funnel
     (windows.funnel_counts); SQL oracle = three chained MIN-after joins."""
@@ -2108,6 +2198,58 @@ def q_pages_anchor_text(sf_dir: str):
 # ------------------------------------------------------------ documents ops
 def q_docs_exact_dedup(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
+
+
+def q_docs_dedup_incremental(sf_dir: str):
+    """(doc_id) — incremental intake dedup for a CONTINUOUS crawl: the
+    incoming batch (doc_id % 10 == 0 stands in for the new snapshot) is
+    checked against the existing corpus (doc_id % 10 != 0) and every
+    incoming doc whose md5(text) already exists is flagged. The spec is
+    md5-HASH-keyed (the line_dedup convention), so the DuckDB oracle
+    replicates the engine exactly even on a collision. One hash-keyed
+    co_group semi-join — hashes co-partition, bodies never move; the
+    synthetic sf corpora carry no cross-split dups, so the contract row
+    checks plumbing and the planted pytest carries the semantics."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    def hashed(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        h = md5_u64_lower_arrow(txt).astype(np.int64)   # two's complement
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "h": pa.array(h)})
+
+    def mod10(col):
+        # Arrow has no modulo kernel; truncating int divide is exact for
+        # the non-negative doc_id domain
+        return pc.subtract(col, pc.multiply(pc.divide(col, 10), 10))
+
+    hs = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        hashed, batch_format="pyarrow")
+    incoming = hs.map_batches(
+        lambda t: t.filter(pc.equal(mod10(t.column("doc_id")), 0)),
+        batch_format="pyarrow")
+    existing = hs.map_batches(
+        lambda t: t.filter(pc.not_equal(mod10(t.column("doc_id")), 0)),
+        batch_format="pyarrow")
+
+    def semi(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lf):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+        return lf.loc[lf["h"].isin(rf["h"]), ["doc_id"]]
+
+    i64 = pa.int64()
+    out = shuffle.co_group(
+        incoming, existing, l_on="h", r_on="h", fn=semi,
+        l_schema=pa.schema([("doc_id", i64), ("h", i64)]),
+        r_schema=pa.schema([("doc_id", i64), ("h", i64)]))
+    # all-empty partitions lose the pandas column set — pin the schema
+    # (the q_emb_near_dup convention for possibly-empty join outputs)
+    schema = pa.schema([("doc_id", i64)])
+    parts = [b for b in out.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables([t.cast(schema) for t in parts]) if parts \
+        else schema.empty_table()
 
 
 def q_docs_token_count(sf_dir: str):
@@ -3066,6 +3208,41 @@ def q_emb_near_dup(sf_dir: str):
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     return pa.concat_tables([t.cast(schema) for t in parts]) if parts else \
         schema.empty_table()
+
+
+def q_emb_label_centroids(sf_dir: str):
+    """(label, dim, sum_milli, n_vecs) — per-label centroid ACCUMULATORS
+    on the floor(float64(e)*1000) fixed-point grid (the PQ grid): exact
+    integer sums + counts instead of a float mean, so the table is
+    hash-exact and mergeable (centroid = sum_milli / n_vecs at whatever
+    precision a consumer wants — the nearest-class-mean classifier /
+    k-means-init building block). Scale shape: per-batch explode to
+    (label, dim) rows collapses map-side in grouped_agg's partial — at
+    most |labels| x dim rows per block cross the one shuffle."""
+    emb = _read_sized(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["label", "embedding"])
+
+    def part(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy()
+        milli = np.floor(flat.astype(np.float64) * 1000).astype(np.int64)
+        lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+        lab = np.repeat(t.column("label").to_numpy().astype(np.int64),
+                        lens)
+        idx = np.arange(len(flat), dtype=np.int64)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        return pa.table({"label": pa.array(lab),
+                         "dim": pa.array(idx - starts),
+                         "s": pa.array(milli),
+                         "c": pa.array(np.ones(len(flat),
+                                               dtype=np.int64))})
+
+    return shuffle.grouped_agg(
+        emb.map_batches(part, batch_format="pyarrow"),
+        ["label", "dim"],
+        {"sum_milli": ("s", "sum"), "n_vecs": ("c", "sum")})
 
 
 # ----------------------------------------------- relational (TPC-H-ish)

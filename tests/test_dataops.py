@@ -1145,14 +1145,18 @@ def test_new_relational_and_bigrams_vs_duckdb(ray_session):
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
     for t in ("lineitem", "orders", "customer", "supplier", "nation",
-              "region", "part", "documents"):
+              "region", "part", "documents", "events", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     sqls = E.oracle_sql()
     for name, fn in [("supplier_nation_revenue",
                       Q.q_supplier_nation_revenue),
                      ("part_brand_revenue", Q.q_part_brand_revenue),
                      ("docs_dup_bigrams", Q.q_docs_dup_bigrams),
-                     ("docs_lm_perplexity", Q.q_docs_lm_perplexity)]:
+                     ("docs_lm_perplexity", Q.q_docs_lm_perplexity),
+                     ("events_markov", Q.q_events_markov),
+                     ("events_negative_samples",
+                      Q.q_events_negative_samples),
+                     ("emb_label_centroids", Q.q_emb_label_centroids)]:
         got = fn(sf)
         got = got.to_pandas() if hasattr(got, "to_pandas") else got
         exp = con.execute(sqls[name]).df()
@@ -1883,3 +1887,25 @@ def test_new_ops_empty_inputs(ray_session):
     assert hyperball_summary(edges).count() == 0
     nf = neighborhood_function(edges, max_t=2)
     assert set(nf["n_pairs"]) == {0.0} and len(nf) <= 2
+
+
+def test_dedup_incremental_planted(ray_session, tmp_path):
+    """Incoming docs (doc_id % 10 == 0) flagged iff their exact text
+    exists in the existing split: planted cross-split dup, within-split
+    dup (NOT flagged), and unique incoming doc."""
+    import pyarrow.parquet as pq
+
+    from ligrust_ray.pipelines import queries as Q
+
+    tbl = pa.table({
+        "doc_id": pa.array([10, 20, 30, 1, 2, 40, 50], type=pa.int64()),
+        "text": pa.array(["same A", "unique in",  # 10 dup of 1, 20 unique
+                          "same B",               # 30 dup of 2
+                          "same A", "same B",     # existing split
+                          "incoming twin", "incoming twin"])})
+    # 40/50 duplicate EACH OTHER but nothing in the existing split ->
+    # neither is flagged (intake-vs-corpus semantics, not intra-batch)
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = sorted(Q.q_docs_dedup_incremental(str(tmp_path))
+                 .to_pandas()["doc_id"].tolist())
+    assert got == [10, 30]
