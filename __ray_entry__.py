@@ -555,6 +555,71 @@ def _ppr_sql(rounds: int = 4, source: int = 0) -> str:
     return "".join(parts)
 
 
+def _louvain_round_cte(labels: str, edges: str, sfx: str) -> str:
+    """CTE block for one WEIGHTED Louvain local-move round
+    (queries._louvain_move_round spec): expects ``{labels}``(node_id,
+    label), ``{edges}``(src, dst, w) and ``mm``(m) CTEs already defined;
+    defines ``mv{sfx}``(node_id, community)."""
+    return (
+        f"ko{sfx} AS (SELECT src AS v, SUM(w) AS kout FROM {edges} "
+        "GROUP BY 1), "
+        f"ki{sfx} AS (SELECT dst AS v, SUM(w) AS kin FROM {edges} "
+        "GROUP BY 1), "
+        f"nd{sfx} AS (SELECT l.node_id AS v, l.label AS lv, "
+        "COALESCE(ko.kout, 0) AS kout, COALESCE(ki.kin, 0) AS kin "
+        f"FROM {labels} l LEFT JOIN ko{sfx} ko ON ko.v = l.node_id "
+        f"LEFT JOIN ki{sfx} ki ON ki.v = l.node_id), "
+        f"vol{sfx} AS (SELECT lv AS c, SUM(kout) AS kout_c, "
+        f"SUM(kin) AS kin_c FROM nd{sfx} GROUP BY 1), "
+        f"le{sfx} AS (SELECT e.src, e.dst, e.w, s.lv AS lsrc, "
+        f"d.lv AS ldst FROM {edges} e JOIN nd{sfx} s ON s.v = e.src "
+        f"JOIN nd{sfx} d ON d.v = e.dst), "
+        f"cand{sfx} AS (SELECT v, c, CAST(SUM(w) AS BIGINT) AS w FROM ("
+        f"SELECT src AS v, ldst AS c, w FROM le{sfx} "
+        f"UNION ALL SELECT dst, lsrc, w FROM le{sfx} "
+        f"UNION ALL SELECT v, lv, 0 FROM nd{sfx}) GROUP BY 1, 2), "
+        f"sc{sfx} AS (SELECT cand.v, cand.c, "
+        "(SELECT m FROM mm) * cand.w "
+        "- nd.kout * (vol.kin_c - CASE WHEN cand.c = nd.lv "
+        "THEN nd.kin ELSE 0 END) "
+        "- nd.kin * (vol.kout_c - CASE WHEN cand.c = nd.lv "
+        "THEN nd.kout ELSE 0 END) AS s "
+        f"FROM cand{sfx} cand JOIN nd{sfx} nd ON nd.v = cand.v "
+        f"JOIN vol{sfx} vol ON vol.c = cand.c), "
+        f"mv{sfx} AS (SELECT v AS node_id, c AS community FROM ("
+        "SELECT v, c, ROW_NUMBER() OVER (PARTITION BY v "
+        f"ORDER BY s DESC, c) AS rn FROM sc{sfx}) WHERE rn = 1)")
+
+
+def _louvain_prefix() -> str:
+    return (f"WITH lp AS MATERIALIZED ({_labelprop_sql(20)}), "
+            f"e0 AS MATERIALIZED ({_EDGES_CTE}), "
+            "e1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e0), "
+            "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0), ")
+
+
+def _louvain_move_sql() -> str:
+    return (_louvain_prefix() + _louvain_round_cte("lp", "e1", "a")
+            + " SELECT node_id, community FROM mva")
+
+
+def _louvain_coarse_sql() -> str:
+    """Louvain phase 2: coarsen the level-1 partition into the weighted
+    super-graph (self-loops kept, total weight unchanged), one weighted
+    move round, original nodes inherit their community's assignment."""
+    return (
+        _louvain_prefix() + _louvain_round_cte("lp", "e1", "a") + ", "
+        "ce AS (SELECT ls.community AS src, ld.community AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM e0 "
+        "JOIN mva ls ON ls.node_id = e0.src "
+        "JOIN mva ld ON ld.node_id = e0.dst GROUP BY 1, 2), "
+        "cl AS (SELECT DISTINCT community AS node_id, "
+        "community AS label FROM mva), "
+        + _louvain_round_cte("cl", "ce", "b")
+        + " SELECT a.node_id, b.community FROM mva a "
+        "JOIN mvb b ON b.node_id = a.community")
+
+
 def _temporal_sql(rounds: int = 8, source: int = 0) -> str:
     """Earliest-arrival oracle (algos/temporal.py spec): ``rounds``
     unrolled time-respecting relaxations over the timestamped events
@@ -1017,6 +1082,7 @@ _CHECK_PRIORITY = [
     "docs_lm_perplexity", "events_triangles_doulion",
     "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
     "events_negative_samples", "emb_label_centroids",
+    "events_louvain_coarse",
     "docs_dedup_incremental",
     # new in round 4 (never driver-checked)
     "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
@@ -1075,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_negative_samples": Q.q_events_negative_samples,
         "events_modularity": Q.q_events_modularity,
         "events_louvain_move": Q.q_events_louvain_move,
+        "events_louvain_coarse": Q.q_events_louvain_coarse,
         # windowed / sessionized aggregates (streaming-window family)
         "events_sessions": Q.q_events_sessions,
         "events_markov": Q.q_events_markov,
@@ -1861,35 +1928,8 @@ def oracle_sql() -> dict[str, str]:
         # one synchronous Louvain local-move round over the LP partition:
         # integer score s_c = m*w_vc - kout_v*(Kin_c\v) - kin_v*(Kout_c\v),
         # candidates = own + neighbor communities, tie -> smallest c
-        "events_louvain_move": (
-            f"WITH lp AS ({_labelprop_sql(20)}), "
-            f"e AS ({_EDGES_CTE}), "
-            "mm AS (SELECT COUNT(*) AS m FROM e), "
-            "ko AS (SELECT src AS v, COUNT(*) AS kout FROM e GROUP BY 1), "
-            "ki AS (SELECT dst AS v, COUNT(*) AS kin FROM e GROUP BY 1), "
-            "nd AS (SELECT lp.node_id AS v, lp.label AS lv, "
-            "COALESCE(ko.kout, 0) AS kout, COALESCE(ki.kin, 0) AS kin "
-            "FROM lp LEFT JOIN ko ON ko.v = lp.node_id "
-            "LEFT JOIN ki ON ki.v = lp.node_id), "
-            "vol AS (SELECT lv AS c, SUM(kout) AS kout_c, "
-            "SUM(kin) AS kin_c FROM nd GROUP BY 1), "
-            "le AS (SELECT e.src, e.dst, s.lv AS lsrc, d.lv AS ldst "
-            "FROM e JOIN nd s ON s.v = e.src JOIN nd d ON d.v = e.dst), "
-            "cand AS (SELECT v, c, CAST(SUM(w) AS BIGINT) AS w FROM ("
-            "SELECT src AS v, ldst AS c, 1 AS w FROM le "
-            "UNION ALL SELECT dst AS v, lsrc AS c, 1 AS w FROM le "
-            "UNION ALL SELECT v, lv AS c, 0 AS w FROM nd) GROUP BY 1, 2), "
-            "sc AS (SELECT cand.v, cand.c, "
-            "(SELECT m FROM mm) * cand.w "
-            "- nd.kout * (vol.kin_c - CASE WHEN cand.c = nd.lv "
-            "THEN nd.kin ELSE 0 END) "
-            "- nd.kin * (vol.kout_c - CASE WHEN cand.c = nd.lv "
-            "THEN nd.kout ELSE 0 END) AS s "
-            "FROM cand JOIN nd ON nd.v = cand.v "
-            "JOIN vol ON vol.c = cand.c) "
-            "SELECT v AS node_id, c AS community FROM ("
-            "SELECT v, c, ROW_NUMBER() OVER (PARTITION BY v "
-            "ORDER BY s DESC, c) AS rn FROM sc) WHERE rn = 1"),
+        "events_louvain_move": _louvain_move_sql(),
+        "events_louvain_coarse": _louvain_coarse_sql(),
         "events_modularity": (
             f"WITH lp AS ({_labelprop_sql(20)}), "
             f"ed AS ({_EDGES_CTE}), "

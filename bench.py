@@ -508,7 +508,8 @@ def run_headline(num_cpus: int) -> dict:
              Q.q_events_negative_samples, True),
             ("emb_label_centroids", Q.q_emb_label_centroids, True),
             ("docs_dedup_incremental",
-             Q.q_docs_dedup_incremental, False)):
+             Q.q_docs_dedup_incremental, False),
+            ("events_louvain_coarse", Q.q_events_louvain_coarse, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:

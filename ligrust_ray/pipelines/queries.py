@@ -1430,30 +1430,101 @@ def q_events_community_stats(sf_dir: str):
                             ("n_outgoing", i64)]))
 
 
-def q_events_louvain_move(sf_dir: str):
-    """(node_id, community) — ONE deterministic synchronous Louvain
-    local-move round refining the label-propagation partition: node v
-    moves to the candidate community c (its own + every in/out-neighbor
-    community) maximizing the directed modularity gain. The gain
-    comparison is kept integer-exact — score s_c = m·w_vc −
-    kout_v·(Kin_c\\v) − kin_v·(Kout_c\\v) with w_vc = edges between v and
-    c in either direction and C\\v excluding v's own degrees when c is
-    v's current community — ties to the smallest c (int64 safe while
-    m < ~3·10⁹ per community, the events_modularity bound).
+LOUVAIN_LOCAL_GATE = 1 << 22
 
-    Plan: degrees (two grouped counts) and labels left-join into a
-    per-node table; labeled edges via the two co-partitioned hash_joins
-    (the modularity shape); candidate weights = one grouped sum over the
-    union of out-side, in-side and always-present self rows; scores
-    attach via two more keyed joins; one grouped_apply argmax per node.
-    Everything is keyed shuffles — nothing community- or node-sized on
-    the driver."""
-    lp = ray.data.from_arrow(_lp_cached(sf_dir))
-    edges = events_edges_ds(sf_dir).materialize()
-    m = edges.count()
-    # all eight wide steps are keyed shuffles: size their task count to
-    # the input (a fixed 32 is pure dispatch floor at test scale)
-    npart = max(4, min(64, edges.num_blocks()))
+
+def _louvain_move_local(nd_labels: pd.DataFrame, edges: pd.DataFrame,
+                        m: int) -> pa.Table:
+    """Single-task pandas replica of the distributed move round — the
+    SAME relational plan (degrees, volumes, candidate union with self
+    rows, integer score, (s DESC, c ASC) argmax) in one process; gated
+    at LOUVAIN_LOCAL_GATE edge rows (coloring/truss precedent), parity
+    vs the distributed path forced in tests."""
+    ko = edges.groupby("src")["w"].sum()
+    ki = edges.groupby("dst")["w"].sum()
+    nd = pd.DataFrame({"v": nd_labels["node_id"].to_numpy(np.int64),
+                       "lv": nd_labels["label"].to_numpy(np.int64)})
+    nd["kout"] = nd["v"].map(ko).fillna(0).astype(np.int64)
+    nd["kin"] = nd["v"].map(ki).fillna(0).astype(np.int64)
+    vol = nd.groupby("lv")[["kout", "kin"]].sum().rename(
+        columns={"kout": "kout_c", "kin": "kin_c"})
+    lvmap = nd.set_index("v")["lv"]
+    cand = pd.concat([
+        pd.DataFrame({"v": edges["src"].to_numpy(np.int64),
+                      "c": edges["dst"].map(lvmap).to_numpy(np.int64),
+                      "w": edges["w"].to_numpy(np.int64)}),
+        pd.DataFrame({"v": edges["dst"].to_numpy(np.int64),
+                      "c": edges["src"].map(lvmap).to_numpy(np.int64),
+                      "w": edges["w"].to_numpy(np.int64)}),
+        pd.DataFrame({"v": nd["v"], "c": nd["lv"],
+                      "w": np.zeros(len(nd), dtype=np.int64)})])
+    cand = cand.groupby(["v", "c"], as_index=False)["w"].sum()
+    cand = cand.merge(nd, on="v").merge(vol, left_on="c",
+                                        right_index=True)
+    own = (cand["c"] == cand["lv"]).to_numpy().astype(np.int64)
+    cand["s"] = (m * cand["w"].to_numpy(np.int64)
+                 - cand["kout"].to_numpy(np.int64)
+                 * (cand["kin_c"].to_numpy(np.int64)
+                    - own * cand["kin"].to_numpy(np.int64))
+                 - cand["kin"].to_numpy(np.int64)
+                 * (cand["kout_c"].to_numpy(np.int64)
+                    - own * cand["kout"].to_numpy(np.int64)))
+    best = (cand.sort_values(["v", "s", "c"],
+                             ascending=[True, False, True])
+            .drop_duplicates("v"))
+    return pa.table({"node_id": pa.array(best["v"].to_numpy(np.int64)),
+                     "community": pa.array(best["c"].to_numpy(np.int64))})
+
+
+@ray.remote
+def _louvain_move_local_task(label_blocks, edge_blocks, m: int) -> pa.Table:
+    i64 = pa.int64()
+    lsch = pa.schema([("node_id", i64), ("label", i64)])
+    esch = pa.schema([("src", i64), ("dst", i64), ("w", i64)])
+
+    def cat(blocks, sch):
+        # shuffle stages emit zero-column empty blocks — drop them and
+        # pin the expected schema
+        ts = [t.select(sch.names).cast(sch) for t in blocks
+              if t.num_columns]
+        return pa.concat_tables(ts) if ts else sch.empty_table()
+
+    lt = cat(label_blocks, lsch)
+    et = cat(edge_blocks, esch)
+    return _louvain_move_local(lt.to_pandas(), et.to_pandas(), m)
+
+
+def _louvain_move_round(labels: ray.data.Dataset,
+                        edges_w: ray.data.Dataset, m: int,
+                        npart: int, mode: str = "auto"
+                        ) -> ray.data.Dataset:
+    """ONE deterministic synchronous Louvain local-move round over a
+    WEIGHTED directed multigraph: node v moves to the candidate community
+    c (its own + every in/out-neighbor community) maximizing the directed
+    modularity gain. The gain comparison is integer-exact — score s_c =
+    m·w_vc − kout_v·(Kin_c\\v) − kin_v·(Kout_c\\v) with w_vc = total edge
+    weight between v and c in either direction and C\\v excluding v's own
+    weighted degrees when c is v's current community — ties to the
+    smallest c (int64 safe while m·w < 2⁶³, the events_modularity bound).
+
+    ``labels`` = (node_id, label); ``edges_w`` = (src, dst, w), already
+    materialized. Plan: weighted degrees (two grouped sums) and labels
+    left-join into a per-node table; labeled edges via the two
+    co-partitioned hash_joins (the modularity shape); candidate weights =
+    one grouped sum over the union of out-side, in-side and
+    always-present self rows; scores attach via two more keyed joins; one
+    grouped_apply argmax per node. Everything is keyed shuffles — nothing
+    community- or node-sized on the driver. ``mode``: "auto" gates the
+    single-task pandas path at LOUVAIN_LOCAL_GATE edge rows;
+    "distributed" forces the keyed-shuffle plan (tests)."""
+    if mode not in ("auto", "distributed"):
+        raise ValueError(f"mode must be auto|distributed, got {mode!r}")
+    edges = edges_w
+    if mode == "auto" and edges.count() <= LOUVAIN_LOCAL_GATE:
+        lt = ray.get(labels.to_arrow_refs())
+        et = ray.get(edges.to_arrow_refs())
+        return ray.data.from_arrow(
+            ray.get(_louvain_move_local_task.remote(lt, et, m)))
     i64 = pa.int64()
 
     def col(*cols):
@@ -1463,16 +1534,16 @@ def q_events_louvain_move(sf_dir: str):
         return f
 
     kout = shuffle.grouped_agg(
-        edges.map_batches(col(("node_id", "src")),
+        edges.map_batches(col(("node_id", "src"), ("w", "w")),
                           batch_format="pyarrow"),
-        ["node_id"], {"kout": (None, "count")}, num_partitions=npart)
+        ["node_id"], {"kout": ("w", "sum")}, num_partitions=npart)
     kin = shuffle.grouped_agg(
-        edges.map_batches(col(("node_id", "dst")),
+        edges.map_batches(col(("node_id", "dst"), ("w", "w")),
                           batch_format="pyarrow"),
-        ["node_id"], {"kin": (None, "count")}, num_partitions=npart)
+        ["node_id"], {"kin": ("w", "sum")}, num_partitions=npart)
     nd = shuffle.hash_join(
-        lp.map_batches(col(("node_id", "node_id"), ("lv", "label")),
-                       batch_format="pyarrow"),
+        labels.map_batches(col(("node_id", "node_id"), ("lv", "label")),
+                           batch_format="pyarrow"),
         kout, on="node_id", l_cols=["lv"], r_cols=["kout"],
         how="left", fill={"kout": 0}, num_partitions=npart)
     nd = shuffle.hash_join(
@@ -1486,19 +1557,20 @@ def q_events_louvain_move(sf_dir: str):
         num_partitions=npart)
 
     le = shuffle.hash_join(
-        edges.map_batches(col(("node_id", "src"), ("dst", "dst")),
+        edges.map_batches(col(("node_id", "src"), ("dst", "dst"),
+                              ("w", "w")),
                           batch_format="pyarrow"),
         nd.map_batches(col(("node_id", "node_id"), ("lsrc", "lv")),
                        batch_format="pyarrow"),
-        on="node_id", l_cols=["dst"], r_cols=["lsrc"],
+        on="node_id", l_cols=["dst", "w"], r_cols=["lsrc"],
         num_partitions=npart).map_batches(
         col(("src_node", "node_id"), ("node_id", "dst"),
-            ("lsrc", "lsrc")), batch_format="pyarrow")
+            ("lsrc", "lsrc"), ("w", "w")), batch_format="pyarrow")
     le = shuffle.hash_join(
         le,
         nd.map_batches(col(("node_id", "node_id"), ("ldst", "lv")),
                        batch_format="pyarrow"),
-        on="node_id", l_cols=["src_node", "lsrc"], r_cols=["ldst"],
+        on="node_id", l_cols=["src_node", "lsrc", "w"], r_cols=["ldst"],
         num_partitions=npart)
 
     def sides(t: pa.Table) -> pa.Table:
@@ -1506,10 +1578,10 @@ def q_events_louvain_move(sf_dir: str):
         dn = t.column("node_id").to_numpy().astype(np.int64)
         ls = t.column("lsrc").to_numpy().astype(np.int64)
         ld = t.column("ldst").to_numpy().astype(np.int64)
-        one = np.ones(len(sn), dtype=np.int64)
+        w = t.column("w").to_numpy().astype(np.int64)
         return pa.table({"v": pa.array(np.concatenate([sn, dn])),
                          "c": pa.array(np.concatenate([ld, ls])),
-                         "w": pa.array(np.concatenate([one, one]))})
+                         "w": pa.array(np.concatenate([w, w]))})
 
     self_rows = nd.map_batches(
         lambda t: pa.table({"v": t.column("node_id").cast(i64),
@@ -1556,6 +1628,107 @@ def q_events_louvain_move(sf_dir: str):
     return shuffle.grouped_apply(
         cand.map_batches(score, batch_format="pyarrow"), ["v"], argmax,
         num_partitions=npart)
+
+
+_LOUVAIN1_CACHE: dict = {}
+
+
+def _louvain1_cached(sf_dir: str) -> ray.data.Dataset:
+    """Level-1 Louvain move output (node_id, community) computed ONCE per
+    events fingerprint — shared by louvain_move and louvain_coarse."""
+    key = (sf_dir, _events_fp(sf_dir))
+    if key not in _LOUVAIN1_CACHE:
+        _evict_stale(_LOUVAIN1_CACHE, key)
+        lp = ray.data.from_arrow(_lp_cached(sf_dir))
+        edges = events_edges_ds(sf_dir).map_batches(
+            lambda t: t.append_column(
+                "w", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow").materialize()
+        m = edges.count()
+        # all wide steps are keyed shuffles: size their task count to
+        # the input (a fixed 32 is pure dispatch floor at test scale)
+        npart = max(4, min(64, edges.num_blocks()))
+        _LOUVAIN1_CACHE[key] = _louvain_move_round(
+            lp, edges, m, npart).materialize()
+    return _LOUVAIN1_CACHE[key]
+
+
+def q_events_louvain_move(sf_dir: str):
+    """(node_id, community) — ONE deterministic synchronous Louvain
+    local-move round refining the label-propagation partition (unit edge
+    weights; see _louvain_move_round for the integer-exact gain spec)."""
+    return _louvain1_cached(sf_dir)
+
+
+def q_events_louvain_coarse(sf_dir: str):
+    """(node_id, community) — Louvain PHASE 2: the level-1 move partition
+    is coarsened into a weighted super-graph (one node per community,
+    super-edge weight = number of original edges between the two
+    communities, self-loops kept — the aggregate graph of Blondel et al.
+    2008) and ONE weighted move round runs on it with the SAME total
+    weight m; each original node then inherits its community's level-2
+    assignment. All coarsening steps are keyed shuffles (two hash_joins
+    + one grouped sum); the super-graph is community-sized, so the
+    second round's shuffles shrink with the partition."""
+    l1 = _louvain1_cached(sf_dir)
+    edges = events_edges_ds(sf_dir).materialize()
+    m = edges.count()
+    npart = max(4, min(64, edges.num_blocks()))
+    i64 = pa.int64()
+
+    def col(*cols):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({out: t.column(src).cast(i64)
+                             for out, src in cols})
+        return f
+
+    # coarse edges: endpoint communities attach via two keyed joins,
+    # then one grouped sum -> (src, dst, w) at community granularity
+    ce = shuffle.hash_join(
+        edges.map_batches(col(("node_id", "src"), ("dst", "dst")),
+                          batch_format="pyarrow"),
+        l1.map_batches(col(("node_id", "node_id"), ("csrc", "community")),
+                       batch_format="pyarrow"),
+        on="node_id", l_cols=["dst"], r_cols=["csrc"],
+        num_partitions=npart).map_batches(
+        col(("node_id", "dst"), ("csrc", "csrc")),
+        batch_format="pyarrow")
+    ce = shuffle.hash_join(
+        ce,
+        l1.map_batches(col(("node_id", "node_id"), ("cdst", "community")),
+                       batch_format="pyarrow"),
+        on="node_id", l_cols=["csrc"], r_cols=["cdst"],
+        num_partitions=npart)
+    ce = shuffle.grouped_agg(
+        ce.map_batches(col(("src", "csrc"), ("dst", "cdst")),
+                       batch_format="pyarrow"),
+        ["src", "dst"], {"w": (None, "count")},
+        num_partitions=npart).materialize()
+
+    # identity init: every community is its own label on the super-graph
+    cl = shuffle.distinct(
+        l1.map_batches(col(("node_id", "community"),
+                           ("label", "community")),
+                       batch_format="pyarrow"),
+        ["node_id", "label"], num_partitions=npart)
+    # the second round's shuffles size to the SUPER-graph (community-
+    # granular), not the original edge count — below the gate it runs
+    # as one task anyway
+    npart2 = max(4, min(64, ce.count() // 500_000 + 4))
+    l2 = _louvain_move_round(cl, ce, m, npart2)
+
+    # original nodes inherit their community's level-2 assignment
+    out = shuffle.hash_join(
+        l1.map_batches(col(("node_id", "community"), ("v", "node_id")),
+                       batch_format="pyarrow"),
+        l2.map_batches(col(("node_id", "node_id"),
+                           ("community", "community")),
+                       batch_format="pyarrow"),
+        on="node_id", l_cols=["v"], r_cols=["community"],
+        num_partitions=npart)
+    return out.map_batches(col(("node_id", "v"),
+                               ("community", "community")),
+                           batch_format="pyarrow")
 
 
 def q_events_modularity(sf_dir: str):

@@ -1294,3 +1294,44 @@ def test_temporal_distributed_matches_local_sf(ray_session):
                                   dist["node"].to_numpy())
     np.testing.assert_array_equal(loc["arr"].to_numpy(),
                                   dist["arr"].to_numpy())
+
+
+def test_louvain_distributed_matches_local(ray_session):
+    """The keyed-shuffle move round must reproduce the single-task pandas
+    fast path bit-for-bit on the sf0.001 graph (unit weights)."""
+    import ray.data
+
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    lp = ray.data.from_arrow(Q._lp_cached(sf))
+    edges = Q.events_edges_ds(sf).map_batches(
+        lambda t: t.append_column(
+            "w", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow").materialize()
+    m = edges.count()
+    loc = (Q._louvain_move_round(lp, edges, m, 8, mode="auto")
+           .to_pandas().sort_values("node_id").reset_index(drop=True))
+    dist = (Q._louvain_move_round(lp, edges, m, 8, mode="distributed")
+            .to_pandas().sort_values("node_id").reset_index(drop=True))
+    np.testing.assert_array_equal(loc["node_id"].to_numpy(),
+                                  dist["node_id"].to_numpy())
+    np.testing.assert_array_equal(loc["community"].to_numpy(),
+                                  dist["community"].to_numpy())
+
+
+def test_louvain_coarse_refines_level1(ray_session):
+    """Phase-2 invariant: the coarse assignment factors through level 1 —
+    two nodes in the same level-1 community always share the same
+    level-2 community, and level-2 labels live in the level-1 community
+    id space."""
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    l1 = Q.q_events_louvain_move(sf).to_pandas()
+    l2 = Q.q_events_louvain_coarse(sf).to_pandas()
+    j = l1.merge(l2, on="node_id", suffixes=("_1", "_2"))
+    assert len(j) == len(l1)
+    per = j.groupby("community_1")["community_2"].nunique()
+    assert (per == 1).all()
+    assert set(j["community_2"]) <= set(l1["community"])
