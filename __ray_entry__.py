@@ -1079,6 +1079,7 @@ def entry() -> Any:
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
+    "pages_crawl_order",
     "docs_lm_perplexity", "events_triangles_doulion",
     "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
     "events_negative_samples", "emb_label_centroids",
@@ -1186,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_domain_graph": Q.q_pages_domain_graph,
         "pages_domain_pagerank": Q.q_pages_domain_pagerank,
         "pages_anchor_text": Q.q_pages_anchor_text,
+        "pages_crawl_order": Q.q_pages_crawl_order,
         # documents: text analysis + dedup family
         "docs_exact_dedup": Q.q_docs_exact_dedup,
         "docs_dedup_incremental": Q.q_docs_dedup_incremental,
@@ -1536,6 +1538,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree "
             "FROM nodes LEFT JOIN o ON o.src = nodes.id "
             "LEFT JOIN i ON i.dst = nodes.id"),
+        # politeness crawl order (queries.q_pages_crawl_order spec): k =
+        # per-host priority rank by (md5(url), url); global fetch order
+        # round-robins hosts — ROW_NUMBER over (k, host, url)
+        "pages_crawl_order": (
+            "WITH m AS (SELECT url, regexp_extract(url, "
+            "'https://([^/]+)/', 1) AS host, md5_number_lower(url) AS h "
+            f"FROM read_parquet('{_PAGES_ORACLE}/url_map/*.parquet')), "
+            "r AS (SELECT url, host, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY host ORDER BY h, url) - 1 AS BIGINT) AS k "
+            "FROM m) "
+            "SELECT url, host, k, CAST(ROW_NUMBER() OVER ("
+            "ORDER BY k, host, url) - 1 AS BIGINT) AS crawl_pos FROM r"),
         "pages_reciprocity": (
             "WITH e AS (SELECT src, dst FROM read_parquet("
             f"'{_PAGES_ORACLE}/edges/*.parquet')), "

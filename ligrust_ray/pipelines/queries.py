@@ -2156,6 +2156,94 @@ def q_pages_domain_pagerank(sf_dir: str):
         r_schema=pa.schema([("dom", pa.string()), ("id", i64)]))
 
 
+def q_pages_crawl_order(sf_dir: str):
+    """(url, host, k, crawl_pos) — POLITENESS-ORDERED crawl frontier
+    scheduling (the ordering a polite fetcher wants: never hammer one
+    host while others starve). Within each host, urls get a deterministic
+    priority rank k = ROW_NUMBER over (md5_number_lower(url), url) — the
+    hash is the reproducible random tape — and the global fetch order
+    round-robins hosts: all k=0 urls first (one per host), then k=1, etc.
+    crawl_pos is the 0-based global position under ORDER BY (k, host,
+    url). Scale shape — two distributed rank scans (the docs_shuffle
+    pattern, nothing n-length on the driver): (1) per-host k via one
+    grouped_apply keyed on host; (2) the global rank buckets on the
+    ORDER-PRESERVING composite (k, host[:2]) — bucket order IS output
+    order, so per-bucket counts (one partial-combined grouped_agg) cumsum
+    into base offsets on a tiny #buckets-row table that rides the object
+    store into one grouped_apply computing in-bucket ranks vectorised.
+    The host[:2] prefix splits the k=0 mega-bucket (#hosts rows at crawl
+    scale) without breaking lexicographic order."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    gd, g = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, g.n)
+    urls = _read_sized(os.path.join(gd, "url_map"), columns=["url"])
+
+    def hosted(t: pa.Table) -> pa.Table:
+        ucol = t.column("url")
+        hosts = [(lambda m: m[1] if m else "")(_DOMAIN_RE.search(u))
+                 for u in ucol.to_pylist()]
+        return pa.table({
+            "url": ucol,
+            "host": pa.array(hosts, type=pa.string()),
+            "h": pa.array(md5_u64_lower_arrow(
+                ucol.combine_chunks() if isinstance(ucol, pa.ChunkedArray)
+                else ucol))})
+
+    def rank_in_host(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "host": pd.Series([], dtype=object),
+                "k": pd.Series([], dtype=np.int64),
+                "pfx": pd.Series([], dtype=object)})
+        df = df.sort_values(["host", "h", "url"])
+        hv = df["host"].to_numpy()
+        idx = np.arange(len(df), dtype=np.int64)
+        first = np.concatenate(([True], hv[1:] != hv[:-1]))
+        base = np.where(first, idx, 0)
+        np.maximum.accumulate(base, out=base)
+        return pd.DataFrame({"url": df["url"].to_numpy(),
+                             "host": hv, "k": idx - base,
+                             "pfx": df["host"].str[:2].to_numpy()})
+
+    ranked = shuffle.grouped_apply(
+        urls.map_batches(hosted, batch_format="pyarrow"),
+        ["host"], rank_in_host).materialize()
+
+    sums = shuffle.grouped_agg(ranked, ["k", "pfx"],
+                               {"cnt": (None, "count")}).to_pandas()
+    sums = sums.sort_values(["k", "pfx"]).reset_index(drop=True)
+    sums["off"] = np.concatenate(
+        ([0], np.cumsum(sums["cnt"].to_numpy())[:-1])).astype(np.int64)
+    off_ref = ray.put(sums[["k", "pfx", "off"]])
+
+    def global_rank(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "host": pd.Series([], dtype=object),
+                "k": pd.Series([], dtype=np.int64),
+                "crawl_pos": pd.Series([], dtype=np.int64)})
+        offs = ray.get(off_ref)
+        df = df.sort_values(["k", "pfx", "host", "url"])
+        kv = df["k"].to_numpy(dtype=np.int64)
+        pv = df["pfx"].to_numpy()
+        idx = np.arange(len(df), dtype=np.int64)
+        first = np.concatenate(
+            ([True], (kv[1:] != kv[:-1]) | (pv[1:] != pv[:-1])))
+        base = np.where(first, idx, 0)
+        np.maximum.accumulate(base, out=base)
+        df = df.assign(__r=idx - base).merge(offs, on=["k", "pfx"],
+                                             how="left")
+        return pd.DataFrame({
+            "url": df["url"].to_numpy(), "host": df["host"].to_numpy(),
+            "k": df["k"].to_numpy(dtype=np.int64),
+            "crawl_pos": (df["__r"] + df["off"]).to_numpy(dtype=np.int64)})
+
+    return shuffle.grouped_apply(ranked, ["k", "pfx"], global_rank)
+
+
 def q_pages_degree(sf_dir: str):
     """(node_id, out_degree, in_degree) over the built pages link graph
     (multi-edges counted as stored — same table the CSR consumed),

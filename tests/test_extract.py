@@ -131,3 +131,33 @@ def test_pages_anchor_text_vs_duckdb(ray_session):
     exp["n"] = exp["n"].astype(np.int64)
     pd.testing.assert_frame_equal(got, exp)
     assert got.groupby("dst_url").size().max() <= 3
+
+
+def test_pages_crawl_order_vs_duckdb(ray_session):
+    """Politeness crawl order vs its SQL oracle, plus the two scheduling
+    invariants: crawl_pos is a permutation of 0..n-1, and within every
+    host fetch order follows the priority rank k (no host is visited at
+    round k+1 before its round-k url globally)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    got = E.queries()["pages_crawl_order"]("/root/testdata/sf0.001")
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = duckdb.sql(E.oracle_sql()["pages_crawl_order"]).df()
+    cols = sorted(exp.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    for c in ("k", "crawl_pos"):
+        g[c] = g[c].astype(np.int64)
+        e[c] = e[c].astype(np.int64)
+    pd.testing.assert_frame_equal(g, e)
+    n = len(got)
+    assert sorted(got["crawl_pos"].tolist()) == list(range(n))
+    by_pos = got.sort_values("crawl_pos")
+    # round-robin: k is non-decreasing along the global fetch order
+    assert (np.diff(by_pos["k"].to_numpy()) >= 0).all()
+    # per-host: fetch order == priority order
+    per_host = got.sort_values(["host", "crawl_pos"])
+    assert (per_host.groupby("host")["k"].diff().dropna() == 1).all()
