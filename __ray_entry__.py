@@ -1079,7 +1079,7 @@ def entry() -> Any:
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
-    "pages_crawl_order",
+    "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "docs_lm_perplexity", "events_triangles_doulion",
     "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
     "events_negative_samples", "emb_label_centroids",
@@ -1138,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lcc": Q.q_events_lcc,
         "events_common_neighbors": Q.q_events_common_neighbors,
         "events_link_pred": Q.q_events_link_pred,
+        "events_adamic_adar": Q.q_events_adamic_adar,
         "events_jaccard_pairs": Q.q_events_jaccard_pairs,
         "events_negative_samples": Q.q_events_negative_samples,
         "events_modularity": Q.q_events_modularity,
@@ -1188,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_domain_pagerank": Q.q_pages_domain_pagerank,
         "pages_anchor_text": Q.q_pages_anchor_text,
         "pages_crawl_order": Q.q_pages_crawl_order,
+        "pages_host_locality": Q.q_pages_host_locality,
         # documents: text analysis + dedup family
         "docs_exact_dedup": Q.q_docs_exact_dedup,
         "docs_dedup_incremental": Q.q_docs_dedup_incremental,
@@ -1538,6 +1540,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree "
             "FROM nodes LEFT JOIN o ON o.src = nodes.id "
             "LEFT JOIN i ON i.dst = nodes.id"),
+        # per-host link locality (queries.q_pages_host_locality spec):
+        # page-edge multiplicity, exact integer permille
+        "pages_host_locality": (
+            "WITH m AS (SELECT id, regexp_extract(url, "
+            "'https://([^/]+)/', 1) AS dom FROM read_parquet("
+            f"'{_PAGES_ORACLE}/url_map/*.parquet')), "
+            "e AS (SELECT src, dst FROM read_parquet("
+            f"'{_PAGES_ORACLE}/edges/*.parquet')) "
+            "SELECT ms.dom AS host, COUNT(*) AS n_links, "
+            "CAST(SUM(CASE WHEN ms.dom = md.dom THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_intra, "
+            "(1000 * CAST(SUM(CASE WHEN ms.dom = md.dom THEN 1 ELSE 0 "
+            "END) AS BIGINT)) // COUNT(*) AS locality_permille "
+            "FROM e JOIN m ms ON ms.id = e.src "
+            "JOIN m md ON md.id = e.dst GROUP BY ms.dom"),
         # politeness crawl order (queries.q_pages_crawl_order spec): k =
         # per-host priority rank by (md5(url), url); global fetch order
         # round-robins hosts — ROW_NUMBER over (k, host, url)
@@ -1915,6 +1932,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN deg dv ON dv.v = s.v WHERE dv.d <= 500) "
             "SELECT l1.w AS a, l2.w AS b, COUNT(*) AS n_common, "
             "CAST(SUM(1000000000 // l1.d) AS BIGINT) AS ra_ppb "
+            "FROM low l1 JOIN low l2 ON l1.v = l2.v AND l1.w < l2.w "
+            "GROUP BY l1.w, l2.w HAVING COUNT(*) >= 2"),
+        # Adamic-Adar scores: same capped wedges; per-term fixed-point
+        # round(1e6/ln(deg)) is int64 before summing (order-independent)
+        "events_adamic_adar": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v), "
+            "low AS MATERIALIZED (SELECT s.v, s.w, dv.d FROM sym s "
+            "JOIN deg dv ON dv.v = s.v WHERE dv.d <= 500) "
+            "SELECT l1.w AS a, l2.w AS b, COUNT(*) AS n_common, "
+            "CAST(SUM(CAST(FLOOR(1000000.0 / LN(l1.d) + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS aa_ppm "
             "FROM low l1 JOIN low l2 ON l1.v = l2.v AND l1.w < l2.w "
             "GROUP BY l1.w, l2.w HAVING COUNT(*) >= 2"),
         # Jaccard link prediction: same capped wedges; union size via the

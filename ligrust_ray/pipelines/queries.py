@@ -637,6 +637,7 @@ CN_MIN_COMMON = 2
 
 
 RA_SCALE = 1_000_000_000   # resource-allocation weight = RA_SCALE // deg(v)
+AA_SCALE = 1_000_000       # Adamic-Adar weight = round(AA_SCALE / ln deg(v))
 
 
 def _cn_wedges(sf_dir: str, with_score: bool) -> ray.data.Dataset:
@@ -658,7 +659,7 @@ def _cn_wedges(sf_dir: str, with_score: bool) -> ray.data.Dataset:
                         batch_format="pyarrow"),
         low_deg, on="node_id", l_cols=["w"], r_cols=["degree"])
 
-    out_cols = ["a", "b"] + (["ra"] if with_score else [])
+    out_cols = ["a", "b"] + (["ra", "aa"] if with_score else [])
 
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
@@ -682,6 +683,14 @@ def _cn_wedges(sf_dir: str, with_score: bool) -> ray.data.Dataset:
             if with_score:
                 outs["ra"].append(np.full(len(i), RA_SCALE // deg[s],
                                           dtype=np.int64))
+                # Adamic-Adar term: round-half-up fixed point of
+                # AA_SCALE/ln(deg). IEEE-double parity with DuckDB's
+                # LN verified exhaustively for deg 2..100000 in
+                # tests/test_properties.py (deg >= 2 here: k >= 2)
+                outs["aa"].append(np.full(
+                    len(i),
+                    int(np.floor(AA_SCALE / np.log(float(deg[s])) + 0.5)),
+                    dtype=np.int64))
         if not outs["a"]:
             return empty
         return pd.DataFrame({c: np.concatenate(v) for c, v in outs.items()})
@@ -756,6 +765,26 @@ def q_events_link_pred(sf_dir: str):
                                  ["a", "b"],
                                  {"n_common": (None, "count"),
                                   "ra_ppb": ("ra", "sum")})
+    return scored.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("n_common"), CN_MIN_COMMON)),
+        batch_format="pyarrow")
+
+
+def q_events_adamic_adar(sf_dir: str):
+    """(a, b, n_common, aa_ppm) Adamic-Adar link-prediction scores
+    (Adamic/Adar 2003): for the same capped-degree wedge pairs as
+    q_events_link_pred, aa_ppm = sum over common neighbours v of
+    round(AA_SCALE / ln deg(v)) — each term a deterministic int64 (the
+    fixed-point rounding is DuckDB-LN-parity-tested exhaustively over the
+    whole degree range), so the summed score is addition-order
+    independent and the hash compare exact. Consumes the SAME materialized
+    wedge artifact as the rest of the link-prediction family — one extra
+    int64 column rides the one (a, b)-keyed shuffle."""
+    scored = shuffle.grouped_agg(_cn_wedges_cached(sf_dir),
+                                 ["a", "b"],
+                                 {"n_common": (None, "count"),
+                                  "aa_ppm": ("aa", "sum")})
     return scored.map_batches(
         lambda t: t.filter(
             pc.greater_equal(t.column("n_common"), CN_MIN_COMMON)),
@@ -2154,6 +2183,41 @@ def q_pages_domain_pagerank(sf_dir: str):
         l_on="id", r_on="id", fn=attach,
         l_schema=pa.schema([("id", i64), ("rank_ppm", i64)]),
         r_schema=pa.schema([("dom", pa.string()), ("id", i64)]))
+
+
+def q_pages_host_locality(sf_dir: str):
+    """(host, n_links, n_intra, locality_permille) — per-host link
+    LOCALITY (the crawl-analytics signal separating portal hosts from
+    leaf content hosts): of each source host's page-level out-links, how
+    many stay on the same host, as an exact integer permille
+    (1000 * n_intra) // n_links. Rides the same two-co_group
+    domain-attach plan as pages_domain_graph (``_domain_edge_rows``) —
+    page-edge multiplicity preserved, nothing page-graph-sized on the
+    driver — then ONE host-keyed partial-combined grouped_agg; the flag
+    column makes intra-counting a sum, so the map-side combiner collapses
+    each block to <= 1 row per host before the shuffle."""
+    gd, g = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, g.n)
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t.column("src_domain"),
+            "intra": pc.cast(pc.equal(t.column("src_domain"),
+                                      t.column("dst_domain")), pa.int64())})
+
+    agg = shuffle.grouped_agg(
+        _domain_edge_rows(gd).map_batches(flag, batch_format="pyarrow"),
+        ["host"], {"n_links": (None, "count"), "n_intra": ("intra", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        nl = t.column("n_links").cast(pa.int64()).to_numpy()
+        ni = t.column("n_intra").cast(pa.int64()).to_numpy()
+        return pa.table({
+            "host": t.column("host"),
+            "n_links": pa.array(nl), "n_intra": pa.array(ni),
+            "locality_permille": pa.array((1000 * ni) // nl)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q_pages_crawl_order(sf_dir: str):

@@ -161,3 +161,26 @@ def test_pages_crawl_order_vs_duckdb(ray_session):
     # per-host: fetch order == priority order
     per_host = got.sort_values(["host", "crawl_pos"])
     assert (per_host.groupby("host")["k"].diff().dropna() == 1).all()
+
+
+def test_pages_host_locality_vs_duckdb(ray_session):
+    """Per-host link locality vs its SQL oracle + sanity invariants
+    (n_intra <= n_links, permille in [0, 1000], totals match the edge
+    count)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    got = E.queries()["pages_host_locality"]("/root/testdata/sf0.001")
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = duckdb.sql(E.oracle_sql()["pages_host_locality"]).df()
+    cols = sorted(exp.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    for c in ("n_links", "n_intra", "locality_permille"):
+        g[c] = g[c].astype(np.int64)
+        e[c] = e[c].astype(np.int64)
+    pd.testing.assert_frame_equal(g, e)
+    assert (got["n_intra"] <= got["n_links"]).all()
+    assert got["locality_permille"].between(0, 1000).all()

@@ -243,3 +243,22 @@ def test_dsir_tokenize_hash_matches_duckdb(texts):
         "UNNEST(regexp_extract_all(text, '\\S+')) AS tk FROM d)"
     ).fetchall()))
     assert got == exp
+
+
+def test_adamic_adar_term_matches_duckdb_ln():
+    """The Adamic-Adar fixed-point term round(AA_SCALE/ln(d)) computed
+    with numpy float64 equals DuckDB's FLOOR(AA_SCALE/LN(d)+0.5) for
+    EVERY degree the wedge generator can emit (2..CN_DEGREE_CAP) and two
+    orders of magnitude beyond — the engine-vs-oracle parity the summed
+    aa_ppm hash compare rests on."""
+    import duckdb
+
+    from ligrust_ray.pipelines.queries import AA_SCALE
+
+    d = np.arange(2, 100_001, dtype=np.float64)
+    py = np.floor(AA_SCALE / np.log(d) + 0.5).astype(np.int64)
+    db = duckdb.sql(
+        f"SELECT CAST(FLOOR({AA_SCALE}.0/LN(d)+0.5) AS BIGINT) AS v "
+        "FROM (SELECT UNNEST(range(2, 100001)) AS d) ORDER BY d"
+    ).df()["v"].to_numpy()
+    assert (py == db).all()
