@@ -555,6 +555,62 @@ def _ppr_sql(rounds: int = 4, source: int = 0) -> str:
     return "".join(parts)
 
 
+def _katz_sql(rounds: int = 4) -> str:
+    """Katz centrality oracle (algos/ppr.py KatzEdge spec): ``rounds``
+    unrolled gathers x_{t+1} = 1 + 0.05 * SUM over in-edges of x_t(src)
+    over the raw directed events multigraph, ppm-rendered with the
+    shared floor(x*1e6+0.5) convention."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES_CTE}), "
+        f"nodes AS MATERIALIZED ({_NODES_CTE}), "
+        "x0 AS MATERIALIZED (SELECT id, 1.0 AS v FROM nodes)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", x{t} AS MATERIALIZED (SELECT n.id, "
+            "1.0 + 0.05 * COALESCE(s.v, 0.0) AS v FROM nodes n LEFT JOIN "
+            f"(SELECT e.dst AS id, SUM(x.v) AS v FROM e "
+            f"JOIN x{t-1} x ON x.id = e.src GROUP BY e.dst) s "
+            "ON s.id = n.id)")
+    parts.append(
+        f" SELECT id AS node_id, CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) "
+        f"AS katz_ppm FROM x{rounds}")
+    return "".join(parts)
+
+
+def _trustrank_sql(rounds: int = 4, seed_mod: int = 16) -> str:
+    """TrustRank oracle (algos/ppr.py TrustRankEdge spec): ``rounds``
+    unrolled gathers p_{t+1} = 0.15 * e_S + 0.85 * SUM(p_t(u)/outdeg(u))
+    over the persisted pages oracle edge table; e_S uniform over the
+    deterministic seed whitelist id % seed_mod == 0, |S| counted
+    in-SQL."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src, dst FROM read_parquet("
+        f"'{_PAGES_ORACLE}/edges/*.parquet')), "
+        "nodes AS MATERIALIZED (SELECT id FROM read_parquet("
+        f"'{_PAGES_ORACLE}/nodes.parquet')), "
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e "
+        "GROUP BY src), "
+        "ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c "
+        f"FROM nodes WHERE id % {seed_mod} = 0), "
+        "p0 AS MATERIALIZED (SELECT id, CASE WHEN id % "
+        f"{seed_mod} = 0 THEN 1.0 / ns.c ELSE 0.0 END AS v "
+        "FROM nodes CROSS JOIN ns)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", p{t} AS MATERIALIZED (SELECT n.id, "
+            f"0.15 * (CASE WHEN n.id % {seed_mod} = 0 THEN 1.0 / ns.c "
+            "ELSE 0.0 END) + 0.85 * COALESCE(s.v, 0.0) AS v "
+            "FROM nodes n CROSS JOIN ns LEFT JOIN "
+            f"(SELECT e.dst AS id, SUM(p.v / deg.d) AS v FROM e "
+            f"JOIN p{t-1} p ON p.id = e.src "
+            "JOIN deg ON deg.src = e.src GROUP BY e.dst) s "
+            "ON s.id = n.id)")
+    parts.append(
+        f" SELECT id AS node_id, CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) "
+        f"AS trust_ppm FROM p{rounds}")
+    return "".join(parts)
+
+
 def _louvain_round_cte(labels: str, edges: str, sfx: str) -> str:
     """CTE block for one WEIGHTED Louvain local-move round
     (queries._louvain_move_round spec): expects ``{labels}``(node_id,
@@ -1080,6 +1136,7 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
+    "events_katz", "pages_trustrank",
     "docs_lm_perplexity", "events_triangles_doulion",
     "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
     "events_negative_samples", "emb_label_centroids",
@@ -1174,6 +1231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scc": Q.q_events_scc,
         "events_hits": Q.q_events_hits,
         "events_ppr": Q.q_events_ppr,
+        "events_katz": Q.q_events_katz,
+        "pages_trustrank": Q.q_pages_trustrank,
         "events_truss": Q.q_events_truss,
         "events_walks": Q.q_events_walks,
         "events_neighbor_sample": Q.q_events_neighbor_sample,
@@ -2013,6 +2072,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_clusters": _simhash_clusters_sql(3),
         # personalized PageRank from seed 0, 4 unrolled gathers
         "events_ppr": _ppr_sql(4, 0),
+        # Katz centrality, 4 unrolled truncated-power-series gathers
+        "events_katz": _katz_sql(4),
+        # TrustRank over the pages graph, 4 unrolled seeded gathers
+        "pages_trustrank": _trustrank_sql(4, 16),
         "events_truss": _truss_sql(16),
         "events_walks": _walks_sql(4),
         "events_walks_nb": _walks_nb_sql(4),

@@ -67,3 +67,92 @@ def personalized_page_rank(g, source: int = 0, rounds: int = 4) -> dict:
         g.edge_map(kernel)
     return {"rounds": rounds, "wall_s": time.perf_counter() - t0,
             "state_names": STATE}
+
+
+class TrustRankEdge(EdgeKernel):
+    """TrustRank (Gyongyi/Garcia-Molina/Pedersen VLDB'04): PageRank whose
+    teleport mass is restricted to a trusted SEED set — p_{t+1} = 0.15 *
+    e_S + 0.85 * gather, e_S uniform over seeds. The seed predicate is
+    id % seed_mod == 0 (a deterministic stand-in for an audited
+    whitelist), shard-locally computable so no seed table ships."""
+
+    reduce = "sum"
+    value_dtype = np.float64
+    has_output_frontier = False
+
+    def __init__(self, seed_mod: int, n_seeds: int):
+        self.seed_mod = int(seed_mod)
+        self.n_seeds = int(n_seeds)
+
+    def source_values(self, state, out_deg):
+        return np.where(out_deg > 0,
+                        state["p"] / np.maximum(out_deg, 1), 0.0)
+
+    def source_values_at(self, state, out_deg, idx):
+        od = out_deg[idx]
+        return np.where(od > 0, state["p"][idx] / np.maximum(od, 1), 0.0)
+
+    def apply(self, state, agg, touched, shard):
+        nbr = np.where(touched, agg, 0.0)
+        ids = np.arange(shard.lo, shard.hi, dtype=np.int64)
+        e_s = np.where(ids % self.seed_mod == 0,
+                       1.0 / self.n_seeds, 0.0)
+        state["p"] = ALPHA * e_s + DAMPING * nbr
+        return None, {}
+
+
+def trust_rank(g, seed_mod: int = 16, rounds: int = 4) -> dict:
+    """Run ``rounds`` synchronous TrustRank gathers; scores land in state
+    'p'. n_seeds = |{id in [0, n) : id % seed_mod == 0}| = ceil(n/mod),
+    exact on both engine and oracle sides."""
+    t0 = time.perf_counter()
+    n_seeds = (g.n + seed_mod - 1) // seed_mod
+
+    def seed(lo: int, hi: int) -> np.ndarray:
+        ids = np.arange(lo, hi, dtype=np.int64)
+        return np.where(ids % seed_mod == 0, 1.0 / n_seeds, 0.0)
+
+    g.init_algo({"p": seed})
+    kernel = TrustRankEdge(seed_mod, n_seeds)
+    for _ in range(rounds):
+        g.set_frontier("all")
+        g.edge_map(kernel)
+    return {"rounds": rounds, "n_seeds": n_seeds,
+            "wall_s": time.perf_counter() - t0, "state_names": STATE}
+
+
+KATZ_ALPHA = 0.05    # < 1/lambda_max for any graph this alpha targets
+
+
+class KatzEdge(EdgeKernel):
+    """Katz centrality, truncated power series: x_{t+1} = 1 + alpha *
+    sum over in-edges (u, v) of x_t(u) — no degree normalization
+    (multi-edges contribute multiplicity), beta = 1."""
+
+    reduce = "sum"
+    value_dtype = np.float64
+    has_output_frontier = False
+
+    def source_values(self, state, out_deg):
+        return state["x"]
+
+    def source_values_at(self, state, out_deg, idx):
+        return state["x"][idx]
+
+    def apply(self, state, agg, touched, shard):
+        nbr = np.where(touched, agg, 0.0)
+        state["x"] = 1.0 + KATZ_ALPHA * nbr
+        return None, {}
+
+
+def katz(g, rounds: int = 4) -> dict:
+    """Run ``rounds`` synchronous Katz gathers from x_0 = 1; scores land
+    in state 'x'."""
+    t0 = time.perf_counter()
+    g.init_algo({"x": lambda lo, hi: np.ones(hi - lo, dtype=np.float64)})
+    kernel = KatzEdge()
+    for _ in range(rounds):
+        g.set_frontier("all")
+        g.edge_map(kernel)
+    return {"rounds": rounds, "wall_s": time.perf_counter() - t0,
+            "state_names": ["x"]}

@@ -1051,6 +1051,48 @@ def q_events_ppr(sf_dir: str):
                          np.floor(st * 1e6 + 0.5).astype(np.int64))})
 
 
+KATZ_ROUNDS = 4
+
+
+def q_events_katz(sf_dir: str):
+    """(node_id, katz_ppm) Katz centrality after KATZ_ROUNDS truncated
+    power-series gathers x_{t+1} = 1 + 0.05 * sum_in x_t over the
+    directed events multigraph (algos/ppr.py KatzEdge) — the SQL oracle
+    unrolls the identical rounds; ppm rendering shares the
+    pagerank_events convention."""
+    from ligrust_ray.algos.ppr import katz
+
+    g = events_graph(sf_dir)
+    katz(g, rounds=KATZ_ROUNDS)
+    st = g.collect_state(["x"])["x"]
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "katz_ppm": pa.array(
+                         np.floor(st * 1e6 + 0.5).astype(np.int64))})
+
+
+TRUST_SEED_MOD = 16
+TRUST_ROUNDS = 4
+
+
+def q_pages_trustrank(sf_dir: str):
+    """(node_id, trust_ppm) — TrustRank over the built pages link graph
+    (Gyongyi et al. VLDB'04, the canonical web-spam-demotion score):
+    PageRank whose teleport mass is restricted to a trusted seed set,
+    here the deterministic whitelist stand-in id % TRUST_SEED_MOD == 0.
+    TRUST_ROUNDS synchronous gathers via the same edgeMap machinery as
+    pages_pagerank; the SQL oracle unrolls identical rounds over the
+    persisted oracle edge table with |seeds| computed in-SQL."""
+    from ligrust_ray.algos.ppr import trust_rank
+
+    gd, g = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, g.n)
+    trust_rank(g, seed_mod=TRUST_SEED_MOD, rounds=TRUST_ROUNDS)
+    st = g.collect_state(["p"])["p"]
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "trust_ppm": pa.array(
+                         np.floor(st * 1e6 + 0.5).astype(np.int64))})
+
+
 HITS_ROUNDS = 3
 
 

@@ -330,3 +330,30 @@ def skipgrams_oracle(walks: "pd.DataFrame", window: int = 2
     rows = [(a, b, n) for (a, b), n in cnt.items()]
     return pd.DataFrame(rows, columns=["center", "context", "n"]) \
         .astype(np.int64)
+
+
+def katz_oracle(n: int, src: np.ndarray, dst: np.ndarray,
+                rounds: int = 4, alpha: float = 0.05) -> np.ndarray:
+    """Mirror of ligrust_ray.algos.ppr.katz."""
+    x = np.ones(n)
+    for _ in range(rounds):
+        contrib = np.zeros(n)
+        if len(src):
+            np.add.at(contrib, dst, x[src])
+        x = 1.0 + alpha * contrib
+    return x
+
+
+def trustrank_oracle(n: int, src: np.ndarray, dst: np.ndarray,
+                     seed_mod: int = 16, rounds: int = 4) -> np.ndarray:
+    """Mirror of ligrust_ray.algos.ppr.trust_rank."""
+    outdeg = out_degrees(n, src)
+    n_seeds = (n + seed_mod - 1) // seed_mod
+    e_s = np.where(np.arange(n) % seed_mod == 0, 1.0 / n_seeds, 0.0)
+    p = e_s.copy()
+    for _ in range(rounds):
+        contrib = np.zeros(n)
+        if len(src):
+            np.add.at(contrib, dst, p[src] / np.maximum(outdeg[src], 1))
+        p = 0.15 * e_s + 0.85 * contrib
+    return p

@@ -1335,3 +1335,30 @@ def test_louvain_coarse_refines_level1(ray_session):
     per = j.groupby("community_1")["community_2"].nunique()
     assert (per == 1).all()
     assert set(j["community_2"]) <= set(l1["community"])
+
+
+def test_katz_matches_oracle(graphs):
+    from ligrust_ray.algos.ppr import katz
+
+    for nm in ("fixture", "path", "empty-edges", "er-64", "zipf-200"):
+        g, n, src, dst = graphs[nm]
+        katz(g, rounds=4)
+        got = g.collect_state(["x"])["x"]
+        exp = oracle.katz_oracle(n, src, dst, rounds=4)
+        np.testing.assert_allclose(got, exp, atol=1e-12, err_msg=nm)
+
+
+def test_trustrank_matches_oracle(graphs):
+    from ligrust_ray.algos.ppr import trust_rank
+
+    for nm in ("fixture", "path", "empty-edges", "er-64", "zipf-200"):
+        g, n, src, dst = graphs[nm]
+        trust_rank(g, seed_mod=4, rounds=4)
+        got = g.collect_state(["p"])["p"]
+        exp = oracle.trustrank_oracle(n, src, dst, seed_mod=4, rounds=4)
+        np.testing.assert_allclose(got, exp, atol=1e-12, err_msg=nm)
+        # teleport mass only lands on seeds: a node with no in-edges and
+        # id % mod != 0 must score exactly 0
+        no_in = np.setdiff1d(np.arange(n), dst)
+        non_seed = no_in[no_in % 4 != 0]
+        assert (got[non_seed] == 0.0).all(), nm
