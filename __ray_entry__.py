@@ -1136,7 +1136,7 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
-    "events_katz", "pages_trustrank",
+    "events_katz", "pages_trustrank", "events_rich_club",
     "docs_lm_perplexity", "events_triangles_doulion",
     "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
     "events_negative_samples", "emb_label_centroids",
@@ -1196,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_common_neighbors": Q.q_events_common_neighbors,
         "events_link_pred": Q.q_events_link_pred,
         "events_adamic_adar": Q.q_events_adamic_adar,
+        "events_rich_club": Q.q_events_rich_club,
         "events_jaccard_pairs": Q.q_events_jaccard_pairs,
         "events_negative_samples": Q.q_events_negative_samples,
         "events_modularity": Q.q_events_modularity,
@@ -1993,6 +1994,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(1000000000 // l1.d) AS BIGINT) AS ra_ppb "
             "FROM low l1 JOIN low l2 ON l1.v = l2.v AND l1.w < l2.w "
             "GROUP BY l1.w, l2.w HAVING COUNT(*) >= 2"),
+        # rich-club curve: phi(k) over the simple undirected graph;
+        # exact integer ppm, thresholds 0..max_degree-1, N_k >= 2
+        "events_rich_club": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) "
+            "AS d FROM sym GROUP BY v), "
+            "ks AS (SELECT UNNEST(range(0, (SELECT MAX(d) FROM deg))) "
+            "AS k), "
+            "nk AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+            "FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k), "
+            "ed AS (SELECT LEAST(da.d, db.d) AS md FROM u "
+            "JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b), "
+            "ek AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_edges "
+            "FROM ks JOIN ed ON ed.md > ks.k GROUP BY ks.k) "
+            "SELECT nk.k, nk.n_nodes, "
+            "COALESCE(ek.n_edges, 0) AS n_edges, "
+            "(2 * COALESCE(ek.n_edges, 0) * 1000000) // "
+            "(nk.n_nodes * (nk.n_nodes - 1)) AS phi_ppm "
+            "FROM nk LEFT JOIN ek ON ek.k = nk.k WHERE nk.n_nodes >= 2"),
         # Adamic-Adar scores: same capped wedges; per-term fixed-point
         # round(1e6/ln(deg)) is int64 before summing (order-independent)
         "events_adamic_adar": (

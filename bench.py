@@ -509,7 +509,13 @@ def run_headline(num_cpus: int) -> dict:
             ("emb_label_centroids", Q.q_emb_label_centroids, True),
             ("docs_dedup_incremental",
              Q.q_docs_dedup_incremental, False),
-            ("events_louvain_coarse", Q.q_events_louvain_coarse, True)):
+            ("events_louvain_coarse", Q.q_events_louvain_coarse, True),
+            ("events_katz", Q.q_events_katz, True),
+            ("pages_trustrank", Q.q_pages_trustrank, True),
+            ("pages_host_locality", Q.q_pages_host_locality, True),
+            ("events_adamic_adar", Q.q_events_adamic_adar, True),
+            ("pages_crawl_order", Q.q_pages_crawl_order, True),
+            ("events_rich_club", Q.q_events_rich_club, False)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:

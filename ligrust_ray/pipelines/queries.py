@@ -736,6 +736,67 @@ def _walks_cached(sf_dir: str, no_backtrack: bool = False
     return _WALK_CACHE[key]
 
 
+def q_events_rich_club(sf_dir: str):
+    """(k, n_nodes, n_edges, phi_ppm) — rich-club coefficient curve
+    (Colizza et al. 2006) over the simple undirected events graph: for
+    every degree threshold k in [0, max_degree), the subgraph induced by
+    nodes of degree > k has n_nodes nodes and n_edges edges, and phi =
+    2E/(N(N-1)) rendered as exact integer ppm. Rows where n_nodes < 2
+    are dropped (phi undefined). Scale shape: the curve needs only two
+    SMALL histograms — the node-degree histogram and the per-edge
+    min-endpoint-degree histogram (two hash_joins attach endpoint
+    degrees, one grouped count each) — suffix sums over #distinct-degree
+    rows finish on the driver; the node/edge tables themselves never
+    leave the cluster."""
+    deg = _simple_degree(sf_dir)
+    dh = shuffle.grouped_agg(deg, ["degree"],
+                             {"cnt": (None, "count")}).to_pandas()
+    cols = ("k", "n_nodes", "n_edges", "phi_ppm")
+    if not len(dh):
+        return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+
+    pairs = _und_pairs(sf_dir)
+    j1 = shuffle.hash_join(
+        pairs.map_batches(
+            lambda t: pa.table({"node_id": t.column("lo"),
+                                "other": t.column("hi")}),
+            batch_format="pyarrow"),
+        deg, on="node_id", l_cols=["other"], r_cols=["degree"])
+    j2 = shuffle.hash_join(
+        j1.map_batches(
+            lambda t: pa.table({"node_id": t.column("other"),
+                                "da": t.column("degree")}),
+            batch_format="pyarrow"),
+        deg, on="node_id", l_cols=["da"], r_cols=["degree"])
+    mh = shuffle.grouped_agg(
+        j2.map_batches(
+            lambda t: pa.table({"md": pc.min_element_wise(
+                t.column("da").cast(pa.int64()),
+                t.column("degree").cast(pa.int64()))}),
+            batch_format="pyarrow"),
+        ["md"], {"cnt": (None, "count")}).to_pandas()
+
+    max_d = int(dh["degree"].max())
+    dcnt = np.zeros(max_d + 1, dtype=np.int64)
+    dcnt[dh["degree"].to_numpy(dtype=np.int64)] = \
+        dh["cnt"].to_numpy(dtype=np.int64)
+    ecnt = np.zeros(max_d + 1, dtype=np.int64)
+    if len(mh):
+        ecnt[mh["md"].to_numpy(dtype=np.int64)] = \
+            mh["cnt"].to_numpy(dtype=np.int64)
+    # suffix sums: N_k / E_k = counts with degree / min-degree > k
+    nsuf = np.cumsum(dcnt[::-1])[::-1]
+    esuf = np.cumsum(ecnt[::-1])[::-1]
+    ks = np.arange(0, max_d, dtype=np.int64)
+    n_k = nsuf[ks + 1]
+    e_k = esuf[ks + 1]
+    keep = n_k >= 2
+    ks, n_k, e_k = ks[keep], n_k[keep], e_k[keep]
+    phi = (2 * e_k * 1_000_000) // (n_k * (n_k - 1))
+    return pa.table({"k": pa.array(ks), "n_nodes": pa.array(n_k),
+                     "n_edges": pa.array(e_k), "phi_ppm": pa.array(phi)})
+
+
 def q_events_common_neighbors(sf_dir: str):
     """(a, b, n_common) link-prediction candidates over the simple
     undirected events graph: unordered pairs sharing >= CN_MIN_COMMON

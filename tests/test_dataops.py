@@ -904,6 +904,56 @@ def test_stratified_sample_quota_and_determinism(ray_session, tmp_path):
         sorted(keyed[:Q.STRAT_K])
 
 
+# ------------------------------------------------------------ rich club
+
+
+def test_rich_club_matches_bruteforce(ray_session, tmp_path):
+    """events_rich_club == brute-force phi(k) curve over the same simple
+    undirected graph: for each k, induced subgraph on nodes of degree > k
+    has N_k nodes / E_k edges; phi_ppm = (2*E_k*1e6)//(N_k*(N_k-1));
+    rows with N_k < 2 dropped."""
+    from ligrust_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(23)
+    n_ev = 700
+    tab = pa.table({
+        "event_id": pa.array(range(n_ev), type=pa.int64()),
+        "ts": pa.array([0] * n_ev, type=pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 50, n_ev), type=pa.int64()),
+        "event_type": pa.array(["t"] * n_ev, type=pa.string()),
+        "value": pa.array(rng.uniform(0, 10, n_ev), type=pa.float64()),
+        "props": pa.array(["{}"] * n_ev, type=pa.string())})
+    pq.write_table(tab, tmp_path / "events.parquet")
+
+    got = (Q.q_events_rich_club(str(tmp_path)).to_pandas()
+           .sort_values("k").reset_index(drop=True).astype(np.int64))
+
+    uid = tab.column("user_id").to_numpy()
+    val = tab.column("value").to_numpy()
+    dst = (np.floor(val * 100).astype(np.int64)) % 150
+    und = {(min(int(s), int(d)), max(int(s), int(d)))
+           for s, d in zip(uid, dst) if s != d}
+    from collections import Counter
+    deg = Counter()
+    for a_, b_ in und:
+        deg[a_] += 1
+        deg[b_] += 1
+    rows = []
+    for k in range(max(deg.values())):
+        keep = {v for v, d in deg.items() if d > k}
+        if len(keep) < 2:
+            continue
+        e_k = sum(1 for a_, b_ in und if a_ in keep and b_ in keep)
+        rows.append((k, len(keep), e_k,
+                     (2 * e_k * 1_000_000) // (len(keep) * (len(keep) - 1))))
+    exp = pd.DataFrame(rows, columns=["k", "n_nodes", "n_edges", "phi_ppm"]
+                       ).astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+    # the curve exists for every threshold below max degree with >=2 nodes
+    assert (got["n_nodes"].to_numpy()[:-1] >= got["n_nodes"].to_numpy()[1:]
+            ).all()
+
+
 # ------------------------------------------------ resource-allocation LP
 
 
