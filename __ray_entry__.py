@@ -101,6 +101,23 @@ def _signed64(expr: str) -> str:
             "AS BIGINT)")
 
 
+def _wl_round_cte(i: int, o: int) -> str:
+    """One WL refinement round as CTEs c{i} -> c{o} (spec: queries.py
+    _wl_round — wrapped-mod-2^64 neighbor multiset hash, then
+    md5 of "{own color}|{signed sum}")."""
+    sm = _signed64(f"s{o}.sm")
+    return (
+        f"h{i} AS (SELECT v, md5_number_lower(CAST(color AS VARCHAR)) "
+        f"AS hc FROM c{i}), "
+        f"s{o} AS (SELECT sym.v, CAST(CAST(SUM(CAST(h{i}.hc AS HUGEINT)) "
+        "% 18446744073709551616 AS HUGEINT) AS UBIGINT) AS sm "
+        f"FROM sym JOIN h{i} ON h{i}.v = sym.w GROUP BY sym.v), "
+        f"c{o} AS MATERIALIZED (SELECT s{o}.v, "
+        + _signed64(f"md5_number_lower(CAST(c{i}.color AS VARCHAR) || '|' "
+                    f"|| CAST({sm} AS VARCHAR))")
+        + f" AS color FROM s{o} JOIN c{i} ON c{i}.v = s{o}.v)")
+
+
 # Winnowing oracle prefix (mirrors textstats.WINNOW_K/WINNOW_W): grams
 # via lateral positions over the RE2 token list, window p covers grams
 # [p, p+3]; member i joins windows p = i-3..i clipped to the full-window
@@ -1137,6 +1154,7 @@ _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
+    "events_wl_colors",
     "docs_lm_perplexity", "events_triangles_doulion",
     "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
     "events_negative_samples", "emb_label_centroids",
@@ -1197,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_link_pred": Q.q_events_link_pred,
         "events_adamic_adar": Q.q_events_adamic_adar,
         "events_rich_club": Q.q_events_rich_club,
+        "events_wl_colors": Q.q_events_wl_colors,
         "events_jaccard_pairs": Q.q_events_jaccard_pairs,
         "events_negative_samples": Q.q_events_negative_samples,
         "events_modularity": Q.q_events_modularity,
@@ -2018,6 +2037,22 @@ def oracle_sql() -> dict[str, str]:
             "(2 * COALESCE(ek.n_edges, 0) * 1000000) // "
             "(nk.n_nodes * (nk.n_nodes - 1)) AS phi_ppm "
             "FROM nk LEFT JOIN ek ON ek.k = nk.k WHERE nk.n_nodes >= 2"),
+        # 1-WL color refinement, 2 rounds: color_0 = degree; round t+1 =
+        # md5("{own}|{sum}") with sum = Σ md5(str(neighbor color)) mod
+        # 2^64 (order-independent multiset hash — the engine's wrapped
+        # int64 Arrow sum == HUGEINT % 2^64 here)
+        "events_wl_colors": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "c0 AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) "
+            "AS color FROM sym GROUP BY v), "
+            + _wl_round_cte(0, 1) + ", " + _wl_round_cte(1, 2) +
+            " SELECT c2.v AS node_id, c1.color AS wl1, c2.color AS wl2 "
+            "FROM c2 JOIN c1 ON c1.v = c2.v"),
         # Adamic-Adar scores: same capped wedges; per-term fixed-point
         # round(1e6/ln(deg)) is int64 before summing (order-independent)
         "events_adamic_adar": (

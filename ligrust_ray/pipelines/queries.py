@@ -797,6 +797,83 @@ def q_events_rich_club(sf_dir: str):
                      "n_edges": pa.array(e_k), "phi_ppm": pa.array(phi)})
 
 
+def _wl_round(sym: ray.data.Dataset, colors: ray.data.Dataset
+              ) -> ray.data.Dataset:
+    """One Weisfeiler-Lehman refinement round over (v, w) sym edges:
+    new_color(v) = md5("{color_v}|{S_v}") with S_v = Σ_{w∈N(v)}
+    md5(str(color_w)) wrapped mod 2^64. The wrapped SUM is an
+    order-independent multiset hash, so the neighbor aggregation is a
+    plain combiner-friendly grouped sum — a hub never builds the
+    O(degree) sorted signature string classic WL would need (Arrow's
+    int64 group_by sum wraps two's-complement = mod 2^64, same as
+    DuckDB HUGEINT % 2^64 in the oracle)."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    def hashed(t: pa.Table) -> pa.Table:
+        h = md5_u64_lower_arrow(
+            pc.cast(t.column("color"), pa.string()).combine_chunks()
+        ).astype(np.int64)
+        return pa.table({"node_id": t.column("node_id"),
+                         "hc": pa.array(h)})
+
+    nbh = colors.map_batches(hashed, batch_format="pyarrow")
+    j = shuffle.hash_join(
+        sym.map_batches(
+            lambda t: pa.table({"node_id": t.column("w"),
+                                "v": t.column("v")}),
+            batch_format="pyarrow"),
+        nbh, on="node_id", l_cols=["v"], r_cols=["hc"])
+    sm = shuffle.grouped_agg(
+        j.map_batches(lambda t: pa.table({"node_id": t.column("v"),
+                                          "hc": t.column("hc")}),
+                      batch_format="pyarrow"),
+        ["node_id"], {"sm": ("hc", "sum")})
+    sig = shuffle.hash_join(sm, colors, on="node_id",
+                            l_cols=["sm"], r_cols=["color"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pc.cast(t.column("color"), pa.string()),
+            pc.cast(t.column("sm"), pa.string()), "|")
+        h = md5_u64_lower_arrow(s.combine_chunks()).astype(np.int64)
+        return pa.table({"node_id": t.column("node_id"),
+                         "color": pa.array(h)})
+
+    return sig.map_batches(fin, batch_format="pyarrow")
+
+
+def q_events_wl_colors(sf_dir: str):
+    """(node_id, wl1, wl2) — two rounds of 1-WL color refinement
+    (Weisfeiler-Leman graph fingerprinting; the kernel behind WL graph
+    kernels and GIN expressiveness) over the simple undirected events
+    graph. Round-0 color = degree; each round rehashes (own color,
+    neighbor-color multiset). Nodes with identical wl2 have isomorphic
+    2-hop unrolling trees (up to hash collision). Scale shape: per round
+    one edge-keyed hash_join + one combiner-friendly grouped sum + one
+    node-keyed join — state is one row per node, and the multiset-sum
+    spec (see _wl_round) keeps hub work distributed."""
+    sym = _sym_simple(sf_dir)
+    c0 = _simple_degree(sf_dir).map_batches(
+        lambda t: pa.table({"node_id": t.column("node_id"),
+                            "color": t.column("degree").cast(pa.int64())}),
+        batch_format="pyarrow")
+    c1 = _wl_round(sym, c0).materialize()   # node-sized state, read twice
+    c2 = _wl_round(sym, c1)
+    return shuffle.hash_join(
+        c2.map_batches(
+            lambda t: pa.table({"node_id": t.column("node_id"),
+                                "wl2": t.column("color")}),
+            batch_format="pyarrow"),
+        c1.map_batches(
+            lambda t: pa.table({"node_id": t.column("node_id"),
+                                "wl1": t.column("color")}),
+            batch_format="pyarrow"),
+        on="node_id", l_cols=["wl2"], r_cols=["wl1"]
+    ).map_batches(
+        lambda t: t.select(["node_id", "wl1", "wl2"]),
+        batch_format="pyarrow")
+
+
 def q_events_common_neighbors(sf_dir: str):
     """(a, b, n_common) link-prediction candidates over the simple
     undirected events graph: unordered pairs sharing >= CN_MIN_COMMON

@@ -954,6 +954,95 @@ def test_rich_club_matches_bruteforce(ray_session, tmp_path):
             ).all()
 
 
+# ------------------------------------------------------ WL refinement
+
+
+def _wl_brute(und: set, rounds: int = 2) -> list[dict]:
+    """hashlib replica of the _wl_round spec: c0 = degree, then
+    md5('{own}|{sum}') with sum = wrapped mod-2^64 multiset hash."""
+    from collections import defaultdict
+
+    from ligrust_ray.dataops.hashing import md5_u64_lower, u64_to_i64
+
+    adj = defaultdict(set)
+    for a_, b_ in und:
+        adj[a_].add(b_)
+        adj[b_].add(a_)
+    cols = [{v: len(nb) for v, nb in adj.items()}]
+    for _ in range(rounds):
+        cur = cols[-1]
+        nxt = {}
+        for v, nb in adj.items():
+            s = sum(md5_u64_lower(str(cur[w]).encode()) for w in nb)
+            sm = u64_to_i64(s % (1 << 64))
+            nxt[v] = u64_to_i64(
+                md5_u64_lower(f"{cur[v]}|{sm}".encode()))
+        cols.append(nxt)
+    return cols
+
+
+def test_wl_colors_match_bruteforce(ray_session, tmp_path):
+    """events_wl_colors == hashlib replica of the multiset-hash WL spec
+    on a random events graph."""
+    from ligrust_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(31)
+    n_ev = 600
+    tab = pa.table({
+        "event_id": pa.array(range(n_ev), type=pa.int64()),
+        "ts": pa.array([0] * n_ev, type=pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 40, n_ev), type=pa.int64()),
+        "event_type": pa.array(["t"] * n_ev, type=pa.string()),
+        "value": pa.array(rng.uniform(0, 10, n_ev), type=pa.float64()),
+        "props": pa.array(["{}"] * n_ev, type=pa.string())})
+    pq.write_table(tab, tmp_path / "events.parquet")
+
+    got = (Q.q_events_wl_colors(str(tmp_path)).to_pandas()
+           .sort_values("node_id").reset_index(drop=True))
+
+    uid = tab.column("user_id").to_numpy()
+    val = tab.column("value").to_numpy()
+    dst = (np.floor(val * 100).astype(np.int64)) % 150
+    und = {(min(int(s), int(d)), max(int(s), int(d)))
+           for s, d in zip(uid, dst) if s != d}
+    cols = _wl_brute(und)
+    exp = pd.DataFrame(
+        sorted((v, cols[1][v], cols[2][v]) for v in cols[0]),
+        columns=["node_id", "wl1", "wl2"])
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  exp.astype(np.int64))
+
+
+def test_wl_colors_orbit_equivalence(ray_session, tmp_path):
+    """Symmetric positions get identical colors: two disjoint triangles
+    share one wl2 color; a 3-star's leaves share another and its center
+    a third; all three classes differ. (A 4-cycle would NOT separate
+    from a triangle — both are 2-regular, the classic 1-WL limit.)"""
+    from ligrust_ray.pipelines import queries as Q
+
+    # planted edges (a, b): user_id = a, value = b/100 + eps
+    edges = [(0, 1), (1, 2), (2, 0),          # triangle A
+             (10, 11), (11, 12), (12, 10),    # triangle B
+             (20, 21), (20, 22), (20, 23)]    # star, center 20
+    n = len(edges)
+    tab = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array([0] * n, type=pa.timestamp("us")),
+        "user_id": pa.array([a for a, _ in edges], type=pa.int64()),
+        "event_type": pa.array(["t"] * n, type=pa.string()),
+        "value": pa.array([b * 0.01 + 0.001 for _, b in edges],
+                          type=pa.float64()),
+        "props": pa.array(["{}"] * n, type=pa.string())})
+    pq.write_table(tab, tmp_path / "events.parquet")
+
+    got = Q.q_events_wl_colors(str(tmp_path)).to_pandas()
+    by = dict(zip(got["node_id"], got["wl2"]))
+    tri = {by[v] for v in (0, 1, 2, 10, 11, 12)}
+    leaf = {by[v] for v in (21, 22, 23)}
+    assert len(tri) == 1 and len(leaf) == 1
+    assert len(tri | leaf | {by[20]}) == 3
+
+
 # ------------------------------------------------ resource-allocation LP
 
 
