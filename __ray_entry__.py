@@ -1154,7 +1154,7 @@ _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
-    "events_wl_colors",
+    "events_wl_colors", "docs_bm25",
     "docs_lm_perplexity", "events_triangles_doulion",
     "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
     "events_negative_samples", "emb_label_centroids",
@@ -1341,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_preprocess": Q.q_docs_preprocess,
         "docs_source_stats": Q.q_docs_source_stats,
         "docs_top_tokens": Q.q_docs_top_tokens,
+        "docs_bm25": Q.q_docs_bm25,
         "docs_token_cms": Q.q_docs_token_cms,
         "docs_tfidf": Q.q_docs_tfidf,
         "docs_decontaminate": Q.q_docs_decontaminate,
@@ -2607,6 +2608,30 @@ def oracle_sql() -> dict[str, str]:
             "'\\S+')) AS token FROM documents) "
             "SELECT token, COUNT(*) AS n FROM t GROUP BY token "
             "ORDER BY n DESC, token LIMIT 50"),
+        # Okapi BM25 top-K for the fixed 4-token query, integer-exact:
+        # k1=1.2 b=0.75 cleared to common denominator 10*T; idf_milli =
+        # floor(1000*ln(1+(N-df+.5)/(df+.5))+.5) (AA LN convention)
+        "docs_bm25": (
+            "WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'\\S+') AS tks FROM documents), "
+            "dl AS MATERIALIZED (SELECT doc_id, CAST(len(tks) AS BIGINT) "
+            "AS dl FROM tk), "
+            "tot AS MATERIALIZED (SELECT CAST(SUM(dl) AS BIGINT) AS t, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM dl), "
+            "tf AS MATERIALIZED (SELECT doc_id, u.t AS tok, "
+            "CAST(COUNT(*) AS BIGINT) AS tf FROM tk, UNNEST(tks) AS u(t) "
+            "WHERE u.t IN ('query', 'window', 'spark', 'customer') "
+            "GROUP BY doc_id, u.t), "
+            "idf AS (SELECT tok, CAST(FLOOR(1000.0 * LN(1 + "
+            "((SELECT n FROM tot) - COUNT(*) + 0.5) / (COUNT(*) + 0.5)) "
+            "+ 0.5) AS BIGINT) AS idf FROM tf GROUP BY tok), "
+            "term AS (SELECT tf.doc_id, (idf.idf * 22 * tot.t * tf.tf) "
+            "// (10 * tot.t * tf.tf + 3 * tot.t + 9 * dl.dl * tot.n) "
+            "AS v FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) "
+            "CROSS JOIN tot) "
+            "SELECT doc_id, CAST(SUM(v) AS BIGINT) AS score_milli "
+            "FROM term GROUP BY doc_id "
+            "ORDER BY score_milli DESC, doc_id LIMIT 20"),
         # K=3 most distinctive terms per doc (integer TF-IDF shape):
         # rank by tf DESC, df ASC, token ASC — total order per doc since
         # tokens are unique within a doc, so ROW_NUMBER is deterministic

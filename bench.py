@@ -516,7 +516,8 @@ def run_headline(num_cpus: int) -> dict:
             ("events_adamic_adar", Q.q_events_adamic_adar, True),
             ("pages_crawl_order", Q.q_pages_crawl_order, True),
             ("events_rich_club", Q.q_events_rich_club, False),
-            ("events_wl_colors", Q.q_events_wl_colors, True)):
+            ("events_wl_colors", Q.q_events_wl_colors, True),
+            ("docs_bm25", Q.q_docs_bm25, False)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:

@@ -4397,6 +4397,104 @@ def q_docs_top_tokens(sf_dir: str):
                      "n": pa.array(top["n"].to_numpy(dtype=np.int64))})
 
 
+BM25_K_DOCS = 20
+BM25_QUERY = ("query", "window", "spark", "customer")
+BM25_SCALE = 1000   # idf fixed point: floor(1000*ln(1+(N-df+.5)/(df+.5))+.5)
+
+
+def _bm25_batch_counts(t: pa.Table):
+    """Vectorised per-doc (doc_id, dl, tf matrix) for one batch: RE2-
+    parity regex split (empties at string edges dropped), parent-index
+    bincounts — no Python loop over rows or tokens-per-row."""
+    ids = t.column("doc_id").to_numpy().astype(np.int64)
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(t.column("text")), textstats.RE2_WS + "+"
+    ).combine_chunks()
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.chunk(0) if toks.num_chunks else \
+            pa.array([], type=pa.list_(pa.string()))
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(ids)), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, doc_idx = flat.filter(pa.array(keep)), doc_idx[keep]
+    dl = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
+    tf = np.zeros((len(BM25_QUERY), len(ids)), dtype=np.int64)
+    for qi, tok in enumerate(BM25_QUERY):
+        m = pc.equal(flat, tok).to_numpy(zero_copy_only=False)
+        if m.any():
+            tf[qi] = np.bincount(doc_idx[m], minlength=len(ids))
+    return ids, dl, tf
+
+
+def q_docs_bm25(sf_dir: str):
+    """(doc_id, score_milli) — top-BM25_K_DOCS documents for the fixed
+    query BM25_QUERY under Okapi BM25 (k1=1.2, b=0.75), integer-exact:
+    with T = total corpus tokens, N = docs, per-term score = idf_milli *
+    22*T*tf // (10*T*tf + 3*T + 9*dl*N) (the k1/b constants cleared to
+    the common denominator 10*T), idf_milli = floor(1000*ln(1 +
+    (N-df+0.5)/(df+0.5)) + 0.5) — LN parity with DuckDB per the
+    Adamic-Adar convention. Retrieval/quality-scoring primitive for LM
+    data pipelines (e.g. pulling docs matching a reference corpus).
+    Scale shape: pass 1 folds one bounded partial row per block (N, T,
+    per-query-token df); pass 2 scores each doc locally against the
+    broadcast constants and keeps a per-block partial top-K, so only
+    P*K candidate rows reach the driver merge. Int64 exactness is
+    guarded (raises) at idf*22*T*dl >= 2^62 — at that corpus size
+    switch to float scoring."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, dl, tf = _bm25_batch_counts(t)
+        row = {"n_docs": [len(dl)], "n_tokens": [int(dl.sum())],
+               "dl_max": [int(dl.max()) if len(dl) else 0]}
+        for qi in range(len(BM25_QUERY)):
+            row[f"df{qi}"] = [int((tf[qi] > 0).sum())]
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in row.items()})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    n_tok = int(parts["n_tokens"].sum())
+    dl_max = int(parts["dl_max"].max()) if len(parts) else 0
+    if not n_docs:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "score_milli": pa.array([], type=pa.int64())})
+    idf = np.empty(len(BM25_QUERY), dtype=np.int64)
+    for qi in range(len(BM25_QUERY)):
+        df = int(parts[f"df{qi}"].sum())
+        x = 1.0 + (n_docs - df + 0.5) / (df + 0.5)
+        idf[qi] = int(np.floor(BM25_SCALE * np.log(x) + 0.5))
+    if int(idf.max()) * 22 * n_tok * max(dl_max, 1) >= 2 ** 62:
+        raise ValueError("docs_bm25: int64 exactness bound exceeded — "
+                         "use float scoring at this corpus size")
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, dl, tf = _bm25_batch_counts(t)
+        sc = np.zeros(len(ids), dtype=np.int64)
+        hit = np.zeros(len(ids), dtype=bool)
+        for qi in range(len(BM25_QUERY)):
+            m = tf[qi] > 0
+            if not m.any():
+                continue
+            hit |= m
+            num = idf[qi] * 22 * n_tok * tf[qi][m]
+            den = 10 * n_tok * tf[qi][m] + 3 * n_tok + 9 * dl[m] * n_docs
+            sc[m] += num // den
+        ids, sc = ids[hit], sc[hit]
+        ordr = np.lexsort((ids, -sc))[:BM25_K_DOCS]   # block-partial top-K
+        return pa.table({"doc_id": pa.array(ids[ordr]),
+                         "score_milli": pa.array(sc[ordr])})
+
+    cand = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["score_milli", "doc_id"],
+                            ascending=[False, True]).head(BM25_K_DOCS)
+    return pa.table({
+        "doc_id": pa.array(cand["doc_id"].to_numpy(dtype=np.int64)),
+        "score_milli": pa.array(
+            cand["score_milli"].to_numpy(dtype=np.int64))})
+
+
 OOV_VOCAB_K = 1000
 
 

@@ -954,6 +954,58 @@ def test_rich_club_matches_bruteforce(ray_session, tmp_path):
             ).all()
 
 
+# ----------------------------------------------------------------- BM25
+
+
+def test_bm25_matches_bruteforce(ray_session, tmp_path):
+    """docs_bm25 == a Python-int replica of the fixed-point Okapi
+    formula on a planted corpus: docs without query tokens emit no row,
+    repeated terms saturate via the tf normalizer, ties break doc_id
+    ASC."""
+    import math
+
+    from ligrust_ray.pipelines import queries as Q
+
+    texts = [
+        "query window spark customer extra pad",       # all four terms
+        "query query query query pad pad pad pad",     # tf saturation
+        "nothing relevant here at all",                # no query terms
+        "customer spark pad",                          # short doc
+        "window pad pad pad pad pad pad pad pad pad",  # long-ish, 1 term
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = (Q.q_docs_bm25(str(tmp_path)).to_pandas()
+           .reset_index(drop=True))
+
+    toks = [t.split() for t in texts]
+    n = len(texts)
+    big_t = sum(len(w) for w in toks)
+    exp_rows = {}
+    for tok in Q.BM25_QUERY:
+        df = sum(1 for w in toks if tok in w)
+        if not df:
+            continue
+        idf = int(math.floor(
+            Q.BM25_SCALE * math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            + 0.5))
+        for d, w in enumerate(toks):
+            tf = w.count(tok)
+            if not tf:
+                continue
+            v = (idf * 22 * big_t * tf) // (
+                10 * big_t * tf + 3 * big_t + 9 * len(w) * n)
+            exp_rows[d] = exp_rows.get(d, 0) + v
+    exp = pd.DataFrame(
+        sorted(exp_rows.items(), key=lambda kv: (-kv[1], kv[0])),
+        columns=["doc_id", "score_milli"]).head(Q.BM25_K_DOCS)
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  exp.astype(np.int64))
+    assert 2 not in set(got["doc_id"])   # no-query-term doc absent
+
+
 # ------------------------------------------------------ WL refinement
 
 
