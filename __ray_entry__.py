@@ -1154,7 +1154,7 @@ _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
-    "events_wl_colors", "docs_bm25",
+    "events_wl_colors", "docs_bm25", "events_butterflies",
     "docs_lm_perplexity", "events_triangles_doulion",
     "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
     "events_negative_samples", "emb_label_centroids",
@@ -1202,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_strength": Q.q_events_strength,
         "events_degree_histogram": Q.q_events_degree_histogram,
         "events_mutual_edges": Q.q_events_mutual_edges,
+        "events_butterflies": Q.q_events_butterflies,
         "events_graph_stats": Q.q_events_graph_stats,
         "events_assortativity": Q.q_events_assortativity,
         "events_component_sizes": Q.q_events_component_sizes,
@@ -1375,6 +1376,16 @@ def oracle_sql() -> dict[str, str]:
             f"WITH e AS ({_EDGES_CTE}), "
             "d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src) "
             "SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY degree"),
+        # bipartite 2x2-biclique census of the user->item view: wedges =
+        # item pairs co-liked per user; butterflies = C(c_ij, 2) summed
+        "events_butterflies": (
+            f"WITH de AS (SELECT DISTINCT * FROM ({_EDGES_CTE})), "
+            "w AS (SELECT e1.dst AS i, e2.dst AS j, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM de e1 JOIN de e2 "
+            "ON e1.src = e2.src AND e1.dst < e2.dst GROUP BY 1, 2) "
+            "SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n_wedges, "
+            "COALESCE(CAST(SUM(c * (c - 1) // 2) AS BIGINT), 0) "
+            "AS n_butterflies FROM w"),
         "events_mutual_edges": (
             f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE})) "
             "SELECT COUNT(*) AS n_mutual FROM e a "

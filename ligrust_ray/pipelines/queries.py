@@ -197,6 +197,62 @@ def _distinct_edges(sf_dir: str) -> ray.data.Dataset:
     return shuffle.distinct(events_edges_ds(sf_dir), ["src", "dst"])
 
 
+def q_events_butterflies(sf_dir: str):
+    """(n_wedges, n_butterflies) — one-row exact census of the BIPARTITE
+    user→item view of the events graph (src = user side, dst = item
+    side: two distinct node types, so no symmetrization or self-loop
+    rule applies). A butterfly = 2×2 biclique (two users sharing two
+    items) — the bipartite clustering primitive (Sariyüce & Pinar
+    2018); n_wedges = Σ_u C(d_u, 2) = Σ_{i<j} c_ij with c_ij = users
+    adjacent to both items. Scale shape: per-user item-pair explode via
+    one src-keyed grouped_apply (volume Σ C(d_u,2); the item side is
+    the bounded domain here — cap or sample hub users at real scale),
+    one (i,j)-keyed grouped count, then per-block partials fold on the
+    driver (O(#blocks) rows)."""
+    de = _distinct_edges(sf_dir)
+    cols = ("i", "j")
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                              for c in cols})
+        if not len(df):
+            return empty
+        df = df.sort_values(["src", "dst"])
+        s = df["src"].to_numpy()
+        d = df["dst"].to_numpy().astype(np.int64)
+        seg = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        sizes = np.diff(np.append(seg, len(s)))
+        outs_i, outs_j = [], []
+        for st, k in zip(seg, sizes):
+            if k < 2:
+                continue
+            nb = d[st:st + k]        # distinct + sorted within a user
+            i, j = np.triu_indices(int(k), 1)
+            outs_i.append(nb[i])
+            outs_j.append(nb[j])
+        if not outs_i:
+            return empty
+        return pd.DataFrame({"i": np.concatenate(outs_i),
+                             "j": np.concatenate(outs_j)})
+
+    pairs = shuffle.grouped_apply(de, ["src"], pairs_fn)
+    cij = shuffle.grouped_agg(pairs, ["i", "j"], {"c": (None, "count")})
+
+    def part(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy().astype(np.int64)
+        return pa.table({
+            "n_wedges": pa.array([int(c.sum())], type=pa.int64()),
+            "n_butterflies": pa.array([int((c * (c - 1) // 2).sum())],
+                                      type=pa.int64())})
+
+    parts = cij.map_batches(part, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "n_wedges": pa.array([int(parts["n_wedges"].sum())],
+                             type=pa.int64()),
+        "n_butterflies": pa.array([int(parts["n_butterflies"].sum())],
+                                  type=pa.int64())})
+
+
 def q_events_mutual_edges(sf_dir: str):
     """Count of unordered pairs {a,b}, a<b, with BOTH directions present.
     Fully distributed (general-graph safe, no broadcast of the edge set):

@@ -954,6 +954,49 @@ def test_rich_club_matches_bruteforce(ray_session, tmp_path):
             ).all()
 
 
+# ----------------------------------------------------------- butterflies
+
+
+def test_butterflies_matches_bruteforce(ray_session, tmp_path):
+    """events_butterflies == brute-force bipartite 2x2-biclique count;
+    a planted complete 2x3 biclique contributes C(3,2)=3 wedge pairs
+    each with c=2 -> 3 butterflies."""
+    from itertools import combinations
+
+    from ligrust_ray.pipelines import queries as Q
+
+    # planted: users 100, 101 both like items 5, 6, 7 (a K_{2,3});
+    # plus noise edges
+    edges = [(100, 5), (100, 6), (100, 7),
+             (101, 5), (101, 6), (101, 7),
+             (102, 5), (103, 9)]
+    n = len(edges)
+    tab = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array([0] * n, type=pa.timestamp("us")),
+        "user_id": pa.array([a for a, _ in edges], type=pa.int64()),
+        "event_type": pa.array(["t"] * n, type=pa.string()),
+        "value": pa.array([b * 0.01 + 0.001 for _, b in edges],
+                          type=pa.float64()),
+        "props": pa.array(["{}"] * n, type=pa.string())})
+    pq.write_table(tab, tmp_path / "events.parquet")
+
+    got = Q.q_events_butterflies(str(tmp_path)).to_pandas()
+
+    from collections import Counter, defaultdict
+    adj = defaultdict(set)
+    for u, it in edges:
+        adj[u].add(it)
+    cij = Counter()
+    for items in adj.values():
+        for i, j in combinations(sorted(items), 2):
+            cij[(i, j)] += 1
+    n_wedges = sum(cij.values())
+    n_bf = sum(c * (c - 1) // 2 for c in cij.values())
+    assert int(got["n_wedges"][0]) == n_wedges == 6
+    assert int(got["n_butterflies"][0]) == n_bf == 3
+
+
 # ----------------------------------------------------------------- BM25
 
 
