@@ -1155,6 +1155,7 @@ _CHECK_PRIORITY = [
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
     "events_wl_colors", "docs_bm25", "events_butterflies",
+    "events_window_hll",
     "docs_lm_perplexity", "events_triangles_doulion",
     "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
     "events_negative_samples", "emb_label_centroids",
@@ -1324,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-pipeline utilities (r3)
         "events_distinct_users": Q.q_events_distinct_users,
         "events_user_hll": Q.q_events_user_hll,
+        "events_window_hll": Q.q_events_window_hll,
         "events_user_bloom": Q.q_events_user_bloom,
         "docs_sample": Q.q_docs_sample,
         "docs_pack": Q.q_docs_pack,
@@ -2460,6 +2462,17 @@ def oracle_sql() -> dict[str, str]:
             "END) AS rho FROM (SELECT event_type, "
             "md5_number_lower(CAST(user_id AS VARCHAR)) AS hv FROM events) "
             "GROUP BY event_type, reg"),
+        # per-tumbling-window HLL registers (same register spec as
+        # events_user_hll, keyed by the events_windows hour bucket)
+        "events_window_hll": (
+            "SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 "
+            "AS BIGINT) AS window_start_us, "
+            "CAST(hv // 4503599627370496 AS BIGINT) AS reg, "
+            "MAX(CASE WHEN hv % 4503599627370496 = 0 THEN 53 "
+            "ELSE 53 - length(bin(CAST(hv % 4503599627370496 AS BIGINT))) "
+            "END) AS rho FROM (SELECT ts, "
+            "md5_number_lower(CAST(user_id AS VARCHAR)) AS hv FROM events) "
+            "GROUP BY window_start_us, reg"),
         "docs_sample": (
             "SELECT doc_id FROM documents "
             "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10"),

@@ -4001,6 +4001,39 @@ def q_events_user_hll(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_window_hll(sf_dir: str):
+    """(window_start_us, reg, rho) — per-tumbling-window (1h) HyperLogLog
+    registers over user_id (p=12): the distinct-users-per-window sketch a
+    streaming analytics pipeline keeps instead of an exact per-window
+    COUNT(DISTINCT) — state bounded at 2^p rows per window however many
+    users flow through. Composes the tumbling-window key (a pure,
+    stateless function of ts) with the mergeable HLL register table: one
+    partial-combined grouped max per (window, reg). The registers ARE
+    the contract output (pure integers, SQL-replicable); the float
+    estimator is pytest-checked in dataops/sketch.py."""
+    from ligrust_ray.dataops import sketch
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts", "user_id"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        w = (ts // 3_600_000_000) * 3_600_000_000
+        return pa.table({"window_start_us": pa.array(w),
+                         "user_id": t.column("user_id")})
+
+    out = sketch.hll_registers(
+        ev.map_batches(bucket, batch_format="pyarrow"),
+        "user_id", "window_start_us")
+    return out.map_batches(
+        lambda t: pa.table({
+            "window_start_us": t.column("window_start_us").cast(pa.int64()),
+            "reg": t.column("reg").cast(pa.int64()),
+            "rho": t.column("rho").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic 10% hash-mod sample (coordination-free, reproducible
     on any cluster size)."""

@@ -1696,6 +1696,39 @@ def test_round4_link_and_modularity_vs_duckdb(ray_session):
                 exp[c].to_numpy(dtype=np.int64), err_msg=f"{name}.{c}")
 
 
+def test_window_hll_estimates_per_window_distinct(ray_session, tmp_path):
+    """events_window_hll registers, run through the standard estimator,
+    recover each hour's exact distinct-user count within 5%."""
+    from ligrust_ray.dataops import sketch
+    from ligrust_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(7)
+    n_ev = 6000
+    hours = rng.integers(0, 3, n_ev)          # three 1-hour windows
+    # window h draws users from a pool of (h+1)*400 ids
+    users = np.array([int(rng.integers(0, (h + 1) * 400)) for h in hours],
+                     dtype=np.int64)
+    ts = hours * 3_600_000_000 + rng.integers(0, 3_600_000_000, n_ev)
+    tab = pa.table({
+        "event_id": pa.array(range(n_ev), type=pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(users),
+        "event_type": pa.array(["t"] * n_ev, type=pa.string()),
+        "value": pa.array(np.zeros(n_ev), type=pa.float64()),
+        "props": pa.array(["{}"] * n_ev, type=pa.string())})
+    pq.write_table(tab, tmp_path / "events.parquet")
+
+    regs = Q.q_events_window_hll(str(tmp_path)).to_pandas()
+    est = sketch.hll_estimate(regs, "window_start_us")
+    exact = (pd.DataFrame({"w": (ts // 3_600_000_000) * 3_600_000_000,
+                           "u": users})
+             .groupby("w")["u"].nunique())
+    assert len(est) == 3
+    for w, e in zip(est["window_start_us"], est["estimate"]):
+        true = exact[int(w)]
+        assert abs(e - true) / true < 0.05, (w, e, true)
+
+
 def test_bloom_no_false_negatives_and_fp_rate(ray_session):
     """Every inserted value tests positive; FP rate on disjoint probes is
     near (1 - e^{-kn/m})^k; merging two halves' bit sets = the whole's."""
