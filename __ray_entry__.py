@@ -101,6 +101,44 @@ def _signed64(expr: str) -> str:
             "AS BIGINT)")
 
 
+def _onion_round_cte(i: int, o: int) -> str:
+    """One onion peel round as CTEs (n{i}, a{i}, k{i}) -> (n{o}, a{o},
+    k{o}, o{o}) — spec: algos/onion.py. Surplus rounds after the fixed
+    point are no-ops (empty alive set -> empty o{o}, k carried)."""
+    return (
+        f"d{o} AS MATERIALIZED (SELECT n{i}.v, COALESCE(dd.d, 0) AS d "
+        f"FROM n{i} "
+        f"LEFT JOIN (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM a{i} "
+        f"GROUP BY v) dd ON dd.v = n{i}.v), "
+        f"k{o} AS MATERIALIZED (SELECT GREATEST((SELECT k FROM k{i}), "
+        f"COALESCE((SELECT MIN(d) FROM d{o}), (SELECT k FROM k{i}))) "
+        "AS k), "
+        f"o{o} AS (SELECT v, CAST({o} AS BIGINT) AS layer, "
+        f"(SELECT k FROM k{o}) AS core FROM d{o} "
+        f"WHERE d <= (SELECT k FROM k{o})), "
+        f"n{o} AS MATERIALIZED (SELECT v FROM d{o} "
+        f"WHERE d > (SELECT k FROM k{o})), "
+        f"a{o} AS MATERIALIZED (SELECT a.v, a.w FROM a{i} a "
+        f"JOIN n{o} x ON x.v = a.v JOIN n{o} y ON y.v = a.w)")
+
+
+def _onion_sql(rounds: int) -> str:
+    ctes = ", ".join(_onion_round_cte(i, i + 1) for i in range(rounds))
+    union = " UNION ALL ".join(f"SELECT * FROM o{r}"
+                               for r in range(1, rounds + 1))
+    return (
+        f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+        "WHERE src <> dst), "
+        "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e), "
+        "a0 AS MATERIALIZED (SELECT a AS v, b AS w FROM u "
+        "UNION ALL SELECT b, a FROM u), "
+        "n0 AS MATERIALIZED (SELECT DISTINCT v FROM a0), "
+        "k0 AS (SELECT CAST(0 AS BIGINT) AS k), "
+        + ctes +
+        f" SELECT v AS node_id, layer, core FROM ({union})")
+
+
 def _wl_round_cte(i: int, o: int) -> str:
     """One WL refinement round as CTEs c{i} -> c{o} (spec: queries.py
     _wl_round — wrapped-mod-2^64 neighbor multiset hash, then
@@ -1155,7 +1193,7 @@ _CHECK_PRIORITY = [
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
     "events_wl_colors", "docs_bm25", "events_butterflies",
-    "events_window_hll",
+    "events_window_hll", "events_onion",
     "docs_lm_perplexity", "events_triangles_doulion",
     "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
     "events_negative_samples", "emb_label_centroids",
@@ -1240,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_events": Q.q_bfs_events,
         "labelprop_events": Q.q_labelprop_events,
         "events_kcore": Q.q_events_kcore,
+        "events_onion": Q.q_events_onion,
         "events_densest": Q.q_events_densest,
         "events_forest": Q.q_events_forest,
         "events_mis": Q.q_events_mis,
@@ -1537,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM r a JOIN r b ON b.node = a.reach AND b.reach = a.node "
             "GROUP BY a.node"),
         "events_kcore": _kcore_sql(5, 40),
+        "events_onion": _onion_sql(24),
         # HITS, 3 unrolled unnormalised rounds, integer-exact BIGINT sums
         "events_hits": _hits_sql(3),
         # Charikar/Bahmani densest-subgraph peeling, 32 unrolled rounds

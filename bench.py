@@ -519,7 +519,8 @@ def run_headline(num_cpus: int) -> dict:
             ("events_wl_colors", Q.q_events_wl_colors, True),
             ("docs_bm25", Q.q_docs_bm25, False),
             ("events_butterflies", Q.q_events_butterflies, False),
-            ("events_window_hll", Q.q_events_window_hll, True)):
+            ("events_window_hll", Q.q_events_window_hll, True),
+            ("events_onion", Q.q_events_onion, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:

@@ -1,0 +1,146 @@
+"""Onion decomposition (Hebert-Dufresne, Grochow & Allard 2016): peel
+the simple undirected graph in synchronous layers — round r raises the
+running core threshold k to max(k, min alive degree) and removes EVERY
+alive node with degree <= k; layer(v) = r at removal, core(v) = k at
+removal (= the k-core number). The layer index is the standard
+centre-vs-periphery readout for web graphs — one extra column over
+plain k-core peeling (algos/kcore.py), and the per-node core number
+falls out for free.
+
+Distributed plan: per round one grouped degree count over the alive
+symmetric edges, one typed-fill left join onto the alive node set (so
+edge-less survivors keep degree 0 instead of vanishing), a per-block
+folded MIN (O(#blocks) driver rows), and two semi-joins dropping dead
+endpoints' edges — every shuffle keyed and sized to the ALIVE subgraph.
+Below ONION_SINGLE_TASK_MAX pair edges the identical rounds run
+vectorised in one Ray task (coloring/truss/temporal precedent); the
+distributed path is parity-forced in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ligrust_ray.stages import shuffle
+
+ONION_SQL_ROUNDS = 24            # oracle unroll depth; engine raises past it
+ONION_SINGLE_TASK_MAX = 1 << 22
+
+_OUT_SCHEMA = pa.schema([("node_id", pa.int64()), ("layer", pa.int64()),
+                         ("core", pa.int64())])
+
+
+@ray.remote
+def _onion_task(blocks: list, max_rounds: int) -> pa.Table:
+    blocks = ray.get(list(blocks))
+    tabs = [pa.Table.from_pandas(b, preserve_index=False)
+            if isinstance(b, pd.DataFrame) else b for b in blocks]
+    tabs = [t.select(["lo", "hi"]) for t in tabs if t.num_rows]
+    if not tabs:
+        return _OUT_SCHEMA.empty_table()
+    t = pa.concat_tables(tabs)
+    lo = t.column("lo").to_numpy().astype(np.int64)
+    hi = t.column("hi").to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([lo, hi]))
+    li = np.searchsorted(nodes, lo)
+    hj = np.searchsorted(nodes, hi)
+    n = len(nodes)
+    alive = np.ones(n, dtype=bool)
+    ealive = np.ones(len(lo), dtype=bool)
+    layer = np.zeros(n, dtype=np.int64)
+    core = np.zeros(n, dtype=np.int64)
+    k = 0
+    for r in range(1, max_rounds + 1):
+        if not alive.any():
+            break
+        deg = (np.bincount(li[ealive], minlength=n)
+               + np.bincount(hj[ealive], minlength=n))
+        k = max(k, int(deg[alive].min()))
+        rm = alive & (deg <= k)
+        layer[rm] = r
+        core[rm] = k
+        alive &= ~rm
+        ealive &= alive[li] & alive[hj]
+    if alive.any():
+        raise RuntimeError(
+            f"onion_layers: no fixed point in {max_rounds} rounds")
+    return pa.table({"node_id": pa.array(nodes), "layer": pa.array(layer),
+                     "core": pa.array(core)}, schema=_OUT_SCHEMA)
+
+
+def _both(t: pa.Table) -> pa.Table:
+    lo = t.column("lo").to_numpy()
+    hi = t.column("hi").to_numpy()
+    return pa.table({"v": pa.array(np.concatenate([lo, hi]))})
+
+
+def _onion_distributed(pairs: ray.data.Dataset, max_rounds: int
+                       ) -> ray.data.Dataset:
+    alive = pairs.materialize()
+    nodes = shuffle.distinct(
+        alive.map_batches(_both, batch_format="pyarrow"), ["v"]
+    ).materialize()
+    outs: list[ray.data.Dataset] = []
+    k = 0
+    for r in range(1, max_rounds + 1):
+        if nodes.count() == 0:
+            break
+        deg = shuffle.grouped_agg(
+            alive.map_batches(_both, batch_format="pyarrow"),
+            ["v"], {"d": (None, "count")})
+        degf = shuffle.hash_join(nodes, deg, on="v", l_cols=[],
+                                 r_cols=["d"], how="left",
+                                 fill={"d": 0}).materialize()
+        mins = degf.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [int(t.column("d").to_numpy().min())] if t.num_rows
+                else [], type=pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        k = max(k, int(mins["m"].min()))
+
+        def tag(t: pa.Table, _r=r, _k=k) -> pa.Table:
+            sub = t.filter(pc.less_equal(t.column("d"), _k))
+            nn = sub.num_rows
+            return pa.table({
+                "node_id": sub.column("v").cast(pa.int64()),
+                "layer": pa.array(np.full(nn, _r, dtype=np.int64)),
+                "core": pa.array(np.full(nn, _k, dtype=np.int64))},
+                schema=_OUT_SCHEMA)
+
+        outs.append(degf.map_batches(tag, batch_format="pyarrow")
+                    .materialize())
+        nodes = degf.map_batches(
+            lambda t, _k=k: pa.table(
+                {"v": t.filter(pc.greater(t.column("d"), _k)).column("v")}),
+            batch_format="pyarrow").materialize()
+        alive = shuffle.semi_join(
+            shuffle.semi_join(alive, nodes, l_on="lo", r_on="v",
+                              r_key_type=pa.int64()),
+            nodes, l_on="hi", r_on="v",
+            r_key_type=pa.int64()).materialize()
+    if nodes.count():
+        raise RuntimeError(
+            f"onion_layers: no fixed point in {max_rounds} rounds")
+    if not outs:
+        return ray.data.from_arrow(_OUT_SCHEMA.empty_table())
+    return outs[0].union(*outs[1:]) if len(outs) > 1 else outs[0]
+
+
+def onion_layers(pairs: ray.data.Dataset,
+                 rounds: int = ONION_SQL_ROUNDS,
+                 force_distributed: bool = False) -> ray.data.Dataset:
+    """(node_id, layer, core) over distinct undirected pairs (lo, hi)."""
+    if force_distributed:
+        return _onion_distributed(pairs, rounds)
+    pairs = pairs.materialize()
+    if pairs.count() <= ONION_SINGLE_TASK_MAX:
+        from ligrust_ray.dataops.dedup import _block_refs
+
+        return ray.data.from_arrow_refs(
+            [_onion_task.remote(_block_refs(pairs), rounds)])
+    return _onion_distributed(pairs, rounds)

@@ -792,6 +792,17 @@ def _walks_cached(sf_dir: str, no_backtrack: bool = False
     return _WALK_CACHE[key]
 
 
+def q_events_onion(sf_dir: str):
+    """(node_id, layer, core) — onion decomposition of the simple
+    undirected events graph (algos/onion.py): synchronous degeneracy
+    peeling where each round removes every node at or below the running
+    core threshold; layer = removal round (centre-vs-periphery depth),
+    core = the node's k-core number."""
+    from ligrust_ray.algos.onion import ONION_SQL_ROUNDS, onion_layers
+
+    return onion_layers(_und_pairs(sf_dir), rounds=ONION_SQL_ROUNDS)
+
+
 def q_events_rich_club(sf_dir: str):
     """(k, n_nodes, n_edges, phi_ppm) — rich-club coefficient curve
     (Colizza et al. 2006) over the simple undirected events graph: for
