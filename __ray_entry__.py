@@ -1193,7 +1193,7 @@ _CHECK_PRIORITY = [
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
     "events_wl_colors", "docs_bm25", "events_butterflies",
-    "events_window_hll", "events_onion",
+    "events_window_hll", "events_onion", "pages_host_cap",
     "docs_lm_perplexity", "events_triangles_doulion",
     "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
     "events_negative_samples", "emb_label_centroids",
@@ -1309,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_domain_pagerank": Q.q_pages_domain_pagerank,
         "pages_anchor_text": Q.q_pages_anchor_text,
         "pages_crawl_order": Q.q_pages_crawl_order,
+        "pages_host_cap": Q.q_pages_host_cap,
         "pages_host_locality": Q.q_pages_host_locality,
         # documents: text analysis + dedup family
         "docs_exact_dedup": Q.q_docs_exact_dedup,
@@ -1691,6 +1692,16 @@ def oracle_sql() -> dict[str, str]:
         # politeness crawl order (queries.q_pages_crawl_order spec): k =
         # per-host priority rank by (md5(url), url); global fetch order
         # round-robins hosts — ROW_NUMBER over (k, host, url)
+        # per-host crawl budget: first HOST_CAP_K=8 urls per host under
+        # the same (md5(url), url) priority tape as pages_crawl_order
+        "pages_host_cap": (
+            "WITH m AS (SELECT url, regexp_extract(url, "
+            "'https://([^/]+)/', 1) AS host, md5_number_lower(url) AS h "
+            f"FROM read_parquet('{_PAGES_ORACLE}/url_map/*.parquet')), "
+            "r AS (SELECT url, host, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY host ORDER BY h, url) - 1 AS BIGINT) AS k "
+            "FROM m) "
+            "SELECT url, host, k FROM r WHERE k < 8"),
         "pages_crawl_order": (
             "WITH m AS (SELECT url, regexp_extract(url, "
             "'https://([^/]+)/', 1) AS host, md5_number_lower(url) AS h "

@@ -520,7 +520,8 @@ def run_headline(num_cpus: int) -> dict:
             ("docs_bm25", Q.q_docs_bm25, False),
             ("events_butterflies", Q.q_events_butterflies, False),
             ("events_window_hll", Q.q_events_window_hll, True),
-            ("events_onion", Q.q_events_onion, True)):
+            ("events_onion", Q.q_events_onion, True),
+            ("pages_host_cap", Q.q_pages_host_cap, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         if mat:

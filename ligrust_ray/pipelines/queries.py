@@ -2467,6 +2467,58 @@ def q_pages_host_locality(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+HOST_CAP_K = 8       # crawl budget: pages kept per host
+
+
+def q_pages_host_cap(sf_dir: str):
+    """(url, host, k) — per-host crawl-budget sampling: keep the first
+    HOST_CAP_K pages of every host under the deterministic priority
+    rank k = ROW_NUMBER over (md5(url), url) (the same reproducible
+    random tape as pages_crawl_order). This is the domain-cap rule
+    crawl pipelines apply so mega-hosts don't dominate the corpus (the
+    CC-News / C4 per-domain cap). Scale shape: ONE host-keyed
+    grouped_apply — rank and filter happen together in the partition,
+    so only the ≤ K survivors per host leave the shuffle; no global
+    rank pass needed."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    gd, g = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, g.n)
+    urls = _read_sized(os.path.join(gd, "url_map"), columns=["url"])
+
+    def hosted(t: pa.Table) -> pa.Table:
+        ucol = t.column("url")
+        hosts = [(lambda m: m[1] if m else "")(_DOMAIN_RE.search(u))
+                 for u in ucol.to_pylist()]
+        return pa.table({
+            "url": ucol,
+            "host": pa.array(hosts, type=pa.string()),
+            "h": pa.array(md5_u64_lower_arrow(
+                ucol.combine_chunks() if isinstance(ucol, pa.ChunkedArray)
+                else ucol))})
+
+    def cap_in_host(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"url": pd.Series([], dtype=object),
+                              "host": pd.Series([], dtype=object),
+                              "k": pd.Series([], dtype=np.int64)})
+        if not len(df):
+            return empty
+        df = df.sort_values(["host", "h", "url"])
+        hv = df["host"].to_numpy()
+        idx = np.arange(len(df), dtype=np.int64)
+        first = np.concatenate(([True], hv[1:] != hv[:-1]))
+        base = np.where(first, idx, 0)
+        np.maximum.accumulate(base, out=base)
+        k = idx - base
+        keep = k < HOST_CAP_K
+        return pd.DataFrame({"url": df["url"].to_numpy()[keep],
+                             "host": hv[keep], "k": k[keep]})
+
+    return shuffle.grouped_apply(
+        urls.map_batches(hosted, batch_format="pyarrow"),
+        ["host"], cap_in_host)
+
+
 def q_pages_crawl_order(sf_dir: str):
     """(url, host, k, crawl_pos) — POLITENESS-ORDERED crawl frontier
     scheduling (the ordering a polite fetcher wants: never hammer one

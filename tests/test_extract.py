@@ -163,6 +163,39 @@ def test_pages_crawl_order_vs_duckdb(ray_session):
     assert (per_host.groupby("host")["k"].diff().dropna() == 1).all()
 
 
+def test_pages_host_cap_vs_duckdb(ray_session):
+    """Per-host crawl-budget cap vs its SQL oracle, plus the cap
+    invariants: <= HOST_CAP_K survivors per host with dense ranks
+    0..count-1, and the kept set per host is exactly crawl_order's
+    first-k prefix (same priority tape)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+    from ligrust_ray.pipelines.queries import HOST_CAP_K
+
+    got = E.queries()["pages_host_cap"]("/root/testdata/sf0.001")
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = duckdb.sql(E.oracle_sql()["pages_host_cap"]).df()
+    cols = sorted(exp.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    g["k"] = g["k"].astype(np.int64)
+    e["k"] = e["k"].astype(np.int64)
+    pd.testing.assert_frame_equal(g, e)
+    sizes = got.groupby("host")["k"].agg(["size", "max"])
+    assert (sizes["size"] <= HOST_CAP_K).all()
+    assert (sizes["max"] == sizes["size"] - 1).all()    # dense ranks
+    order = E.queries()["pages_crawl_order"]("/root/testdata/sf0.001")
+    order = order.to_pandas() if hasattr(order, "to_pandas") else order
+    pfx = order[order["k"] < HOST_CAP_K][["url", "host", "k"]]
+    pd.testing.assert_frame_equal(
+        got.sort_values(["host", "k"]).reset_index(drop=True)
+        [["url", "host", "k"]].astype({"k": np.int64}),
+        pfx.sort_values(["host", "k"]).reset_index(drop=True)
+        .astype({"k": np.int64}))
+
+
 def test_pages_host_locality_vs_duckdb(ray_session):
     """Per-host link locality vs its SQL oracle + sanity invariants
     (n_intra <= n_links, permille in [0, 1000], totals match the edge
