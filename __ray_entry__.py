@@ -632,6 +632,32 @@ def _katz_sql(rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def _eigen_sql(rounds: int = 4) -> str:
+    """Eigenvector-centrality oracle (algos/ppr.py eigencentrality spec):
+    ``rounds`` unrolled L1-normalised power-iteration gathers
+    x_{t+1} = A^T x_t / SUM(ABS(A^T x_t)) over the raw directed events
+    multigraph from x_0 = 1; zero-in-degree nodes stay 0 (COALESCE);
+    an all-zero round (no edges) keeps everything 0 via NULLIF.
+    ppm-rendered with the shared floor(x*1e6+0.5) convention."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES_CTE}), "
+        f"nodes AS MATERIALIZED ({_NODES_CTE}), "
+        "x0 AS MATERIALIZED (SELECT id, 1.0 AS v FROM nodes)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", r{t} AS MATERIALIZED (SELECT n.id, "
+            "COALESCE(s.v, 0.0) AS v FROM nodes n LEFT JOIN "
+            f"(SELECT e.dst AS id, SUM(x.v) AS v FROM e "
+            f"JOIN x{t-1} x ON x.id = e.src GROUP BY e.dst) s "
+            "ON s.id = n.id)"
+            f", x{t} AS MATERIALIZED (SELECT id, COALESCE(v / NULLIF("
+            f"(SELECT SUM(ABS(v)) FROM r{t}), 0.0), 0.0) AS v FROM r{t})")
+    parts.append(
+        f" SELECT id AS node_id, CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) "
+        f"AS eig_ppm FROM x{rounds}")
+    return "".join(parts)
+
+
 def _trustrank_sql(rounds: int = 4, seed_mod: int = 16) -> str:
     """TrustRank oracle (algos/ppr.py TrustRankEdge spec): ``rounds``
     unrolled gathers p_{t+1} = 0.15 * e_S + 0.85 * SUM(p_t(u)/outdeg(u))
@@ -1190,6 +1216,8 @@ def entry() -> Any:
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
+    "events_eigencentrality", "events_condensation", "events_bipartite",
+    "emb_kmeans",
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
     "events_wl_colors", "docs_bm25", "events_butterflies",
@@ -1293,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hits": Q.q_events_hits,
         "events_ppr": Q.q_events_ppr,
         "events_katz": Q.q_events_katz,
+        "events_eigencentrality": Q.q_events_eigencentrality,
         "pages_trustrank": Q.q_pages_trustrank,
         "events_truss": Q.q_events_truss,
         "events_walks": Q.q_events_walks,
@@ -2199,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ppr": _ppr_sql(4, 0),
         # Katz centrality, 4 unrolled truncated-power-series gathers
         "events_katz": _katz_sql(4),
+        "events_eigencentrality": _eigen_sql(4),
         # TrustRank over the pages graph, 4 unrolled seeded gathers
         "pages_trustrank": _trustrank_sql(4, 16),
         "events_truss": _truss_sql(16),

@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-from ligrust_ray.stages.kernels import EdgeKernel
+from ligrust_ray.stages.kernels import EdgeKernel, VertexKernel
 
 STATE = ["p"]
 DAMPING = 0.85
@@ -154,5 +154,60 @@ def katz(g, rounds: int = 4) -> dict:
     for _ in range(rounds):
         g.set_frontier("all")
         g.edge_map(kernel)
+    return {"rounds": rounds, "wall_s": time.perf_counter() - t0,
+            "state_names": ["x"]}
+
+
+class _EigenGather(EdgeKernel):
+    """Power-iteration gather: xr(v) = sum over in-edges (u, v) of x(u)
+    (multi-edges contribute multiplicity, like KatzEdge). The per-shard
+    L1 partial rides the wave summary so the driver normalises with one
+    scalar — no collect_state between rounds."""
+
+    reduce = "sum"
+    value_dtype = np.float64
+    has_output_frontier = False
+
+    def source_values(self, state, out_deg):
+        return state["x"]
+
+    def source_values_at(self, state, out_deg, idx):
+        return state["x"][idx]
+
+    def apply(self, state, agg, touched, shard):
+        raw = np.where(touched, agg, 0.0)
+        state["xr"] = raw
+        return None, {"l1": float(np.abs(raw).sum())}
+
+
+class _EigenScale(VertexKernel):
+    """x := xr / tot — the L1 normalisation step of power iteration.
+    ``tot`` is the driver-summed global L1 of the raw gather (0 handled
+    upstream: tot == 0 means every raw value is 0, any divisor works)."""
+
+    def __init__(self, tot: float):
+        self.tot = tot
+
+    def update(self, state, mask, shard):
+        state["x"] = state["xr"] / self.tot
+        return None, {}
+
+
+def eigencentrality(g, rounds: int = 4) -> dict:
+    """L1-normalised power iteration for the dominant eigenvector of the
+    (in-edge) adjacency operator: x_{t+1} = A^T x_t / ||A^T x_t||_1 from
+    x_0 = 1. Unlike HITS (unnormalised, integer-exact) this is the
+    classic eigenvector-centrality score whose scale is pinned each
+    round; scores land in state 'x'. Two actor waves per round (gather +
+    scale), L1 reduced from per-shard partials on the driver."""
+    t0 = time.perf_counter()
+    g.init_algo({"x": lambda lo, hi: np.ones(hi - lo, dtype=np.float64),
+                 "xr": lambda lo, hi: np.zeros(hi - lo, dtype=np.float64)})
+    kernel = _EigenGather()
+    for _ in range(rounds):
+        g.set_frontier("all")
+        s = g.edge_map(kernel)
+        tot = float(s.get("l1", 0.0))
+        g.vertex_map(_EigenScale(tot if tot > 0.0 else 1.0), over="all")
     return {"rounds": rounds, "wall_s": time.perf_counter() - t0,
             "state_names": ["x"]}

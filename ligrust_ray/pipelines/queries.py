@@ -1275,6 +1275,27 @@ def q_events_katz(sf_dir: str):
                          np.floor(st * 1e6 + 0.5).astype(np.int64))})
 
 
+EIGEN_ROUNDS = 4
+
+
+def q_events_eigencentrality(sf_dir: str):
+    """(node_id, eig_ppm) eigenvector centrality after EIGEN_ROUNDS
+    L1-normalised power-iteration rounds x_{t+1} = A^T x_t / ||.||_1
+    over the directed events multigraph (algos/ppr.py eigencentrality)
+    — the normalised sibling of events_hits' integer-exact power rounds.
+    The SQL oracle unrolls identical rounds with the per-round SUM(ABS)
+    normaliser computed in-SQL; ppm rendering shares the pagerank_events
+    convention."""
+    from ligrust_ray.algos.ppr import eigencentrality
+
+    g = events_graph(sf_dir)
+    eigencentrality(g, rounds=EIGEN_ROUNDS)
+    st = g.collect_state(["x"])["x"]
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "eig_ppm": pa.array(
+                         np.floor(st * 1e6 + 0.5).astype(np.int64))})
+
+
 TRUST_SEED_MOD = 16
 TRUST_ROUNDS = 4
 

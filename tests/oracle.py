@@ -357,3 +357,16 @@ def trustrank_oracle(n: int, src: np.ndarray, dst: np.ndarray,
             np.add.at(contrib, dst, p[src] / np.maximum(outdeg[src], 1))
         p = 0.15 * e_s + 0.85 * contrib
     return p
+
+
+def eigencentrality_oracle(n: int, src: np.ndarray, dst: np.ndarray,
+                           rounds: int = 4) -> np.ndarray:
+    """Mirror of ligrust_ray.algos.ppr.eigencentrality."""
+    x = np.ones(n)
+    for _ in range(rounds):
+        raw = np.zeros(n)
+        if len(src):
+            np.add.at(raw, dst, x[src])
+        tot = np.abs(raw).sum()
+        x = raw / (tot if tot > 0.0 else 1.0)
+    return x

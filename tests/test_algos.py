@@ -1362,3 +1362,21 @@ def test_trustrank_matches_oracle(graphs):
         no_in = np.setdiff1d(np.arange(n), dst)
         non_seed = no_in[no_in % 4 != 0]
         assert (got[non_seed] == 0.0).all(), nm
+
+
+def test_eigencentrality_matches_oracle(graphs):
+    from ligrust_ray.algos.ppr import eigencentrality
+
+    for nm in ("fixture", "path", "empty-edges", "er-64", "zipf-200"):
+        g, n, src, dst = graphs[nm]
+        eigencentrality(g, rounds=4)
+        got = g.collect_state(["x"])["x"]
+        exp = oracle.eigencentrality_oracle(n, src, dst, rounds=4)
+        np.testing.assert_allclose(got, exp, atol=1e-12, err_msg=nm)
+        # L1-normalised: mass sums to 1 whenever the iterate is nonzero
+        # (on a DAG the adjacency operator is nilpotent, so the iterate
+        # legitimately collapses to all-zeros once rounds exceed the
+        # longest path — the 0/0 guard keeps it at 0, not NaN)
+        tot = np.abs(got).sum()
+        assert tot < 1e-12 or abs(tot - 1.0) < 1e-9, nm
+        assert not np.isnan(got).any(), nm
