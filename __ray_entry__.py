@@ -1318,6 +1318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_radii": Q.q_events_radii,
         "events_harmonic": Q.q_events_harmonic,
         "events_scc": Q.q_events_scc,
+        "events_condensation": Q.q_events_condensation,
         "events_hits": Q.q_events_hits,
         "events_ppr": Q.q_events_ppr,
         "events_katz": Q.q_events_katz,
@@ -1605,8 +1606,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.node AS node_id, CAST(MIN(a.reach) AS BIGINT) AS scc "
             "FROM r a JOIN r b ON b.node = a.reach AND b.reach = a.node "
             "GROUP BY a.node"),
+        # condensation DAG over the sparse error-events subgraph (the
+        # full events graph is one giant SCC): scc labels (same closure
+        # as events_scc) pin both endpoints of the MULTISET edges;
+        # within-scc edges drop
+        "events_condensation": (
+            "WITH RECURSIVE em AS MATERIALIZED (SELECT user_id AS src, "
+            "CAST(FLOOR(value * 100) AS BIGINT) % 150 AS dst FROM events "
+            "WHERE event_type = 'error' AND value < 15), "
+            "e AS (SELECT DISTINCT * FROM em), "
+            f"nodes AS ({_NODES_CTE}), "
+            "r(node, reach) AS (SELECT id, id FROM nodes "
+            "UNION SELECT e.dst, r.reach FROM r JOIN e ON e.src = r.node), "
+            "scc AS (SELECT a.node, CAST(MIN(a.reach) AS BIGINT) AS c "
+            "FROM r a JOIN r b ON b.node = a.reach AND b.reach = a.node "
+            "GROUP BY a.node) "
+            "SELECT s1.c AS comp_src, s2.c AS comp_dst, "
+            "COUNT(*) AS n_edges FROM em "
+            "JOIN scc s1 ON s1.node = em.src "
+            "JOIN scc s2 ON s2.node = em.dst "
+            "WHERE s1.c <> s2.c GROUP BY s1.c, s2.c"),
         "events_kcore": _kcore_sql(5, 40),
-        "events_onion": _onion_sql(24),
+        "events_onion": _onion_sql(64),
         # HITS, 3 unrolled unnormalised rounds, integer-exact BIGINT sums
         "events_hits": _hits_sql(3),
         # Charikar/Bahmani densest-subgraph peeling, 32 unrolled rounds

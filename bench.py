@@ -524,7 +524,9 @@ def run_headline(num_cpus: int) -> dict:
             ("pages_host_cap", Q.q_pages_host_cap, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
-        if mat:
+        # eager results (pyarrow.Table / pandas) are already computed;
+        # only a lazy Dataset needs the explicit materialize
+        if mat and hasattr(r, "materialize"):
             r.materialize()
         q[name] = time.perf_counter() - t0
 

@@ -28,7 +28,8 @@ import ray.data
 
 from ligrust_ray.stages import shuffle
 
-ONION_SQL_ROUNDS = 24            # oracle unroll depth; engine raises past it
+ONION_SQL_ROUNDS = 64            # oracle unroll depth; engine raises past it
+# (sf0.1's 1500-node graph peels in 43 rounds; 24 was sf0.01-sized)
 ONION_SINGLE_TASK_MAX = 1 << 22
 
 _OUT_SCHEMA = pa.schema([("node_id", pa.int64()), ("layer", pa.int64()),

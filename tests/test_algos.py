@@ -1380,3 +1380,22 @@ def test_eigencentrality_matches_oracle(graphs):
         tot = np.abs(got).sum()
         assert tot < 1e-12 or abs(tot - 1.0) < 1e-9, nm
         assert not np.isnan(got).any(), nm
+
+
+def test_condensation_is_a_dag(ray_session):
+    import ligrust_ray.pipelines.queries as Q
+
+    t = Q.q_events_condensation("/root/testdata/sf0.001")
+    df = t.to_pandas() if hasattr(t, "to_pandas") else t
+    if hasattr(df, "schema"):       # Dataset
+        df = df.to_pandas()
+    assert list(sorted(df.columns)) == ["comp_dst", "comp_src", "n_edges"]
+    assert (df["comp_src"] != df["comp_dst"]).all()
+    assert (df["n_edges"] >= 1).all()
+    # acyclic: repeatedly strip sink components; everything must drain
+    edges = set(zip(df["comp_src"], df["comp_dst"]))
+    while edges:
+        srcs = {a for a, _ in edges}
+        sinks = {b for _, b in edges} - srcs
+        assert sinks, "cycle in condensation DAG"
+        edges = {(a, b) for a, b in edges if b not in sinks}

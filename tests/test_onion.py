@@ -92,4 +92,4 @@ def test_onion_invariants(ray_session):
     seq = got.sort_values("layer")["core"].to_numpy()
     assert (np.diff(seq) >= 0).all()
     assert got["layer"].min() == 1
-    assert ONION_SQL_ROUNDS == 24        # contract constant (oracle unroll)
+    assert ONION_SQL_ROUNDS == 64        # contract constant (oracle unroll)
