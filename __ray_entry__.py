@@ -1309,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_onion": Q.q_events_onion,
         "events_densest": Q.q_events_densest,
         "events_forest": Q.q_events_forest,
+        "events_bipartite": Q.q_events_bipartite,
         "events_mis": Q.q_events_mis,
         "events_matching": Q.q_events_matching,
         "events_sssp": Q.q_events_sssp,
@@ -1664,6 +1665,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM nodes JOIN comp c ON c.node = nodes.id "
             "JOIN d ON d.node = nodes.id "
             "LEFT JOIN par p ON p.node = nodes.id"),
+        # per-component bipartiteness: comp = undirected-closure min id,
+        # parity = multi-source-BFS level mod 2 (the events_forest CTEs);
+        # an edge joining same-parity endpoints certifies an odd cycle
+        "events_bipartite": (
+            f"WITH RECURSIVE e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            f"nodes AS ({_NODES_CTE}), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "r(node, reach) AS (SELECT id, id FROM nodes "
+            "UNION SELECT s.w, r.reach FROM r JOIN sym s ON s.v = r.node), "
+            "comp AS (SELECT node, MIN(reach) AS root FROM r GROUP BY node), "
+            "roots AS (SELECT DISTINCT root FROM comp), "
+            "lvl(node, l) AS (SELECT root, CAST(0 AS BIGINT) FROM roots "
+            "UNION SELECT s.w, lvl.l + 1 FROM lvl "
+            "JOIN sym s ON s.v = lvl.node "
+            "WHERE lvl.l < (SELECT COUNT(*) FROM nodes)), "
+            "d AS (SELECT node, MIN(l) AS level FROM lvl GROUP BY node), "
+            "flags AS (SELECT c.root AS comp, "
+            "CASE WHEN (da.level + db.level) % 2 = 0 THEN 1 ELSE 0 END "
+            "AS bad FROM u JOIN comp c ON c.node = u.a "
+            "JOIN d da ON da.node = u.a JOIN d db ON db.node = u.b), "
+            "bads AS (SELECT comp, MAX(bad) AS bad FROM flags "
+            "GROUP BY comp), "
+            "sizes AS (SELECT root AS comp, COUNT(*) AS n_nodes "
+            "FROM comp GROUP BY root) "
+            "SELECT CAST(s.comp AS BIGINT) AS comp, "
+            "CAST(s.n_nodes AS BIGINT) AS n_nodes, "
+            "CAST(CASE WHEN COALESCE(b.bad, 0) = 0 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS is_bipartite "
+            "FROM sizes s LEFT JOIN bads b ON b.comp = s.comp"),
         # Luby MIS, 24 unrolled rounds (= queries.MIS_SQL_ROUNDS; the Ray
         # side raises if it needed more, extra rounds are no-ops)
         "events_mis": _mis_sql(24),

@@ -1763,6 +1763,77 @@ def q_events_component_sizes(sf_dir: str):
                                {"n_components": (None, "count")})
 
 
+def q_events_bipartite(sf_dir: str):
+    """(comp, n_nodes, is_bipartite) — per-component two-colorability of
+    the simple undirected events graph (bipartite user-item structure is
+    the precondition for the butterfly census and for bipartite
+    projections). Component labels are the sym-graph CC min-ids; parity
+    colors are the spanning-forest BFS levels mod 2 (both engine kernel
+    runs on the shared cached sym graph); an edge whose endpoints share
+    parity certifies an odd cycle, so is_bipartite = no such edge in the
+    component (edge-less components are trivially bipartite, zero-filled
+    through the join). Scale shape: node labels co-partition into two
+    hash_joins against the distinct undirected pair set, one
+    partial-combined grouped_agg per rollup — no broadcast, no driver
+    edge pass."""
+    from ligrust_ray.algos.forest import spanning_forest
+
+    g = events_sym_graph(sf_dir)
+    cc(g)
+    comp = g.collect_state(["ids"])["ids"].astype(np.int64)
+    spanning_forest(g)
+    par = (g.collect_state(["level"])["level"].astype(np.int64)) % 2
+    nodes = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+        "comp": pa.array(comp), "par": pa.array(par)}))
+
+    pairs = _und_pairs(sf_dir)
+    j1 = shuffle.hash_join(
+        pairs.map_batches(lambda t: pa.table({
+            "node_id": t.column("lo").cast(pa.int64()),
+            "hi": t.column("hi").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        nodes.map_batches(lambda t: pa.table({
+            "node_id": t.column("node_id"),
+            "comp": t.column("comp"), "plo": t.column("par")}),
+            batch_format="pyarrow"),
+        on="node_id", l_cols=["hi"], r_cols=["comp", "plo"]).map_batches(
+        lambda t: pa.table({"node_id": t.column("hi"),
+                            "comp": t.column("comp"),
+                            "plo": t.column("plo")}),
+        batch_format="pyarrow")
+    j2 = shuffle.hash_join(
+        j1,
+        nodes.map_batches(lambda t: pa.table({
+            "node_id": t.column("node_id"), "phi": t.column("par")}),
+            batch_format="pyarrow"),
+        on="node_id", l_cols=["comp", "plo"], r_cols=["phi"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        bad = (t.column("plo").to_numpy()
+               == t.column("phi").to_numpy()).astype(np.int64)
+        return pa.table({"comp": t.column("comp"), "bad": pa.array(bad)})
+
+    bads = shuffle.grouped_agg(
+        j2.map_batches(flags, batch_format="pyarrow"),
+        ["comp"], {"bad": ("bad", "max")})
+    sizes = shuffle.grouped_agg(
+        nodes.map_batches(lambda t: pa.table({"comp": t.column("comp")}),
+                          batch_format="pyarrow"),
+        ["comp"], {"n_nodes": (None, "count")})
+
+    joined = shuffle.hash_join(sizes, bads, on="comp",
+                               l_cols=["n_nodes"], r_cols=["bad"],
+                               how="left", fill={"bad": 0})
+    return joined.map_batches(
+        lambda t: pa.table({
+            "comp": t.column("comp").cast(pa.int64()),
+            "n_nodes": t.column("n_nodes").cast(pa.int64()),
+            "is_bipartite": pc.cast(
+                pc.equal(t.column("bad"), 0), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_events_community_stats(sf_dir: str):
     """(label, n_nodes, n_internal, n_outgoing) — per-community structure
     rollup over the label-propagation partition (the modularity

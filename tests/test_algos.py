@@ -1399,3 +1399,21 @@ def test_condensation_is_a_dag(ray_session):
         sinks = {b for _, b in edges} - srcs
         assert sinks, "cycle in condensation DAG"
         edges = {(a, b) for a, b in edges if b not in sinks}
+
+
+def test_bipartite_component_rollup(ray_session):
+    import ligrust_ray.pipelines.queries as Q
+
+    df = Q.q_events_bipartite("/root/testdata/sf0.001").to_pandas()
+    assert list(sorted(df.columns)) == ["comp", "is_bipartite", "n_nodes"]
+    assert df["is_bipartite"].isin([0, 1]).all()
+    assert (df["n_nodes"] >= 1).all()
+    # component labels are min member ids -> distinct, and sizes sum to n
+    assert df["comp"].is_unique
+    n = Q.events_n("/root/testdata/sf0.001")
+    assert int(df["n_nodes"].sum()) == n
+    # a dense random multigraph's giant component has odd cycles; only
+    # trivial (size<3) components can be bipartite here
+    giant = df.loc[df["n_nodes"].idxmax()]
+    if giant["n_nodes"] >= 3:
+        assert giant["is_bipartite"] == 0
