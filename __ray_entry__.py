@@ -632,6 +632,37 @@ def _katz_sql(rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def _kmeans_sql(k: int = 8, rounds: int = 2, dim: int = 64,
+                scale: int = 1000) -> str:
+    """Integer-exact Lloyd k-means oracle (dataops/ann.py kmeans spec):
+    md5 id-bucket init, ``rounds`` unrolled (floor-division centroid,
+    L2^2 argmin with smallest-cluster-id tie-break) updates on the
+    fixed-point grid x = FLOOR(e * scale). All arithmetic BIGINT-exact;
+    clusters emptied by a reassignment drop out of the next GROUP BY,
+    exactly like the engine's shrinking centroid table."""
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding FROM embeddings), "
+        "x AS MATERIALIZED (SELECT vec_id, i - 1 AS d, "
+        f"CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT) "
+        f"AS xv FROM v, generate_series(1, {dim}) AS g(i)), "
+        "a0 AS (SELECT vec_id, CAST(md5_number_lower(CAST(vec_id AS "
+        f"VARCHAR)) % {k} AS BIGINT) AS c FROM v)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", c{t} AS MATERIALIZED (SELECT a.c, x.d, "
+            "CAST(FLOOR(CAST(SUM(x.xv) AS DOUBLE) / COUNT(*)) AS BIGINT) "
+            f"AS cv FROM x JOIN a{t-1} a USING (vec_id) GROUP BY a.c, x.d)"
+            f", d{t} AS (SELECT x.vec_id, c{t}.c, "
+            f"SUM((x.xv - c{t}.cv) * (x.xv - c{t}.cv)) AS d2 "
+            f"FROM x JOIN c{t} ON c{t}.d = x.d GROUP BY x.vec_id, c{t}.c)"
+            f", a{t} AS (SELECT vec_id, c FROM (SELECT vec_id, c, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn "
+            f"FROM d{t}) WHERE rn = 1)")
+    parts.append(
+        f" SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a{rounds}")
+    return "".join(parts)
+
+
 def _eigen_sql(rounds: int = 4) -> str:
     """Eigenvector-centrality oracle (algos/ppr.py eigencentrality spec):
     ``rounds`` unrolled L1-normalised power-iteration gathers
@@ -1372,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pq_codes": Q.q_emb_pq_codes,
         "emb_knn_pq": Q.q_emb_knn_pq,
         "emb_knn_ivf": Q.q_emb_knn_ivf,
+        "emb_kmeans": Q.q_emb_kmeans,
         "emb_near_dup": Q.q_emb_near_dup,
         "emb_label_centroids": Q.q_emb_label_centroids,
         "emb_near_dup_ivf": Q.q_emb_near_dup_ivf,
@@ -2375,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         # ann.auto_centroids; a query/vector owns buckets (md5(id)+j) % B
         # for j < nprobe, so two ids share a bucket iff (h(y)-h(x)) mod B
         # lies in (-nprobe, nprobe)
+        "emb_kmeans": _kmeans_sql(8, 2),
         "emb_knn_ivf": (
             "WITH prm AS (SELECT CAST(LEAST(GREATEST(16, "
             "ROUND(SQRT(COUNT(*)))), 65536) AS BIGINT) AS nb "

@@ -423,3 +423,87 @@ def knn_pq(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
     return (emb.select_columns(["vec_id", "embedding"])
             .map_batches(score, batch_format="pyarrow", batch_size=4096)
             .groupby("query_id").map_groups(merge, batch_format="pandas"))
+
+
+# -------------------------------------------------------------- k-means
+KMEANS_K = 8         # clusters
+KMEANS_ROUNDS = 2    # Lloyd centroid updates
+
+def _km_assign(mat: np.ndarray, cids: np.ndarray, cent: np.ndarray
+               ) -> np.ndarray:
+    """argmin_c L2^2(x, centroid_c) on the int64 grid; ties break to the
+    smallest cluster id (cids ascend, np.argmin takes the first)."""
+    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return cids[np.argmin(d2, axis=1)]
+
+
+def kmeans(emb: ray.data.Dataset, k: int = KMEANS_K,
+           rounds: int = KMEANS_ROUNDS) -> ray.data.Dataset:
+    """(vec_id, cluster) — deterministic integer-exact Lloyd clustering
+    on the PQ fixed-point grid (x_int = floor(float64(e) * PQ_SCALE)):
+    initial assignment is the md5 id-bucket hash (md5_buckets, the same
+    convention as the IVF md5 quantizer), then ``rounds`` synchronous
+    updates of centroid_c[d] = floor(sum / count) over members followed
+    by nearest-centroid reassignment (L2^2 int64, smallest-cluster-id
+    tie-break). Clusters that lose every member drop out of the centroid
+    table (candidates shrink — the SQL oracle gets this for free from
+    its GROUP BY). Every arithmetic step is exact int64, so the DuckDB
+    oracle unrolls the identical rounds and the contract compare is
+    hash-exact.
+
+    Scale shape: assignments are RECOMPUTED per batch from the tiny
+    broadcast centroid table (k x D int64 — ray.put once per round)
+    instead of materializing an n-row assignment column between rounds;
+    the per-round reduction ships only k x D partial (sum, count) rows
+    per block through one grouped_agg. Driver state is O(k*D), never
+    O(n)."""
+    from ligrust_ray.stages import shuffle
+
+    ek = emb.select_columns(["vec_id", "embedding"])
+    cent_ref: "ray.ObjectRef | None" = None    # (cids, cent) after round r
+
+    def partials(t: pa.Table, ref) -> pa.Table:
+        ids, mat = _scaled_matrix(t)
+        if ref is None:
+            a = md5_buckets(ids, k)
+        else:
+            cids, cent = ray.get(ref)
+            a = _km_assign(mat, cids, cent)
+        # per-block (cluster, dim) partial sums + member counts
+        uc, inv = np.unique(a, return_inverse=True)
+        d = mat.shape[1]
+        sums = np.zeros((len(uc), d), dtype=np.int64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, minlength=len(uc)).astype(np.int64)
+        cc = np.repeat(uc, d)
+        dd = np.tile(np.arange(d, dtype=np.int64), len(uc))
+        return pa.table({"c": pa.array(cc), "d": pa.array(dd),
+                         "s": pa.array(sums.ravel()),
+                         "n": pa.array(np.repeat(cnt, d))})
+
+    for _ in range(rounds):
+        ref = cent_ref
+
+        def stage(t: pa.Table, _ref=ref) -> pa.Table:
+            return partials(t, _ref)
+
+        rows = shuffle.grouped_agg(
+            ek.map_batches(stage, batch_format="pyarrow"),
+            ["c", "d"], {"s": ("s", "sum"), "n": ("n", "sum")}).to_pandas()
+        rows = rows.sort_values(["c", "d"])
+        cids = rows["c"].to_numpy()[::int(rows["d"].max()) + 1]
+        d = int(rows["d"].max()) + 1
+        s = rows["s"].to_numpy().reshape(-1, d)
+        n = rows["n"].to_numpy().reshape(-1, d)[:, 0]
+        cent = np.floor(s.astype(np.float64) / n[:, None]).astype(np.int64)
+        cent_ref = ray.put((cids.astype(np.int64), cent))
+
+    final_ref = cent_ref
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, mat = _scaled_matrix(t)
+        cids, cent = ray.get(final_ref)
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "cluster": pa.array(_km_assign(mat, cids, cent))})
+
+    return ek.map_batches(assign, batch_format="pyarrow")

@@ -1763,6 +1763,17 @@ def q_events_component_sizes(sf_dir: str):
                                {"n_components": (None, "count")})
 
 
+def q_emb_kmeans(sf_dir: str):
+    """(vec_id, cluster) — deterministic integer-exact Lloyd k-means over
+    the embeddings table (dataops/ann.py kmeans: md5 id-bucket init,
+    KMEANS_ROUNDS floor-division centroid updates on the PQ fixed-point
+    grid, smallest-id tie-break). The SQL oracle unrolls the identical
+    rounds; every step is exact int64 so the compare is hash-exact."""
+    from ligrust_ray.dataops.ann import kmeans
+
+    return kmeans(_emb(sf_dir))
+
+
 def q_events_bipartite(sf_dir: str):
     """(comp, n_nodes, is_bipartite) — per-component two-colorability of
     the simple undirected events graph (bipartite user-item structure is

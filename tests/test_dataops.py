@@ -2176,3 +2176,36 @@ def test_dedup_incremental_planted(ray_session, tmp_path):
     got = sorted(Q.q_docs_dedup_incremental(str(tmp_path))
                  .to_pandas()["doc_id"].tolist())
     assert got == [10, 30]
+
+
+def test_kmeans_matches_numpy_mirror(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ligrust_ray.dataops.ann import (KMEANS_K, KMEANS_ROUNDS, PQ_SCALE,
+                                         kmeans, md5_buckets)
+    from ligrust_ray.pipelines.queries import _emb
+
+    sf = "/root/testdata/sf0.001"
+    got = kmeans(_emb(sf)).to_pandas().sort_values("vec_id")
+
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mat = np.floor(np.stack(t.column("embedding").to_pylist())
+                   .astype(np.float64) * PQ_SCALE).astype(np.int64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    a = md5_buckets(ids.astype(np.int64), KMEANS_K)
+    for _ in range(KMEANS_ROUNDS):
+        cids = np.unique(a)
+        cent = np.stack([
+            np.floor(mat[a == c].sum(axis=0).astype(np.float64)
+                     / (a == c).sum()).astype(np.int64) for c in cids])
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = cids[np.argmin(d2, axis=1)]
+    assert (got["vec_id"].to_numpy() == ids).all()
+    assert (got["cluster"].to_numpy() == a).all()
+    # stability: a second engine run is bit-identical
+    again = kmeans(_emb(sf)).to_pandas().sort_values("vec_id")
+    assert (again["cluster"].to_numpy() == got["cluster"].to_numpy()).all()
