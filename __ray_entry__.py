@@ -1248,7 +1248,7 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
     "events_eigencentrality", "events_condensation", "events_bipartite",
-    "emb_kmeans",
+    "emb_kmeans", "events_bowtie",
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
     "events_wl_colors", "docs_bm25", "events_butterflies",
@@ -1351,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_harmonic": Q.q_events_harmonic,
         "events_scc": Q.q_events_scc,
         "events_condensation": Q.q_events_condensation,
+        "events_bowtie": Q.q_events_bowtie,
         "events_hits": Q.q_events_hits,
         "events_ppr": Q.q_events_ppr,
         "events_katz": Q.q_events_katz,
@@ -1659,6 +1660,34 @@ def oracle_sql() -> dict[str, str]:
             "JOIN scc s1 ON s1.node = em.src "
             "JOIN scc s2 ON s2.node = em.dst "
             "WHERE s1.c <> s2.c GROUP BY s1.c, s2.c"),
+        # bow-tie over the same sparse error-events subgraph: giant SCC
+        # (ties to smallest label) = core; r(node, reach) rows mean
+        # reach ->* node, so fwd = reached-from-core, bwd = reaches-core
+        "events_bowtie": (
+            "WITH RECURSIVE em AS MATERIALIZED (SELECT user_id AS src, "
+            "CAST(FLOOR(value * 100) AS BIGINT) % 150 AS dst FROM events "
+            "WHERE event_type = 'error' AND value < 15), "
+            "e AS (SELECT DISTINCT * FROM em), "
+            f"nodes AS ({_NODES_CTE}), "
+            "r(node, reach) AS (SELECT id, id FROM nodes "
+            "UNION SELECT e.dst, r.reach FROM r JOIN e ON e.src = r.node), "
+            "scc AS (SELECT a.node, CAST(MIN(a.reach) AS BIGINT) AS c "
+            "FROM r a JOIN r b ON b.node = a.reach AND b.reach = a.node "
+            "GROUP BY a.node), "
+            "giant AS (SELECT c FROM (SELECT c, COUNT(*) AS n FROM scc "
+            "GROUP BY c) ORDER BY n DESC, c ASC LIMIT 1), "
+            "core AS (SELECT node FROM scc "
+            "WHERE c = (SELECT c FROM giant)), "
+            "fwd AS (SELECT DISTINCT r.node FROM r "
+            "JOIN core ON core.node = r.reach), "
+            "bwd AS (SELECT DISTINCT r.reach AS node FROM r "
+            "JOIN core ON core.node = r.node) "
+            "SELECT nodes.id AS node_id, "
+            "CASE WHEN scc.c = (SELECT c FROM giant) THEN 'core' "
+            "WHEN nodes.id IN (SELECT node FROM bwd) THEN 'in' "
+            "WHEN nodes.id IN (SELECT node FROM fwd) THEN 'out' "
+            "ELSE 'other' END AS cls "
+            "FROM nodes JOIN scc ON scc.node = nodes.id"),
         "events_kcore": _kcore_sql(5, 40),
         "events_onion": _onion_sql(64),
         # HITS, 3 unrolled unnormalised rounds, integer-exact BIGINT sums

@@ -221,3 +221,56 @@ def scc(g_fwd, g_rev, max_rounds: int = 64, trim_rounds: int = 30) -> dict:
         undecided = s["undecided"]
     return {"rounds": rounds, "trimmed": trims, "fb_iterations": fb_iters,
             "wall_s": time.perf_counter() - t0, "state_names": STATE}
+
+
+# ------------------------------------------------------------- bow-tie
+class ReachEdge(EdgeKernel):
+    """Boolean reachability wave along this graph's edge direction: any
+    frontier source marks its out-neighbours reached; the newly reached
+    nodes form the next frontier (already-reached targets stop accepting
+    via target_active, so each node is touched once)."""
+
+    reduce = "or"
+    value_dtype = np.int64
+
+    def source_values(self, state, out_deg):
+        return np.ones(len(out_deg), dtype=np.int64)
+
+    def source_values_at(self, state, out_deg, idx):
+        return np.ones(len(idx), dtype=np.int64)
+
+    def target_active(self, state):
+        return ~state["reach"]
+
+    def apply(self, state, agg, touched, shard):
+        new = touched & (agg > 0) & ~state["reach"]
+        state["reach"] |= new
+        return new, {"new": int(new.sum())}
+
+
+class SeedReachFromLabel(VertexKernel):
+    """reach := (scc == label); frontier := that seed set. The predicate
+    is shard-local — the (possibly O(n)-sized) core member list never
+    ships anywhere."""
+
+    def __init__(self, label: int):
+        self.label = int(label)
+
+    def update(self, state, mask, shard):
+        seed = state["scc"] == self.label
+        state["reach"] = seed.copy()
+        return seed, {}
+
+
+def mark_reach_from_scc(g, label: int) -> dict:
+    """BFS-mark state['reach'] on every node reachable (along this
+    graph's edge direction) from the scc == ``label`` member set;
+    requires a prior scc() run to have left 'scc' state on ``g``."""
+    t0 = time.perf_counter()
+    g.init_algo({"reach": lambda lo, hi: np.zeros(hi - lo, dtype=bool)})
+    g.vertex_filter(SeedReachFromLabel(label), over="all")
+    waves = 0
+    while g.frontier_count:
+        g.edge_map(ReachEdge())
+        waves += 1
+    return {"waves": waves, "wall_s": time.perf_counter() - t0}

@@ -1337,6 +1337,59 @@ def q_events_condensation(sf_dir: str):
         ["comp_src", "comp_dst"], {"n_edges": (None, "count")})
 
 
+def q_events_bowtie(sf_dir: str):
+    """(node_id, cls) — Broder et al. WWW'00 bow-tie decomposition of the
+    sparse error-events subgraph (the full events graph is one giant SCC,
+    which makes every node 'core'): cls = 'core' (member of the largest
+    SCC, ties to the smallest label), 'in' (reaches the core), 'out'
+    (reached from the core), 'other' (tendrils/tubes/disconnected).
+    Engine plan: one forward-backward scc() run on the cached twin
+    graphs, the giant label from a distributed size count folded to one
+    row per block, then TWO frontier reachability sweeps (ReachEdge) —
+    forward on the graph, backward on its reversed twin — seeded by the
+    shard-local scc == giant predicate (the core member list never
+    ships). in/out are disjoint from core by definition (a node both
+    reaching and reached by the core is IN the core)."""
+    from ligrust_ray.algos.scc import (mark_reach_from_scc, scc,
+                                       transfer_state)
+
+    g, grev = events_err_graph_pair(sf_dir)
+    scc(g, grev)
+
+    sizes = shuffle.grouped_agg(
+        g.result_dataset(["scc"]).map_batches(
+            lambda t: pa.table({"scc": t.column("scc").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["scc"], {"n": (None, "count")})
+
+    def top1(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"scc": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        n = t.column("n").to_numpy()
+        s = t.column("scc").to_numpy()
+        best = np.lexsort((s, -n))[0]
+        return pa.table({"scc": pa.array([s[best]]),
+                         "n": pa.array([n[best]])})
+
+    tops = sizes.map_batches(top1, batch_format="pyarrow").to_pandas()
+    tops = tops.sort_values(["n", "scc"], ascending=[False, True])
+    giant = int(tops.iloc[0]["scc"])
+
+    mark_reach_from_scc(g, giant)
+    transfer_state(g, grev, {"scc": "scc"})
+    mark_reach_from_scc(grev, giant)
+
+    fwd = g.collect_state(["reach", "scc"])
+    bwd = grev.collect_state(["reach"])["reach"]
+    core = fwd["scc"] == giant
+    cls = np.where(core, "core",
+                   np.where(bwd & ~core, "in",
+                            np.where(fwd["reach"] & ~core, "out", "other")))
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "cls": pa.array(cls.astype(object), type=pa.string())})
+
+
 PPR_ROUNDS = 4
 PPR_SOURCE = 0
 

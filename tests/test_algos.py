@@ -1417,3 +1417,23 @@ def test_bipartite_component_rollup(ray_session):
     giant = df.loc[df["n_nodes"].idxmax()]
     if giant["n_nodes"] >= 3:
         assert giant["is_bipartite"] == 0
+
+
+def test_bowtie_partition_invariants(ray_session):
+    import ligrust_ray.pipelines.queries as Q
+
+    df = Q.q_events_bowtie("/root/testdata/sf0.001").to_pandas()
+    assert set(df["cls"]) <= {"core", "in", "out", "other"}
+    assert len(df) == Q.events_n("/root/testdata/sf0.001")
+    # the giant SCC is non-empty and every class is exclusive (one row
+    # per node is a partition by construction of np.where)
+    assert (df["cls"] == "core").sum() >= 1
+    # every IN node must reach the core: IN members have at least one
+    # out-edge in the subgraph (a node with no out-edges cannot reach
+    # anything, so it can never be classed 'in')
+    import numpy as np
+    import pyarrow.compute as pc
+    edges = Q.events_err_edges_ds("/root/testdata/sf0.001").to_pandas()
+    has_out = set(edges["src"])
+    in_nodes = set(df.loc[df["cls"] == "in", "node_id"])
+    assert in_nodes <= has_out
