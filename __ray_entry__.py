@@ -1248,7 +1248,8 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
     "events_eigencentrality", "events_condensation", "events_bipartite",
-    "emb_kmeans", "events_bowtie",
+    "emb_kmeans", "events_bowtie", "events_degree_mixing",
+    "events_multiplicity",
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
     "events_wl_colors", "docs_bm25", "events_butterflies",
@@ -1303,6 +1304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_butterflies": Q.q_events_butterflies,
         "events_graph_stats": Q.q_events_graph_stats,
         "events_assortativity": Q.q_events_assortativity,
+        "events_degree_mixing": Q.q_events_degree_mixing,
+        "events_multiplicity": Q.q_events_multiplicity,
         "events_component_sizes": Q.q_events_component_sizes,
         "events_community_stats": Q.q_events_community_stats,
         "events_global_clustering": Q.q_events_global_clustering,
@@ -2149,6 +2152,30 @@ def oracle_sql() -> dict[str, str]:
             "AS closed_permille FROM wd, tr"),
         # degree-assortativity moment sums: exact integers (the Pearson
         # coefficient is a closed-form ratio over these six numbers)
+        # log2-bucketed joint degree matrix: same sym/deg CTEs as
+        # assortativity; FLOOR(LOG2) of an integer degree is IEEE-exact
+        # at powers of two and unambiguous elsewhere
+        "events_degree_mixing": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT v AS node_id, COUNT(*) AS degree FROM sym "
+            "GROUP BY v) "
+            "SELECT CAST(FLOOR(LOG2(CAST(dx.degree AS DOUBLE))) AS BIGINT) "
+            "AS bx, "
+            "CAST(FLOOR(LOG2(CAST(dy.degree AS DOUBLE))) AS BIGINT) AS by, "
+            "COUNT(*) AS n_pairs "
+            "FROM sym JOIN deg dx ON dx.node_id = sym.v "
+            "JOIN deg dy ON dy.node_id = sym.w GROUP BY 1, 2"),
+        "events_multiplicity": (
+            f"WITH e AS ({_EDGES_CTE}), "
+            "m AS (SELECT src, dst, COUNT(*) AS multiplicity FROM e "
+            "GROUP BY src, dst) "
+            "SELECT multiplicity, COUNT(*) AS n_edges FROM m "
+            "GROUP BY multiplicity"),
         "events_assortativity": (
             f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
             "WHERE src <> dst), "

@@ -581,6 +581,63 @@ def q_events_graph_stats(sf_dir: str):
                                    type=pa.int64())})
 
 
+def q_events_degree_mixing(sf_dir: str):
+    """(bx, by, n_pairs) — the degree-mixing (joint degree) matrix over
+    the simple undirected events graph in log2 buckets: for every
+    directed pair (v, w) of the symmetrized edge set, bx =
+    floor(log2 deg(v)), by = floor(log2 deg(w)). The bucketed matrix is
+    the standard web-graph degree-correlation readout (assortativity's
+    one Pearson number compresses exactly this table). log2 of an exact
+    power of two is exact in IEEE double and the floor is unambiguous
+    everywhere else, so the integer buckets match DuckDB bit-for-bit.
+    Same two co-partitioned hash_joins as events_assortativity (degree
+    table n-sized, never broadcast), one partial-combined grouped count;
+    the shared sym edge set is materialized once and feeds both the
+    degree aggregate and the pair stream."""
+    sym0 = _sym_simple(sf_dir).materialize()
+    deg = shuffle.grouped_agg(sym0, ["v"],
+                              {"degree": (None, "count")}).map_batches(
+        lambda t: pa.table({"node_id": t.column("v"),
+                            "degree": t.column("degree")}),
+        batch_format="pyarrow")
+    sym = sym0.map_batches(
+        lambda t: pa.table({"node_id": t.column("v"),
+                            "w": t.column("w")}),
+        batch_format="pyarrow")
+    j1 = shuffle.hash_join(sym, deg, on="node_id",
+                           l_cols=["w"], r_cols=["degree"]).map_batches(
+        lambda t: pa.table({
+            "node_id": t.column("w"),
+            "bx": pa.array(np.floor(np.log2(
+                t.column("degree").to_numpy().astype(np.float64)))
+                .astype(np.int64))}),
+        batch_format="pyarrow")
+    j2 = shuffle.hash_join(j1, deg, on="node_id",
+                           l_cols=["bx"], r_cols=["degree"]).map_batches(
+        lambda t: pa.table({
+            "bx": t.column("bx"),
+            "by": pa.array(np.floor(np.log2(
+                t.column("degree").to_numpy().astype(np.float64)))
+                .astype(np.int64))}),
+        batch_format="pyarrow")
+    return shuffle.grouped_agg(j2, ["bx", "by"],
+                               {"n_pairs": (None, "count")})
+
+
+def q_events_multiplicity(sf_dir: str):
+    """(multiplicity, n_edges) — parallel-edge census of the directed
+    events multigraph: how many distinct (src, dst) pairs occur exactly
+    m times (self-loops included; m = 1 is the simple-edge mass). The
+    multigraph-vs-simple-graph gap this table measures decides whether
+    an engine must deduplicate before triangle/k-core style algorithms.
+    Two partial-combined grouped counts, nothing else."""
+    per_edge = shuffle.grouped_agg(events_edges_ds(sf_dir),
+                                   ["src", "dst"],
+                                   {"multiplicity": (None, "count")})
+    return shuffle.grouped_agg(per_edge, ["multiplicity"],
+                               {"n_edges": (None, "count")})
+
+
 def q_events_assortativity(sf_dir: str):
     """One-row exact integer moment sums for degree assortativity
     (Newman 2002) over the simple undirected events graph: for every

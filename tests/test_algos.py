@@ -1437,3 +1437,21 @@ def test_bowtie_partition_invariants(ray_session):
     has_out = set(edges["src"])
     in_nodes = set(df.loc[df["cls"] == "in", "node_id"])
     assert in_nodes <= has_out
+
+
+def test_degree_mixing_and_multiplicity_mass(ray_session):
+    import ligrust_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    ev = Q.events_edges_ds(sf).to_pandas()
+    mix = Q.q_events_degree_mixing(sf).to_pandas()
+    und = ev[ev.src != ev.dst]
+    n_und = len({(min(a, b), max(a, b)) for a, b in zip(und.src, und.dst)})
+    # every directed pair of the symmetrized simple graph appears once
+    assert int(mix["n_pairs"].sum()) == 2 * n_und
+    # the matrix is symmetric: (bx,by) mass equals (by,bx) mass
+    m = {(r.bx, r.by): r.n_pairs for r in mix.itertuples()}
+    assert all(m[(a, b)] == m.get((b, a)) for a, b in m)
+
+    mult = Q.q_events_multiplicity(sf).to_pandas()
+    assert int((mult["multiplicity"] * mult["n_edges"]).sum()) == len(ev)
