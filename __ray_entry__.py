@@ -1249,7 +1249,7 @@ _CHECK_PRIORITY = [
     # newest in round 4 (never driver-checked)
     "events_eigencentrality", "events_condensation", "events_bipartite",
     "emb_kmeans", "events_bowtie", "events_degree_mixing",
-    "events_multiplicity",
+    "events_multiplicity", "events_interarrival", "docs_entropy",
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
     "events_wl_colors", "docs_bm25", "events_butterflies",
@@ -1325,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_louvain_coarse": Q.q_events_louvain_coarse,
         # windowed / sessionized aggregates (streaming-window family)
         "events_sessions": Q.q_events_sessions,
+        "events_interarrival": Q.q_events_interarrival,
         "events_markov": Q.q_events_markov,
         "events_funnel": Q.q_events_funnel,
         "events_windows": Q.q_events_windows,
@@ -1389,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_best_per_source": Q.q_docs_best_per_source,
         "docs_langid": Q.q_docs_langid,
         "docs_fingerprint": Q.q_docs_fingerprint,
+        "docs_entropy": Q.q_docs_entropy,
         "docs_winnowing": Q.q_docs_winnowing,
         "docs_winnow_pairs": Q.q_docs_winnow_pairs,
         "docs_sim_join": Q.q_docs_sim_join,
@@ -1959,6 +1961,20 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o.o_orderpriority"),
         # first-order Markov transition counts (queries.q_events_markov
         # spec): lag() over (user_id, ts, event_id) total order
+        # per-user inter-arrival moments: LAG over the same (ts,
+        # event_id) total order as events_markov; dt² on the ms grid
+        # (dt_us // 1000) to stay int64-exact (queries spec)
+        "events_interarrival": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS tu, "
+            "LAG(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS pu FROM events), "
+            "g AS (SELECT user_id, tu - pu AS dt, "
+            "((tu - pu) // 1000) * ((tu - pu) // 1000) AS dt2 "
+            "FROM o WHERE pu IS NOT NULL) "
+            "SELECT user_id, COUNT(*) AS n_gaps, "
+            "CAST(SUM(dt) AS BIGINT) AS sum_dt_us, "
+            "CAST(SUM(dt2) AS BIGINT) AS sum_dt2_ms2 "
+            "FROM g GROUP BY user_id"),
         "events_markov": (
             "WITH o AS (SELECT user_id, event_type, lag(event_type) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
@@ -2109,6 +2125,22 @@ def oracle_sql() -> dict[str, str]:
             "y.doc_id AS b, COUNT(*) AS shared FROM fps x JOIN fps y "
             "ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2) "
             "SELECT a, b, shared FROM p WHERE shared >= 2"),
+        # per-doc character entropy, integer micro-bit terms (the
+        # Adamic-Adar fixed-point convention — per-term floor(x*1e6+0.5)
+        # from integer (n, N) only, then an order-free integer SUM)
+        "docs_entropy": (
+            "WITH ch0 AS (SELECT doc_id, "
+            "UNNEST(string_split(text, '')) AS ch FROM documents), "
+            "ch AS (SELECT doc_id, unicode(ch) AS code FROM ch0), "
+            "cnt AS (SELECT doc_id, code, COUNT(*) AS n FROM ch "
+            "GROUP BY doc_id, code), "
+            "tot AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS nn "
+            "FROM ch GROUP BY doc_id) "
+            "SELECT cnt.doc_id, CAST(SUM(CAST(FLOOR((cnt.n / tot.nn) * "
+            "(LOG2(tot.nn) - LOG2(CAST(cnt.n AS DOUBLE))) * 1000000 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS entropy_ubits "
+            "FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id "
+            "GROUP BY cnt.doc_id"),
         "docs_fingerprint": (
             "SELECT doc_id, "
             + _signed64("md5_number_lower(regexp_replace(trim(text), "

@@ -402,3 +402,49 @@ def pii_scrub_batch(t: pa.Table) -> pa.Table:
     return pa.table({"doc_id": cols["doc_id"], "text_clean": txt,
                      "n_email": cols["n_email"], "n_ip": cols["n_ip"],
                      "n_phone": cols["n_phone"]})
+
+
+def char_entropy_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, entropy_ubits) — per-doc character (codepoint) Shannon
+    entropy in integer MICRO-bits: each distinct character contributes
+    term = floor((n/N) * (log2 N - log2 n) * 1e6 + 0.5), an int64 that
+    depends only on the integer pair (n, N) — summing ints makes the
+    value addition-order independent, so the DuckDB oracle (identical
+    per-term formula) hash-matches without float-sum-order caveats (the
+    Adamic-Adar fixed-point convention). Low entropy flags gibberish /
+    repeated-character spam (the Gopher-style quality axis the plain
+    repetition stats miss). Empty docs emit no row (entropy undefined),
+    matching the oracle's generate_series(1, 0) empty expansion.
+
+    Vectorized: one codepoint explode per batch (utf-32 view), counts
+    via a C groupby on (doc_idx, code), terms in one numpy expression —
+    no per-character Python."""
+    ids = t.column("doc_id").to_numpy()
+    texts = t.column("text").to_pylist()
+    lens = np.fromiter((len(x) for x in texts), dtype=np.int64,
+                       count=len(texts))
+    keep = lens > 0
+    if not keep.any():
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "entropy_ubits": pa.array([], type=pa.int64())})
+    codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    # run-length encode the sorted (doc, code) stream: counts per pair
+    order = np.lexsort((codes, doc_idx))
+    di, cs = doc_idx[order], codes[order]
+    first = np.concatenate(([True], (di[1:] != di[:-1])
+                            | (cs[1:] != cs[:-1])))
+    starts = np.flatnonzero(first)
+    n = np.diff(np.append(starts, len(di))).astype(np.int64)
+    gi = di[starts]
+    N = lens[gi].astype(np.float64)
+    term = np.floor((n / N) * (np.log2(N) - np.log2(n.astype(np.float64)))
+                    * 1e6 + 0.5).astype(np.int64)
+    # per-doc integer sum of terms (gi ascends)
+    dstarts = np.flatnonzero(np.concatenate(([True], gi[1:] != gi[:-1])))
+    ent = np.add.reduceat(term, dstarts)
+    out_idx = gi[dstarts]
+    return pa.table({
+        "doc_id": pa.array(ids[out_idx].astype(np.int64)),
+        "entropy_ubits": pa.array(ent.astype(np.int64))})

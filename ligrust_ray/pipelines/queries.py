@@ -2459,6 +2459,46 @@ def q_events_markov(sf_dir: str):
                                {"n": ("n", "sum")})
 
 
+def q_events_interarrival(sf_dir: str):
+    """(user_id, n_gaps, sum_dt_us, sum_dt2_ms2) — per-user inter-arrival
+    moments over the (ts, event_id) total order: dt in exact integer
+    microseconds; the second moment on the millisecond grid (dt_ms =
+    dt_us // 1000) so Σdt² stays far inside int64 (max gap 36e9 µs
+    squared would overflow; 36e6 ms squared × any plausible per-user gap
+    count does not). Burstiness/CoV are trivial driver-side formulas
+    over these integers — keeping the OUTPUT integral makes the DuckDB
+    hash compare exact. Scale shape: one user-keyed grouped_apply (each
+    user's timeline sorts inside its partition — never a Dataset-level
+    global sort), output one row per user."""
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_id", "ts", "user_id"])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                              "n_gaps": pd.Series([], dtype=np.int64),
+                              "sum_dt_us": pd.Series([], dtype=np.int64),
+                              "sum_dt2_ms2": pd.Series([], dtype=np.int64)})
+        if not len(df):
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        t = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        dt = np.diff(t)
+        same = u[1:] == u[:-1]
+        dt = dt[same]
+        uu = u[1:][same]
+        if not len(uu):
+            return empty
+        dtm = dt // 1000
+        out = pd.DataFrame({"user_id": uu, "dt": dt, "dt2": dtm * dtm})
+        g = out.groupby("user_id", as_index=False).agg(
+            n_gaps=("dt", "size"), sum_dt_us=("dt", "sum"),
+            sum_dt2_ms2=("dt2", "sum"))
+        return g.astype(np.int64)
+
+    return shuffle.grouped_apply(ev, ["user_id"], per_part)
+
+
 def q_events_funnel(sf_dir: str):
     """(stage, n_users) — ordered view->click->purchase conversion funnel
     (windows.funnel_counts); SQL oracle = three chained MIN-after joins."""
@@ -4005,6 +4045,17 @@ def q_docs_char_classes(sf_dir: str):
 
     return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         census, batch_format="pyarrow")
+
+
+def q_docs_entropy(sf_dir: str):
+    """(doc_id, entropy_ubits) — per-doc character entropy in integer
+    micro-bits (textstats.char_entropy_batch): the gibberish/spam
+    quality axis (near-zero entropy = repeated-character filler, the
+    thing token-level repetition stats miss). Stateless map_batches,
+    shuffle-free; int64 per-character terms make the hash compare
+    exact."""
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        textstats.char_entropy_batch, batch_format="pyarrow")
 
 
 def q_docs_fingerprint(sf_dir: str):

@@ -2209,3 +2209,30 @@ def test_kmeans_matches_numpy_mirror(ray_session):
     # stability: a second engine run is bit-identical
     again = kmeans(_emb(sf)).to_pandas().sort_values("vec_id")
     assert (again["cluster"].to_numpy() == got["cluster"].to_numpy()).all()
+
+
+def test_char_entropy_known_values():
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ligrust_ray.dataops.textstats import char_entropy_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": ["aaaa", "abab", "abcd", ""]})
+    r = char_entropy_batch(t)
+    got = dict(zip(r.column("doc_id").to_pylist(),
+                   r.column("entropy_ubits").to_pylist()))
+    # repeated char: H = 0; two chars 50/50: 1 bit; four distinct: 2 bits
+    assert got[1] == 0
+    assert got[2] == 1_000_000
+    assert got[3] == 2_000_000
+    assert 4 not in got          # empty doc emits no row
+    # a non-uniform case against the closed form, term-by-term
+    t2 = pa.table({"doc_id": pa.array([9], type=pa.int64()),
+                   "text": ["aab"]})
+    n, N = np.array([2, 1]), 3.0
+    exp = int(sum(int(math.floor((c / N) * (math.log2(N) - math.log2(c))
+                                 * 1e6 + 0.5)) for c in n))
+    assert char_entropy_batch(t2).column("entropy_ubits")[0].as_py() == exp
