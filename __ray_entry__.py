@@ -1250,6 +1250,7 @@ _CHECK_PRIORITY = [
     "events_eigencentrality", "events_condensation", "events_bipartite",
     "emb_kmeans", "events_bowtie", "events_degree_mixing",
     "events_multiplicity", "events_interarrival", "docs_entropy",
+    "pages_bowtie",
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
     "events_wl_colors", "docs_bm25", "events_butterflies",
@@ -1356,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scc": Q.q_events_scc,
         "events_condensation": Q.q_events_condensation,
         "events_bowtie": Q.q_events_bowtie,
+        "pages_bowtie": Q.q_pages_bowtie,
         "events_hits": Q.q_events_hits,
         "events_ppr": Q.q_events_ppr,
         "events_katz": Q.q_events_katz,
@@ -1674,6 +1676,32 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'error' AND value < 15), "
             "e AS (SELECT DISTINCT * FROM em), "
             f"nodes AS ({_NODES_CTE}), "
+            "r(node, reach) AS (SELECT id, id FROM nodes "
+            "UNION SELECT e.dst, r.reach FROM r JOIN e ON e.src = r.node), "
+            "scc AS (SELECT a.node, CAST(MIN(a.reach) AS BIGINT) AS c "
+            "FROM r a JOIN r b ON b.node = a.reach AND b.reach = a.node "
+            "GROUP BY a.node), "
+            "giant AS (SELECT c FROM (SELECT c, COUNT(*) AS n FROM scc "
+            "GROUP BY c) ORDER BY n DESC, c ASC LIMIT 1), "
+            "core AS (SELECT node FROM scc "
+            "WHERE c = (SELECT c FROM giant)), "
+            "fwd AS (SELECT DISTINCT r.node FROM r "
+            "JOIN core ON core.node = r.reach), "
+            "bwd AS (SELECT DISTINCT r.reach AS node FROM r "
+            "JOIN core ON core.node = r.node) "
+            "SELECT nodes.id AS node_id, "
+            "CASE WHEN scc.c = (SELECT c FROM giant) THEN 'core' "
+            "WHEN nodes.id IN (SELECT node FROM bwd) THEN 'in' "
+            "WHEN nodes.id IN (SELECT node FROM fwd) THEN 'out' "
+            "ELSE 'other' END AS cls "
+            "FROM nodes JOIN scc ON scc.node = nodes.id"),
+        # the same bow-tie over the BUILT pages link graph (persisted
+        # oracle edges/nodes — the crawl's dead links give all regions)
+        "pages_bowtie": (
+            "WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM "
+            f"read_parquet('{_PAGES_ORACLE}/edges/*.parquet')), "
+            "nodes AS (SELECT id FROM read_parquet("
+            f"'{_PAGES_ORACLE}/nodes.parquet')), "
             "r(node, reach) AS (SELECT id, id FROM nodes "
             "UNION SELECT e.dst, r.reach FROM r JOIN e ON e.src = r.node), "
             "scc AS (SELECT a.node, CAST(MIN(a.reach) AS BIGINT) AS c "

@@ -2607,6 +2607,78 @@ def _pages_graph(sf_dir: str) -> tuple[str, DistGraph]:
     return gd, _GRAPH_CACHE[key]
 
 
+def _pages_rev_graph(sf_dir: str) -> DistGraph:
+    """Reversed twin of the built pages graph (same n / partition bounds,
+    so scc()'s aligned transfer_state applies) — built once from the
+    persisted edges parquet, cached like every other graph artifact."""
+    gd, g = _pages_graph(sf_dir)
+    key = ("pages_rev", gd)
+    rgd = gd + "_rev"
+    if key not in _GRAPH_CACHE:
+        if not os.path.exists(os.path.join(rgd, "manifest.json")):
+            rev = _read_sized(
+                os.path.join(gd, "edges"),
+                columns=["src", "dst"]).map_batches(
+                lambda t: pa.table({"src": t.column("dst"),
+                                    "dst": t.column("src")}),
+                batch_format="pyarrow")
+            build_graph_from_edges(rev, rgd, n=g.n, num_partitions=4)
+        _GRAPH_CACHE[key] = DistGraph.load(rgd)
+    return _GRAPH_CACHE[key]
+
+
+def q_pages_bowtie(sf_dir: str):
+    """(node_id, cls) — the Broder et al. WWW'00 bow-tie decomposition of
+    the BUILT pages link graph (the analysis the bow-tie picture was
+    drawn for: crawled web pages with a giant core, IN/OUT flanks,
+    tendrils and disconnected islands — the synthetic crawl's dead links
+    give it all five regions). Same engine plan as events_bowtie: one
+    forward-backward scc() run on the cached forward/reversed twins, the
+    giant label (ties to smallest) from a per-block-folded distributed
+    size count, two ReachEdge frontier sweeps seeded by the shard-local
+    scc == giant predicate."""
+    from ligrust_ray.algos.scc import (mark_reach_from_scc, scc,
+                                       transfer_state)
+
+    gd, g = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, g.n)
+    grev = _pages_rev_graph(sf_dir)
+    scc(g, grev)
+
+    sizes = shuffle.grouped_agg(
+        g.result_dataset(["scc"]).map_batches(
+            lambda t: pa.table({"scc": t.column("scc").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["scc"], {"n": (None, "count")})
+
+    def top1(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"scc": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        n = t.column("n").to_numpy()
+        s = t.column("scc").to_numpy()
+        best = np.lexsort((s, -n))[0]
+        return pa.table({"scc": pa.array([s[best]]),
+                         "n": pa.array([n[best]])})
+
+    tops = sizes.map_batches(top1, batch_format="pyarrow").to_pandas()
+    tops = tops.sort_values(["n", "scc"], ascending=[False, True])
+    giant = int(tops.iloc[0]["scc"])
+
+    mark_reach_from_scc(g, giant)
+    transfer_state(g, grev, {"scc": "scc"})
+    mark_reach_from_scc(grev, giant)
+
+    fwd = g.collect_state(["reach", "scc"])
+    bwd = grev.collect_state(["reach"])["reach"]
+    core = fwd["scc"] == giant
+    cls = np.where(core, "core",
+                   np.where(bwd & ~core, "in",
+                            np.where(fwd["reach"] & ~core, "out", "other")))
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "cls": pa.array(cls.astype(object), type=pa.string())})
+
+
 def _refresh_pages_oracle(gd: str, n: int) -> None:
     """Copy the graph's edge table, url map and node universe to the FIXED
     ``PAGES_ORACLE_DIR`` path, so the static SQL strings in

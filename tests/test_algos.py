@@ -1455,3 +1455,15 @@ def test_degree_mixing_and_multiplicity_mass(ray_session):
 
     mult = Q.q_events_multiplicity(sf).to_pandas()
     assert int((mult["multiplicity"] * mult["n_edges"]).sum()) == len(ev)
+
+
+def test_pages_bowtie_has_multiple_regions(ray_session):
+    import ligrust_ray.pipelines.queries as Q
+
+    df = Q.q_pages_bowtie("/root/testdata/sf0.001").to_pandas()
+    assert set(df["cls"]) <= {"core", "in", "out", "other"}
+    # the synthetic crawl's dead links produce a real bow-tie: a core
+    # plus at least one non-core region
+    counts = df["cls"].value_counts()
+    assert counts.get("core", 0) >= 1
+    assert len(counts) >= 2
