@@ -1250,7 +1250,7 @@ _CHECK_PRIORITY = [
     "events_eigencentrality", "events_condensation", "events_bipartite",
     "emb_kmeans", "events_bowtie", "events_degree_mixing",
     "events_multiplicity", "events_interarrival", "docs_entropy",
-    "pages_bowtie",
+    "pages_bowtie", "events_window_topk",
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
     "events_wl_colors", "docs_bm25", "events_butterflies",
@@ -1330,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov": Q.q_events_markov,
         "events_funnel": Q.q_events_funnel,
         "events_windows": Q.q_events_windows,
+        "events_window_topk": Q.q_events_window_topk,
         "events_hopping": Q.q_events_hopping,
         "events_rolling": Q.q_events_rolling,
         "events_asof_click": Q.q_events_asof_click,
@@ -1951,6 +1952,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM o) "
             "SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, "
             "COUNT(*) AS n_events FROM s GROUP BY user_id"),
+        "events_window_topk": (
+            "WITH c AS (SELECT CAST((epoch_us(ts) // 3600000000) "
+            "* 3600000000 AS BIGINT) AS window_start_us, event_type, "
+            "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+            "r AS (SELECT window_start_us, event_type, n, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY window_start_us "
+            "ORDER BY n DESC, event_type) AS BIGINT) AS rank FROM c) "
+            "SELECT window_start_us, event_type, n, rank FROM r "
+            "WHERE rank <= 3"),
         "events_windows": (
             "SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 "
             "AS BIGINT) AS window_start_us, "

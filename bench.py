@@ -521,7 +521,18 @@ def run_headline(num_cpus: int) -> dict:
             ("events_butterflies", Q.q_events_butterflies, False),
             ("events_window_hll", Q.q_events_window_hll, True),
             ("events_onion", Q.q_events_onion, True),
-            ("pages_host_cap", Q.q_pages_host_cap, True)):
+            ("pages_host_cap", Q.q_pages_host_cap, True),
+            ("events_eigencentrality", Q.q_events_eigencentrality, True),
+            ("events_condensation", Q.q_events_condensation, True),
+            ("events_bipartite", Q.q_events_bipartite, True),
+            ("emb_kmeans", Q.q_emb_kmeans, True),
+            ("events_bowtie", Q.q_events_bowtie, True),
+            ("pages_bowtie", Q.q_pages_bowtie, True),
+            ("events_degree_mixing", Q.q_events_degree_mixing, True),
+            ("events_multiplicity", Q.q_events_multiplicity, True),
+            ("events_interarrival", Q.q_events_interarrival, True),
+            ("docs_entropy", Q.q_docs_entropy, True),
+            ("events_window_topk", Q.q_events_window_topk, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         # eager results (pyarrow.Table / pandas) are already computed;

@@ -2569,6 +2569,49 @@ def q_events_windows(sf_dir: str):
     return windows.tumbling_window_counts(ev)
 
 
+WINDOW_TOPK = 3
+
+
+def q_events_window_topk(sf_dir: str):
+    """(window_start_us, event_type, n, rank) — per-tumbling-1h-window
+    top-WINDOW_TOPK event types by count (ties: count desc, type asc) —
+    the per-window heavy-hitters readout a streaming dashboard keeps.
+    Scale shape: one partial-combined grouped count on (window, type) —
+    the combined table is |windows| x |types| tiny — then ONE
+    window-keyed grouped_apply ranks in-partition; no global sort."""
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts", "event_type"])
+    window_us = 3_600_000_000
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "window_start_us": pa.array((ts // window_us) * window_us),
+            "event_type": t.column("event_type")})
+
+    counts = shuffle.grouped_agg(
+        ev.map_batches(bucket, batch_format="pyarrow"),
+        ["window_start_us", "event_type"], {"n": (None, "count")})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "window_start_us": pd.Series([], dtype=np.int64),
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64)})
+        if not len(df):
+            return empty
+        df = df.sort_values(["window_start_us", "n", "event_type"],
+                            ascending=[True, False, True])
+        k = df.groupby("window_start_us").cumcount() + 1
+        out = df.assign(rank=k.astype(np.int64))
+        out = out[out["rank"] <= WINDOW_TOPK]
+        return out[["window_start_us", "event_type", "n", "rank"]]
+
+    return shuffle.grouped_apply(counts, ["window_start_us"], topk)
+
+
 def q_events_hopping(sf_dir: str):
     """1-hour windows hopping every 15 minutes (4 overlapping windows per
     event) — the sliding-window counterpart of events_windows."""
