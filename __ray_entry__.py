@@ -1250,7 +1250,7 @@ _CHECK_PRIORITY = [
     "events_eigencentrality", "events_condensation", "events_bipartite",
     "emb_kmeans", "events_bowtie", "events_degree_mixing",
     "events_multiplicity", "events_interarrival", "docs_entropy",
-    "pages_bowtie", "events_window_topk",
+    "pages_bowtie", "events_window_topk", "pages_dead_links",
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
     "events_wl_colors", "docs_bm25", "events_butterflies",
@@ -1378,6 +1378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_domain_graph": Q.q_pages_domain_graph,
         "pages_domain_pagerank": Q.q_pages_domain_pagerank,
         "pages_anchor_text": Q.q_pages_anchor_text,
+        "pages_dead_links": Q.q_pages_dead_links,
         "pages_crawl_order": Q.q_pages_crawl_order,
         "pages_host_cap": Q.q_pages_host_cap,
         "pages_host_locality": Q.q_pages_host_locality,
@@ -1626,6 +1627,18 @@ def oracle_sql() -> dict[str, str]:
         # persisted (dst_url, anchor) rows (extraction pytest-pinned);
         # ROW_NUMBER is deterministic — (dst_url, token) rows are unique,
         # so (n DESC, token ASC) totally orders each partition
+        # link-rot census per target host over the SAME persisted anchors
+        # + url_map artifacts the engine writes
+        "pages_dead_links": (
+            "WITH a AS (SELECT dst_url FROM read_parquet("
+            f"'{_ANCHOR_ORACLE}/anchors/*.parquet')), "
+            "u AS (SELECT DISTINCT url FROM read_parquet("
+            f"'{_ANCHOR_ORACLE}/crawled/*.parquet')) "
+            "SELECT regexp_extract(a.dst_url, 'https://([^/]+)/', 1) "
+            "AS host, COUNT(*) AS n_links, "
+            "CAST(SUM(CASE WHEN u.url IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_dead "
+            "FROM a LEFT JOIN u ON u.url = a.dst_url GROUP BY 1"),
         "pages_anchor_text": (
             "WITH a AS (SELECT dst_url, UNNEST(regexp_extract_all("
             "lower(anchor), '\\S+')) AS token FROM read_parquet("

@@ -3193,17 +3193,11 @@ ANCHOR_ORACLE_DIR = os.path.join(tempfile.gettempdir(),
 ANCHOR_TOP_K = 3
 
 
-def q_pages_anchor_text(sf_dir: str):
-    """Per-target anchor-text profile — the classic web-corpus op (what do
-    OTHER pages call this url?): parse ``(src, dst, anchor)`` from the
-    synthetic pages html (stateless task parse, same economics as the
-    build's edge extraction), tokenize the anchor strings (lower, \\S+ —
-    the repo token spec), one grouped count per (dst_url, token), then a
-    dst-keyed grouped_apply top-K (n DESC, token ASC). Oracled: the raw
-    (dst_url, anchor) rows persist to a fixed /tmp artifact and the static
-    SQL tokenizes + aggregates THE SAME rows, so tokenize/count/rank math
-    is hash-verified; extraction itself is pytest-pinned (href parity with
-    extract_links, determinism, nested/EOF anchors)."""
+def _anchors_cached(sf_dir: str) -> ray.data.Dataset:
+    """Materialized (dst_url, anchor) rows parsed from the synthetic
+    pages html, persisted to the fixed ANCHOR_ORACLE_DIR artifact so the
+    static SQL oracles aggregate THE SAME rows (marker-skipped when
+    current). Shared by pages_anchor_text and pages_dead_links."""
     from ligrust_ray.functions.extract import ExtractAnchors
     from ligrust_ray.sources.synth import write_pages_corpus
 
@@ -3227,10 +3221,14 @@ def q_pages_anchor_text(sf_dir: str):
         ExtractAnchors(), batch_format="pyarrow",
         batch_size=256).select_columns(["dst_url", "anchor"]).materialize()
 
-    # refresh the SQL-side artifact (marker-skipped when current)
+    # refresh the SQL-side artifacts (marker-skipped when current):
+    # the anchor rows AND the crawled url universe (the corpus url
+    # column — url_map is wider: id-assign covers every href TARGET too,
+    # so "exists in url_map" is not "was crawled")
     marker = os.path.join(ANCHOR_ORACLE_DIR, "SOURCE")
-    stamp = f"pages:{n_pages}:seed42"
-    ok = os.path.isdir(os.path.join(ANCHOR_ORACLE_DIR, "anchors"))
+    stamp = f"pages:{n_pages}:seed42:v2"
+    ok = all(os.path.isdir(os.path.join(ANCHOR_ORACLE_DIR, p))
+             for p in ("anchors", "crawled"))
     try:
         with open(marker) as fh:
             ok = ok and fh.read() == stamp
@@ -3242,8 +3240,74 @@ def q_pages_anchor_text(sf_dir: str):
         shutil.rmtree(ANCHOR_ORACLE_DIR, ignore_errors=True)
         os.makedirs(ANCHOR_ORACLE_DIR)
         anchors.write_parquet(os.path.join(ANCHOR_ORACLE_DIR, "anchors"))
+        ray.data.read_parquet(corpus, columns=["url"]).write_parquet(
+            os.path.join(ANCHOR_ORACLE_DIR, "crawled"))
         with open(marker, "w") as fh:
             fh.write(stamp)
+    return anchors
+
+
+def q_pages_dead_links(sf_dir: str):
+    """(host, n_links, n_dead) — link-rot census per TARGET host: of all
+    hrefs extracted from the crawl, how many point at urls that were
+    actually CRAWLED vs dangle (the synthetic corpus plants
+    void*.example dead links exactly like real crawls carry rotted /
+    uncrawled targets — this table is what decides a recrawl frontier).
+    NOTE: the crawled set is the corpus url column, NOT url_map —
+    id-assign covers every href target too. Scale shape: the anchors
+    multiset co_group-anti-joins the crawled url set on dst_url (urls
+    co-partition; anchor text never ships), then one partial-combined
+    grouped count per host."""
+    anchors = _anchors_cached(sf_dir)
+    urls = _read_sized(os.path.join(ANCHOR_ORACLE_DIR, "crawled"),
+                       columns=["url"])
+
+    def dsts(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t.column("dst_url")})
+
+    def known(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t.column("url").cast(pa.string()),
+                         "known": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
+
+    def per_part(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"host": pd.Series([], dtype=object),
+                              "n_links": pd.Series([], dtype=np.int64),
+                              "n_dead": pd.Series([], dtype=np.int64)})
+        if not len(lf):
+            return empty
+        alive = set(rf["u"]) if len(rf) else set()
+        hosts = lf["u"].str.extract(r"https://([^/]+)/", expand=False) \
+            .fillna("")
+        dead = (~lf["u"].isin(alive)).astype(np.int64)
+        out = pd.DataFrame({"host": hosts, "dead": dead})
+        g2 = out.groupby("host", as_index=False).agg(
+            n_links=("dead", "size"), n_dead=("dead", "sum"))
+        g2["n_links"] = g2["n_links"].astype(np.int64)
+        return g2
+
+    parts = shuffle.co_group(
+        anchors.map_batches(dsts, batch_format="pyarrow"),
+        urls.map_batches(known, batch_format="pyarrow"),
+        "u", "u", per_part)
+    return shuffle.grouped_agg(parts, ["host"],
+                               {"n_links": ("n_links", "sum"),
+                                "n_dead": ("n_dead", "sum")})
+
+
+def q_pages_anchor_text(sf_dir: str):
+    """Per-target anchor-text profile — the classic web-corpus op (what do
+    OTHER pages call this url?): parse ``(src, dst, anchor)`` from the
+    synthetic pages html (stateless task parse, same economics as the
+    build's edge extraction), tokenize the anchor strings (lower, \\S+ —
+    the repo token spec), one grouped count per (dst_url, token), then a
+    dst-keyed grouped_apply top-K (n DESC, token ASC). Oracled: the raw
+    (dst_url, anchor) rows persist to a fixed /tmp artifact
+    (_anchors_cached) and the static SQL tokenizes + aggregates THE SAME
+    rows, so tokenize/count/rank math is hash-verified; extraction
+    itself is pytest-pinned (href parity with extract_links,
+    determinism, nested/EOF anchors)."""
+    anchors = _anchors_cached(sf_dir)
 
     def batch_counts(t: pa.Table) -> pa.Table:
         empty = pa.table({"dst_url": pa.array([], type=pa.string()),

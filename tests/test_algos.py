@@ -1467,3 +1467,18 @@ def test_pages_bowtie_has_multiple_regions(ray_session):
     counts = df["cls"].value_counts()
     assert counts.get("core", 0) >= 1
     assert len(counts) >= 2
+
+
+def test_dead_links_census(ray_session):
+    import ligrust_ray.pipelines.queries as Q
+
+    df = Q.q_pages_dead_links("/root/testdata/sf0.001").to_pandas()
+    assert (df["n_dead"] <= df["n_links"]).all()
+    # planted void*.example targets are never crawled: all dead
+    void = df[df["host"].str.startswith("void")]
+    assert len(void) >= 1
+    assert (void["n_dead"] == void["n_links"]).all()
+    # site*.example targets resolve (crawled universe): not all dead
+    site = df[df["host"].str.startswith("site")]
+    assert len(site) >= 1
+    assert int(site["n_dead"].sum()) < int(site["n_links"].sum())
