@@ -274,3 +274,50 @@ def mark_reach_from_scc(g, label: int) -> dict:
         g.edge_map(ReachEdge())
         waves += 1
     return {"waves": waves, "wall_s": time.perf_counter() - t0}
+
+
+def bowtie_labels(g, grev) -> "np.ndarray":
+    """Broder et al. WWW'00 bow-tie classification over the twin graphs:
+    returns one of 'core' / 'in' / 'out' / 'other' per node. Runs scc(),
+    picks the giant label (ties to smallest) from a DISTRIBUTED size
+    count folded to one row per block, then two ReachEdge sweeps seeded
+    by the shard-local scc == giant predicate. Driver state: the final
+    n-length class array (results-at-sandbox-scale convention; shard
+    state stays distributed throughout)."""
+    import pyarrow as pa
+    import ray.data  # noqa: F401  (result_dataset)
+
+    from ligrust_ray.stages import shuffle
+
+    scc(g, grev)
+    sizes = shuffle.grouped_agg(
+        g.result_dataset(["scc"]).map_batches(
+            lambda t: pa.table({"scc": t.column("scc").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["scc"], {"n": (None, "count")})
+
+    def top1(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"scc": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        n = t.column("n").to_numpy()
+        s = t.column("scc").to_numpy()
+        best = np.lexsort((s, -n))[0]
+        return pa.table({"scc": pa.array([s[best]]),
+                         "n": pa.array([n[best]])})
+
+    tops = sizes.map_batches(top1, batch_format="pyarrow").to_pandas()
+    tops = tops.sort_values(["n", "scc"], ascending=[False, True])
+    giant = int(tops.iloc[0]["scc"])
+
+    mark_reach_from_scc(g, giant)
+    transfer_state(g, grev, {"scc": "scc"})
+    mark_reach_from_scc(grev, giant)
+
+    fwd = g.collect_state(["reach", "scc"])
+    bwd = grev.collect_state(["reach"])["reach"]
+    core = fwd["scc"] == giant
+    return np.where(core, "core",
+                    np.where(bwd & ~core, "in",
+                             np.where(fwd["reach"] & ~core, "out",
+                                      "other")))

@@ -86,6 +86,14 @@ def main(argv=None):
     t.add_argument("--per-node", action="store_true")
     t.add_argument("-o", "--output", default=None)
 
+    bt = sub.add_parser("bowtie",
+                        help="Broder bow-tie region census of a directed "
+                             "edge table (core/in/out/other)")
+    bt.add_argument("edges", help="edge parquet (src,dst) path/dir")
+    bt.add_argument("-p", "--partitions", type=int, default=4)
+    bt.add_argument("-o", "--output", default=None,
+                    help="write per-node (node_id, cls) parquet")
+
     hb = sub.add_parser("hyperball",
                         help="HLL neighborhood-size estimates per node")
     hb.add_argument("edges", help="edge parquet (src,dst) path/dir")
@@ -555,6 +563,57 @@ def main(argv=None):
             "mean_ball": round(float(est["estimate"].mean()), 3),
             "max_ball": round(float(est["estimate"].max()), 3),
             "sum_balls": round(float(est["estimate"].sum()), 3)}))
+        return 0
+
+    if args.cmd == "bowtie":
+        import hashlib
+        import os
+        import tempfile
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ligrust_ray.algos.scc import bowtie_labels
+        from ligrust_ray.pipelines.build import build_graph_from_edges
+        from ligrust_ray.state.graph import DistGraph
+
+        e = ray.data.read_parquet(args.edges)
+        mx = e.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [max(int(pc.max(t.column("src")).as_py() or -1),
+                     int(pc.max(t.column("dst")).as_py() or -1))],
+                type=pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        n = int(mx["m"].max()) + 1 if len(mx) else 0
+        st = os.stat(args.edges)
+        key = hashlib.md5(
+            f"{os.path.abspath(args.edges)}:{st.st_mtime_ns}:"
+            f"{st.st_size}:{args.partitions}".encode()).hexdigest()[:12]
+        base = os.path.join(tempfile.gettempdir(), f"ligr_bowtie_{key}")
+        graphs = []
+        for name, flip in (("fwd", False), ("rev", True)):
+            gd = os.path.join(base, name)
+            if not os.path.exists(os.path.join(gd, "manifest.json")):
+                ds = e if not flip else e.map_batches(
+                    lambda t: pa.table({"src": t.column("dst"),
+                                        "dst": t.column("src")}),
+                    batch_format="pyarrow")
+                build_graph_from_edges(ds, gd, n=n,
+                                       num_partitions=args.partitions)
+            graphs.append(DistGraph.load(gd))
+        cls = bowtie_labels(graphs[0], graphs[1])
+        if args.output:
+            import pyarrow.parquet as pq
+
+            pq.write_table(pa.table({
+                "node_id": pa.array(np.arange(n, dtype=np.int64)),
+                "cls": pa.array(cls.astype(object), type=pa.string())}),
+                args.output)
+        names, counts = np.unique(cls, return_counts=True)
+        print(json.dumps({"n": n,
+                          **{str(k): int(v)
+                             for k, v in zip(names, counts)}}))
         return 0
 
     if args.cmd == "triangles":

@@ -1407,42 +1407,10 @@ def q_events_bowtie(sf_dir: str):
     shard-local scc == giant predicate (the core member list never
     ships). in/out are disjoint from core by definition (a node both
     reaching and reached by the core is IN the core)."""
-    from ligrust_ray.algos.scc import (mark_reach_from_scc, scc,
-                                       transfer_state)
+    from ligrust_ray.algos.scc import bowtie_labels
 
     g, grev = events_err_graph_pair(sf_dir)
-    scc(g, grev)
-
-    sizes = shuffle.grouped_agg(
-        g.result_dataset(["scc"]).map_batches(
-            lambda t: pa.table({"scc": t.column("scc").cast(pa.int64())}),
-            batch_format="pyarrow"),
-        ["scc"], {"n": (None, "count")})
-
-    def top1(t: pa.Table) -> pa.Table:
-        if not t.num_rows:
-            return pa.table({"scc": pa.array([], type=pa.int64()),
-                             "n": pa.array([], type=pa.int64())})
-        n = t.column("n").to_numpy()
-        s = t.column("scc").to_numpy()
-        best = np.lexsort((s, -n))[0]
-        return pa.table({"scc": pa.array([s[best]]),
-                         "n": pa.array([n[best]])})
-
-    tops = sizes.map_batches(top1, batch_format="pyarrow").to_pandas()
-    tops = tops.sort_values(["n", "scc"], ascending=[False, True])
-    giant = int(tops.iloc[0]["scc"])
-
-    mark_reach_from_scc(g, giant)
-    transfer_state(g, grev, {"scc": "scc"})
-    mark_reach_from_scc(grev, giant)
-
-    fwd = g.collect_state(["reach", "scc"])
-    bwd = grev.collect_state(["reach"])["reach"]
-    core = fwd["scc"] == giant
-    cls = np.where(core, "core",
-                   np.where(bwd & ~core, "in",
-                            np.where(fwd["reach"] & ~core, "out", "other")))
+    cls = bowtie_labels(g, grev)
     return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
                      "cls": pa.array(cls.astype(object), type=pa.string())})
 
@@ -2680,44 +2648,12 @@ def q_pages_bowtie(sf_dir: str):
     giant label (ties to smallest) from a per-block-folded distributed
     size count, two ReachEdge frontier sweeps seeded by the shard-local
     scc == giant predicate."""
-    from ligrust_ray.algos.scc import (mark_reach_from_scc, scc,
-                                       transfer_state)
+    from ligrust_ray.algos.scc import bowtie_labels
 
     gd, g = _pages_graph(sf_dir)
     _refresh_pages_oracle(gd, g.n)
     grev = _pages_rev_graph(sf_dir)
-    scc(g, grev)
-
-    sizes = shuffle.grouped_agg(
-        g.result_dataset(["scc"]).map_batches(
-            lambda t: pa.table({"scc": t.column("scc").cast(pa.int64())}),
-            batch_format="pyarrow"),
-        ["scc"], {"n": (None, "count")})
-
-    def top1(t: pa.Table) -> pa.Table:
-        if not t.num_rows:
-            return pa.table({"scc": pa.array([], type=pa.int64()),
-                             "n": pa.array([], type=pa.int64())})
-        n = t.column("n").to_numpy()
-        s = t.column("scc").to_numpy()
-        best = np.lexsort((s, -n))[0]
-        return pa.table({"scc": pa.array([s[best]]),
-                         "n": pa.array([n[best]])})
-
-    tops = sizes.map_batches(top1, batch_format="pyarrow").to_pandas()
-    tops = tops.sort_values(["n", "scc"], ascending=[False, True])
-    giant = int(tops.iloc[0]["scc"])
-
-    mark_reach_from_scc(g, giant)
-    transfer_state(g, grev, {"scc": "scc"})
-    mark_reach_from_scc(grev, giant)
-
-    fwd = g.collect_state(["reach", "scc"])
-    bwd = grev.collect_state(["reach"])["reach"]
-    core = fwd["scc"] == giant
-    cls = np.where(core, "core",
-                   np.where(bwd & ~core, "in",
-                            np.where(fwd["reach"] & ~core, "out", "other")))
+    cls = bowtie_labels(g, grev)
     return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
                      "cls": pa.array(cls.astype(object), type=pa.string())})
 
