@@ -262,3 +262,32 @@ def test_adamic_adar_term_matches_duckdb_ln():
         "FROM (SELECT UNNEST(range(2, 100001)) AS d) ORDER BY d"
     ).df()["v"].to_numpy()
     assert (py == db).all()
+
+
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_char_entropy_matches_slow_mirror(texts):
+    import math
+
+    import pyarrow as pa
+
+    from ligrust_ray.dataops.textstats import char_entropy_batch
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    r = char_entropy_batch(t)
+    got = dict(zip(r.column("doc_id").to_pylist(),
+                   r.column("entropy_ubits").to_pylist()))
+    for i, s in enumerate(texts):
+        if not s:
+            assert i not in got
+            continue
+        n_by = {}
+        for ch in s:
+            n_by[ch] = n_by.get(ch, 0) + 1
+        nn = float(len(s))
+        exp = sum(int(math.floor((n / nn)
+                                 * (math.log2(nn) - math.log2(float(n)))
+                                 * 1e6 + 0.5)) for n in n_by.values())
+        assert got[i] == exp, (i, s)
