@@ -1251,6 +1251,7 @@ _CHECK_PRIORITY = [
     "emb_kmeans", "events_bowtie", "events_degree_mixing",
     "events_multiplicity", "events_interarrival", "docs_entropy",
     "pages_bowtie", "events_window_topk", "pages_dead_links",
+    "docs_bpe_pairs",
     "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
     "events_katz", "pages_trustrank", "events_rich_club",
     "events_wl_colors", "docs_bm25", "events_butterflies",
@@ -1395,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": Q.q_docs_langid,
         "docs_fingerprint": Q.q_docs_fingerprint,
         "docs_entropy": Q.q_docs_entropy,
+        "docs_bpe_pairs": Q.q_docs_bpe_pairs,
         "docs_winnowing": Q.q_docs_winnowing,
         "docs_winnow_pairs": Q.q_docs_winnow_pairs,
         "docs_sim_join": Q.q_docs_sim_join,
@@ -2176,6 +2178,18 @@ def oracle_sql() -> dict[str, str]:
             "y.doc_id AS b, COUNT(*) AS shared FROM fps x JOIN fps y "
             "ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2) "
             "SELECT a, b, shared FROM p WHERE shared >= 2"),
+        # one BPE merge iteration: adjacent-codepoint pair census, top-K
+        # by (n desc, pair asc); range() here is the SCALAR list function
+        # (lateral generate_series is unsupported in this DuckDB)
+        "docs_bpe_pairs": (
+            "WITH p0 AS (SELECT UNNEST(list_transform("
+            "range(1, length(text)), i -> substring(text, "
+            "CAST(i AS INTEGER), 2))) AS pair FROM documents "
+            "WHERE length(text) >= 2), "
+            "c AS (SELECT pair, COUNT(*) AS n FROM p0 GROUP BY pair) "
+            "SELECT pair, n, rank FROM (SELECT pair, n, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) "
+            "AS rank FROM c) WHERE rank <= 50"),
         # per-doc character entropy, integer micro-bit terms (the
         # Adamic-Adar fixed-point convention — per-term floor(x*1e6+0.5)
         # from integer (n, N) only, then an order-free integer SUM)

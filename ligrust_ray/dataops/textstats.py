@@ -448,3 +448,32 @@ def char_entropy_batch(t: pa.Table) -> pa.Table:
     return pa.table({
         "doc_id": pa.array(ids[out_idx].astype(np.int64)),
         "entropy_ubits": pa.array(ent.astype(np.int64))})
+
+
+BPE_PAIR_TOPK = 50
+
+
+def char_pair_counts_batch(t: pa.Table) -> pa.Table:
+    """(pair, n) — adjacent-codepoint pair counts per batch (the
+    candidate table of ONE BPE merge iteration, the inner loop of
+    tokenizer training). Vectorized: one utf-32 explode per batch, pair
+    strings via np.char.add on the UCS4 view (numpy unicode IS UCS4, so
+    the uint32 codepoint array reinterprets as '<U1' zero-copy), doc
+    boundaries masked; map-side combine via np.unique bounds the shuffle
+    to distinct pairs (<= |alphabet|^2 rows per block at any corpus
+    size)."""
+    texts = t.column("text").to_pylist()
+    lens = np.fromiter((len(x) for x in texts), dtype=np.int64,
+                       count=len(texts))
+    if not (lens >= 2).any():
+        return pa.table({"pair": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                          dtype=np.uint32)
+    chars = codes.view("<U1")
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    same = doc_idx[:-1] == doc_idx[1:]
+    pairs = np.char.add(chars[:-1][same], chars[1:][same])
+    uniq, cnt = np.unique(pairs, return_counts=True)
+    return pa.table({"pair": pa.array(uniq.tolist(), type=pa.string()),
+                     "n": pa.array(cnt.astype(np.int64))})

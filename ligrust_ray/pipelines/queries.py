@@ -4162,6 +4162,43 @@ def q_docs_char_classes(sf_dir: str):
         census, batch_format="pyarrow")
 
 
+def q_docs_bpe_pairs(sf_dir: str):
+    """(pair, n, rank) — corpus-wide top-BPE_PAIR_TOPK adjacent-codepoint
+    pairs (textstats.char_pair_counts_batch): the candidate/merge table
+    of ONE BPE tokenizer-training iteration (ties: n desc, pair asc).
+    Scale shape: the per-batch np.unique combine bounds every block's
+    output at |alphabet|^2 rows regardless of corpus size, one
+    partial-combined grouped sum, then per-block partial top-K folds —
+    <= #blocks x K rows ever reach the driver (the BM25 top-K
+    convention)."""
+    from ligrust_ray.dataops.textstats import (BPE_PAIR_TOPK,
+                                               char_pair_counts_batch)
+
+    counts = shuffle.grouped_agg(
+        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            char_pair_counts_batch, batch_format="pyarrow"),
+        ["pair"], {"n": ("n", "sum")})
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if not t.num_rows:
+            return empty
+        df = t.to_pandas().sort_values(["n", "pair"],
+                                       ascending=[False, True])
+        return pa.Table.from_pandas(df.head(BPE_PAIR_TOPK),
+                                    preserve_index=False)
+
+    tops = counts.map_batches(block_topk,
+                              batch_format="pyarrow").to_pandas()
+    tops = tops.sort_values(["n", "pair"], ascending=[False, True]) \
+        .head(BPE_PAIR_TOPK).reset_index(drop=True)
+    return pa.table({
+        "pair": pa.array(tops["pair"], type=pa.string()),
+        "n": pa.array(tops["n"].to_numpy(dtype=np.int64)),
+        "rank": pa.array(np.arange(1, len(tops) + 1, dtype=np.int64))})
+
+
 def q_docs_entropy(sf_dir: str):
     """(doc_id, entropy_ubits) — per-doc character entropy in integer
     micro-bits (textstats.char_entropy_batch): the gibberish/spam
