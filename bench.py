@@ -532,7 +532,9 @@ def run_headline(num_cpus: int) -> dict:
             ("events_multiplicity", Q.q_events_multiplicity, True),
             ("events_interarrival", Q.q_events_interarrival, True),
             ("docs_entropy", Q.q_docs_entropy, True),
-            ("events_window_topk", Q.q_events_window_topk, True)):
+            ("events_window_topk", Q.q_events_window_topk, True),
+            ("pages_dead_links", Q.q_pages_dead_links, True),
+            ("docs_bpe_pairs", Q.q_docs_bpe_pairs, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         # eager results (pyarrow.Table / pandas) are already computed;
