@@ -289,6 +289,8 @@ def bowtie_labels(g, grev) -> "np.ndarray":
 
     from ligrust_ray.stages import shuffle
 
+    if g.n == 0:
+        return np.array([], dtype=object)
     scc(g, grev)
     sizes = shuffle.grouped_agg(
         g.result_dataset(["scc"]).map_batches(

@@ -579,17 +579,33 @@ def main(argv=None):
         from ligrust_ray.state.graph import DistGraph
 
         e = ray.data.read_parquet(args.edges)
+
+        def _mx(v):
+            # explicit None check: a legitimate max id of 0 is falsy
+            v = v.as_py()
+            return -1 if v is None else int(v)
+
         mx = e.map_batches(
             lambda t: pa.table({"m": pa.array(
-                [max(int(pc.max(t.column("src")).as_py() or -1),
-                     int(pc.max(t.column("dst")).as_py() or -1))],
+                [max(_mx(pc.max(t.column("src"))),
+                     _mx(pc.max(t.column("dst"))))],
                 type=pa.int64())}),
             batch_format="pyarrow").to_pandas()
         n = int(mx["m"].max()) + 1 if len(mx) else 0
-        st = os.stat(args.edges)
-        key = hashlib.md5(
-            f"{os.path.abspath(args.edges)}:{st.st_mtime_ns}:"
-            f"{st.st_size}:{args.partitions}".encode()).hexdigest()[:12]
+        # cache key folds every contained parquet file's (path, mtime, size):
+        # a directory's own stat does not change when a file inside it is
+        # rewritten in place
+        parts = [os.path.abspath(args.edges), str(args.partitions)]
+        if os.path.isdir(args.edges):
+            for root, _dirs, files in sorted(os.walk(args.edges)):
+                for f in sorted(files):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+        else:
+            st = os.stat(args.edges)
+            parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+        key = hashlib.md5(":".join(parts).encode()).hexdigest()[:12]
         base = os.path.join(tempfile.gettempdir(), f"ligr_bowtie_{key}")
         graphs = []
         for name, flip in (("fwd", False), ("rev", True)):

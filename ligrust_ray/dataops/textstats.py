@@ -456,12 +456,14 @@ BPE_PAIR_TOPK = 50
 def char_pair_counts_batch(t: pa.Table) -> pa.Table:
     """(pair, n) — adjacent-codepoint pair counts per batch (the
     candidate table of ONE BPE merge iteration, the inner loop of
-    tokenizer training). Vectorized: one utf-32 explode per batch, pair
-    strings via np.char.add on the UCS4 view (numpy unicode IS UCS4, so
-    the uint32 codepoint array reinterprets as '<U1' zero-copy), doc
-    boundaries masked; map-side combine via np.unique bounds the shuffle
-    to distinct pairs (<= |alphabet|^2 rows per block at any corpus
-    size)."""
+    tokenizer training). Vectorized: one utf-32 explode per batch, then
+    adjacent codepoints packed two-uint32s-per-int64 so the hot
+    np.unique runs on integers (NUL-safe — numpy's fixed-width '<U'
+    view treats U+0000 as padding, so a string-based pairing would
+    silently drop it); strings are rendered only for the distinct pairs
+    at the end. Doc boundaries masked; map-side combine via np.unique
+    bounds the shuffle to distinct pairs (<= |alphabet|^2 rows per
+    block at any corpus size)."""
     texts = t.column("text").to_pylist()
     lens = np.fromiter((len(x) for x in texts), dtype=np.int64,
                        count=len(texts))
@@ -469,11 +471,11 @@ def char_pair_counts_batch(t: pa.Table) -> pa.Table:
         return pa.table({"pair": pa.array([], type=pa.string()),
                          "n": pa.array([], type=pa.int64())})
     codes = np.frombuffer("".join(texts).encode("utf-32-le"),
-                          dtype=np.uint32)
-    chars = codes.view("<U1")
+                          dtype=np.uint32).astype(np.int64)
     doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
     same = doc_idx[:-1] == doc_idx[1:]
-    pairs = np.char.add(chars[:-1][same], chars[1:][same])
-    uniq, cnt = np.unique(pairs, return_counts=True)
-    return pa.table({"pair": pa.array(uniq.tolist(), type=pa.string()),
+    keys = (codes[:-1][same] << 32) | codes[1:][same]
+    uniq, cnt = np.unique(keys, return_counts=True)
+    pairs = [chr(int(k) >> 32) + chr(int(k) & 0xFFFFFFFF) for k in uniq]
+    return pa.table({"pair": pa.array(pairs, type=pa.string()),
                      "n": pa.array(cnt.astype(np.int64))})

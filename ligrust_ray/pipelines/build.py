@@ -542,8 +542,11 @@ def build_graph_from_edges(edges: pa.Table | ray.data.Dataset, out_dir: str,
     AdjacencyGraph text fixtures)."""
     if isinstance(edges, pa.Table):
         if n is None:
-            n = int(max(pa.compute.max(edges["src"]).as_py() or -1,
-                        pa.compute.max(edges["dst"]).as_py() or -1)) + 1
+            # explicit None checks: a legitimate max id of 0 is falsy
+            ms = pa.compute.max(edges["src"]).as_py()
+            md = pa.compute.max(edges["dst"]).as_py()
+            n = max(-1 if ms is None else int(ms),
+                    -1 if md is None else int(md)) + 1
         edges = ray.data.from_arrow(edges)
     elif n is None:
         mx = edges.max(["src", "dst"])

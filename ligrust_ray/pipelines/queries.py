@@ -4431,36 +4431,82 @@ def q_lineitem_pricing(sf_dir: str):
         batch_format="pyarrow")
 
 
+SEG_BROADCAST_MAX = 5_000_000  # customer rows; above this the segment
+#                                lookup joins instead of broadcasting —
+#                                customer scales WITH the corpus, unlike
+#                                nation/region which are genuinely fixed
+
+
 def q_orders_by_segment(sf_dir: str):
-    """Broadcast hash join: orders -> customer (small side ray.put once,
-    resolved per batch with np.searchsorted), then grouped revenue."""
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    order_k = np.argsort(cust["c_custkey"].to_numpy())
-    keys = cust["c_custkey"].to_numpy()[order_k]
-    segs = cust["c_mktsegment"].to_numpy()[order_k]
-    bcast = ray.put((keys, segs))
-
-    def join(t: pa.Table) -> pa.Table:
-        k, s = ray.get(bcast)
-        ck = t.column("o_custkey").to_numpy()
-        pos = np.minimum(np.searchsorted(k, ck), len(k) - 1)
-        ok = k[pos] == ck
-        cents = np.floor(
-            t.column("o_totalprice").to_numpy()[ok] * 100.0
-            + 0.5).astype(np.int64)
-        return pa.table({
-            "mktsegment": pa.array(s[pos][ok], type=pa.string()),
-            "price_cents": pa.array(cents)})
-
+    """(mktsegment, n_orders, revenue_cents) — orders rolled up by the
+    ordering customer's market segment. Broadcast hash join (small side
+    ray.put once, resolved per batch with np.searchsorted) ONLY while
+    customer fits under SEG_BROADCAST_MAX rows; above the gate the
+    segment resolves via a keyed agg_co_group on custkey with the
+    per-custkey revenue partial fused into the join (the
+    supplier_nation_revenue plan shape), so neither side ever
+    materializes on the driver."""
     orders = _read_sized(os.path.join(sf_dir, "orders.parquet"),
                          columns=["o_custkey", "o_totalprice"])
-    out = shuffle.grouped_agg(
-        orders.map_batches(join, batch_format="pyarrow"),
-        ["mktsegment"],
-        {"n_orders": (None, "count"),
-         "revenue_cents": ("price_cents", "sum")})
+    cust_ds = _read_sized(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_mktsegment"])
+    if cust_ds.count() <= SEG_BROADCAST_MAX:
+        cust = cust_ds.to_pandas()
+        order_k = np.argsort(cust["c_custkey"].to_numpy())
+        keys = cust["c_custkey"].to_numpy()[order_k]
+        segs = cust["c_mktsegment"].to_numpy()[order_k]
+        bcast = ray.put((keys, segs))
+
+        def join(t: pa.Table) -> pa.Table:
+            k, s = ray.get(bcast)
+            ck = t.column("o_custkey").to_numpy()
+            pos = np.minimum(np.searchsorted(k, ck), len(k) - 1)
+            ok = k[pos] == ck
+            cents = np.floor(
+                t.column("o_totalprice").to_numpy()[ok] * 100.0
+                + 0.5).astype(np.int64)
+            return pa.table({
+                "mktsegment": pa.array(s[pos][ok], type=pa.string()),
+                "price_cents": pa.array(cents)})
+
+        out = shuffle.grouped_agg(
+            orders.map_batches(join, batch_format="pyarrow"),
+            ["mktsegment"],
+            {"n_orders": (None, "count"),
+             "revenue_cents": ("price_cents", "sum")})
+    else:
+        def pre(t: pa.Table) -> pa.Table:
+            cents = np.floor(t.column("o_totalprice").to_numpy() * 100.0
+                             + 0.5).astype(np.int64)
+            return pa.table({
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "cents": pa.array(cents)})
+
+        cust_cast = cust_ds.map_batches(
+            lambda t: pa.table({
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "mktsegment": t.column("c_mktsegment").cast(pa.string())}),
+            batch_format="pyarrow")
+        # per-custkey (n_orders, revenue) partial fused INTO the join:
+        # one wide step carrying one row per custkey per block
+        per_cust = shuffle.agg_co_group(
+            orders.map_batches(pre, batch_format="pyarrow"), cust_cast,
+            keys=["o_custkey"], l_on="o_custkey", r_on="c_custkey",
+            aggs={"revenue_cents": ("cents", "sum"),
+                  "n_orders": (None, "count")},
+            fn=lambda lf, rf: lf.rename(
+                columns={"o_custkey": "c_custkey"}).merge(
+                rf, on="c_custkey")[["mktsegment", "n_orders",
+                                     "revenue_cents"]],
+            l_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("revenue_cents", pa.int64()),
+                                ("n_orders", pa.int64())]),
+            r_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("mktsegment", pa.string())]))
+        out = shuffle.grouped_agg(
+            per_cust, ["mktsegment"],
+            {"n_orders": ("n_orders", "sum"),
+             "revenue_cents": ("revenue_cents", "sum")})
     return out.map_batches(
         lambda t: pa.table({
             "mktsegment": t.column("mktsegment"),

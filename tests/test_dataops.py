@@ -2236,3 +2236,39 @@ def test_char_entropy_known_values():
     exp = int(sum(int(math.floor((c / N) * (math.log2(N) - math.log2(c))
                                  * 1e6 + 0.5)) for c in n))
     assert char_entropy_batch(t2).column("entropy_ubits")[0].as_py() == exp
+
+
+def test_char_pair_counts_nul_safe():
+    from collections import Counter
+
+    from ligrust_ray.dataops.textstats import char_pair_counts_batch
+
+    texts = ["a\x00b", "ab", "", "\x00\x00", "x"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts})
+    r = char_pair_counts_batch(t)
+    got = dict(zip(r.column("pair").to_pylist(),
+                   r.column("n").to_pylist()))
+    exp = Counter()
+    for s in texts:
+        for i in range(len(s) - 1):
+            exp[s[i:i + 2]] += 1
+    assert got == dict(exp)
+
+
+def test_orders_by_segment_distributed_path(ray_session, monkeypatch):
+    """SEG_BROADCAST_MAX=0 forces the keyed agg_co_group plan; parity
+    with the broadcast path on sf0.001 (r5 de-broadcast gate)."""
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    bcast = (Q.q_orders_by_segment(sf).to_pandas()
+             .sort_values("mktsegment").reset_index(drop=True))
+    monkeypatch.setattr(Q, "SEG_BROADCAST_MAX", 0)
+    dist = (Q.q_orders_by_segment(sf).to_pandas()
+            .sort_values("mktsegment").reset_index(drop=True))
+    assert list(dist.columns) == list(bcast.columns)
+    assert (dist["mktsegment"].to_numpy() == bcast["mktsegment"].to_numpy()).all()
+    for c in ("n_orders", "revenue_cents"):
+        np.testing.assert_array_equal(dist[c].to_numpy(dtype=np.int64),
+                                      bcast[c].to_numpy(dtype=np.int64))
