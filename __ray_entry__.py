@@ -1246,6 +1246,8 @@ def entry() -> Any:
 # Entries that have never appeared in any CORRECTNESS_r*.json come first,
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
+    # newest in round 5 (never driver-checked)
+    "media_decode_real", "media_resize_real", "media_frames_real",
     # newest in round 4 (never driver-checked)
     "events_eigencentrality", "events_condensation", "events_bipartite",
     "emb_kmeans", "events_bowtie", "events_degree_mixing",
@@ -1470,6 +1472,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": Q.q_media_decode,
         "media_resize": Q.q_media_resize,
         "media_frames": Q.q_media_frames,
+        # multimodal REAL codecs (stdlib PPM/BMP/WAV parse + resize + split)
+        "media_decode_real": Q.q_media_decode_real,
+        "media_resize_real": Q.q_media_resize_real,
+        "media_frames_real": Q.q_media_frames_real,
     }
     out = {k: q.pop(k) for k in _CHECK_PRIORITY if k in q}
     out.update(q)
@@ -3024,6 +3030,35 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": (
             "SELECT doc_id AS media_id, f.i AS frame_idx FROM documents "
             "CROSS JOIN (SELECT CAST(UNNEST(range(4)) AS BIGINT) AS i) f"),
+        # real codecs: the oracle re-states docs_as_real_media's
+        # closed-form generator (codec = doc_id % 3 over PPM/BMP/WAV)
+        "media_decode_real": (
+            "SELECT doc_id AS media_id, "
+            "CAST(CASE WHEN doc_id % 3 = 2 THEN 256 + doc_id % 199 "
+            "ELSE 8 + doc_id % 17 END AS BIGINT) AS width, "
+            "CAST(CASE WHEN doc_id % 3 = 2 THEN 1 "
+            "ELSE 8 + doc_id % 13 END AS BIGINT) AS height "
+            "FROM documents"),
+        # nearest-neighbor index math replayed in SQL: resized pixel
+        # (y,x,c) of a (24,32,3) plane reads source ((y*h)//24,(x*w)//32,c)
+        # whose value the generator defines as (flat*31 + id*7) % 256
+        "media_resize_real": (
+            "WITH d AS (SELECT doc_id, 8 + doc_id % 17 AS w, "
+            "8 + doc_id % 13 AS h FROM documents WHERE doc_id % 3 <> 2), "
+            "j AS (SELECT CAST(UNNEST(range(2304)) AS BIGINT) AS j) "
+            "SELECT d.doc_id AS media_id, CAST(32 AS BIGINT) AS width, "
+            "CAST(24 AS BIGINT) AS height, "
+            "CAST(SUM(((((j.j // 96 * d.h // 24) * d.w "
+            "+ (j.j // 3 % 32) * d.w // 32) * 3 + j.j % 3) * 31 "
+            "+ d.doc_id * 7) % 256) AS BIGINT) AS pix_sum "
+            "FROM d CROSS JOIN j GROUP BY d.doc_id"),
+        "media_frames_real": (
+            "SELECT doc_id AS media_id, f.i AS frame_idx, "
+            "CAST((f.i + 1) * (256 + doc_id % 199) // 4 "
+            "- f.i * (256 + doc_id % 199) // 4 AS BIGINT) AS n_samples "
+            "FROM documents "
+            "CROSS JOIN (SELECT CAST(UNNEST(range(4)) AS BIGINT) AS i) f "
+            "WHERE doc_id % 3 = 2"),
     } | _aliases()
 
 

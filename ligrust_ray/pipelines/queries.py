@@ -5424,3 +5424,66 @@ def q_media_frames(sf_dir: str):
     media = multimodal.docs_as_media(_docs(sf_dir))
     return (multimodal.sample_frames(media, n_frames=4)
             .select_columns(["media_id", "frame_idx"]))
+
+
+def q_media_decode_real(sf_dir: str):
+    """GENUINE payload->pixels decode: deterministic PPM/BMP/WAV payloads
+    (multimodal.docs_as_real_media) run through DecodeStage(real=True),
+    which parses headers and pixel/sample data with the pure-stdlib
+    codecs; the oracle re-states the generator's closed-form dims."""
+    media = multimodal.docs_as_real_media(_docs(sf_dir,
+                                                columns=["doc_id"]))
+    feats = multimodal.decode_features(media, real=True)
+    return feats.select_columns(["media_id", "width", "height"])
+
+
+def q_media_resize_real(sf_dir: str):
+    """Real resize: decode PPM/BMP -> nearest-neighbor NumPy resize to
+    32x24 -> re-encode P6 -> decode AGAIN and checksum the resized
+    pixels, so the oracle value-checks the actual pixel plane (the SQL
+    replays generator formula + nearest-neighbor index math)."""
+    imgs = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("doc_id").to_numpy() % 3 != 2)),
+        batch_format="pyarrow")
+    media = multimodal.docs_as_real_media(imgs)
+    resized = multimodal.resize_media(media, 32, 24, real=True)
+
+    def checksum(t: pa.Table) -> pa.Table:
+        ids, ws, hs, sums = [], [], [], []
+        for mid, payload in zip(t.column("media_id").to_pylist(),
+                                t.column("payload").to_pylist()):
+            img = multimodal.decode_pnm(payload)
+            ids.append(mid)
+            ws.append(img.shape[1])
+            hs.append(img.shape[0])
+            sums.append(int(img.astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+            "pix_sum": pa.array(sums, type=pa.int64())})
+
+    return resized.map_batches(checksum, batch_format="pyarrow")
+
+
+def q_media_frames_real(sf_dir: str):
+    """Real frame sampling: WAV payloads split into 4 contiguous PCM
+    windows (each re-wrapped as a valid WAV); every frame is re-decoded
+    and its sample count returned, oracled by the floor-split formula."""
+    wavs = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("doc_id").to_numpy() % 3 == 2)),
+        batch_format="pyarrow")
+    media = multimodal.docs_as_real_media(wavs)
+    frames = multimodal.sample_frames(media, n_frames=4, real=True)
+
+    def count(t: pa.Table) -> pa.Table:
+        ns = [multimodal.decode_wav(p)[1].shape[0]
+              for p in t.column("frame").to_pylist()]
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "frame_idx": t.column("frame_idx"),
+            "n_samples": pa.array(ns, type=pa.int64())})
+
+    return frames.map_batches(count, batch_format="pyarrow")

@@ -2272,3 +2272,66 @@ def test_orders_by_segment_distributed_path(ray_session, monkeypatch):
     for c in ("n_orders", "revenue_cents"):
         np.testing.assert_array_equal(dist[c].to_numpy(dtype=np.int64),
                                       bcast[c].to_numpy(dtype=np.int64))
+
+
+def test_multimodal_real_codecs():
+    """stdlib PPM/BMP/WAV codecs round-trip; real stages decode, resize
+    nearest-neighbor, and frame-split genuine payloads (r5)."""
+    from ligrust_ray.dataops import multimodal as M
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert (M.decode_pnm(M.encode_ppm(img)) == img).all()
+    assert (M.decode_bmp(M.encode_bmp(img)) == img).all()  # padded stride
+    com = b"P6\n# comment\n17 13\n255\n" + img.tobytes()
+    assert (M.decode_pnm(com) == img).all()
+    st = rng.integers(-30000, 30000, (100, 2), dtype=np.int16)
+    rate, back = M.decode_wav(M.encode_wav(st, 8000))
+    assert rate == 8000 and (back == st).all()
+
+    dec = M.DecodeStage(feature_dim=8, real=True)
+    assert dec._decode_real(M.encode_ppm(img))[:2] == (17, 13)
+    assert dec._decode_real(M.encode_bmp(img))[:2] == (17, 13)
+    assert dec._decode_real(M.encode_wav(st))[:2] == (100, 2)
+    with pytest.raises(NotImplementedError):
+        dec._decode_real(b"\x89PNG\r\n\x1a\n")
+
+    rz = M.ResizeStage(5, 7, real=True)
+    out = M.decode_pnm(rz._resize_real(M.encode_bmp(img)))
+    assert out.shape == (7, 5, 3)
+    assert (out == M._resize_nearest(img, 5, 7)).all()
+
+    fs = M.FrameSampleStage(4, real=True)
+    mono = rng.integers(-30000, 30000, 333, dtype=np.int16)
+    frames = fs._frames_real(M.encode_wav(mono, 8000))
+    cat = np.concatenate([M.decode_wav(f)[1][:, 0] for f in frames])
+    assert (cat == mono).all()           # lossless contiguous split
+    stream = b"".join(M.encode_ppm(((img.astype(int) + i) % 256)
+                                   .astype(np.uint8)) for i in range(7))
+    picked = fs._frames_real(stream)
+    assert len(picked) == 4
+    assert (M.decode_pnm(picked[0]) == img).all()
+
+
+def test_media_real_queries(ray_session):
+    """media_*_real queries vs their closed-form oracles on sf0.001."""
+    import duckdb
+
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = (Q.q_media_resize_real(sf).to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    exp = duckdb.sql(
+        "WITH d AS (SELECT doc_id, 8 + doc_id % 17 AS w, "
+        "8 + doc_id % 13 AS h FROM "
+        f"read_parquet('{sf}/documents.parquet') WHERE doc_id % 3 <> 2), "
+        "j AS (SELECT CAST(UNNEST(range(2304)) AS BIGINT) AS j) "
+        "SELECT d.doc_id AS media_id, "
+        "CAST(SUM(((((j.j // 96 * d.h // 24) * d.w "
+        "+ (j.j // 3 % 32) * d.w // 32) * 3 + j.j % 3) * 31 "
+        "+ d.doc_id * 7) % 256) AS BIGINT) AS pix_sum "
+        "FROM d CROSS JOIN j GROUP BY d.doc_id ORDER BY media_id").df()
+    np.testing.assert_array_equal(got["pix_sum"].to_numpy(np.int64),
+                                  exp["pix_sum"].to_numpy(np.int64))
+    assert (got["width"] == 32).all() and (got["height"] == 24).all()
