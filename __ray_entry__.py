@@ -788,6 +788,74 @@ def _louvain_coarse_sql() -> str:
         "JOIN mvb b ON b.node_id = a.community")
 
 
+def _qnum_from_coarse(g: str, sfx: str) -> str:
+    """qn{sfx}: integer modularity numerator of the partition whose
+    community graph is CTE ``g``(src, dst, w) — m·Σ self_w − Σ Kout·Kin
+    (queries._qnum_of spec)."""
+    return (
+        f"qn{sfx} AS MATERIALIZED (SELECT (SELECT m FROM mm) * "
+        f"COALESCE((SELECT SUM(w) FROM {g} WHERE src = dst), 0) "
+        f"- COALESCE((SELECT SUM(ko.w * ki.w) FROM "
+        f"(SELECT src AS c, SUM(w) AS w FROM {g} GROUP BY 1) ko "
+        f"JOIN (SELECT dst AS c, SUM(w) AS w FROM {g} GROUP BY 1) ki "
+        f"ON ki.c = ko.c), 0) AS qn)")
+
+
+def _louvain_full_sql(max_levels: int = 6) -> str:
+    """Hierarchical Louvain unrolled to ``max_levels`` with per-level
+    conditional acceptance (queries.louvain_full spec): level 1 is the
+    node-granular move from LP; each later level coarsens the accepted
+    partition, runs one weighted move round with identity labels, and
+    composes back; a level applies iff its integer modularity numerator
+    strictly exceeds the accepted one (GREATEST-chained), so levels past
+    convergence are exact no-ops and the fixed unroll matches the
+    engine's data-dependent stop."""
+    parts = [
+        _louvain_prefix(), _louvain_round_cte("lp", "e1", "a"), ", ",
+        # community graphs of the initial partition and the level-1 move
+        "cg0 AS MATERIALIZED (SELECT a.label AS src, b.label AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM e0 "
+        "JOIN lp a ON a.node_id = e0.src "
+        "JOIN lp b ON b.node_id = e0.dst GROUP BY 1, 2), ",
+        _qnum_from_coarse("cg0", "p0"), ", ",
+        "cg1 AS MATERIALIZED (SELECT a.community AS src, "
+        "b.community AS dst, CAST(COUNT(*) AS BIGINT) AS w FROM e0 "
+        "JOIN mva a ON a.node_id = e0.src "
+        "JOIN mva b ON b.node_id = e0.dst GROUP BY 1, 2), ",
+        _qnum_from_coarse("cg1", "c1"), ", ",
+        "p1 AS MATERIALIZED (SELECT l.node_id, "
+        "CASE WHEN (SELECT qn FROM qnc1) > (SELECT qn FROM qnp0) "
+        "THEN mv.community ELSE l.label END AS community "
+        "FROM lp l JOIN mva mv ON mv.node_id = l.node_id), ",
+        "aq1 AS MATERIALIZED (SELECT GREATEST((SELECT qn FROM qnc1), "
+        "(SELECT qn FROM qnp0)) AS qn)",
+    ]
+    for k in range(2, max_levels + 1):
+        j = k - 1
+        parts.append(
+            f", ce{k} AS MATERIALIZED (SELECT a.community AS src, "
+            "b.community AS dst, CAST(COUNT(*) AS BIGINT) AS w FROM e0 "
+            f"JOIN p{j} a ON a.node_id = e0.src "
+            f"JOIN p{j} b ON b.node_id = e0.dst GROUP BY 1, 2), "
+            f"cl{k} AS (SELECT DISTINCT community AS node_id, "
+            f"community AS label FROM p{j}), "
+            + _louvain_round_cte(f"cl{k}", f"ce{k}", f"l{k}") + ", "
+            f"cc{k} AS MATERIALIZED (SELECT a.community AS src, "
+            "b.community AS dst, CAST(SUM(e.w) AS BIGINT) AS w "
+            f"FROM ce{k} e JOIN mvl{k} a ON a.node_id = e.src "
+            f"JOIN mvl{k} b ON b.node_id = e.dst GROUP BY 1, 2), "
+            + _qnum_from_coarse(f"cc{k}", f"c{k}") + ", "
+            f"p{k} AS MATERIALIZED (SELECT p.node_id, "
+            f"CASE WHEN (SELECT qn FROM qnc{k}) > (SELECT qn FROM aq{j}) "
+            "THEN s.community ELSE p.community END AS community "
+            f"FROM p{j} p JOIN mvl{k} s ON s.node_id = p.community), "
+            f"aq{k} AS MATERIALIZED (SELECT GREATEST("
+            f"(SELECT qn FROM qnc{k}), (SELECT qn FROM aq{j})) AS qn)")
+    parts.append(
+        f" SELECT node_id, community FROM p{max_levels}")
+    return "".join(parts)
+
+
 def _temporal_sql(rounds: int = 8, source: int = 0) -> str:
     """Earliest-arrival oracle (algos/temporal.py spec): ``rounds``
     unrolled time-respecting relaxations over the timestamped events
@@ -1248,6 +1316,7 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # newest in round 5 (never driver-checked)
     "media_decode_real", "media_resize_real", "media_frames_real",
+    "events_louvain_full",
     # newest in round 4 (never driver-checked)
     "events_eigencentrality", "events_condensation", "events_bipartite",
     "emb_kmeans", "events_bowtie", "events_degree_mixing",
@@ -1327,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_modularity": Q.q_events_modularity,
         "events_louvain_move": Q.q_events_louvain_move,
         "events_louvain_coarse": Q.q_events_louvain_coarse,
+        "events_louvain_full": Q.q_events_louvain_full,
         # windowed / sessionized aggregates (streaming-window family)
         "events_sessions": Q.q_events_sessions,
         "events_interarrival": Q.q_events_interarrival,
@@ -2437,6 +2507,7 @@ def oracle_sql() -> dict[str, str]:
         # candidates = own + neighbor communities, tie -> smallest c
         "events_louvain_move": _louvain_move_sql(),
         "events_louvain_coarse": _louvain_coarse_sql(),
+        "events_louvain_full": _louvain_full_sql(),
         "events_modularity": (
             f"WITH lp AS ({_labelprop_sql(20)}), "
             f"ed AS ({_EDGES_CTE}), "

@@ -2288,6 +2288,168 @@ def q_events_louvain_coarse(sf_dir: str):
                            batch_format="pyarrow")
 
 
+LOUVAIN_MAX_LEVELS = 6
+
+
+def _coarsen_w(assign: ray.data.Dataset, ew: ray.data.Dataset,
+               npart: int) -> ray.data.Dataset:
+    """Coarsen weighted edges (src, dst, w) by an assignment (node_id,
+    community): endpoint communities attach via two keyed hash_joins,
+    then one grouped sum — (src, dst, w) at community granularity,
+    self-loops kept, total weight preserved."""
+    i64 = pa.int64()
+
+    def col(*cols):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({out: t.column(src).cast(i64)
+                             for out, src in cols})
+        return f
+
+    ce = shuffle.hash_join(
+        ew.map_batches(col(("node_id", "src"), ("dst", "dst"),
+                           ("w", "w")), batch_format="pyarrow"),
+        assign.map_batches(col(("node_id", "node_id"),
+                               ("csrc", "community")),
+                           batch_format="pyarrow"),
+        on="node_id", l_cols=["dst", "w"], r_cols=["csrc"],
+        num_partitions=npart).map_batches(
+        col(("node_id", "dst"), ("csrc", "csrc"), ("w", "w")),
+        batch_format="pyarrow")
+    ce = shuffle.hash_join(
+        ce,
+        assign.map_batches(col(("node_id", "node_id"),
+                               ("cdst", "community")),
+                           batch_format="pyarrow"),
+        on="node_id", l_cols=["csrc", "w"], r_cols=["cdst"],
+        num_partitions=npart)
+    return shuffle.grouped_agg(
+        ce.map_batches(col(("src", "csrc"), ("dst", "cdst"), ("w", "w")),
+                       batch_format="pyarrow"),
+        ["src", "dst"], {"w": ("w", "sum")},
+        num_partitions=npart).materialize()
+
+
+def _qnum_of(ce: ray.data.Dataset, m: int, npart: int) -> int:
+    """Integer modularity numerator of the partition whose community
+    graph is ``ce``: q_num = m·Σ_c self_w(c) − Σ_c Kout_c·Kin_c (the
+    events_modularity convention, q_den = m²). Only per-block partial
+    sums reach the driver."""
+    i64 = pa.int64()
+
+    def self_part(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        w = t.column("w").to_numpy().astype(np.int64)
+        return pa.table({"x": pa.array([int(w[s == d].sum())], type=i64)})
+
+    self_w = int(ce.map_batches(self_part, batch_format="pyarrow")
+                 .to_pandas()["x"].sum())
+    ko = shuffle.grouped_agg(
+        ce.map_batches(lambda t: pa.table(
+            {"c": t.column("src").cast(i64),
+             "w": t.column("w").cast(i64)}), batch_format="pyarrow"),
+        ["c"], {"kout": ("w", "sum")}, num_partitions=npart)
+    ki = shuffle.grouped_agg(
+        ce.map_batches(lambda t: pa.table(
+            {"c": t.column("dst").cast(i64),
+             "w": t.column("w").cast(i64)}), batch_format="pyarrow"),
+        ["c"], {"kin": ("w", "sum")}, num_partitions=npart)
+    prod = shuffle.hash_join(ko, ki, on="c", l_cols=["kout"],
+                             r_cols=["kin"], num_partitions=npart)
+
+    def prod_part(t: pa.Table) -> pa.Table:
+        v = (t.column("kout").to_numpy().astype(np.int64)
+             * t.column("kin").to_numpy().astype(np.int64)).sum()
+        return pa.table({"x": pa.array([int(v)], type=i64)})
+
+    vol = int(prod.map_batches(prod_part, batch_format="pyarrow")
+              .to_pandas()["x"].sum())
+    return m * self_w - vol
+
+
+def louvain_full(sf_dir: str, max_levels: int = LOUVAIN_MAX_LEVELS
+                 ) -> tuple[ray.data.Dataset, int, list[int]]:
+    """Hierarchical Louvain to convergence (Blondel et al. 2008 §2,
+    adapted to the repo's deterministic synchronous move round): level 1
+    is the node-granular move from the label-propagation partition
+    (shared via _louvain1_cached); every later level coarsens the
+    accepted partition into its weighted super-graph, runs ONE weighted
+    move round with identity labels and composes the assignment back to
+    original nodes. A level is ACCEPTED iff the integer modularity
+    numerator strictly increases (exact — no float epsilon); the loop
+    stops on the first rejected level (levels >= 2 are then fixed points:
+    identical inputs reproduce the identical rejected candidate) or at
+    ``max_levels``. Returns (assignment dataset, accepted level count,
+    q_num trace). Super-graphs shrink with the partition, so each
+    level's shuffles are community-granular."""
+    i64 = pa.int64()
+
+    def col(*cols):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({out: t.column(src).cast(i64)
+                             for out, src in cols})
+        return f
+
+    lp = ray.data.from_arrow(_lp_cached(sf_dir)).map_batches(
+        col(("node_id", "node_id"), ("community", "label")),
+        batch_format="pyarrow").materialize()
+    edges_w = events_edges_ds(sf_dir).map_batches(
+        lambda t: t.append_column(
+            "w", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow").materialize()
+    m = edges_w.count()
+    npart = max(4, min(64, edges_w.num_blocks()))
+
+    p = lp
+    ce = _coarsen_w(p, edges_w, npart)
+    q = _qnum_of(ce, m, npart)
+    trace = [q]
+    levels = 0
+
+    # level 1: node-granular move (cached, shared with louvain_move)
+    mva = _louvain1_cached(sf_dir)
+    ce_a = _coarsen_w(mva, edges_w, npart)
+    q_a = _qnum_of(ce_a, m, npart)
+    trace.append(q_a)
+    if q_a > q:
+        p, ce, q, levels = mva, ce_a, q_a, 1
+
+    # levels 2..max: coarse move + compose; stop on first non-gain
+    for k in range(2, max_levels + 1):
+        npart2 = max(4, min(64, ce.count() // 500_000 + 4))
+        cl = shuffle.distinct(
+            p.map_batches(col(("node_id", "community"),
+                              ("label", "community")),
+                          batch_format="pyarrow"),
+            ["node_id", "label"], num_partitions=npart2)
+        sup = _louvain_move_round(cl, ce, m, npart2).materialize()
+        cc = _coarsen_w(sup, ce, npart2)
+        q_c = _qnum_of(cc, m, npart2)
+        trace.append(q_c)
+        if q_c <= q:
+            break
+        cand = shuffle.hash_join(
+            p.map_batches(col(("node_id", "community"),
+                              ("v", "node_id")), batch_format="pyarrow"),
+            sup.map_batches(col(("node_id", "node_id"),
+                                ("community", "community")),
+                            batch_format="pyarrow"),
+            on="node_id", l_cols=["v"], r_cols=["community"],
+            num_partitions=npart).map_batches(
+            col(("node_id", "v"), ("community", "community")),
+            batch_format="pyarrow").materialize()
+        p, ce, q, levels = cand, cc, q_c, k
+    return p, levels, trace
+
+
+def q_events_louvain_full(sf_dir: str):
+    """(node_id, community) — hierarchical Louvain iterated to the
+    modularity fixed point (see louvain_full); SQL-oracled by an
+    unrolled per-level conditional-acceptance CTE chain that is
+    idempotent past convergence."""
+    return louvain_full(sf_dir)[0]
+
+
 def q_events_modularity(sf_dir: str):
     """One-row directed modularity of the label-propagation partition
     (Leicht/Newman 2008: Q = Σ_c [e_c/m − Kout_c·Kin_c/m²] over the raw

@@ -1337,6 +1337,40 @@ def test_louvain_coarse_refines_level1(ray_session):
     assert set(j["community_2"]) <= set(l1["community"])
 
 
+def test_louvain_full_invariants(ray_session):
+    """Hierarchical Louvain loop (r5): accepted q_num trace strictly
+    increases, the level count is bounded and consistent with the trace,
+    the final partition factors through level 1, and a second run is
+    bit-identical (determinism)."""
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    ds, levels, trace = Q.louvain_full(sf)
+    full = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert 0 <= levels <= Q.LOUVAIN_MAX_LEVELS
+    # trace[0] = initial LP partition; accepted levels strictly gain
+    accepted = [trace[0]]
+    for qc in trace[1:]:
+        if qc > accepted[-1]:
+            accepted.append(qc)
+    assert len(accepted) - 1 == levels
+    assert all(b > a for a, b in zip(accepted, accepted[1:]))
+    # rejected tail (if the loop stopped early): last candidate <= best
+    if levels + 1 < len(trace):
+        assert trace[-1] <= accepted[-1]
+    # final modularity >= single-move-round modularity (it iterates on it)
+    if levels >= 1:
+        l1 = Q.q_events_louvain_move(sf).to_pandas()
+        j = l1.merge(full, on="node_id", suffixes=("_1", "_f"))
+        per = j.groupby("community_1")["community_f"].nunique()
+        assert (per == 1).all()          # factors through level 1
+    ds2, levels2, trace2 = Q.louvain_full(sf)
+    full2 = ds2.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert levels2 == levels and trace2 == trace
+    assert (full2["community"].to_numpy()
+            == full["community"].to_numpy()).all()
+
+
 def test_katz_matches_oracle(graphs):
     from ligrust_ray.algos.ppr import katz
 
