@@ -1316,7 +1316,7 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # newest in round 5 (never driver-checked)
     "media_decode_real", "media_resize_real", "media_frames_real",
-    "events_louvain_full",
+    "events_louvain_full", "events_window_late",
     # newest in round 4 (never driver-checked)
     "events_eigencentrality", "events_condensation", "events_bipartite",
     "emb_kmeans", "events_bowtie", "events_degree_mixing",
@@ -1403,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov": Q.q_events_markov,
         "events_funnel": Q.q_events_funnel,
         "events_windows": Q.q_events_windows,
+        "events_window_late": Q.q_events_window_late,
         "events_window_topk": Q.q_events_window_topk,
         "events_hopping": Q.q_events_hopping,
         "events_rolling": Q.q_events_rolling,
@@ -2068,6 +2069,31 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS sum_value_cents "
             "FROM events CROSS JOIN generate_series(0, 3) AS g(j) "
             "GROUP BY 1"),
+        # bounded-lateness watermark over the deterministic nearly-
+        # ordered arrival replay a = event_time + md5(event_id) % 30min:
+        # watermark before an arrival = running max event-time of the
+        # strict arrival prefix - 15 min; late events drop into n_late
+        # of their own event-time window
+        "events_window_late": (
+            "WITH e AS (SELECT epoch_us(ts) AS tu, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, "
+            "md5_number_lower(CAST(event_id AS VARCHAR)) AS h, event_id, "
+            "epoch_us(ts) + CAST(md5_number_lower(CAST(event_id AS "
+            "VARCHAR)) % 1800000000 AS BIGINT) AS a FROM events), "
+            "o AS (SELECT tu, cents, MAX(tu) OVER (ORDER BY a, h, "
+            "event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax "
+            "FROM e) "
+            "SELECT CAST((tu // 3600000000) * 3600000000 AS BIGINT) "
+            "AS window_start_us, "
+            "CAST(COUNT(*) FILTER (WHERE pmax IS NULL "
+            "OR tu >= pmax - 900000000) AS BIGINT) AS n_events, "
+            "CAST(COALESCE(SUM(cents) FILTER (WHERE pmax IS NULL "
+            "OR tu >= pmax - 900000000), 0) AS BIGINT) "
+            "AS sum_value_cents, "
+            "CAST(COUNT(*) FILTER (WHERE pmax IS NOT NULL "
+            "AND tu < pmax - 900000000) AS BIGINT) AS n_late "
+            "FROM o GROUP BY 1"),
         # trailing-3 per-user rolling sum of integer cents
         "events_rolling": (
             "SELECT event_id, user_id, CAST(COALESCE(SUM("

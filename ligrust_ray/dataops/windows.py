@@ -344,6 +344,125 @@ def hopping_window_counts(events: ray.data.Dataset,
         batch_format="pyarrow")
 
 
+LATE_ALLOWED_US = 15 * 60 * 1_000_000    # bounded lateness: 15 min
+LATE_JITTER_US = 30 * 60 * 1_000_000     # max arrival delay: 30 min
+LATE_SLAB_US = 6 * 3_600_000_000         # arrival-time range slab: 6 h
+
+
+def late_window_counts(events: ray.data.Dataset,
+                       window_us: int = 3_600_000_000,
+                       lateness_us: int = LATE_ALLOWED_US,
+                       jitter_us: int = LATE_JITTER_US,
+                       slab_us: int = LATE_SLAB_US) -> ray.data.Dataset:
+    """(window_start_us, n_events, sum_value_cents, n_late): event-time
+    tumbling windows over an OUT-OF-ORDER stream with a bounded-lateness
+    WATERMARK and drop policy — the windowing capability a 100-TB
+    streaming ingest hits once events arrive shuffled.
+
+    The stream replays deterministically in both engines: arrival time
+    a = event_time + md5_number_lower(event_id) % jitter_us (a nearly
+    ordered stream with bounded per-event delay — the realistic
+    out-of-order regime), ties broken by (h, event_id). The watermark
+    before an arrival is max(event-time over the strict arrival prefix)
+    − lateness_us; an event is DROPPED iff its event time is below the
+    watermark (the Beam/Flink allowed-lateness drop contract), counted
+    per window in ``n_late``; accepted events aggregate into
+    ``n_events`` / ``sum_value_cents`` of their event-time window.
+
+    Scale plan — a distributed exclusive prefix-max, no global sort:
+    arrival time range-partitions into fixed ``slab_us`` slabs (volume
+    per slab bounded by event rate × slab, the sessionize-salted
+    assumption); pass 1 computes one max-event-ts row per slab (one
+    small table to the driver), the driver folds the exclusive prefix
+    over slab order, pass 2 sorts each slab locally (lexsort), seeds
+    its running max with the prefix, and emits per-(slab, window)
+    partials; one small grouped sum finishes. The events table is
+    projected to 5 int64 columns and materialized once, read by both
+    passes."""
+    from ligrust_ray.dataops import hashing
+
+    def pre(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy().astype(np.int64)
+        h = hashing.md5_u64_lower_arrow(
+            pa.compute.cast(t.column("event_id"), pa.string()))
+        ts = t.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        arr = ts + (h % np.uint64(jitter_us)).astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({
+            "part": pa.array(arr // slab_us),
+            "arr": pa.array(arr),
+            "h": pa.array(h.view(np.int64)),   # int64 view, order-safe
+            "event_id": pa.array(eid),
+            "ts_us": pa.array(ts),
+            "cents": pa.array(cents)})
+
+    narrow = events.select_columns(["event_id", "ts", "value"]) \
+        .map_batches(pre, batch_format="pyarrow").materialize()
+
+    # pass 1: per-slab max event time -> exclusive prefix on the driver
+    pmax = shuffle.grouped_agg(
+        narrow.select_columns(["part", "ts_us"]), ["part"],
+        {"mx": ("ts_us", "max")}, num_partitions=8).to_pandas() \
+        .sort_values("part")
+    lo = np.iinfo(np.int64).min
+    parts = pmax["part"].to_numpy(np.int64)
+    mx = pmax["mx"].to_numpy(np.int64)
+    excl = np.concatenate(([lo], np.maximum.accumulate(mx)[:-1]))
+    seed = dict(zip(parts.tolist(), excl.tolist()))
+
+    def window_late(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "window_start_us": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "cents": pd.Series([], dtype=np.int64),
+                "n_late": pd.Series([], dtype=np.int64)})
+        out = []
+        for part, g in df.groupby("part", sort=False):
+            # arrival order within the slab: (arr, uint64 h, event_id)
+            hu = g["h"].to_numpy(np.int64).view(np.uint64)
+            order = np.lexsort((g["event_id"].to_numpy(np.int64), hu,
+                                g["arr"].to_numpy(np.int64)))
+            ts = g["ts_us"].to_numpy(np.int64)[order]
+            cents = g["cents"].to_numpy(np.int64)[order]
+            run = np.maximum.accumulate(
+                np.concatenate(([seed[int(part)]], ts[:-1])))
+            # guard the -inf seed: lo - lateness would wrap int64 and
+            # reject the globally-first arrival
+            wm = np.where(run <= lo + lateness_us, lo,
+                          run - lateness_us)
+            ok = ts >= wm                     # empty prefix: accepted
+            w = (ts // window_us) * window_us
+            acc = pd.DataFrame({"window_start_us": w, "ok": ok,
+                                "cents": np.where(ok, cents, 0)})
+            gg = acc.groupby("window_start_us", as_index=False).agg(
+                n_events=("ok", "sum"), cents=("cents", "sum"),
+                n_late=("ok", lambda s: int((~s).sum())))
+            out.append(gg)
+        res = pd.concat(out, ignore_index=True)
+        res["n_events"] = res["n_events"].astype(np.int64)
+        return res
+
+    partials = shuffle.grouped_apply(
+        narrow, ["part"], window_late, num_partitions=32)
+    out = shuffle.grouped_agg(
+        partials, ["window_start_us"],
+        {"n_events": ("n_events", "sum"),
+         "sum_value_cents": ("cents", "sum"),
+         "n_late": ("n_late", "sum")})
+    return out.map_batches(
+        lambda t: pa.table({
+            "window_start_us":
+                t.column("window_start_us").cast(pa.int64()),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "sum_value_cents":
+                t.column("sum_value_cents").cast(pa.int64()),
+            "n_late": t.column("n_late").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 ROLL_N = 3   # trailing events per rolling sum
 
 

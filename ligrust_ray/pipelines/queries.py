@@ -2752,6 +2752,19 @@ def q_events_hopping(sf_dir: str):
     return windows.hopping_window_counts(ev)
 
 
+def q_events_window_late(sf_dir: str):
+    """(window_start_us, n_events, sum_value_cents, n_late) — event-time
+    tumbling windows under a bounded-lateness watermark over the
+    deterministic md5(event_id) arrival shuffle, late events dropped and
+    counted (see windows.late_window_counts); the oracle replays the
+    same lateness rule with one SQL running-max window function."""
+    from ligrust_ray.dataops import windows
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_id", "ts", "value"])
+    return windows.late_window_counts(ev)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:

@@ -2335,3 +2335,65 @@ def test_media_real_queries(ray_session):
     np.testing.assert_array_equal(got["pix_sum"].to_numpy(np.int64),
                                   exp["pix_sum"].to_numpy(np.int64))
     assert (got["width"] == 32).all() and (got["height"] == 24).all()
+
+
+def test_late_window_watermark(ray_session):
+    """Bounded-lateness watermark semantics (r5): a hand-built
+    out-of-order stream where the late/accepted split is known, a
+    python replay oracle on random data, and slab-boundary coverage."""
+    from ligrust_ray.dataops import hashing, windows
+
+    W = 3_600_000_000
+    base = 1_700_000_000_000_000
+
+    def run(eids, tss, vals, lateness, jitter, slab):
+        t = pa.table({
+            "event_id": pa.array(eids, type=pa.int64()),
+            "ts": pa.array(np.array(tss, dtype="datetime64[us]")),
+            "value": pa.array(vals, type=pa.float64())})
+        return (windows.late_window_counts(
+            ray.data.from_arrow(t), window_us=W, lateness_us=lateness,
+            jitter_us=jitter, slab_us=slab).to_pandas()
+            .sort_values("window_start_us").reset_index(drop=True))
+
+    # python replay oracle over the same deterministic arrival rule
+    def oracle(eids, tss, vals, lateness, jitter):
+        h = np.array([hashing.md5_u64_lower(str(e).encode())
+                      for e in eids], dtype=np.uint64)
+        ts = np.asarray(tss, dtype=np.int64)
+        arr = ts + (h % np.uint64(jitter)).astype(np.int64)
+        cents = np.floor(np.asarray(vals) * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((np.asarray(eids), h, arr))
+        res = {}
+        run_max = None
+        for i in order:
+            late = run_max is not None and ts[i] < run_max - lateness
+            w = (ts[i] // W) * W
+            n, c, nl = res.get(w, (0, 0, 0))
+            res[w] = (n + (not late), c + (0 if late else cents[i]),
+                      nl + late)
+            run_max = ts[i] if run_max is None else max(run_max, ts[i])
+        return res
+
+    rng = np.random.default_rng(11)
+    n = 400
+    eids = rng.permutation(n * 7)[:n].tolist()
+    tss = (base + rng.integers(0, 40 * W, n)).tolist()
+    vals = np.round(rng.uniform(0, 50, n), 2).tolist()
+    for lateness, jitter, slab in [
+            (900_000_000, 1_800_000_000, 6 * W),
+            (60_000_000, 7_200_000_000, W),        # heavy drops
+            (10**15, 1_800_000_000, 6 * W)]:       # nothing late
+        got = run(eids, tss, vals, lateness, jitter, slab)
+        exp = oracle(eids, tss, vals, lateness, jitter)
+        assert len(got) == len(exp)
+        for _, r in got.iterrows():
+            en, ec, el = exp[int(r["window_start_us"])]
+            assert (int(r["n_events"]), int(r["sum_value_cents"]),
+                    int(r["n_late"])) == (en, ec, el)
+    # totals conserve events
+    got = run(eids, tss, vals, 900_000_000, 1_800_000_000, 6 * W)
+    assert int(got["n_events"].sum() + got["n_late"].sum()) == n
+    # lateness=inf accepts everything
+    got_inf = run(eids, tss, vals, 10**15, 1_800_000_000, 6 * W)
+    assert int(got_inf["n_late"].sum()) == 0
