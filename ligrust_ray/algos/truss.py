@@ -267,12 +267,111 @@ def _median_support(sup: ray.data.Dataset, m: int) -> int:
     return int(vals[np.searchsorted(cum, target + 1)])
 
 
+def _truss_ckpt_latest(root: str) -> dict | None:
+    """Highest complete round manifest under ``root`` (the
+    state/checkpoint.py commit-point convention: manifest written last,
+    atomic rename; a killed run leaves at most one incomplete round dir,
+    which resume ignores)."""
+    import json
+    import os
+    import re
+
+    if not os.path.isdir(root):
+        return None
+    best = None
+    for name in os.listdir(root):
+        mm = re.fullmatch(r"round_(\d{6})", name)
+        if not mm:
+            continue
+        mf = os.path.join(root, name, "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as f:
+                man = json.load(f)
+            if man.get("complete") and (best is None
+                                        or man["round"] > best["round"]):
+                best = man
+    return best
+
+
+_FP_MOD = (1 << 61) - 1
+
+
+def _edge_fp(und: ray.data.Dataset) -> int:
+    """Order-free content fingerprint of a canonical edge set (per-block
+    partial sums mod a Mersenne prime) — guards checkpoint resume
+    against a same-edge-count different graph reusing a stale dir."""
+    def part(t: pa.Table) -> pa.Table:
+        a = t.column("src").to_numpy().astype(np.int64)
+        b = t.column("dst").to_numpy().astype(np.int64)
+        v = ((a % _FP_MOD) * 1_000_003 + b) % _FP_MOD
+        return pa.table({"x": pa.array([int(v.sum() % _FP_MOD)],
+                                       type=pa.int64())})
+
+    s = und.map_batches(part, batch_format="pyarrow").to_pandas()
+    return int(s["x"].sum() % _FP_MOD)
+
+
+def _truss_ckpt_write(root: str, r: int, alive: ray.data.Dataset | None,
+                      died: ray.data.Dataset, thr: int, n_alive: int,
+                      m: int, fp: int) -> tuple[ray.data.Dataset | None,
+                                                ray.data.Dataset]:
+    """Persist one peel round: survivor edges + this round's deaths as
+    partitioned parquet, then the manifest (atomic tmp+rename = commit).
+    The round dir is CLEARED first — write_parquet appends into
+    non-empty dirs, so leftovers from a stale/incomplete run would
+    duplicate edges on re-read. Returns datasets re-anchored to the
+    written files so later rounds' lineage roots on disk, not on
+    in-memory block refs."""
+    import json
+    import os
+    import shutil
+
+    d = os.path.join(root, f"round_{r:06d}")
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    ad = os.path.join(d, "alive")
+    dd = os.path.join(d, "died")
+    os.makedirs(dd, exist_ok=True)
+    died.write_parquet(dd)
+    if alive is not None:
+        os.makedirs(ad, exist_ok=True)
+        alive.write_parquet(ad)
+    manifest = {"round": r, "T": int(thr), "n_alive": int(n_alive),
+                "m": int(m), "fp": int(fp),
+                "alive_dir": ad if alive is not None else None,
+                "died_dirs": [os.path.join(root, f"round_{k:06d}", "died")
+                              for k in range(1, r + 1)],
+                "complete": True}
+    tmp = os.path.join(d, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(d, "manifest.json"))
+    alive_out = None
+    if alive is not None:
+        alive_out = ray.data.read_parquet(ad).map_batches(
+            lambda t: t.select([f.name for f in _ALIVE_SCHEMA])
+            .cast(_ALIVE_SCHEMA), batch_format="pyarrow")
+    died_out = ray.data.read_parquet(dd).map_batches(
+        lambda t: t.select([f.name for f in _OUT_SCHEMA])
+        .cast(_OUT_SCHEMA), batch_format="pyarrow")
+    return alive_out, died_out
+
+
 def truss_peel(edges: ray.data.Dataset | pa.Table, rounds: int = TRUSS_ROUNDS,
                threshold: int | None = None, mode: str = "auto",
-               num_partitions: int = 16) -> ray.data.Dataset:
+               num_partitions: int = 16,
+               checkpoint_dir: str | None = None) -> ray.data.Dataset:
     """(a, b, died_round) for every distinct canonical undirected simple
     edge; see module docstring for the peel spec. ``threshold`` overrides
-    the median-of-initial-supports default."""
+    the median-of-initial-supports default.
+
+    ``checkpoint_dir`` (forces the distributed path): persist every peel
+    round's survivors + deaths + loop scalars (T, n_alive) and RESUME
+    from the highest complete round on re-invocation — the round-level
+    manifest story of state/checkpoint.py applied to the longest-running
+    multi-round co_group loop. The m recorded in the manifest must match
+    the input's edge count, else the checkpoint is ignored (stale dir
+    guard)."""
     if mode not in ("auto", "task", "distributed"):
         raise ValueError(f"mode must be auto|task|distributed, got {mode!r}")
     und = canon_undirected(edges)
@@ -283,7 +382,9 @@ def truss_peel(edges: ray.data.Dataset | pa.Table, rounds: int = TRUSS_ROUNDS,
              "b": pa.array([], type=pa.int64()),
              "died_round": pa.array([], type=pa.int64())},
             schema=_OUT_SCHEMA))
-    if mode == "auto":
+    if checkpoint_dir is not None:
+        mode = "distributed"
+    elif mode == "auto":
         mode = "task" if m <= SINGLE_TASK_MAX_EDGES else "distributed"
 
     if mode == "task":
@@ -294,12 +395,32 @@ def truss_peel(edges: ray.data.Dataset | pa.Table, rounds: int = TRUSS_ROUNDS,
     from ligrust_ray.dataops.dedup import _block_refs
 
     n = infer_n(und)
-    alive = orient_edges(und, n, num_partitions=num_partitions)
     died_parts: list[ray.data.Dataset] = []
     T = threshold
     n_alive = m          # tracked arithmetically — no per-round count job
+    start = 1
+    alive = None
+    fp = _edge_fp(und) if checkpoint_dir is not None else 0
+    if checkpoint_dir is not None:
+        man = _truss_ckpt_latest(checkpoint_dir)
+        if man is not None and man["m"] == m and man.get("fp") == fp:
+            T = man["T"]
+            n_alive = man["n_alive"]
+            start = man["round"] + 1
+            if man["alive_dir"] is not None:
+                alive = ray.data.read_parquet(
+                    man["alive_dir"]).map_batches(
+                    lambda t: t.select([f.name for f in _ALIVE_SCHEMA])
+                    .cast(_ALIVE_SCHEMA), batch_format="pyarrow")
+            died_parts = [
+                ray.data.read_parquet(dd).map_batches(
+                    lambda t: t.select([f.name for f in _OUT_SCHEMA])
+                    .cast(_OUT_SCHEMA), batch_format="pyarrow")
+                for dd in man["died_dirs"]]
+    if alive is None and n_alive:
+        alive = orient_edges(und, n, num_partitions=num_partitions)
 
-    for r in range(1, rounds + 1):
+    for r in range(start, (rounds + 1) if n_alive else start):
         sup = _edge_support_ds(alive, num_partitions).materialize()
         if T is None:
             T = _median_support(sup, m)
@@ -337,15 +458,23 @@ def truss_peel(edges: ray.data.Dataset | pa.Table, rounds: int = TRUSS_ROUNDS,
         died_parts.append(tagged.map_batches(dead_rows,
                                              batch_format="pandas"))
         n_alive -= n_died
+        if n_alive:
+            # survivors rebuilt as <= num_partitions Arrow blocks via raw
+            # block-ref tasks (no executor job; see _alive_coalesce)
+            groups = np.array_split(np.arange(len(refs)),
+                                    min(num_partitions, len(refs)))
+            alive = ray.data.from_arrow_refs(
+                [_alive_coalesce.remote([refs[i] for i in g])
+                 for g in groups if len(g)])
+        else:
+            alive = None
+        if checkpoint_dir is not None:
+            alive, died_anchor = _truss_ckpt_write(
+                checkpoint_dir, r, alive, died_parts[-1], thr,
+                n_alive, m, fp)
+            died_parts[-1] = died_anchor
         if n_alive == 0:
             break
-        # survivors rebuilt as <= num_partitions Arrow blocks via raw
-        # block-ref tasks (no executor job; see _alive_coalesce)
-        groups = np.array_split(np.arange(len(refs)),
-                                min(num_partitions, len(refs)))
-        alive = ray.data.from_arrow_refs(
-            [_alive_coalesce.remote([refs[i] for i in g])
-             for g in groups if len(g)])
 
     def survivors(df: pd.DataFrame) -> pd.DataFrame:
         df = df[~df["__die"]] if "__die" in df.columns else df

@@ -110,3 +110,43 @@ def test_truss_threshold_override_and_cap(ray_session):
                                      threshold=4))
     pd.testing.assert_frame_equal(got1, exp1)
     assert TRUSS_ROUNDS == 16            # contract constant (oracle unroll)
+
+
+def test_truss_checkpoint_resume_bitwise(ray_session, tmp_path):
+    """r5: round-level manifests on the peel loop — a run killed after
+    each round k resumes from the checkpoint and produces the bitwise
+    output of an uninterrupted run; stale dirs are ignored."""
+    src, dst = oracle.random_digraph(60, 8.0, seed=2)
+    base = truss_peel(_ds(src, dst), mode="distributed")
+    base_df = _norm(base.to_pandas())
+    n_rounds = int(base_df["died_round"].max())
+    assert n_rounds >= 2          # the case must exercise multiple rounds
+
+    # uninterrupted checkpointed run == plain run
+    ck0 = str(tmp_path / "ck0")
+    full = _norm(truss_peel(_ds(src, dst),
+                            checkpoint_dir=ck0).to_pandas())
+    pd.testing.assert_frame_equal(full, base_df)
+
+    # "kill" after round k (simulated by capping rounds), then resume
+    for k in (1, 2):
+        ck = str(tmp_path / f"ck{k}_kill")
+        truss_peel(_ds(src, dst), rounds=k, checkpoint_dir=ck).to_pandas()
+        from ligrust_ray.algos.truss import _truss_ckpt_latest
+        man = _truss_ckpt_latest(ck)
+        assert man is not None and man["round"] == k
+        resumed = _norm(truss_peel(_ds(src, dst),
+                                   checkpoint_dir=ck).to_pandas())
+        pd.testing.assert_frame_equal(resumed, base_df)
+
+    # stale checkpoint (different edge set) is ignored, not resumed
+    ck_stale = str(tmp_path / "ck_stale")
+    truss_peel(_ds(src, dst), rounds=1, checkpoint_dir=ck_stale)\
+        .to_pandas()
+    src2, dst2 = oracle.random_digraph(60, 4.0, seed=5)
+    other = _norm(truss_peel(_ds(src2, dst2),
+                             checkpoint_dir=str(tmp_path / "fresh"))
+                  .to_pandas())
+    other_stale = _norm(truss_peel(_ds(src2, dst2),
+                                   checkpoint_dir=ck_stale).to_pandas())
+    pd.testing.assert_frame_equal(other_stale, other)
