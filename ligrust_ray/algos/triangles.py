@@ -299,12 +299,17 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
         wedges = (oriented.groupby("part")
                   .map_groups(make_wedges, batch_format="pandas"))
 
-        def join_bucket(wf: pd.DataFrame, ef: pd.DataFrame) -> pd.DataFrame:
-            x = wf["x"].to_numpy(dtype=np.int64)
-            y = wf["y"].to_numpy(dtype=np.int64)
-            ap = wf["apex"].to_numpy(dtype=np.int64)
-            hit = _probe_hits(x, y, ef["src"].to_numpy(dtype=np.int64),
-                              ef["dst"].to_numpy(dtype=np.int64), n)
+        def join_bucket(wt: pa.Table, et: pa.Table) -> pd.DataFrame:
+            # arrow_fn co_group: zero-copy int64 columns straight into
+            # the numpy probe — no per-partition pandas materialization
+            x = wt.column("x").to_numpy().astype(np.int64, copy=False)
+            y = wt.column("y").to_numpy().astype(np.int64, copy=False)
+            ap = wt.column("apex").to_numpy().astype(np.int64, copy=False)
+            hit = _probe_hits(
+                x, y,
+                et.column("src").to_numpy().astype(np.int64, copy=False),
+                et.column("dst").to_numpy().astype(np.int64, copy=False),
+                n)
             total = int(np.count_nonzero(hit))
             if per_node:
                 return _per_node_rows(
@@ -315,7 +320,7 @@ def triangle_count(edges: ray.data.Dataset | pa.Table, n: int | None = None,
             wedges, oriented.select_columns(["src", "dst"]),
             l_on="x", r_on="src", fn=join_bucket,
             num_partitions=num_partitions,
-            l_schema=wedge_schema, r_schema=_EDGE_SCHEMA)
+            l_schema=wedge_schema, r_schema=_EDGE_SCHEMA, arrow_fn=True)
 
     if not per_node:
         parts = res.to_pandas()                # one row per partition

@@ -185,24 +185,25 @@ def _edge_support_ds(alive: ray.data.Dataset, num_partitions: int
     wedges = (alive.groupby("part")
               .map_groups(make_wedges, batch_format="pandas"))
 
-    def probe(wf: pd.DataFrame, ef: pd.DataFrame) -> pd.DataFrame:
-        x = wf["x"].to_numpy(dtype=np.int64)
-        y = wf["y"].to_numpy(dtype=np.int64)
-        ap = wf["apex"].to_numpy(dtype=np.int64)
-        es = ef["src"].to_numpy(dtype=np.int64)
-        ed = ef["dst"].to_numpy(dtype=np.int64)
-        j = pd.DataFrame({"x": x, "y": y}).merge(
-            pd.DataFrame({"x": es, "y": ed, "__hit": True}),
-            on=["x", "y"], how="left")
-        hit = j["__hit"].notna().to_numpy()
-        return pd.DataFrame({
-            "src": np.concatenate([ap[hit], ap[hit], x[hit]]),
-            "dst": np.concatenate([x[hit], y[hit], y[hit]])})
+    def probe(wt: pa.Table, et: pa.Table) -> pa.Table:
+        esch = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        if not wt.num_rows or not et.num_rows:
+            return esch.empty_table()
+        # Acero left-semi join: wedges whose (x, y) closes an edge —
+        # no pandas copy, no id-range encode
+        hit = wt.join(et.rename_columns(["x", "y"]), keys=["x", "y"],
+                      join_type="left semi")
+        x = hit.column("x").to_numpy().astype(np.int64)
+        y = hit.column("y").to_numpy().astype(np.int64)
+        ap = hit.column("apex").to_numpy().astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([ap, ap, x])),
+            "dst": pa.array(np.concatenate([x, y, y]))}, schema=esch)
 
     tri_edges = shuffle.co_group(
         wedges, alive.select_columns(["src", "dst"]),
         l_on="x", r_on="src", fn=probe, num_partitions=num_partitions,
-        l_schema=wedge_schema, r_schema=_EDGE_SCHEMA)
+        l_schema=wedge_schema, r_schema=_EDGE_SCHEMA, arrow_fn=True)
     return shuffle.grouped_agg(tri_edges, ["src", "dst"],
                                {"sup": (None, "count")},
                                num_partitions=num_partitions)

@@ -1249,39 +1249,42 @@ def similarity_join(docs: ray.data.Dataset, thr_num: int = 7,
         lambda t: t.select(["a", "b", "sa", "sb"]),
         batch_format="pyarrow")
 
-    def explode_a(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        return lf.merge(rf.rename(columns={"doc_id": "a"}), on="a",
-                        how="inner")
+    out_schema = pa.schema([("a", i64), ("b", i64),
+                            ("n_common", i64), ("n_union", i64)])
+
+    def explode_a(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        # pyarrow (Acero) hash join — no pandas copy on this wide stage
+        return lt.join(rt.rename_columns(["a", "h"]), keys="a",
+                       join_type="inner")
 
     abh = shuffle.co_group(cand, rows, "a", "doc_id", explode_a,
                            l_schema=cand_schema, r_schema=row_schema,
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions, arrow_fn=True)
 
-    def count_verify(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                              for c in ("a", "b", "n_common", "n_union")})
-        if not len(lf) or not len(rf):
-            return empty
-        # composite in-partition merge: (b, h) vs b's (doc_id, h) rows —
-        # every (a, b) group is wholly in b's partition, so the groupby
-        # count is FINAL here
-        m = lf.merge(rf.rename(columns={"doc_id": "b"}), on=["b", "h"],
-                     how="inner")
-        if not len(m):
-            return empty
-        g = m.groupby(["a", "b", "sa", "sb"], as_index=False).size()
-        common = g["size"].to_numpy().astype(np.int64)
-        union = (g["sa"].to_numpy() + g["sb"].to_numpy()
+    def count_verify(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if not lt.num_rows or not rt.num_rows:
+            return out_schema.empty_table()
+        # composite in-partition join: (b, h) vs b's (doc_id, h) rows —
+        # every (a, b) group is wholly in b's partition, so the C++
+        # hash-aggregate count is FINAL here
+        m = lt.join(rt.rename_columns(["b", "h"]), keys=["b", "h"],
+                    join_type="inner")
+        if not m.num_rows:
+            return out_schema.empty_table()
+        g = m.group_by(["a", "b", "sa", "sb"]).aggregate([("h", "count")])
+        common = g.column("h_count").to_numpy().astype(np.int64)
+        union = (g.column("sa").to_numpy() + g.column("sb").to_numpy()
                  - common).astype(np.int64)
         keep = common * thr_den >= thr_num * union
-        return pd.DataFrame({
-            "a": g["a"].to_numpy(dtype=np.int64)[keep],
-            "b": g["b"].to_numpy(dtype=np.int64)[keep],
-            "n_common": common[keep], "n_union": union[keep]})
+        return pa.table({
+            "a": pa.array(g.column("a").to_numpy()[keep].astype(np.int64)),
+            "b": pa.array(g.column("b").to_numpy()[keep].astype(np.int64)),
+            "n_common": pa.array(common[keep]),
+            "n_union": pa.array(union[keep])}, schema=out_schema)
 
     return shuffle.co_group(abh, rows, "b", "doc_id", count_verify,
                             l_schema=abh_schema, r_schema=row_schema,
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions, arrow_fn=True)
 
 
 def containment_join(docs: ray.data.Dataset, thr_num: int = 9,
@@ -1317,55 +1320,63 @@ def containment_join(docs: ray.data.Dataset, thr_num: int = 9,
     rows, pref, num_partitions = _token_set_stages(
         docs, thr_num, thr_den, num_partitions)
 
-    def bucket_pairs(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        # lf: prefix rows (doc_id, h, s) of the probing side; rf: full
-        # token rows (doc_id, h) of the containing side
-        j = lf.merge(rf.rename(columns={"doc_id": "b"}), on="h",
-                     how="inner")
-        j = j[j["doc_id"].to_numpy() != j["b"].to_numpy()]
-        return pd.DataFrame({"a": j["doc_id"].to_numpy(dtype=np.int64),
-                             "b": j["b"].to_numpy(dtype=np.int64),
-                             "sa": j["s"].to_numpy(dtype=np.int64)})
+    pair_schema = pa.schema([("a", i64), ("b", i64), ("sa", i64)])
+
+    def bucket_pairs(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        # lt: prefix rows (doc_id, h, s) of the probing side; rt: full
+        # token rows (doc_id, h) of the containing side — Acero join
+        if not lt.num_rows or not rt.num_rows:
+            return pair_schema.empty_table()
+        j = lt.join(rt.rename_columns(["b", "h"]), keys="h",
+                    join_type="inner")
+        a = j.column("doc_id").to_numpy().astype(np.int64)
+        b = j.column("b").to_numpy().astype(np.int64)
+        s = j.column("s").to_numpy().astype(np.int64)
+        keep = a != b
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "sa": pa.array(s[keep])}, schema=pair_schema)
 
     cand = shuffle.grouped_agg(
         shuffle.co_group(pref, rows, "h", "h", bucket_pairs,
                          l_schema=pa.schema([("doc_id", i64), ("h", i64),
                                              ("s", i64)]),
                          r_schema=row_schema,
-                         num_partitions=num_partitions),
+                         num_partitions=num_partitions, arrow_fn=True),
         ["a", "b", "sa"], {"n": (None, "count")},
         num_partitions=num_partitions).map_batches(
         lambda t: t.select(["a", "b", "sa"]), batch_format="pyarrow")
 
-    def explode_a(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        return lf.merge(rf.rename(columns={"doc_id": "a"}), on="a",
-                        how="inner")
+    out_schema = pa.schema([("a", i64), ("b", i64),
+                            ("n_common", i64), ("n_a", i64)])
+
+    def explode_a(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        return lt.join(rt.rename_columns(["a", "h"]), keys="a",
+                       join_type="inner")
 
     abh = shuffle.co_group(cand, rows, "a", "doc_id", explode_a,
                            l_schema=cand_schema, r_schema=row_schema,
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions, arrow_fn=True)
 
-    def count_verify(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                              for c in ("a", "b", "n_common", "n_a")})
-        if not len(lf) or not len(rf):
-            return empty
-        m = lf.merge(rf.rename(columns={"doc_id": "b"}), on=["b", "h"],
-                     how="inner")
-        if not len(m):
-            return empty
-        g = m.groupby(["a", "b", "sa"], as_index=False).size()
-        common = g["size"].to_numpy().astype(np.int64)
-        sa = g["sa"].to_numpy().astype(np.int64)
+    def count_verify(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if not lt.num_rows or not rt.num_rows:
+            return out_schema.empty_table()
+        m = lt.join(rt.rename_columns(["b", "h"]), keys=["b", "h"],
+                    join_type="inner")
+        if not m.num_rows:
+            return out_schema.empty_table()
+        g = m.group_by(["a", "b", "sa"]).aggregate([("h", "count")])
+        common = g.column("h_count").to_numpy().astype(np.int64)
+        sa = g.column("sa").to_numpy().astype(np.int64)
         keep = common * thr_den >= thr_num * sa
-        return pd.DataFrame({
-            "a": g["a"].to_numpy(dtype=np.int64)[keep],
-            "b": g["b"].to_numpy(dtype=np.int64)[keep],
-            "n_common": common[keep], "n_a": sa[keep]})
+        return pa.table({
+            "a": pa.array(g.column("a").to_numpy()[keep].astype(np.int64)),
+            "b": pa.array(g.column("b").to_numpy()[keep].astype(np.int64)),
+            "n_common": pa.array(common[keep]),
+            "n_a": pa.array(sa[keep])}, schema=out_schema)
 
     return shuffle.co_group(abh, rows, "b", "doc_id", count_verify,
                             l_schema=abh_schema, r_schema=row_schema,
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions, arrow_fn=True)
 
 
 def winnow_pairs(docs: ray.data.Dataset, min_shared: int = 2,

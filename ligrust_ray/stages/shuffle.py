@@ -201,11 +201,15 @@ def _sentinel_fill(n: int, typ: pa.DataType) -> pa.Array:
 def co_group(left: ray.data.Dataset, right: ray.data.Dataset,
              l_on: str, r_on: str, fn, num_partitions: int = 32,
              l_schema: pa.Schema | None = None,
-             r_schema: pa.Schema | None = None) -> ray.data.Dataset:
+             r_schema: pa.Schema | None = None,
+             arrow_fn: bool = False) -> ray.data.Dataset:
     """Hash co-partition two datasets on a key column and apply
     ``fn(l_part: pd.DataFrame, r_part: pd.DataFrame) -> DataFrame|Table``
     once per partition — the shared machinery under every bucketed
-    join/verify/propagate stage in this repo.
+    join/verify/propagate stage in this repo. With ``arrow_fn=True``
+    the partition fn receives zero-copy ``pa.Table`` slices instead
+    (use pyarrow joins / C++ hash aggregates inside — the wide verify
+    stages skip the Arrow->pandas copy entirely).
 
     Both sides ride ONE dataset through a single groupby shuffle: blocks
     keep a fixed Arrow union schema (side-prefixed columns, typed nulls
@@ -273,11 +277,16 @@ def co_group(left: ray.data.Dataset, right: ray.data.Dataset,
         side = part.column("__side")
         lf = part.filter(pc.equal(side, 0)) \
             .select([f"l_{c}" for c in l_cols]) \
-            .rename_columns(l_cols).to_pandas()
+            .rename_columns(l_cols)
         rf = part.filter(pc.equal(side, 1)) \
             .select([f"r_{c}" for c in r_cols]) \
-            .rename_columns(r_cols).to_pandas()
-        return fn(lf, rf)
+            .rename_columns(r_cols)
+        if arrow_fn:
+            # Acero joins reject ChunkedArray inputs spanning chunks
+            # inconsistently across versions — combine first (cheap,
+            # still no pandas conversion)
+            return fn(lf.combine_chunks(), rf.combine_chunks())
+        return fn(lf.to_pandas(), rf.to_pandas())
 
     both = (left.map_batches(tag(l_cols, "l_", r_cols, "r_", l_on, 0),
                              batch_format="pyarrow")
