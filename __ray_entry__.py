@@ -1314,52 +1314,49 @@ def entry() -> Any:
 # Entries that have never appeared in any CORRECTNESS_r*.json come first,
 # then entries last checked before round 3, then the repeatedly-green rest.
 _CHECK_PRIORITY = [
-    # newest in round 5 (never driver-checked)
+    # new in round 5 (never driver-checked)
     "media_decode_real", "media_resize_real", "media_frames_real",
     "events_louvain_full", "events_window_late",
-    # newest in round 4 (never driver-checked)
-    "events_eigencentrality", "events_condensation", "events_bipartite",
-    "emb_kmeans", "events_bowtie", "events_degree_mixing",
-    "events_multiplicity", "events_interarrival", "docs_entropy",
-    "pages_bowtie", "events_window_topk", "pages_dead_links",
-    "docs_bpe_pairs",
-    "pages_crawl_order", "pages_host_locality", "events_adamic_adar",
-    "events_katz", "pages_trustrank", "events_rich_club",
-    "events_wl_colors", "docs_bm25", "events_butterflies",
-    "events_window_hll", "events_onion", "pages_host_cap",
-    "docs_lm_perplexity", "events_triangles_doulion",
-    "pages_domain_pagerank", "events_temporal_bfs", "events_markov",
-    "events_negative_samples", "emb_label_centroids",
-    "events_louvain_coarse",
-    "docs_dedup_incremental",
-    # new in round 4 (never driver-checked)
-    "events_funnel", "docs_winnowing", "emb_pq_codes", "emb_knn_pq",
-    "docs_quality_model", "events_hyperball", "events_louvain_move",
-    "docs_winnow_pairs", "docs_dedup_keep_best", "docs_sim_join",
-    "docs_chunk", "docs_containment",
-    "pagerank_weighted_events", "events_user_bloom",
-    "cc_incremental_events", "events_modularity", "events_jaccard_pairs",
-    "docs_gopher_filter", "docs_dup_spans", "docs_dsir_sample",
-    # never driver-checked through round 3 (40)
-    "pages_anchor_text", "docs_token_quantiles_by_lang", "docs_best_per_source",
-    "docs_simhash_dupes", "docs_simhash_clusters", "docs_lang_confusion",
-    "customer_revenue", "supplier_nation_revenue", "part_brand_revenue",
-    "customers_no_urgent", "parts_returned_heavy", "customer_urgency",
-    "top_customers", "lineitem_rollup", "orders_latest", "orders_cohort",
-    "docs_source_dedup", "lineitem_monthly", "events_daily",
-    "events_distinct_users", "events_user_hll", "docs_sample", "docs_pack",
-    "docs_shuffle", "docs_stratified_sample", "docs_oov", "docs_repetition",
-    "docs_dup_bigrams", "docs_dup_trigrams", "docs_bigram_counts",
-    "docs_dup_families", "docs_char_classes", "docs_pii_scrub",
-    "docs_line_dedup", "docs_preprocess", "docs_source_stats",
-    "docs_top_tokens", "docs_token_cms", "docs_tfidf", "docs_decontaminate",
-    # checked in r1/r2 but not r3 (22)
+    # never driver-checked r1-r4 (judge-sweep-verified only)
+    "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
+    "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
+    "docs_best_per_source", "docs_simhash_dupes", "docs_simhash_clusters",
+    "docs_lang_confusion", "customer_revenue", "supplier_nation_revenue",
+    "part_brand_revenue", "customers_no_urgent", "parts_returned_heavy",
+    "customer_urgency", "top_customers", "lineitem_rollup", "orders_latest",
+    "orders_cohort", "docs_source_dedup", "lineitem_monthly",
+    "events_daily", "events_distinct_users", "events_user_hll",
+    "docs_sample", "docs_pack", "docs_shuffle", "docs_stratified_sample",
+    "docs_oov", "docs_repetition", "docs_dup_bigrams", "docs_dup_trigrams",
+    "docs_bigram_counts", "docs_dup_families", "docs_char_classes",
+    "docs_pii_scrub", "docs_line_dedup", "docs_preprocess",
+    "docs_source_stats", "docs_top_tokens", "docs_token_cms", "docs_tfidf",
+    "docs_decontaminate",
+    # last driver-checked in round 2
     "docs_clean", "docs_exact_dedup", "docs_fingerprint", "docs_lang_hist",
     "docs_langid", "docs_minhash_dedup", "docs_ngram_dupes", "docs_quality",
     "docs_simhash", "docs_stats", "docs_token_bpe", "docs_token_count",
     "docs_token_quantiles", "emb_knn", "emb_knn_ivf", "emb_near_dup",
     "emb_near_dup_ivf", "lineitem_pricing", "media_decode", "media_frames",
     "media_resize", "orders_by_segment",
+    # last driver-checked in round 3
+    "bfs_events", "cc_events", "events_asof_click", "events_assortativity",
+    "events_bc", "events_coloring", "events_common_neighbors",
+    "events_community_stats", "events_component_sizes",
+    "events_degree_histogram", "events_densest", "events_edge_holdout",
+    "events_edges", "events_forest", "events_global_clustering",
+    "events_graph_stats", "events_harmonic", "events_hits",
+    "events_hopping", "events_kcore", "events_lcc", "events_link_pred",
+    "events_matching", "events_mis", "events_mutual_edges",
+    "events_neighbor_sample", "events_out_degree", "events_ppr",
+    "events_props_agg", "events_radii", "events_rolling", "events_scc",
+    "events_sessions", "events_skipgrams", "events_sssp", "events_strength",
+    "events_triangles", "events_triangles_per_node", "events_truss",
+    "events_walk_vocab", "events_walks", "events_walks_nb",
+    "events_windows", "labelprop_events", "order_revenue_by_priority",
+    "pagerank_events", "pages_degree", "pages_domain_graph",
+    "pages_pagerank", "pages_reciprocity",
+    # (round-4-checked entries follow in queries() dict order)
 ]
 
 

@@ -742,7 +742,114 @@ def run_scaling() -> dict:
             "scaling_efficiency_8_to_32": eff(8, 32)}
 
 
+SCALE10_DIR = "/tmp/ligr_scale10"
+
+
+def _scale10_docs_dir(factor: int) -> str:
+    """documents dir for the prepare volume run: the sf documents table
+    replicated ``factor``x with renumbered doc_ids (full schema — the
+    clean stage needs every column); factor 1 is the sf dir itself."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if factor == 1:
+        return SF_DIR
+    d = os.path.join(SCALE10_DIR, f"docs_x{factor}")
+    path = os.path.join(d, "documents.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+        n = t.num_rows
+        cols = {}
+        for name in t.column_names:
+            arr = t.column(name).combine_chunks()
+            if name == "doc_id":
+                cols[name] = pa.array(
+                    np.arange(n * factor, dtype=np.int64))
+            else:
+                cols[name] = pa.concat_arrays([arr] * factor)
+        tmp = path + ".tmp"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, path)
+    return d
+
+
+def run_scale10() -> dict:
+    """Round-5 volume validation (r4 VERDICT #1): the headline trio at
+    1x and 10x volume in ONE warm 32-CPU session — FRESH pages->CSR
+    build (no cached graph), PageRank classic to convergence, and the
+    prepare pipeline (clean -> minhash dedup -> training shuffle ->
+    resumable shards) over a replica corpus. Wall ratios near the
+    volume factor mean the plans scale without an OOM/spill cliff;
+    well below it, fixed dispatch costs amortize."""
+    import shutil
+
+    _init(NUM_CPUS)
+    import ray
+    import ray.data
+
+    from ligrust_ray.algos.pagerank import page_rank_classic
+    from ligrust_ray.pipelines.build import build_graph_from_pages
+    from ligrust_ray.pipelines.prepare import prepare_corpus
+    from ligrust_ray.sources.synth import write_pages_corpus
+    from ligrust_ray.state.graph import DistGraph
+
+    ray.data.range(1000).map_batches(lambda b: b).materialize()  # warm
+    scales: dict[str, dict] = {}
+    for factor in (1, 10):
+        rec: dict = {"factor": factor}
+        n_pages = BENCH_PAGES * factor
+        corpus = f"/tmp/ligr_bench/pages_{n_pages}"
+        t0 = time.perf_counter()
+        write_pages_corpus(corpus, n_pages, seed=42)
+        rec["corpus_synth_s"] = round(time.perf_counter() - t0, 3)
+
+        gdir = os.path.join(SCALE10_DIR, f"graph_{n_pages}")
+        shutil.rmtree(gdir, ignore_errors=True)     # FRESH build
+        t0 = time.perf_counter()
+        build_graph_from_pages(corpus, gdir, num_partitions=PARTITIONS)
+        rec["build_s"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        g = DistGraph.load(gdir)
+        rec["load_s"] = round(time.perf_counter() - t0, 3)
+        rec["graph_n"], rec["graph_m"] = g.n, g.m
+        t0 = time.perf_counter()
+        pr = page_rank_classic(g, max_iterations=100)
+        rec["pagerank_s"] = round(time.perf_counter() - t0, 3)
+        rec["pagerank_iters"] = pr["iterations"]
+        rec["pagerank_edges_per_s"] = int(
+            pr["edges_scanned"] / rec["pagerank_s"])
+
+        docs_dir = _scale10_docs_dir(factor)
+        prep_out = os.path.join(SCALE10_DIR, f"prep_x{factor}")
+        shutil.rmtree(prep_out, ignore_errors=True)
+        res = prepare_corpus(docs_dir, prep_out, method="minhash")
+        rec["prepare_s"] = round(sum(res["timings"].values()), 3)
+        rec["prepare_stages"] = {k: round(v, 3)
+                                 for k, v in res["timings"].items()}
+        rec["prepare_docs"] = res["n_docs"]
+        rec["prepare_kept"] = res["n_kept"]
+        scales[f"x{factor}"] = rec
+
+    ratios = {k: round(scales["x10"][k] / scales["x1"][k], 2)
+              for k in ("build_s", "pagerank_s", "prepare_s")}
+    return {"metric": "scale10_wall_ratio_build",
+            "value": ratios["build_s"], "unit": "ratio",
+            "ratios_10x_over_1x": ratios, "scales": scales,
+            "num_cpus": NUM_CPUS, "partitions": PARTITIONS,
+            "sf": SF_DIR, "bench_pages": BENCH_PAGES}
+
+
 def main() -> int:
+    if "--scale10" in sys.argv:
+        res = run_scale10()
+        print(json.dumps(res))
+        import ray
+
+        ray.shutdown()
+        return 0
     if "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
         return 0

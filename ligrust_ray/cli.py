@@ -234,53 +234,12 @@ def main(argv=None):
         return 0
 
     if args.cmd == "prepare":
-        import os
+        from ligrust_ray.pipelines.prepare import prepare_corpus
 
-        import pyarrow as pa
-
-        from ligrust_ray.dataops import dedup as D
-        from ligrust_ray.pipelines import queries as Q
-        from ligrust_ray.sources.resumable_sink import write_partitioned
-        from ligrust_ray.stages.shuffle import hash_join, semi_join
-
-        docs = ray.data.read_parquet(
-            os.path.join(args.sf_dir, "documents.parquet")).materialize()
-        n_docs = docs.count()
-        # 0. one row per doc_id (content-addressed imports carry
-        # duplicate rows for repeated texts — they would cross-product
-        # through the final join)
-        docs = D.unique_by_id(docs).materialize()
-        # 1. quality clean (the docs_clean composite keeps doc_ids and
-        # is ALREADY exact-deduplicated — min doc_id per distinct text)
-        cleaned = semi_join(docs, Q.q_docs_clean(args.sf_dir),
-                            l_on="doc_id", r_on="doc_id",
-                            r_key_type=pa.int64()).materialize()
-        n_clean = cleaned.count()
-        # 2. near-dup pass (exact is a no-op on the cleaned set — skip
-        # the redundant shuffle entirely)
-        if args.method == "exact":
-            surv = cleaned
-        else:
-            surv = semi_join(
-                cleaned, D.survivor_ids(cleaned, args.method),
-                l_on="doc_id", r_on="doc_id",
-                r_key_type=pa.int64()).materialize()
-        n_kept = surv.count()
-        # 3. deterministic training-order shuffle over the survivors,
-        #    4. bodies join + pos-ordered resumable shard write
-        order = Q.shuffle_rank(surv.select_columns(["doc_id"]))
-        body_cols = [c for c in surv.schema().names if c != "doc_id"]
-        ds = hash_join(surv, order, on="doc_id", l_cols=body_cols,
-                       r_cols=["pos", "shard"])
-        stats = write_partitioned(ds, args.output, key="doc_id",
-                                  shard_col="shard", order_by="pos",
-                                  resume=args.pp_resume)
-        print(json.dumps({
-            "output": args.output, "n_docs": int(n_docs),
-            "n_clean": int(n_clean), "n_kept": int(n_kept),
-            "method": args.method, "shards": int(len(stats)),
-            "rows_written": int(stats["rows"].sum()),
-            "shards_skipped": int(stats["skipped"].sum())}))
+        res = prepare_corpus(args.sf_dir, args.output,
+                             method=args.method, resume=args.pp_resume)
+        res.pop("timings", None)     # CLI output shape unchanged
+        print(json.dumps(res))
         return 0
 
     if args.cmd == "import-warc":
