@@ -534,7 +534,12 @@ def run_headline(num_cpus: int) -> dict:
             ("docs_entropy", Q.q_docs_entropy, True),
             ("events_window_topk", Q.q_events_window_topk, True),
             ("pages_dead_links", Q.q_pages_dead_links, True),
-            ("docs_bpe_pairs", Q.q_docs_bpe_pairs, True)):
+            ("docs_bpe_pairs", Q.q_docs_bpe_pairs, True),
+            ("events_louvain_full", Q.q_events_louvain_full, True),
+            ("events_window_late", Q.q_events_window_late, True),
+            ("media_decode_real", Q.q_media_decode_real, True),
+            ("media_resize_real", Q.q_media_resize_real, True),
+            ("media_frames_real", Q.q_media_frames_real, True)):
         t0 = time.perf_counter()
         r = fn(SF_DIR)
         # eager results (pyarrow.Table / pandas) are already computed;
