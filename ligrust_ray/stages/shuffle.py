@@ -308,12 +308,15 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     ``how="left"`` requires ``fill`` = {right_col: scalar} covering
     EVERY ``r_cols`` entry: unmatched left rows take those typed fill
-    values instead of NaN (nullable misses are deliberately
-    unsupported). Implemented as inner-merge + concat of the filled
-    unmatched rows — the rows NEVER pass through a NaN-widened float64
-    column, which would silently round int64 values above 2^53 (this
-    codebase carries 63-bit md5-derived ids). Built on ``co_group``
-    (the shared co-partition machinery)."""
+    values instead of NaN. Since r5 the per-partition merge is an Acero
+    join over zero-copy Arrow slices (``co_group(arrow_fn=True)``) —
+    no pandas conversion on either side of the wide step, and the left
+    join's misses stay typed (Arrow int64-with-null never widens to
+    float64, so 63-bit md5-derived ids survive; ``fill_null`` then
+    restores the non-null contract). Built on ``co_group`` (the shared
+    co-partition machinery)."""
+    import pyarrow.compute as _pc
+
     all_cols = [on] + list(l_cols) + list(r_cols)
     if len(set(all_cols)) != len(all_cols):
         raise ValueError("join columns must be disjoint")
@@ -324,25 +327,22 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             raise ValueError("how='left' requires fill values for "
                              f"exactly {sorted(r_cols)}")
 
-    def merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        j = lf.merge(rf.rename(columns={on: "__rk"}),
-                     left_on=on, right_on="__rk", how="inner")
-        j = j.drop(columns="__rk")
+    def merge(lt: pa.Table, rt: pa.Table) -> pa.Table:
         if how == "inner":
-            return j
-        miss = ~lf[on].isin(rf[on])
-        if not miss.any():
-            return j
-        um = lf[miss].copy()
-        for c in r_cols:
-            um[c] = pd.Series([fill[c]] * len(um),
-                              index=um.index).astype(rf[c].dtype)
-        return pd.concat([j, um], ignore_index=True)
+            return lt.join(rt, keys=[on], join_type="inner")
+        j = lt.join(rt, keys=[on], join_type="left outer")
+        cols = []
+        for name in j.column_names:
+            c = j.column(name)
+            if name in fill and c.null_count:
+                c = _pc.fill_null(c, pa.scalar(fill[name], type=c.type))
+            cols.append(c)
+        return pa.table(dict(zip(j.column_names, cols)))
 
     return co_group(left.select_columns([on] + list(l_cols)),
                     right.select_columns([on] + list(r_cols)),
                     l_on=on, r_on=on, fn=merge,
-                    num_partitions=num_partitions)
+                    num_partitions=num_partitions, arrow_fn=True)
 
 
 def semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
