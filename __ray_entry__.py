@@ -1316,7 +1316,7 @@ def entry() -> Any:
 _CHECK_PRIORITY = [
     # new in round 5 (never driver-checked)
     "media_decode_real", "media_resize_real", "media_frames_real",
-    "events_louvain_full", "events_window_late",
+    "events_louvain_full", "events_window_late", "events_window_panes",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1401,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": Q.q_events_funnel,
         "events_windows": Q.q_events_windows,
         "events_window_late": Q.q_events_window_late,
+        "events_window_panes": Q.q_events_window_panes,
         "events_window_topk": Q.q_events_window_topk,
         "events_hopping": Q.q_events_hopping,
         "events_rolling": Q.q_events_rolling,
@@ -2091,6 +2092,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) FILTER (WHERE pmax IS NOT NULL "
             "AND tu < pmax - 900000000) AS BIGINT) AS n_late "
             "FROM o GROUP BY 1"),
+        # Beam pane taxonomy over the same watermarked replay: accepted
+        # events split by whether the watermark had passed the window
+        # END at arrival (late-pane refinement) or not (on-time pane)
+        "events_window_panes": (
+            "WITH e AS (SELECT epoch_us(ts) AS tu, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, "
+            "md5_number_lower(CAST(event_id AS VARCHAR)) AS h, event_id, "
+            "epoch_us(ts) + CAST(md5_number_lower(CAST(event_id AS "
+            "VARCHAR)) % 1800000000 AS BIGINT) AS a FROM events), "
+            "o AS (SELECT tu, cents, MAX(tu) OVER (ORDER BY a, h, "
+            "event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax "
+            "FROM e), "
+            "c AS (SELECT tu, cents, "
+            "(pmax IS NULL OR tu >= pmax - 900000000) AS ok, "
+            "(pmax IS NOT NULL AND pmax - 900000000 >= "
+            "((tu // 3600000000) + 1) * 3600000000) AS past_end "
+            "FROM o) "
+            "SELECT CAST((tu // 3600000000) * 3600000000 AS BIGINT) "
+            "AS window_start_us, "
+            "CAST(COUNT(*) FILTER (WHERE ok AND NOT past_end) "
+            "AS BIGINT) AS n_on_time, "
+            "CAST(COUNT(*) FILTER (WHERE ok AND past_end) AS BIGINT) "
+            "AS n_late_acc, "
+            "CAST(COUNT(*) FILTER (WHERE NOT ok) AS BIGINT) "
+            "AS n_dropped, "
+            "CAST(COALESCE(SUM(cents) FILTER (WHERE ok), 0) AS BIGINT) "
+            "AS sum_value_cents FROM c GROUP BY 1"),
         # trailing-3 per-user rolling sum of integer cents
         "events_rolling": (
             "SELECT event_id, user_id, CAST(COALESCE(SUM("

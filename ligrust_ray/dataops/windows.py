@@ -353,7 +353,8 @@ def late_window_counts(events: ray.data.Dataset,
                        window_us: int = 3_600_000_000,
                        lateness_us: int = LATE_ALLOWED_US,
                        jitter_us: int = LATE_JITTER_US,
-                       slab_us: int = LATE_SLAB_US) -> ray.data.Dataset:
+                       slab_us: int = LATE_SLAB_US,
+                       panes: bool = False) -> ray.data.Dataset:
     """(window_start_us, n_events, sum_value_cents, n_late): event-time
     tumbling windows over an OUT-OF-ORDER stream with a bounded-lateness
     WATERMARK and drop policy — the windowing capability a 100-TB
@@ -378,7 +379,12 @@ def late_window_counts(events: ray.data.Dataset,
     its running max with the prefix, and emits per-(slab, window)
     partials; one small grouped sum finishes. The events table is
     projected to 5 int64 columns and materialized once, read by both
-    passes."""
+    passes.
+
+    ``panes=True`` switches the output to the Beam pane taxonomy:
+    (window_start_us, n_on_time, n_late_acc, n_dropped,
+    sum_value_cents) — an accepted event is a LATE-pane refinement iff
+    the watermark had already passed its window's end at arrival."""
     from ligrust_ray.dataops import hashing
 
     def pre(t: pa.Table) -> pa.Table:
@@ -412,13 +418,14 @@ def late_window_counts(events: ray.data.Dataset,
     excl = np.concatenate(([lo], np.maximum.accumulate(mx)[:-1]))
     seed = dict(zip(parts.tolist(), excl.tolist()))
 
+    pane_cols = ("n_events", "cents", "n_late") if not panes else \
+        ("n_on_time", "n_late_acc", "n_dropped", "cents")
+
     def window_late(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame({
-                "window_start_us": pd.Series([], dtype=np.int64),
-                "n_events": pd.Series([], dtype=np.int64),
-                "cents": pd.Series([], dtype=np.int64),
-                "n_late": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame(
+                {"window_start_us": pd.Series([], dtype=np.int64)}
+                | {c: pd.Series([], dtype=np.int64) for c in pane_cols})
         out = []
         for part, g in df.groupby("part", sort=False):
             # arrival order within the slab: (arr, uint64 h, event_id)
@@ -435,31 +442,40 @@ def late_window_counts(events: ray.data.Dataset,
                           run - lateness_us)
             ok = ts >= wm                     # empty prefix: accepted
             w = (ts // window_us) * window_us
-            acc = pd.DataFrame({"window_start_us": w, "ok": ok,
-                                "cents": np.where(ok, cents, 0)})
+            frame = {"window_start_us": w,
+                     "cents": np.where(ok, cents, 0)}
+            if panes:
+                # Beam pane taxonomy: an accepted element lands in a
+                # LATE pane iff the watermark had already passed its
+                # window's END when it arrived (the refinement case a
+                # downstream consumer must handle)
+                late_acc = ok & (wm >= w + window_us)
+                frame["n_on_time"] = (ok & ~late_acc).astype(np.int64)
+                frame["n_late_acc"] = late_acc.astype(np.int64)
+                frame["n_dropped"] = (~ok).astype(np.int64)
+            else:
+                frame["n_events"] = ok.astype(np.int64)
+                frame["n_late"] = (~ok).astype(np.int64)
+            acc = pd.DataFrame(frame)
             gg = acc.groupby("window_start_us", as_index=False).agg(
-                n_events=("ok", "sum"), cents=("cents", "sum"),
-                n_late=("ok", lambda s: int((~s).sum())))
+                {c: "sum" for c in pane_cols})
             out.append(gg)
         res = pd.concat(out, ignore_index=True)
-        res["n_events"] = res["n_events"].astype(np.int64)
+        for c in pane_cols:
+            res[c] = res[c].astype(np.int64)
         return res
 
     partials = shuffle.grouped_apply(
         narrow, ["part"], window_late, num_partitions=32)
     out = shuffle.grouped_agg(
         partials, ["window_start_us"],
-        {"n_events": ("n_events", "sum"),
-         "sum_value_cents": ("cents", "sum"),
-         "n_late": ("n_late", "sum")})
+        {("sum_value_cents" if c == "cents" else c): (c, "sum")
+         for c in pane_cols})
+    out_names = ["window_start_us"] + [
+        "sum_value_cents" if c == "cents" else c for c in pane_cols]
     return out.map_batches(
-        lambda t: pa.table({
-            "window_start_us":
-                t.column("window_start_us").cast(pa.int64()),
-            "n_events": t.column("n_events").cast(pa.int64()),
-            "sum_value_cents":
-                t.column("sum_value_cents").cast(pa.int64()),
-            "n_late": t.column("n_late").cast(pa.int64())}),
+        lambda t: pa.table({c: t.column(c).cast(pa.int64())
+                            for c in out_names}),
         batch_format="pyarrow")
 
 

@@ -2787,6 +2787,20 @@ def q_events_window_late(sf_dir: str):
     return windows.late_window_counts(ev)
 
 
+def q_events_window_panes(sf_dir: str):
+    """(window_start_us, n_on_time, n_late_acc, n_dropped,
+    sum_value_cents) — the Beam pane taxonomy over the same watermarked
+    replay as events_window_late: accepted events split into on-time
+    panes vs late-pane refinements (watermark already past the window
+    end at arrival), dropped events counted; the downstream contract a
+    streaming consumer needs to handle refinements correctly."""
+    from ligrust_ray.dataops import windows
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_id", "ts", "value"])
+    return windows.late_window_counts(ev, panes=True)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:

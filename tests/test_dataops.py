@@ -2397,3 +2397,25 @@ def test_late_window_watermark(ray_session):
     # lateness=inf accepts everything
     got_inf = run(eids, tss, vals, 10**15, 1_800_000_000, 6 * W)
     assert int(got_inf["n_late"].sum()) == 0
+
+
+def test_window_panes_taxonomy(ray_session):
+    """panes=True splits accepted events into on-time vs late-pane
+    refinements consistently with the drop-mode output (r5)."""
+    import duckdb
+
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    drop = (Q.q_events_window_late(sf).to_pandas()
+            .sort_values("window_start_us").reset_index(drop=True))
+    panes = (Q.q_events_window_panes(sf).to_pandas()
+             .sort_values("window_start_us").reset_index(drop=True))
+    assert len(drop) == len(panes)
+    np.testing.assert_array_equal(
+        panes["n_on_time"].to_numpy() + panes["n_late_acc"].to_numpy(),
+        drop["n_events"].to_numpy())
+    np.testing.assert_array_equal(panes["n_dropped"].to_numpy(),
+                                  drop["n_late"].to_numpy())
+    np.testing.assert_array_equal(panes["sum_value_cents"].to_numpy(),
+                                  drop["sum_value_cents"].to_numpy())
