@@ -632,6 +632,41 @@ def _katz_sql(rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def _pr_std_sql(rounds: int = 6) -> str:
+    """Standard-PageRank oracle (algos/pagerank.py page_rank_standard
+    spec): ``rounds`` unrolled normalized updates x_{t+1} = (1-d)/n +
+    d*(SUM in-edges x_t/out_deg + D_t/n) with D_t = dangling mass of
+    x_t; alpha written as (1.0 - 0.85) to match the engine's float
+    bit-for-bit; shared ppm rendering."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES_CTE}), "
+        f"nodes AS MATERIALIZED ({_NODES_CTE}), "
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n "
+        "FROM nodes), "
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e "
+        "GROUP BY src), "
+        "x0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS v "
+        "FROM nodes CROSS JOIN nn)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", dm{t-1} AS MATERIALIZED (SELECT "
+            "COALESCE(SUM(x.v), 0.0) AS dm "
+            f"FROM x{t-1} x LEFT JOIN deg ON deg.src = x.id "
+            "WHERE deg.src IS NULL)"
+            f", x{t} AS MATERIALIZED (SELECT n.id, "
+            "(1.0 - 0.85) / nn.n + 0.85 * (COALESCE(s.v, 0.0) "
+            f"+ (SELECT dm FROM dm{t-1}) / nn.n) AS v "
+            "FROM nodes n CROSS JOIN nn LEFT JOIN "
+            f"(SELECT e.dst AS id, SUM(x.v / deg.d) AS v FROM e "
+            f"JOIN x{t-1} x ON x.id = e.src "
+            "JOIN deg ON deg.src = e.src GROUP BY e.dst) s "
+            "ON s.id = n.id)")
+    parts.append(
+        f" SELECT id AS node_id, CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) "
+        f"AS pr_ppm FROM x{rounds}")
+    return "".join(parts)
+
+
 def _kmeans_sql(k: int = 8, rounds: int = 2, dim: int = 64,
                 scale: int = 1000) -> str:
     """Integer-exact Lloyd k-means oracle (dataops/ann.py kmeans spec):
@@ -1317,6 +1352,7 @@ _CHECK_PRIORITY = [
     # new in round 5 (never driver-checked)
     "media_decode_real", "media_resize_real", "media_frames_real",
     "events_louvain_full", "events_window_late", "events_window_panes",
+    "events_pagerank_std",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1434,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hits": Q.q_events_hits,
         "events_ppr": Q.q_events_ppr,
         "events_katz": Q.q_events_katz,
+        "events_pagerank_std": Q.q_events_pagerank_std,
         "events_eigencentrality": Q.q_events_eigencentrality,
         "pages_trustrank": Q.q_pages_trustrank,
         "events_truss": Q.q_events_truss,
@@ -2597,6 +2634,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ppr": _ppr_sql(4, 0),
         # Katz centrality, 4 unrolled truncated-power-series gathers
         "events_katz": _katz_sql(4),
+        "events_pagerank_std": _pr_std_sql(6),
         "events_eigencentrality": _eigen_sql(4),
         # TrustRank over the pages graph, 4 unrolled seeded gathers
         "pages_trustrank": _trustrank_sql(4, 16),

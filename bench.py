@@ -536,6 +536,8 @@ def run_headline(num_cpus: int) -> dict:
             ("pages_dead_links", Q.q_pages_dead_links, True),
             ("docs_bpe_pairs", Q.q_docs_bpe_pairs, True),
             ("events_louvain_full", Q.q_events_louvain_full, True),
+            ("events_pagerank_std", Q.q_events_pagerank_std, True),
+            ("events_window_panes", Q.q_events_window_panes, True),
             ("events_window_late", Q.q_events_window_late, True),
             ("media_decode_real", Q.q_media_decode_real, True),
             ("media_resize_real", Q.q_media_resize_real, True),

@@ -215,3 +215,76 @@ def page_rank_delta(graph, max_iterations: int = 100,
     return {"iterations": iteration, "edges_scanned": graph.edges_scanned,
             "error": error, "wall_s": time.perf_counter() - t0,
             "state_names": ["page_rank"]}
+
+
+class _StdPRGather(EdgeKernel):
+    """Standard-PageRank gather: xr(v) = sum over in-edges (u, v) of
+    x(u)/out_deg(u); dangling sources emit nothing here (their mass is
+    redistributed uniformly by the apply step)."""
+
+    reduce = "sum"
+    value_dtype = np.float64
+    has_output_frontier = False
+
+    def source_values(self, state, out_deg):
+        return np.where(out_deg > 0,
+                        state["x"] / np.maximum(out_deg, 1), 0.0)
+
+    def source_values_at(self, state, out_deg, idx):
+        od = out_deg[idx]
+        return np.where(od > 0, state["x"][idx] / np.maximum(od, 1), 0.0)
+
+    def apply(self, state, agg, touched, shard):
+        state["xr"] = np.where(touched, agg, 0.0)
+        return None, {}
+
+
+class _StdPRApply(VertexKernel):
+    """x := (1-d)/n + d*(xr + D/n) — the textbook normalized update with
+    dangling-mass redistribution; the NEXT round's dangling mass rides
+    the wave summary (per-shard sum of x over out_deg == 0 nodes), so
+    the driver holds one scalar, never a vertex array."""
+
+    def __init__(self, n: int, dangling_mass: float):
+        self.n = n
+        self.dm = dangling_mass
+
+    def update(self, state, mask, shard):
+        x = ALPHA / self.n + DAMPING * (state["xr"] + self.dm / self.n)
+        state["x"] = x
+        return None, {"dangling": float(x[shard.out_deg == 0].sum())}
+
+
+class _DanglingProbe(VertexKernel):
+    def update(self, state, mask, shard):
+        return None, {"dangling":
+                      float(state["x"][shard.out_deg == 0].sum())}
+
+
+def page_rank_standard(graph, rounds: int = 6) -> dict:
+    """STANDARD PageRank (Brin & Page 1998 as normalized by Langville &
+    Meyer): x_{t+1}(v) = (1-d)/n + d*(sum_{u->v} x_t(u)/out(u) + D_t/n)
+    with D_t the dangling mass — the probability-distribution variant
+    the reference deliberately lacks (SURVEY §2.6 G3: no dangling
+    redistribution, unnormalized teleport — preserved separately in
+    page_rank_delta). Fixed ``rounds`` so the SQL oracle unrolls
+    exactly; each round is one gather wave + one vertex wave with the
+    dangling scalar riding the summaries. Total mass stays 1 (checked
+    in tests), so scores are comparable across graphs."""
+    t0 = time.perf_counter()
+    n = graph.n
+    graph.init_algo({
+        "x": (np.float64, 1.0 / n),
+        "xr": (np.float64, 0.0),
+    })
+    s = graph.vertex_map(_DanglingProbe(), over="all")
+    dm = float(s.get("dangling", 0.0))
+    gather = _StdPRGather()
+    graph.edges_scanned = 0
+    for _ in range(rounds):
+        graph.set_frontier("all")
+        graph.edge_map(gather)
+        s = graph.vertex_map(_StdPRApply(n, dm), over="all")
+        dm = float(s.get("dangling", 0.0))
+    return {"rounds": rounds, "edges_scanned": graph.edges_scanned,
+            "wall_s": time.perf_counter() - t0, "state_names": ["x"]}

@@ -1453,6 +1453,27 @@ def q_events_katz(sf_dir: str):
                          np.floor(st * 1e6 + 0.5).astype(np.int64))})
 
 
+PR_STD_ROUNDS = 6
+
+
+def q_events_pagerank_std(sf_dir: str):
+    """(node_id, pr_ppm) STANDARD normalized PageRank with dangling-mass
+    redistribution after PR_STD_ROUNDS rounds (algos/pagerank.py
+    page_rank_standard) over the directed events multigraph — the
+    probability-distribution variant the reference lacks (its
+    PageRankDelta keeps unnormalized teleport and drops dangling mass;
+    both semantics now ship). SQL oracle unrolls the identical rounds
+    with an explicit per-round dangling-mass CTE."""
+    from ligrust_ray.algos.pagerank import page_rank_standard
+
+    g = events_graph(sf_dir)
+    page_rank_standard(g, rounds=PR_STD_ROUNDS)
+    st = g.collect_state(["x"])["x"]
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "pr_ppm": pa.array(
+                         np.floor(st * 1e6 + 0.5).astype(np.int64))})
+
+
 EIGEN_ROUNDS = 4
 
 

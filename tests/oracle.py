@@ -370,3 +370,17 @@ def eigencentrality_oracle(n: int, src: np.ndarray, dst: np.ndarray,
         tot = np.abs(raw).sum()
         x = raw / (tot if tot > 0.0 else 1.0)
     return x
+
+
+def pr_std_oracle(n: int, src: np.ndarray, dst: np.ndarray,
+                  rounds: int = 6, d: float = 0.85) -> np.ndarray:
+    """Mirror of ligrust_ray.algos.pagerank.page_rank_standard."""
+    outdeg = out_degrees(n, src)
+    x = np.full(n, 1.0 / n)
+    for _ in range(rounds):
+        dm = float(x[outdeg == 0].sum())
+        contrib = np.zeros(n)
+        if len(src):
+            np.add.at(contrib, dst, x[src] / outdeg[src])
+        x = (1.0 - d) / n + d * (contrib + dm / n)
+    return x

@@ -1572,3 +1572,18 @@ def test_louvain_full_planted_hierarchy(ray_session):
     for members in groups.values():
         assert len({pair_of[v] for v in members}) == 1
     assert len(groups) < n
+
+
+def test_pagerank_standard_matches_oracle(graphs):
+    """r5: normalized PageRank with dangling redistribution — numpy
+    oracle parity over 5 graph shapes + probability-mass conservation
+    (the property the reference's unnormalized variant lacks)."""
+    from ligrust_ray.algos.pagerank import page_rank_standard
+
+    for nm in ("fixture", "path", "empty-edges", "er-64", "zipf-200"):
+        g, n, src, dst = graphs[nm]
+        page_rank_standard(g, rounds=6)
+        got = g.collect_state(["x"])["x"]
+        exp = oracle.pr_std_oracle(n, src, dst, rounds=6)
+        np.testing.assert_allclose(got, exp, atol=1e-12, err_msg=nm)
+        assert abs(got.sum() - 1.0) < 1e-9, nm   # mass conserved
