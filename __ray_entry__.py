@@ -632,6 +632,41 @@ def _katz_sql(rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def _salsa_sql(rounds: int = 3) -> str:
+    """SALSA oracle (algos/hits.py salsa spec) over the raw directed
+    events multigraph: a0 = 1; h_t(i) = SUM over out-edges (i, k) of
+    a_{t-1}(k)/indeg(k); a_t(j) = SUM over in-edges (i, j) of
+    h_t(i)/outdeg(i). Shared ppm rendering."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES_CTE}), "
+        f"nodes AS MATERIALIZED ({_NODES_CTE}), "
+        "od AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e "
+        "GROUP BY src), "
+        "idg AS MATERIALIZED (SELECT dst, COUNT(*) AS d FROM e "
+        "GROUP BY dst), "
+        "a0 AS MATERIALIZED (SELECT id, 1.0 AS v FROM nodes)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", h{t} AS MATERIALIZED (SELECT n.id, "
+            "COALESCE(s.v, 0.0) AS v FROM nodes n LEFT JOIN "
+            f"(SELECT e.src AS id, SUM(p.v / idg.d) AS v FROM e "
+            f"JOIN a{t-1} p ON p.id = e.dst "
+            "JOIN idg ON idg.dst = e.dst GROUP BY e.src) s "
+            "ON s.id = n.id)"
+            f", a{t} AS MATERIALIZED (SELECT n.id, "
+            "COALESCE(s.v, 0.0) AS v FROM nodes n LEFT JOIN "
+            f"(SELECT e.dst AS id, SUM(p.v / od.d) AS v FROM e "
+            f"JOIN h{t} p ON p.id = e.src "
+            "JOIN od ON od.src = e.src GROUP BY e.dst) s "
+            "ON s.id = n.id)")
+    parts.append(
+        f" SELECT h{rounds}.id AS node_id, "
+        f"CAST(FLOOR(h{rounds}.v * 1000000 + 0.5) AS BIGINT) AS hub_ppm, "
+        f"CAST(FLOOR(a{rounds}.v * 1000000 + 0.5) AS BIGINT) AS auth_ppm "
+        f"FROM h{rounds} JOIN a{rounds} ON a{rounds}.id = h{rounds}.id")
+    return "".join(parts)
+
+
 def _pr_std_sql(rounds: int = 6) -> str:
     """Standard-PageRank oracle (algos/pagerank.py page_rank_standard
     spec): ``rounds`` unrolled normalized updates x_{t+1} = (1-d)/n +
@@ -1352,7 +1387,7 @@ _CHECK_PRIORITY = [
     # new in round 5 (never driver-checked)
     "media_decode_real", "media_resize_real", "media_frames_real",
     "events_louvain_full", "events_window_late", "events_window_panes",
-    "events_pagerank_std",
+    "events_pagerank_std", "events_salsa",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1471,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ppr": Q.q_events_ppr,
         "events_katz": Q.q_events_katz,
         "events_pagerank_std": Q.q_events_pagerank_std,
+        "events_salsa": Q.q_events_salsa,
         "events_eigencentrality": Q.q_events_eigencentrality,
         "pages_trustrank": Q.q_pages_trustrank,
         "events_truss": Q.q_events_truss,
@@ -2635,6 +2671,7 @@ def oracle_sql() -> dict[str, str]:
         # Katz centrality, 4 unrolled truncated-power-series gathers
         "events_katz": _katz_sql(4),
         "events_pagerank_std": _pr_std_sql(6),
+        "events_salsa": _salsa_sql(3),
         "events_eigencentrality": _eigen_sql(4),
         # TrustRank over the pages graph, 4 unrolled seeded gathers
         "pages_trustrank": _trustrank_sql(4, 16),

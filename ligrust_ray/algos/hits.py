@@ -81,3 +81,50 @@ def hits(g_fwd, g_rev, rounds: int = 3) -> dict:
                 "exactness bound (2^53); reduce rounds or normalise")
     return {"rounds": rounds, "wall_s": time.perf_counter() - t0,
             "state_names": STATE}
+
+
+class NormSumGather(SumGather):
+    """Degree-normalized gather: agg[target] = sum over in-edges of
+    state[src_key]/out_deg(src) — the random-walk (SALSA) counterpart
+    of SumGather; zero-out-degree sources emit nothing."""
+
+    def source_values(self, state, out_deg):
+        return np.where(out_deg > 0,
+                        state[self.src_key] / np.maximum(out_deg, 1), 0.0)
+
+    def source_values_at(self, state, out_deg, idx):
+        od = out_deg[idx]
+        return np.where(od > 0,
+                        state[self.src_key][idx] / np.maximum(od, 1), 0.0)
+
+    def apply(self, state, agg, touched, shard):
+        state[self.out_key] = np.where(touched, agg, 0.0)
+        return None, {}
+
+
+def salsa(g_fwd, g_rev, rounds: int = 3) -> dict:
+    """SALSA (Lempel & Moran WWW'00): the random-walk HITS — per round,
+    h(i) = sum over out-nbrs k of a(k)/indeg(k) (gathered on the
+    reversed twin, where the normalizing degree IS its out-degree), then
+    a(j) = sum over in-nbrs i of h(i)/outdeg(i) (forward twin). a_0 = 1,
+    no per-round normalization (mass is conserved by the stochastic
+    matrices up to degree-0 leakage), fixed rounds so the SQL oracle
+    unrolls exactly; scores bounded by n so float64 is safe at any
+    round count."""
+    t0 = time.perf_counter()
+    if g_fwd.n != g_rev.n or g_fwd.nparts != g_rev.nparts:
+        raise ValueError("g_rev must mirror g_fwd (same n, num_partitions)")
+    g_fwd.init_algo({"a": (np.float64, 1.0), "h": (np.float64, 0.0)})
+    g_rev.init_algo({"a": (np.float64, 1.0), "h": (np.float64, 0.0)})
+    h_kernel = NormSumGather("a", "h")
+    a_kernel = NormSumGather("h", "a")
+    for t in range(rounds):
+        if t > 0:
+            transfer_state(g_fwd, g_rev, {"a": "a"})
+        g_rev.set_frontier("all")
+        g_rev.edge_map(h_kernel)
+        transfer_state(g_rev, g_fwd, {"h": "h"})
+        g_fwd.set_frontier("all")
+        g_fwd.edge_map(a_kernel)
+    return {"rounds": rounds, "wall_s": time.perf_counter() - t0,
+            "state_names": STATE}

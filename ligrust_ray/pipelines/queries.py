@@ -1536,6 +1536,28 @@ def q_events_hits(sf_dir: str):
                      "auth": pa.array(st["a"].astype(np.int64))})
 
 
+SALSA_ROUNDS = 3
+
+
+def q_events_salsa(sf_dir: str):
+    """(node_id, hub_ppm, auth_ppm) after SALSA_ROUNDS rounds of SALSA
+    (Lempel & Moran WWW'00 — the random-walk HITS; algos/hits.py salsa)
+    over the directed events multigraph and its cached reversed twin:
+    degree-normalized two-phase gathers, ppm rendering on the shared
+    pagerank/katz convention."""
+    from ligrust_ray.algos.hits import salsa
+
+    g = events_graph(sf_dir)
+    salsa(g, events_rev_graph(sf_dir), rounds=SALSA_ROUNDS)
+    st = g.collect_state(["h", "a"])
+    return pa.table({
+        "node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+        "hub_ppm": pa.array(
+            np.floor(st["h"] * 1e6 + 0.5).astype(np.int64)),
+        "auth_ppm": pa.array(
+            np.floor(st["a"] * 1e6 + 0.5).astype(np.int64))})
+
+
 KCORE_K = 5
 KCORE_SQL_ROUNDS = 40      # unroll depth of the DuckDB oracle
 

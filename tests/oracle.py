@@ -384,3 +384,22 @@ def pr_std_oracle(n: int, src: np.ndarray, dst: np.ndarray,
             np.add.at(contrib, dst, x[src] / outdeg[src])
         x = (1.0 - d) / n + d * (contrib + dm / n)
     return x
+
+
+def salsa_oracle(n: int, src: np.ndarray, dst: np.ndarray,
+                 rounds: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Mirror of ligrust_ray.algos.hits.salsa."""
+    outdeg = out_degrees(n, src)
+    indeg = np.zeros(n, dtype=np.int64)
+    if len(dst):
+        np.add.at(indeg, dst, 1)
+    a = np.ones(n)
+    h = np.zeros(n)
+    for _ in range(rounds):
+        h = np.zeros(n)
+        if len(src):
+            np.add.at(h, src, a[dst] / np.maximum(indeg[dst], 1))
+        a = np.zeros(n)
+        if len(src):
+            np.add.at(a, dst, h[src] / np.maximum(outdeg[src], 1))
+    return h, a

@@ -1587,3 +1587,26 @@ def test_pagerank_standard_matches_oracle(graphs):
         exp = oracle.pr_std_oracle(n, src, dst, rounds=6)
         np.testing.assert_allclose(got, exp, atol=1e-12, err_msg=nm)
         assert abs(got.sum() - 1.0) < 1e-9, nm   # mass conserved
+
+
+def test_salsa_matches_oracle(ray_session, tmp_path):
+    """r5: SALSA random-walk hub/authority scores vs numpy oracle over
+    3 graph shapes (twin-graph protocol of test_hits_matches_oracle)."""
+    from ligrust_ray.algos.hits import salsa
+
+    for name, n, (src, dst) in [
+            ("er-64", 64, oracle.random_digraph(64, 3.0, seed=21)),
+            ("zipf-120", 120, oracle.random_digraph(120, 0, seed=22,
+                                                    zipf=True)),
+            ("empty", 5, (np.array([], dtype=np.int64),
+                          np.array([], dtype=np.int64)))]:
+        src = src.astype(np.int64)
+        dst = dst.astype(np.int64)
+        g = make_graph(str(tmp_path / f"sf_{name}"), src, dst, n, nparts=3)
+        grev = make_graph(str(tmp_path / f"sr_{name}"), dst, src, n,
+                          nparts=3)
+        salsa(g, grev, rounds=3)
+        st = g.collect_state(["h", "a"])
+        eh, ea = oracle.salsa_oracle(n, src, dst, rounds=3)
+        np.testing.assert_allclose(st["h"], eh, atol=1e-12, err_msg=name)
+        np.testing.assert_allclose(st["a"], ea, atol=1e-12, err_msg=name)
