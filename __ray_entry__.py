@@ -733,6 +733,41 @@ def _kmeans_sql(k: int = 8, rounds: int = 2, dim: int = 64,
     return "".join(parts)
 
 
+def _semdedup_sql(k: int = 8, rounds: int = 2, dim: int = 64,
+                  scale: int = 1000, num: int = 9, den: int = 10) -> str:
+    """SemDeDup oracle (dataops/ann.py semdedup spec): the kmeans CTE
+    chain extended with the within-cluster pair verdict — drop v iff an
+    EARLIER vector on the (md5(vec_id), vec_id) tape in the same
+    cluster has cos >= num/den, decided by the exact integer test
+    dot > 0 AND dot^2*den^2 >= num^2*|u|^2*|v|^2 on the scaled grid."""
+    km = _kmeans_sql(k, rounds, dim, scale)
+    cte = km[:km.rindex(" SELECT vec_id")]    # reuse chain up to a{rounds}
+    return (
+        cte
+        + ", pk AS MATERIALIZED (SELECT vec_id, "
+        "md5_number_lower(CAST(vec_id AS VARCHAR)) AS pk FROM v), "
+        "nrm AS MATERIALIZED (SELECT vec_id, SUM(xv * xv) AS n2 "
+        "FROM x GROUP BY vec_id), "
+        f"pair AS (SELECT i.vec_id AS a, j.vec_id AS b, "
+        "SUM(xi.xv * xj.xv) AS dot "
+        f"FROM a{rounds} i JOIN a{rounds} j ON j.c = i.c "
+        "AND j.vec_id <> i.vec_id "
+        "JOIN pk pi ON pi.vec_id = i.vec_id "
+        "JOIN pk pj ON pj.vec_id = j.vec_id "
+        "JOIN x xi ON xi.vec_id = i.vec_id "
+        "JOIN x xj ON xj.vec_id = j.vec_id AND xj.d = xi.d "
+        "WHERE pj.pk < pi.pk OR (pj.pk = pi.pk "
+        "AND j.vec_id < i.vec_id) GROUP BY 1, 2), "
+        "dup AS (SELECT DISTINCT p.a AS vec_id FROM pair p "
+        "JOIN nrm na ON na.vec_id = p.a "
+        "JOIN nrm nb ON nb.vec_id = p.b "
+        f"WHERE p.dot > 0 AND p.dot * p.dot * {den * den} "
+        f">= {num * num} * na.n2 * nb.n2) "
+        f"SELECT a.vec_id, CAST(a.c AS BIGINT) AS cluster, "
+        "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+        f"AS kept FROM a{rounds} a LEFT JOIN dup d USING (vec_id)")
+
+
 def _eigen_sql(rounds: int = 4) -> str:
     """Eigenvector-centrality oracle (algos/ppr.py eigencentrality spec):
     ``rounds`` unrolled L1-normalised power-iteration gathers
@@ -1387,7 +1422,7 @@ _CHECK_PRIORITY = [
     # new in round 5 (never driver-checked)
     "media_decode_real", "media_resize_real", "media_frames_real",
     "events_louvain_full", "events_window_late", "events_window_panes",
-    "events_pagerank_std", "events_salsa",
+    "events_pagerank_std", "events_salsa", "emb_semdedup",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1507,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_katz": Q.q_events_katz,
         "events_pagerank_std": Q.q_events_pagerank_std,
         "events_salsa": Q.q_events_salsa,
+        "emb_semdedup": Q.q_emb_semdedup,
         "events_eigencentrality": Q.q_events_eigencentrality,
         "pages_trustrank": Q.q_pages_trustrank,
         "events_truss": Q.q_events_truss,
@@ -2672,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "events_katz": _katz_sql(4),
         "events_pagerank_std": _pr_std_sql(6),
         "events_salsa": _salsa_sql(3),
+        "emb_semdedup": _semdedup_sql(),
         "events_eigencentrality": _eigen_sql(4),
         # TrustRank over the pages graph, 4 unrolled seeded gathers
         "pages_trustrank": _trustrank_sql(4, 16),

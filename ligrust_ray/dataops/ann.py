@@ -507,3 +507,81 @@ def kmeans(emb: ray.data.Dataset, k: int = KMEANS_K,
                          "cluster": pa.array(_km_assign(mat, cids, cent))})
 
     return ek.map_batches(assign, batch_format="pyarrow")
+
+
+SEMDEDUP_NUM = 9     # cosine threshold num/den = 0.9
+SEMDEDUP_DEN = 10
+
+
+def semdedup(emb: ray.data.Dataset, k: int = KMEANS_K,
+             rounds: int = KMEANS_ROUNDS,
+             thr_num: int = SEMDEDUP_NUM,
+             thr_den: int = SEMDEDUP_DEN) -> ray.data.Dataset:
+    """(vec_id, cluster, kept) — SemDeDup-style semantic dedup (Abbas et
+    al. 2023): cluster the embedding space with the integer-exact
+    k-means, then inside each cluster drop every vector that is
+    near-duplicate (cosine >= thr_num/thr_den) of an EARLIER vector on
+    the deterministic (md5(vec_id), vec_id) priority tape. The cosine
+    verdict is EXACT integer arithmetic on the PQ fixed-point grid:
+    cos(u,v) >= t  <=>  dot > 0 and dot^2 * den^2 >= num^2 * |u|^2|v|^2
+    — no float comparison anywhere, so the DuckDB oracle replays it
+    hash-exactly. (The one-pass drop-if-any-earlier-similar rule is
+    deliberately parallel — unlike greedy keep-set chaining it needs no
+    sequential scan, and every pair decision is independent.)
+
+    Scale shape: assignments ride the k-means broadcast centroids;
+    embeddings attach to their cluster via one keyed co_group; the
+    all-pairs verdict runs per CLUSTER inside a cluster-keyed
+    grouped_apply — pair work is bounded by cluster size (~n/k), never
+    corpus-quadratic. Guards the int64 bound and raises rather than
+    overflow."""
+    from ligrust_ray.dataops import hashing
+    from ligrust_ray.stages import shuffle
+
+    assigns = kmeans(emb, k, rounds)
+    ek = emb.select_columns(["vec_id", "embedding"])
+
+    def attach(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        return lf.merge(rf, on="vec_id", how="inner")
+
+    joined = shuffle.co_group(
+        assigns, ek, l_on="vec_id", r_on="vec_id", fn=attach,
+        l_schema=pa.schema([("vec_id", pa.int64()),
+                            ("cluster", pa.int64())]),
+        r_schema=pa.schema([("vec_id", pa.int64()),
+                            ("embedding", pa.list_(pa.float64()))]))
+
+    num2 = thr_num * thr_num
+    den2 = thr_den * thr_den
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("vec_id", "cluster", "kept")
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        out = []
+        for cl, g in df.groupby("cluster", sort=False):
+            ids = g["vec_id"].to_numpy(np.int64)
+            mat = np.floor(np.stack(
+                [np.asarray(e, dtype=np.float64)
+                 for e in g["embedding"]]) * PQ_SCALE).astype(np.int64)
+            pk = np.array([hashing.md5_u64_lower(str(i).encode())
+                           for i in ids], dtype=np.uint64)
+            order = np.lexsort((ids, pk))
+            ids, mat = ids[order], mat[order]
+            n2 = (mat * mat).sum(axis=1)
+            if len(n2) and float(n2.max())**2 * den2 >= 2.0**62:
+                raise RuntimeError("semdedup: norms exceed the int64 "
+                                   "exactness bound; rescale")
+            dots = mat @ mat.T
+            sim = (dots > 0) & (dots.astype(np.int64) ** 2 * den2
+                                >= num2 * np.outer(n2, n2))
+            # drop i iff ANY earlier j (strict lower triangle) is similar
+            dropped = np.tril(sim, k=-1).any(axis=1)
+            out.append(pd.DataFrame({
+                "vec_id": ids, "cluster": np.full(len(ids), cl,
+                                                  dtype=np.int64),
+                "kept": (~dropped).astype(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    return shuffle.grouped_apply(joined, ["cluster"], verdict)

@@ -1884,6 +1884,16 @@ def q_events_component_sizes(sf_dir: str):
                                {"n_components": (None, "count")})
 
 
+def q_emb_semdedup(sf_dir: str):
+    """(vec_id, cluster, kept) — SemDeDup-style semantic dedup over the
+    embeddings table (dataops/ann.py semdedup): integer-exact k-means
+    clusters, then within-cluster near-dup drops decided by the exact
+    integer cosine test on the (md5(vec_id), vec_id) priority tape."""
+    from ligrust_ray.dataops.ann import semdedup
+
+    return semdedup(_emb(sf_dir))
+
+
 def q_emb_kmeans(sf_dir: str):
     """(vec_id, cluster) — deterministic integer-exact Lloyd k-means over
     the embeddings table (dataops/ann.py kmeans: md5 id-bucket init,

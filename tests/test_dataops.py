@@ -2419,3 +2419,57 @@ def test_window_panes_taxonomy(ray_session):
                                   drop["n_late"].to_numpy())
     np.testing.assert_array_equal(panes["sum_value_cents"].to_numpy(),
                                   drop["sum_value_cents"].to_numpy())
+
+
+def test_semdedup_planted_near_dups(ray_session):
+    """r5 SemDeDup: planted exact+perturbed duplicates are dropped with
+    exactly one survivor per near-dup family on the deterministic
+    priority tape; distinct vectors all survive (the sf corpora carry
+    no cos>=0.9 pairs, so the drop path needs this fixture)."""
+    from ligrust_ray.dataops import hashing
+    from ligrust_ray.dataops.ann import PQ_SCALE, semdedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(12, 64)) * 0.3
+    vecs = [base[i] for i in range(12)]
+    ids = list(range(12))
+    # family A: ids 12, 13 duplicate id 0 (one exact, one tiny-perturbed)
+    vecs += [base[0].copy(), base[0] + 1e-4]
+    ids += [12, 13]
+    # family B: id 14 duplicates id 5
+    vecs += [base[5] * 1.001]
+    ids += [14]
+    t = pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float64()))})
+    out = (semdedup(ray.data.from_arrow(t), k=2, rounds=1)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == 15
+    kept = dict(zip(out["vec_id"], out["kept"]))
+    clus = dict(zip(out["vec_id"], out["cluster"]))
+
+    # numpy replica of the verdict rule (same grid, same tape)
+    mat = np.floor(np.stack(vecs) * PQ_SCALE).astype(np.int64)
+    n2 = (mat * mat).sum(axis=1)
+    pk = np.array([hashing.md5_u64_lower(str(i).encode()) for i in ids],
+                  dtype=np.uint64)
+    exp = {}
+    for i in range(15):
+        dropped = False
+        for j in range(15):
+            if clus[ids[j]] != clus[ids[i]] or ids[j] == ids[i]:
+                continue
+            if not (pk[j] < pk[i] or (pk[j] == pk[i]
+                                      and ids[j] < ids[i])):
+                continue
+            dot = int(mat[i] @ mat[j])
+            if dot > 0 and dot * dot * 100 >= 81 * int(n2[i]) * int(n2[j]):
+                dropped = True
+                break
+        exp[ids[i]] = 0 if dropped else 1
+    assert kept == exp
+    # families that co-cluster lose all but their tape-first member
+    for fam in ([0, 12, 13], [5, 14]):
+        if len({clus[v] for v in fam}) == 1:
+            assert sum(kept[v] for v in fam) == 1
