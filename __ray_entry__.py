@@ -632,6 +632,41 @@ def _katz_sql(rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def _topo_levels_sql(rounds: int = 16) -> str:
+    """Condensation-DAG longest-path layering oracle
+    (queries.q_events_topo_levels spec): the events_condensation scc
+    closure feeds ``rounds`` unrolled max-propagation steps — surplus
+    rounds past the fixed point are exact no-ops, matching the engine's
+    early exit."""
+    parts = [
+        "WITH RECURSIVE em AS MATERIALIZED (SELECT user_id AS src, "
+        "CAST(FLOOR(value * 100) AS BIGINT) % 150 AS dst FROM events "
+        "WHERE event_type = 'error' AND value < 15), "
+        "e AS (SELECT DISTINCT * FROM em), "
+        f"nodes AS ({_NODES_CTE}), "
+        "r(node, reach) AS (SELECT id, id FROM nodes "
+        "UNION SELECT e.dst, r.reach FROM r JOIN e ON e.src = r.node), "
+        "scc AS MATERIALIZED (SELECT a.node, "
+        "CAST(MIN(a.reach) AS BIGINT) AS c "
+        "FROM r a JOIN r b ON b.node = a.reach AND b.reach = a.node "
+        "GROUP BY a.node), "
+        "ce AS MATERIALIZED (SELECT DISTINCT s1.c AS src, s2.c AS dst "
+        "FROM e JOIN scc s1 ON s1.node = e.src "
+        "JOIN scc s2 ON s2.node = e.dst WHERE s1.c <> s2.c), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT c AS comp, "
+        "CAST(0 AS BIGINT) AS lvl FROM scc)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", l{t} AS MATERIALIZED (SELECT l.comp, "
+            "CAST(GREATEST(l.lvl, COALESCE(m.mx + 1, 0)) AS BIGINT) "
+            f"AS lvl FROM l{t-1} l LEFT JOIN "
+            f"(SELECT ce.dst AS comp, MAX(p.lvl) AS mx FROM ce "
+            f"JOIN l{t-1} p ON p.comp = ce.src GROUP BY ce.dst) m "
+            "ON m.comp = l.comp)")
+    parts.append(f" SELECT comp, lvl AS level FROM l{rounds}")
+    return "".join(parts)
+
+
 def _salsa_sql(rounds: int = 3) -> str:
     """SALSA oracle (algos/hits.py salsa spec) over the raw directed
     events multigraph: a0 = 1; h_t(i) = SUM over out-edges (i, k) of
@@ -1423,6 +1458,7 @@ _CHECK_PRIORITY = [
     "media_decode_real", "media_resize_real", "media_frames_real",
     "events_louvain_full", "events_window_late", "events_window_panes",
     "events_pagerank_std", "events_salsa", "emb_semdedup",
+    "events_topo_levels",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1543,6 +1579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pagerank_std": Q.q_events_pagerank_std,
         "events_salsa": Q.q_events_salsa,
         "emb_semdedup": Q.q_emb_semdedup,
+        "events_topo_levels": Q.q_events_topo_levels,
         "events_eigencentrality": Q.q_events_eigencentrality,
         "pages_trustrank": Q.q_pages_trustrank,
         "events_truss": Q.q_events_truss,
@@ -2709,6 +2746,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pagerank_std": _pr_std_sql(6),
         "events_salsa": _salsa_sql(3),
         "emb_semdedup": _semdedup_sql(),
+        "events_topo_levels": _topo_levels_sql(16),
         "events_eigencentrality": _eigen_sql(4),
         # TrustRank over the pages graph, 4 unrolled seeded gathers
         "pages_trustrank": _trustrank_sql(4, 16),

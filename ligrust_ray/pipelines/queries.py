@@ -1394,6 +1394,115 @@ def q_events_condensation(sf_dir: str):
         ["comp_src", "comp_dst"], {"n_edges": (None, "count")})
 
 
+TOPO_SQL_ROUNDS = 16
+
+
+def q_events_topo_levels(sf_dir: str, mode: str = "auto"):
+    """(comp, level) — longest-path topological layering of the SCC
+    condensation DAG (level = longest chain of cross-component edges
+    reaching the component; sources sit at 0) — the scheduling /
+    dependency-depth readout computed over any contracted DAG. Rounds
+    of max-propagation until a fixed point: each round is one keyed
+    hash_join + one grouped max + one typed-fill left join, all sized
+    to the COMPONENT graph; per-block change partials fold to one
+    driver scalar. The SQL oracle unrolls TOPO_SQL_ROUNDS rounds
+    (surplus rounds are no-ops past the fixed point; the engine raises
+    if the DAG is deeper — the kcore/onion convention)."""
+    from ligrust_ray.algos.scc import scc
+
+    g, grev = events_err_graph_pair(sf_dir)
+    scc(g, grev)
+    scc_ds = g.result_dataset(["scc"]).map_batches(
+        lambda t: pa.table({"comp": t.column("scc").cast(pa.int64())}),
+        batch_format="pyarrow")
+    comps = shuffle.distinct(scc_ds, ["comp"])
+    levels = comps.map_batches(
+        lambda t: t.append_column(
+            "lvl", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow").materialize()
+    ce = q_events_condensation(sf_dir).map_batches(
+        lambda t: pa.table({
+            "comp": t.column("comp_src").cast(pa.int64()),
+            "dst": t.column("comp_dst").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    # single-task fast path (coloring/truss/temporal gate precedent):
+    # below 2^22 comp edges the whole relaxation runs vectorized in one
+    # process instead of ~depth x 4 shuffle dispatches
+    if mode == "auto" and ce.count() <= (1 << 22):
+        cet = pa.concat_tables(
+            [b for b in ce.iter_batches(batch_format="pyarrow")]) \
+            if ce.count() else pa.table(
+            {"comp": pa.array([], type=pa.int64()),
+             "dst": pa.array([], type=pa.int64())})
+        comps_np = np.sort(comps.to_pandas()["comp"]
+                           .to_numpy(np.int64))
+        idx = {int(c): i for i, c in enumerate(comps_np)}
+        s = np.array([idx[int(x)] for x in
+                      cet.column("comp").to_pylist()], dtype=np.int64)
+        d = np.array([idx[int(x)] for x in
+                      cet.column("dst").to_pylist()], dtype=np.int64)
+        lvl = np.zeros(len(comps_np), dtype=np.int64)
+        for r in range(1, TOPO_SQL_ROUNDS + 2):
+            nxt = lvl.copy()
+            if len(s):
+                np.maximum.at(nxt, d, lvl[s] + 1)
+            if (nxt == lvl).all():
+                break
+            if r > TOPO_SQL_ROUNDS:
+                raise RuntimeError(
+                    f"topo levels still changing after "
+                    f"{TOPO_SQL_ROUNDS} rounds; bump TOPO_SQL_ROUNDS")
+            lvl = nxt
+        return ray.data.from_arrow(pa.table({
+            "comp": pa.array(comps_np), "level": pa.array(lvl)}))
+
+    def _changed(t: pa.Table) -> pa.Table:
+        v = (t.column("lvl").to_numpy().astype(np.int64)
+             > t.column("old").to_numpy().astype(np.int64)).sum()
+        return pa.table({"x": pa.array([int(v)], type=pa.int64())})
+
+    for r in range(1, TOPO_SQL_ROUNDS + 2):
+        cand = shuffle.grouped_agg(
+            shuffle.hash_join(ce, levels, on="comp", l_cols=["dst"],
+                              r_cols=["lvl"]).map_batches(
+                lambda t: pa.table({
+                    "comp": t.column("dst").cast(pa.int64()),
+                    "c": pc.add(t.column("lvl").cast(pa.int64()),
+                                pa.scalar(1, type=pa.int64()))}),
+                batch_format="pyarrow"),
+            ["comp"], {"mx": ("c", "max")})
+        joined = shuffle.hash_join(
+            levels.map_batches(
+                lambda t: pa.table({"comp": t.column("comp"),
+                                    "old": t.column("lvl")}),
+                batch_format="pyarrow"),
+            cand, on="comp", l_cols=["old"], r_cols=["mx"],
+            how="left", fill={"mx": 0}).map_batches(
+            lambda t: pa.table({
+                "comp": t.column("comp").cast(pa.int64()),
+                "old": t.column("old").cast(pa.int64()),
+                "lvl": pc.max_element_wise(
+                    t.column("old").cast(pa.int64()),
+                    t.column("mx").cast(pa.int64()))}),
+            batch_format="pyarrow").materialize()
+        n_changed = int(joined.map_batches(
+            _changed, batch_format="pyarrow").to_pandas()["x"].sum())
+        levels = joined.map_batches(
+            lambda t: t.select(["comp", "lvl"]),
+            batch_format="pyarrow").materialize()
+        if n_changed == 0:
+            break
+        if r > TOPO_SQL_ROUNDS:
+            raise RuntimeError(
+                f"topo levels still changing after {TOPO_SQL_ROUNDS} "
+                "rounds; bump TOPO_SQL_ROUNDS")
+    return levels.map_batches(
+        lambda t: pa.table({"comp": t.column("comp").cast(pa.int64()),
+                            "level": t.column("lvl").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_events_bowtie(sf_dir: str):
     """(node_id, cls) — Broder et al. WWW'00 bow-tie decomposition of the
     sparse error-events subgraph (the full events graph is one giant SCC,

@@ -1610,3 +1610,23 @@ def test_salsa_matches_oracle(ray_session, tmp_path):
         eh, ea = oracle.salsa_oracle(n, src, dst, rounds=3)
         np.testing.assert_allclose(st["h"], eh, atol=1e-12, err_msg=name)
         np.testing.assert_allclose(st["a"], ea, atol=1e-12, err_msg=name)
+
+
+def test_topo_levels_distributed_matches_fast(ray_session):
+    """r5: the keyed-shuffle max-propagation loop == the single-task
+    relaxation on the condensation DAG, plus layering invariants
+    (every cross-comp edge strictly increases level)."""
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fast = (Q.q_events_topo_levels(sf).to_pandas()
+            .sort_values("comp").reset_index(drop=True))
+    dist = (Q.q_events_topo_levels(sf, mode="distributed").to_pandas()
+            .sort_values("comp").reset_index(drop=True))
+    assert (fast["comp"].to_numpy() == dist["comp"].to_numpy()).all()
+    assert (fast["level"].to_numpy() == dist["level"].to_numpy()).all()
+    lvl = dict(zip(fast["comp"], fast["level"]))
+    ce = Q.q_events_condensation(sf).to_pandas()
+    for _, r in ce.iterrows():
+        assert lvl[r["comp_dst"]] >= lvl[r["comp_src"]] + 1
+    assert fast["level"].min() == 0
