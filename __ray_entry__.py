@@ -1458,7 +1458,7 @@ _CHECK_PRIORITY = [
     "media_decode_real", "media_resize_real", "media_frames_real",
     "events_louvain_full", "events_window_late", "events_window_panes",
     "events_pagerank_std", "events_salsa", "emb_semdedup",
-    "events_topo_levels",
+    "events_topo_levels", "events_powerlaw",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1580,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_salsa": Q.q_events_salsa,
         "emb_semdedup": Q.q_emb_semdedup,
         "events_topo_levels": Q.q_events_topo_levels,
+        "events_powerlaw": Q.q_events_powerlaw,
         "events_eigencentrality": Q.q_events_eigencentrality,
         "pages_trustrank": Q.q_pages_trustrank,
         "events_truss": Q.q_events_truss,
@@ -2747,6 +2748,27 @@ def oracle_sql() -> dict[str, str]:
         "events_salsa": _salsa_sql(3),
         "emb_semdedup": _semdedup_sql(),
         "events_topo_levels": _topo_levels_sql(16),
+        # continuous power-law MLE from the bounded degree histogram:
+        # integer micro-unit ln terms (AA LN-parity convention), exact
+        # half-up integer division for alpha
+        "events_powerlaw": (
+            f"WITH e AS (SELECT DISTINCT * FROM ({_EDGES_CTE}) "
+            "WHERE src <> dst), "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM e), "
+            "sym AS (SELECT a AS v, b AS w FROM u "
+            "UNION ALL SELECT b, a FROM u), "
+            "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM sym "
+            "GROUP BY v), "
+            "h AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg "
+            "WHERE d >= 1 GROUP BY d), "
+            "agg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tail, "
+            "CAST(SUM(CAST(FLOOR(LN(CAST(d AS DOUBLE)) * 1000000 + 0.5) "
+            "AS BIGINT) * cnt) AS BIGINT) AS s FROM h) "
+            "SELECT n_tail, s AS sum_ln_upm, "
+            "CAST(CASE WHEN s = 0 THEN 0 ELSE 1000000 "
+            "+ (2 * n_tail * 1000000000000 + s) // (2 * s) END "
+            "AS BIGINT) AS alpha_ppm FROM agg"),
         "events_eigencentrality": _eigen_sql(4),
         # TrustRank over the pages graph, 4 unrolled seeded gathers
         "pages_trustrank": _trustrank_sql(4, 16),

@@ -542,6 +542,33 @@ def _simple_degree(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow")
 
 
+def q_events_powerlaw(sf_dir: str):
+    """(n_tail, sum_ln_upm, alpha_ppm) — one-row continuous power-law
+    exponent MLE over the simple undirected degree distribution
+    (Clauset-Shalizi-Newman 2009 eq. 3.1 with dmin = 1): alpha = 1 +
+    n / Σ ln(d) over nodes with degree >= 1. The per-degree ln term is
+    the integer micro-unit fixed point floor(ln(d)*1e6 + 0.5) (the
+    Adamic-Adar LN-parity convention), summed EXACTLY from the bounded
+    degree histogram; the final division is integer half-up, so the
+    whole row is hash-exact. Only distinct-degree rows reach the
+    driver."""
+    hist = shuffle.grouped_agg(_simple_degree(sf_dir), ["degree"],
+                               {"cnt": (None, "count")}).to_pandas()
+    d = hist["degree"].to_numpy(np.int64)
+    c = hist["cnt"].to_numpy(np.int64)
+    keep = d >= 1
+    n_tail = int(c[keep].sum())
+    terms = np.floor(np.log(d[keep].astype(np.float64)) * 1e6
+                     + 0.5).astype(np.int64)
+    s = int((terms * c[keep]).sum())
+    alpha_ppm = (1_000_000
+                 + (2 * n_tail * 10**12 + s) // (2 * s)) if s else 0
+    return pa.table({
+        "n_tail": pa.array([n_tail], type=pa.int64()),
+        "sum_ln_upm": pa.array([s], type=pa.int64()),
+        "alpha_ppm": pa.array([int(alpha_ppm)], type=pa.int64())})
+
+
 def q_events_graph_stats(sf_dir: str):
     """One-row summary of the raw directed events multigraph: edge count,
     distinct-edge count, self-loops, distinct sources, max out-degree.
