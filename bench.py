@@ -538,6 +538,10 @@ def run_headline(num_cpus: int) -> dict:
             ("events_louvain_full", Q.q_events_louvain_full, True),
             ("events_pagerank_std", Q.q_events_pagerank_std, True),
             ("events_window_panes", Q.q_events_window_panes, True),
+            ("events_salsa", Q.q_events_salsa, True),
+            ("emb_semdedup", Q.q_emb_semdedup, True),
+            ("events_topo_levels", Q.q_events_topo_levels, True),
+            ("events_powerlaw", Q.q_events_powerlaw, True),
             ("events_window_late", Q.q_events_window_late, True),
             ("media_decode_real", Q.q_media_decode_real, True),
             ("media_resize_real", Q.q_media_resize_real, True),
