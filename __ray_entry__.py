@@ -1458,7 +1458,7 @@ _CHECK_PRIORITY = [
     "media_decode_real", "media_resize_real", "media_frames_real",
     "events_louvain_full", "events_window_late", "events_window_panes",
     "events_pagerank_std", "events_salsa", "emb_semdedup",
-    "events_topo_levels", "events_powerlaw",
+    "events_topo_levels", "events_powerlaw", "docs_locality_order",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1581,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semdedup": Q.q_emb_semdedup,
         "events_topo_levels": Q.q_events_topo_levels,
         "events_powerlaw": Q.q_events_powerlaw,
+        "docs_locality_order": Q.q_docs_locality_order,
         "events_eigencentrality": Q.q_events_eigencentrality,
         "pages_trustrank": Q.q_pages_trustrank,
         "events_truss": Q.q_events_truss,
@@ -2738,6 +2739,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node_id, COUNT(*) AS triangles FROM members "
             "GROUP BY node_id"),
         "docs_simhash": _simhash_sql(),
+        # compression-locality export ordering: rank by (simhash, id)
+        "docs_locality_order": (
+            f"WITH sim AS ({_simhash_sql()}) "
+            "SELECT doc_id, CAST(ROW_NUMBER() OVER "
+            "(ORDER BY simhash, doc_id) - 1 AS BIGINT) AS pos FROM sim"),
         "docs_simhash_dupes": _simhash_dupes_sql(3),
         "docs_simhash_clusters": _simhash_clusters_sql(3),
         # personalized PageRank from seed 0, 4 unrolled gathers

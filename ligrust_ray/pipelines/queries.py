@@ -4694,6 +4694,51 @@ def q_docs_simhash(sf_dir: str):
     return dedup.simhash_dataset(_docs(sf_dir))
 
 
+def q_docs_locality_order(sf_dir: str):
+    """(doc_id, pos) — compression-locality export ordering: rank every
+    doc by (simhash, doc_id) so templated / near-duplicate pages land
+    ADJACENT in the output stream (the pre-sort crawl archives apply
+    before zstd — similar bytes inside one compression window). The
+    rank is the docs_shuffle distributed scan with the SIGNED simhash
+    as the range key: buckets are the top SHUFFLE_BUCKET_BITS bits via
+    ARITHMETIC shift (bucket order == signed key order), per-bucket
+    counts fold to driver offsets, one grouped_apply finishes — nothing
+    n-length on the driver."""
+    sh = dedup.simhash_dataset(_docs(sf_dir))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = t.column("simhash").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "k": pa.array(k),
+            "bucket": pa.array(k >> (64 - SHUFFLE_BUCKET_BITS))})
+
+    tc = sh.map_batches(keyed, batch_format="pyarrow").materialize()
+    sums = shuffle.grouped_agg(tc, ["bucket"],
+                               {"cnt": (None, "count")}).to_pandas()
+    sums = sums.sort_values("bucket")
+    off = np.concatenate(([0], np.cumsum(sums["cnt"].to_numpy())[:-1]))
+    off_ref = ray.put(pd.Series(off.astype(np.int64),
+                                index=sums["bucket"].to_numpy()))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("doc_id", "pos")})
+        offs = ray.get(off_ref)
+        df = df.sort_values(["bucket", "k", "doc_id"])
+        bk = df["bucket"].to_numpy(dtype=np.int64)
+        idx = np.arange(len(df), dtype=np.int64)
+        first = np.concatenate(([True], bk[1:] != bk[:-1]))
+        base = np.where(first, idx, 0)
+        np.maximum.accumulate(base, out=base)
+        pos = (idx - base) + offs.loc[bk].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "pos": pos})
+
+    return shuffle.grouped_apply(tc, ["bucket"], rank)
+
+
 def q_docs_simhash_dupes(sf_dir: str):
     """(a, b, hamming) Manku-style simhash near-dup pairs: hamming <= 3
     over the 64-bit signatures (4x16-bit band LSH, exact recall by
