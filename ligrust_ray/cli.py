@@ -100,6 +100,7 @@ def main(argv=None):
                         "of an sf dir")
     lv.add_argument("sf_dir", help="dir containing events.parquet")
     lv.add_argument("--max-levels", type=int, default=6)
+    lv.add_argument("--checkpoint-dir", dest="lv_ckpt", default=None)
     lv.add_argument("-o", "--output", default=None)
 
     bt = sub.add_parser("bowtie",
@@ -652,7 +653,8 @@ def main(argv=None):
         from ligrust_ray.pipelines.queries import louvain_full
 
         ds, levels, trace = louvain_full(args.sf_dir,
-                                         max_levels=args.max_levels)
+                                         max_levels=args.max_levels,
+                                         checkpoint_dir=args.lv_ckpt)
         ds = ds.materialize()
         if args.output:
             ds.write_parquet(args.output)

@@ -2556,7 +2556,8 @@ def _qnum_of(ce: ray.data.Dataset, m: int, npart: int) -> int:
     return m * self_w - vol
 
 
-def louvain_full(sf_dir: str, max_levels: int = LOUVAIN_MAX_LEVELS
+def louvain_full(sf_dir: str, max_levels: int = LOUVAIN_MAX_LEVELS,
+                 checkpoint_dir: str | None = None
                  ) -> tuple[ray.data.Dataset, int, list[int]]:
     """Hierarchical Louvain to convergence (Blondel et al. 2008 §2,
     adapted to the repo's deterministic synchronous move round): level 1
@@ -2583,19 +2584,104 @@ def louvain_full(sf_dir: str, max_levels: int = LOUVAIN_MAX_LEVELS
     m = edges_w.count()
     return louvain_full_core(lp, edges_w, m,
                              level1=_louvain1_cached(sf_dir),
-                             max_levels=max_levels)
+                             max_levels=max_levels,
+                             checkpoint_dir=checkpoint_dir)
+
+
+def _louvain_ckpt_latest(root: str) -> dict | None:
+    """Highest complete level manifest (the truss/checkpoint.py
+    commit-point convention)."""
+    import json
+    import re
+
+    if not os.path.isdir(root):
+        return None
+    best = None
+    for name in os.listdir(root):
+        mm = re.fullmatch(r"level_(\d{6})", name)
+        if not mm:
+            continue
+        mf = os.path.join(root, name, "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as f:
+                man = json.load(f)
+            if man.get("complete") and (best is None
+                                        or man["level"] > best["level"]):
+                best = man
+    return best
+
+
+def _louvain_ckpt_write(root: str, level: int, p: ray.data.Dataset,
+                        ce: ray.data.Dataset, q: int, trace: list[int],
+                        m: int, fp: int) -> tuple[ray.data.Dataset,
+                                                  ray.data.Dataset]:
+    """Persist one ACCEPTED level (assignment + community graph +
+    loop scalars), manifest last (atomic rename); dirs cleared first
+    (write_parquet appends). Returns disk-anchored datasets."""
+    import json
+    import shutil
+
+    d = os.path.join(root, f"level_{level:06d}")
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    ad = os.path.join(d, "assign")
+    cd = os.path.join(d, "ce")
+    os.makedirs(ad, exist_ok=True)
+    os.makedirs(cd, exist_ok=True)
+    p.write_parquet(ad)
+    ce.write_parquet(cd)
+    manifest = {"level": int(level), "q": int(q),
+                "trace": [int(x) for x in trace], "m": int(m),
+                "fp": int(fp), "assign_dir": ad, "ce_dir": cd,
+                "complete": True}
+    tmp = os.path.join(d, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(d, "manifest.json"))
+    i64 = pa.int64()
+    p2 = ray.data.read_parquet(ad).map_batches(
+        lambda t: pa.table({"node_id": t.column("node_id").cast(i64),
+                            "community": t.column("community").cast(i64)}),
+        batch_format="pyarrow")
+    ce2 = ray.data.read_parquet(cd).map_batches(
+        lambda t: pa.table({"src": t.column("src").cast(i64),
+                            "dst": t.column("dst").cast(i64),
+                            "w": t.column("w").cast(i64)}),
+        batch_format="pyarrow")
+    return p2, ce2
+
+
+def _edges_fp_w(ew: ray.data.Dataset) -> int:
+    """Order-free fingerprint of a weighted edge set (truss._edge_fp
+    extended with w) — stale-checkpoint guard."""
+    mod = (1 << 61) - 1
+
+    def part(t: pa.Table) -> pa.Table:
+        a = t.column("src").to_numpy().astype(np.int64)
+        b = t.column("dst").to_numpy().astype(np.int64)
+        w = t.column("w").to_numpy().astype(np.int64)
+        v = (((a % mod) * 1_000_003 + b) % mod * 8191 + w) % mod
+        return pa.table({"x": pa.array([int(v.sum() % mod)],
+                                       type=pa.int64())})
+
+    s = ew.map_batches(part, batch_format="pyarrow").to_pandas()
+    return int(s["x"].sum() % mod)
 
 
 def louvain_full_core(init_labels: ray.data.Dataset,
                       edges_w: ray.data.Dataset, m: int,
                       level1: ray.data.Dataset | None = None,
-                      max_levels: int = LOUVAIN_MAX_LEVELS
+                      max_levels: int = LOUVAIN_MAX_LEVELS,
+                      checkpoint_dir: str | None = None
                       ) -> tuple[ray.data.Dataset, int, list[int]]:
     """The loop of louvain_full over explicit inputs (tests plant
     multi-scale graphs here): ``init_labels`` (node_id, community),
     ``edges_w`` (src, dst, w) materialized, ``level1`` an optional
     precomputed node-granular move output (computed from init_labels
-    when absent)."""
+    when absent). ``checkpoint_dir``: persist every ACCEPTED level
+    (assignment + community graph + q trace) and RESUME from the
+    highest complete one — the truss round-manifest story on the
+    hierarchy loop; guarded by (m, weighted-edge fingerprint)."""
     i64 = pa.int64()
 
     def col(*cols):
@@ -2605,28 +2691,49 @@ def louvain_full_core(init_labels: ray.data.Dataset,
         return f
 
     npart = max(4, min(64, edges_w.num_blocks()))
-    p = init_labels
-    ce = _coarsen_w(p, edges_w, npart)
-    q = _qnum_of(ce, m, npart)
-    trace = [q]
-    levels = 0
+    fp = _edges_fp_w(edges_w) if checkpoint_dir is not None else 0
+    start_k = 2
+    restored = False
+    if checkpoint_dir is not None:
+        man = _louvain_ckpt_latest(checkpoint_dir)
+        if man is not None and man["m"] == m and man.get("fp") == fp:
+            p = ray.data.read_parquet(man["assign_dir"]).map_batches(
+                col(("node_id", "node_id"), ("community", "community")),
+                batch_format="pyarrow").materialize()
+            ce = ray.data.read_parquet(man["ce_dir"]).map_batches(
+                col(("src", "src"), ("dst", "dst"), ("w", "w")),
+                batch_format="pyarrow").materialize()
+            q = man["q"]
+            trace = list(man["trace"])
+            levels = man["level"]
+            start_k = levels + 1
+            restored = True
+    if not restored:
+        p = init_labels
+        ce = _coarsen_w(p, edges_w, npart)
+        q = _qnum_of(ce, m, npart)
+        trace = [q]
+        levels = 0
 
-    # level 1: node-granular move (cached, shared with louvain_move)
-    if level1 is None:
-        level1 = _louvain_move_round(
-            p.map_batches(col(("node_id", "node_id"),
-                              ("label", "community")),
-                          batch_format="pyarrow"),
-            edges_w, m, npart).materialize()
-    mva = level1
-    ce_a = _coarsen_w(mva, edges_w, npart)
-    q_a = _qnum_of(ce_a, m, npart)
-    trace.append(q_a)
-    if q_a > q:
-        p, ce, q, levels = mva, ce_a, q_a, 1
+        # level 1: node-granular move (cached, shared with louvain_move)
+        if level1 is None:
+            level1 = _louvain_move_round(
+                p.map_batches(col(("node_id", "node_id"),
+                                  ("label", "community")),
+                              batch_format="pyarrow"),
+                edges_w, m, npart).materialize()
+        mva = level1
+        ce_a = _coarsen_w(mva, edges_w, npart)
+        q_a = _qnum_of(ce_a, m, npart)
+        trace.append(q_a)
+        if q_a > q:
+            p, ce, q, levels = mva, ce_a, q_a, 1
+            if checkpoint_dir is not None:
+                p, ce = _louvain_ckpt_write(checkpoint_dir, 1, p, ce,
+                                            q, trace, m, fp)
 
     # levels 2..max: coarse move + compose; stop on first non-gain
-    for k in range(2, max_levels + 1):
+    for k in range(start_k, max_levels + 1):
         npart2 = max(4, min(64, ce.count() // 500_000 + 4))
         cl = shuffle.distinct(
             p.map_batches(col(("node_id", "community"),
@@ -2650,6 +2757,9 @@ def louvain_full_core(init_labels: ray.data.Dataset,
             col(("node_id", "v"), ("community", "community")),
             batch_format="pyarrow").materialize()
         p, ce, q, levels = cand, cc, q_c, k
+        if checkpoint_dir is not None:
+            p, ce = _louvain_ckpt_write(checkpoint_dir, k, p, ce, q,
+                                        trace, m, fp)
     return p, levels, trace
 
 

@@ -1630,3 +1630,77 @@ def test_topo_levels_distributed_matches_fast(ray_session):
     for _, r in ce.iterrows():
         assert lvl[r["comp_dst"]] >= lvl[r["comp_src"]] + 1
     assert fast["level"].min() == 0
+
+
+def test_louvain_full_checkpoint_resume(ray_session, tmp_path):
+    """r5: level-manifest checkpointing on the hierarchy loop — a run
+    capped after level 1 resumes to the bitwise output of an
+    uninterrupted run; stale dirs from a different edge set are
+    ignored."""
+    import pyarrow as pa
+    import ray.data
+
+    from ligrust_ray.pipelines import queries as Q
+
+    K, S = 8, 6
+    src, dst = [], []
+    for c in range(K):
+        base = c * S
+        for i in range(S):
+            for j in range(i + 1, S):
+                src.append(base + i)
+                dst.append(base + j)
+    for c in range(0, K, 2):
+        a, b = c * S, (c + 1) * S
+        for k in range(2):
+            src.append(a + k)
+            dst.append(b + k)
+    n = K * S
+
+    def edges():
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+            "w": pa.array([1] * len(src), type=pa.int64())})) \
+            .materialize()
+
+    def singles():
+        return ray.data.from_arrow(pa.table({
+            "node_id": pa.array(range(n), type=pa.int64()),
+            "community": pa.array(range(n), type=pa.int64())})) \
+            .materialize()
+
+    base_ds, base_lvl, base_tr = Q.louvain_full_core(
+        singles(), edges(), len(src))
+    base = (base_ds.to_pandas().sort_values("node_id")
+            .reset_index(drop=True))
+    assert base_lvl >= 2
+
+    # "kill" after level 1 (max_levels=1 writes only level 1), resume
+    ck = str(tmp_path / "lv_ck")
+    Q.louvain_full_core(singles(), edges(), len(src), max_levels=1,
+                        checkpoint_dir=ck)[0].to_pandas()
+    man = Q._louvain_ckpt_latest(ck)
+    assert man is not None and man["level"] == 1
+    ds2, lvl2, tr2 = Q.louvain_full_core(singles(), edges(), len(src),
+                                         checkpoint_dir=ck)
+    got = ds2.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert lvl2 == base_lvl and tr2 == base_tr
+    assert (got["community"].to_numpy()
+            == base["community"].to_numpy()).all()
+
+    # stale dir (different graph) ignored
+    other_edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], type=pa.int64()),
+        "dst": pa.array([1, 2, 0], type=pa.int64()),
+        "w": pa.array([1, 1, 1], type=pa.int64())})).materialize()
+    other_sing = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(range(3), type=pa.int64()),
+        "community": pa.array(range(3), type=pa.int64())})).materialize()
+    plain = Q.louvain_full_core(other_sing, other_edges, 3)[0] \
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    via_ck = Q.louvain_full_core(other_sing, other_edges, 3,
+                                 checkpoint_dir=ck)[0] \
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert (plain["community"].to_numpy()
+            == via_ck["community"].to_numpy()).all()
