@@ -993,7 +993,47 @@ def _wl_round(sym: ray.data.Dataset, colors: ray.data.Dataset
     return sig.map_batches(fin, batch_format="pyarrow")
 
 
-def q_events_wl_colors(sf_dir: str):
+WL_LOCAL_GATE = 1 << 22
+
+
+@ray.remote(num_cpus=1)
+def _wl_colors_task(blocks: list) -> pa.Table:
+    """Single-task replica of the two _wl_round passes (identical hash
+    spec: signed-int64 string rendering, wrapped int64 multiset sum,
+    md5('{color}|{sum}')); numpy int64 addition wraps two's-complement
+    exactly like Arrow's group_by sum."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    esch = pa.schema([("v", pa.int64()), ("w", pa.int64())])
+    ts = []
+    for b in ray.get(list(blocks)):
+        t = (pa.Table.from_pandas(b, preserve_index=False)
+             if isinstance(b, pd.DataFrame) else b)
+        if t.num_columns:
+            ts.append(t.select(["v", "w"]).cast(esch))
+    sym = pa.concat_tables(ts) if ts else esch.empty_table()
+    v = sym.column("v").to_numpy().astype(np.int64)
+    w = sym.column("w").to_numpy().astype(np.int64)
+    nodes, inv_v = np.unique(v, return_inverse=True)
+    color = np.bincount(inv_v).astype(np.int64)     # round-0 = degree
+    w_idx = np.searchsorted(nodes, w)
+    outs = []
+    for _ in range(2):
+        hc = md5_u64_lower_arrow(
+            pc.cast(pa.array(color), pa.string())).astype(np.int64)
+        s = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(s, inv_v, hc[w_idx])
+        sig = pc.binary_join_element_wise(
+            pc.cast(pa.array(color), pa.string()),
+            pc.cast(pa.array(s), pa.string()), "|")
+        color = md5_u64_lower_arrow(sig).astype(np.int64)
+        outs.append(color.copy())
+    return pa.table({"node_id": pa.array(nodes),
+                     "wl1": pa.array(outs[0]),
+                     "wl2": pa.array(outs[1])})
+
+
+def q_events_wl_colors(sf_dir: str, mode: str = "auto"):
     """(node_id, wl1, wl2) — two rounds of 1-WL color refinement
     (Weisfeiler-Leman graph fingerprinting; the kernel behind WL graph
     kernels and GIN expressiveness) over the simple undirected events
@@ -1002,8 +1042,16 @@ def q_events_wl_colors(sf_dir: str):
     2-hop unrolling trees (up to hash collision). Scale shape: per round
     one edge-keyed hash_join + one combiner-friendly grouped sum + one
     node-keyed join — state is one row per node, and the multiset-sum
-    spec (see _wl_round) keeps hub work distributed."""
+    spec (see _wl_round) keeps hub work distributed. Below WL_LOCAL_GATE
+    sym edges the whole refinement runs in ONE task (the
+    coloring/truss/temporal gate economics — six keyed shuffles were
+    pure dispatch floor at sandbox scale); parity forced in tests."""
     sym = _sym_simple(sf_dir)
+    if mode == "auto" and sym.count() <= WL_LOCAL_GATE:
+        from ligrust_ray.dataops.dedup import _block_refs
+
+        ref = _wl_colors_task.remote(_block_refs(sym.materialize()))
+        return ray.data.from_arrow_refs([ref])
     c0 = _simple_degree(sf_dir).map_batches(
         lambda t: pa.table({"node_id": t.column("node_id"),
                             "color": t.column("degree").cast(pa.int64())}),

@@ -1704,3 +1704,19 @@ def test_louvain_full_checkpoint_resume(ray_session, tmp_path):
         .to_pandas().sort_values("node_id").reset_index(drop=True)
     assert (plain["community"].to_numpy()
             == via_ck["community"].to_numpy()).all()
+
+
+def test_wl_colors_distributed_matches_fast(ray_session):
+    """r5: the single-task WL refinement == the keyed-shuffle rounds
+    bit-for-bit (hash spec parity incl. signed rendering + wrapped
+    multiset sum)."""
+    from ligrust_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fast = (Q.q_events_wl_colors(sf).to_pandas()
+            .sort_values("node_id").reset_index(drop=True))
+    dist = (Q.q_events_wl_colors(sf, mode="distributed").to_pandas()
+            .sort_values("node_id").reset_index(drop=True))
+    assert (fast["node_id"].to_numpy() == dist["node_id"].to_numpy()).all()
+    for c in ("wl1", "wl2"):
+        assert (fast[c].to_numpy() == dist[c].to_numpy()).all()
