@@ -4811,6 +4811,29 @@ def q_docs_winnow_pairs(sf_dir: str):
 QM_MISSING_SCORE = -(1 << 62)     # zero-token docs: rank below any real score
 
 
+_MINHASH_CACHE: dict = {}
+
+
+def _docs_fp(sf_dir: str) -> tuple[int, int]:
+    """Freshness fingerprint of this sf_dir's documents table (the
+    _events_fp convention for docs-derived caches)."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _minhash_cached(sf_dir: str) -> ray.data.Dataset:
+    """Materialized minhash-LSH cluster table, shared by
+    docs_minhash_dedup and docs_dedup_keep_best (the _lp_cached
+    pattern — the LSH/verify/components run is the expensive part and
+    both queries consume the identical output)."""
+    key = (sf_dir, _docs_fp(sf_dir))
+    if key not in _MINHASH_CACHE:
+        _evict_stale(_MINHASH_CACHE, key)
+        _MINHASH_CACHE[key] = dedup.minhash_lsh_dedup(
+            _docs(sf_dir)).materialize()
+    return _MINHASH_CACHE[key]
+
+
 def q_docs_dedup_keep_best(sf_dir: str):
     """(cluster, keep_id, n_members, best_score) — near-dup survivor
     selection that keeps the BEST copy instead of the arbitrary min-id:
@@ -4819,7 +4842,7 @@ def q_docs_dedup_keep_best(sf_dir: str):
     doc_id ASC; unscored zero-token docs rank at QM_MISSING_SCORE). The
     production shape: cluster table and score table co-partition through
     one keyed join, bodies never move."""
-    clusters = dedup.minhash_lsh_dedup(_docs(sf_dir))
+    clusters = _minhash_cached(sf_dir)
     scores = _docs(sf_dir).map_batches(
         lambda t: textstats.quality_model()(t),
         batch_format="pyarrow").map_batches(
@@ -4845,7 +4868,7 @@ def q_docs_dedup_keep_best(sf_dir: str):
 
 
 def q_docs_minhash_dedup(sf_dir: str):
-    return dedup.minhash_lsh_dedup(_docs(sf_dir))
+    return _minhash_cached(sf_dir)
 
 
 def q_docs_simhash(sf_dir: str):
