@@ -451,3 +451,42 @@ def grouped_apply(ds: ray.data.Dataset, keys: list[str], fn,
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("__part").map_groups(final, batch_format="pandas"))
+
+
+@ray.remote(num_cpus=0)
+def _concat_block_group(blocks: list, names: list, types_ser: bytes
+                        ) -> pa.Table:
+    import pickle
+
+    sch = pa.schema(list(zip(names, pickle.loads(types_ser))))
+    tabs = []
+    for b in ray.get(list(blocks)):
+        t = (pa.Table.from_pandas(b, preserve_index=False)
+             if isinstance(b, pd.DataFrame) else b)
+        if t.num_columns:
+            tabs.append(t.select(sch.names).cast(sch))
+    return pa.concat_tables(tabs) if tabs else sch.empty_table()
+
+
+def coalesce_blocks(ds: ray.data.Dataset, schema: pa.Schema,
+                    max_blocks: int = 32) -> ray.data.Dataset:
+    """Rebuild a MATERIALIZED dataset as <= max_blocks Arrow blocks via
+    raw block-ref concat tasks (no executor job) — the truss-loop
+    block-count fix as a shared utility: iterative co_group/semi_join
+    loops otherwise compound block counts ~3x per round, which measures
+    EXPONENTIAL wall time (each round's fixed per-block dispatch scales
+    with the inflated count). Call once per loop round on the carried
+    datasets."""
+    import pickle
+
+    refs = [r for bu in ds.iter_internal_ref_bundles()
+            for r in bu.block_refs]
+    if len(refs) <= max_blocks:
+        return ds
+    groups = np.array_split(np.arange(len(refs)),
+                            min(max_blocks, len(refs)))
+    types_ser = pickle.dumps([f.type for f in schema])
+    return ray.data.from_arrow_refs(
+        [_concat_block_group.remote([refs[i] for i in g],
+                                    schema.names, types_ser)
+         for g in groups if len(g)])

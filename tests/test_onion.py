@@ -93,3 +93,48 @@ def test_onion_invariants(ray_session):
     assert (np.diff(seq) >= 0).all()
     assert got["layer"].min() == 1
     assert ONION_SQL_ROUNDS == 64        # contract constant (oracle unroll)
+
+
+def test_onion_checkpoint_resume_bitwise(ray_session, tmp_path):
+    """r5: round manifests on the onion peel — a run capped mid-peel
+    (the cap raises with survivors remaining, but every completed round
+    is committed) resumes to the bitwise output of an uninterrupted
+    run; stale dirs are ignored."""
+    import pytest
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 60, 420)
+    b = rng.integers(0, 60, 420)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    pairs = {(int(min(x, y)), int(max(x, y))) for x, y in zip(a, b)}
+    base = (onion_layers(_pairs_ds(a, b), force_distributed=True)
+            .to_pandas().sort_values("node_id").reset_index(drop=True))
+    n_rounds = int(base["layer"].max())
+    assert n_rounds >= 2
+
+    ck = str(tmp_path / "on_ck")
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        onion_layers(_pairs_ds(a, b), rounds=1,
+                     checkpoint_dir=ck).to_pandas()
+    from ligrust_ray.algos.onion import _onion_ckpt_latest
+    man = _onion_ckpt_latest(ck)
+    assert man is not None and man["round"] == 1
+    resumed = (onion_layers(_pairs_ds(a, b), checkpoint_dir=ck)
+               .to_pandas().sort_values("node_id")
+               .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        resumed.astype(np.int64), base.astype(np.int64))
+
+    # stale dir (different pair set) is ignored
+    a2 = rng.integers(0, 30, 100)
+    b2 = rng.integers(0, 30, 100)
+    keep2 = a2 != b2
+    a2, b2 = a2[keep2], b2[keep2]
+    plain = (onion_layers(_pairs_ds(a2, b2), force_distributed=True)
+             .to_pandas().sort_values("node_id").reset_index(drop=True))
+    via_ck = (onion_layers(_pairs_ds(a2, b2), checkpoint_dir=ck)
+              .to_pandas().sort_values("node_id")
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        via_ck.astype(np.int64), plain.astype(np.int64))
