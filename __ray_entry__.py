@@ -255,6 +255,34 @@ tg AS MATERIALIZED (SELECT DISTINCT doc_id, x FROM shing
 SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.x = t.x"""
 
 
+def _ngram_novelty_sql(k: int = 8) -> str:
+    """Per-doc n-gram novelty oracle (dedup.ngram_novelty spec): the
+    decontaminate shingle CTE + a gram-keyed MIN for the first owner +
+    one doc-keyed rollup."""
+    shingle_concat = " || ' ' || ".join(f"w[i.i + {j}]" for j in range(k))
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT * FROM (SELECT doc_id,
+    regexp_extract_all(lower(text), '\\S+') AS w FROM documents)
+  WHERE len(w) > 0
+),
+shing AS MATERIALIZED (
+  SELECT DISTINCT doc_id, md5_number_lower(sh) % 4294967296 AS x FROM (
+    SELECT doc_id, CASE WHEN len(w) < {k} THEN array_to_string(w, ' ')
+      ELSE NULL END AS sh FROM toks WHERE len(w) < {k}
+    UNION ALL
+    SELECT t.doc_id, {shingle_concat} AS sh
+    FROM toks t, UNNEST(range(1, len(t.w) - {k} + 2)) AS i(i)
+    WHERE len(t.w) >= {k}
+  ) WHERE sh IS NOT NULL AND sh <> ''
+),
+fs AS MATERIALIZED (SELECT x, MIN(doc_id) AS fid FROM shing GROUP BY x)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+CAST(SUM(CASE WHEN fs.fid = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+AS n_novel
+FROM shing s JOIN fs ON fs.x = s.x GROUP BY s.doc_id"""
+
+
 def _dup_spans_sql(k: int = 16) -> str:
     """Intra-corpus duplicated-span oracle (dedup.dup_spans spec): per doc,
     the number of distinct word k-gram shingles (minhash shingle spec —
@@ -1459,6 +1487,7 @@ _CHECK_PRIORITY = [
     "events_louvain_full", "events_window_late", "events_window_panes",
     "events_pagerank_std", "events_salsa", "emb_semdedup",
     "events_topo_levels", "events_powerlaw", "docs_locality_order",
+    "docs_ngram_novelty",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1582,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topo_levels": Q.q_events_topo_levels,
         "events_powerlaw": Q.q_events_powerlaw,
         "docs_locality_order": Q.q_docs_locality_order,
+        "docs_ngram_novelty": Q.q_docs_ngram_novelty,
         "events_eigencentrality": Q.q_events_eigencentrality,
         "pages_trustrank": Q.q_pages_trustrank,
         "events_truss": Q.q_events_truss,
@@ -2740,6 +2770,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY node_id"),
         "docs_simhash": _simhash_sql(),
         # compression-locality export ordering: rank by (simhash, id)
+        "docs_ngram_novelty": _ngram_novelty_sql(8),
         "docs_locality_order": (
             f"WITH sim AS ({_simhash_sql()}) "
             "SELECT doc_id, CAST(ROW_NUMBER() OVER "

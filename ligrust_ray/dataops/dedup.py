@@ -1709,3 +1709,58 @@ def unique_by_id(docs: ray.data.Dataset, num_partitions: int = 32
 
     return shuffle.grouped_apply(docs, ["doc_id"], first,
                                  num_partitions=num_partitions)
+
+
+def ngram_novelty(docs: ray.data.Dataset, shingle_k: int = 8,
+                  num_partitions: int = 32) -> ray.data.Dataset:
+    """(doc_id, n_grams, n_novel) — per-doc distinct word-k-gram count
+    and how many of those grams are GLOBALLY first-seen in this doc
+    (first = smallest doc_id carrying the gram): the novelty /
+    memorization scan curriculum-ordering and dedup research run over
+    training corpora (a doc whose grams were all seen earlier adds no
+    new n-gram mass). Gram spec is the minhash shingle spec (lowered
+    text, md5-low-32, whole-text fallback under k tokens), so the
+    DuckDB oracle reuses the decontaminate CTE shape.
+
+    Scale shape: one gram-row explode (per-doc distinct already), a
+    gram-keyed grouped MIN for the first owner, one gram-keyed join
+    back, and a doc-keyed grouped count — every wide step keyed, bodies
+    never move, nothing corpus-sized on the driver."""
+    from ligrust_ray.stages import shuffle as _sh
+
+    row_schema = pa.schema([("doc_id", pa.int64()), ("g", pa.int64())])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        sets = _shingle_sets_batch(t.column("text").to_pylist(),
+                                   shingle_k)
+        counts = [len(s) for s in sets]
+        g = (np.concatenate(sets) if sets
+             else np.zeros(0, dtype=np.int64))
+        return pa.table({"doc_id": pa.array(np.repeat(ids, counts)),
+                         "g": pa.array(g)}, schema=row_schema)
+
+    rows = docs.map_batches(gram_rows,
+                            batch_format="pyarrow").materialize()
+    first = _sh.grouped_agg(rows, ["g"], {"first_id": ("doc_id", "min")},
+                            num_partitions=num_partitions)
+    joined = _sh.hash_join(rows, first, on="g", l_cols=["doc_id"],
+                           r_cols=["first_id"],
+                           num_partitions=num_partitions)
+
+    def flag(t: pa.Table) -> pa.Table:
+        nv = (t.column("doc_id").to_numpy().astype(np.int64)
+              == t.column("first_id").to_numpy().astype(np.int64))
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "nv": pa.array(nv.astype(np.int64))})
+
+    out = _sh.grouped_agg(
+        joined.map_batches(flag, batch_format="pyarrow"), ["doc_id"],
+        {"n_grams": (None, "count"), "n_novel": ("nv", "sum")},
+        num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_grams": t.column("n_grams").cast(pa.int64()),
+            "n_novel": t.column("n_novel").cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -4867,6 +4867,14 @@ def q_docs_dedup_keep_best(sf_dir: str):
     return shuffle.grouped_apply(j, ["cluster"], best)
 
 
+def q_docs_ngram_novelty(sf_dir: str):
+    """(doc_id, n_grams, n_novel) — per-doc distinct 8-gram count and
+    globally-first-seen gram count (dedup.ngram_novelty): the
+    curriculum/memorization novelty scan, gram spec shared with
+    decontaminate/dup_spans so the oracle reuses the same CTE shape."""
+    return dedup.ngram_novelty(_docs(sf_dir))
+
+
 def q_docs_minhash_dedup(sf_dir: str):
     return _minhash_cached(sf_dir)
 
