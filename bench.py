@@ -542,6 +542,8 @@ def run_headline(num_cpus: int) -> dict:
             ("emb_semdedup", Q.q_emb_semdedup, True),
             ("events_topo_levels", Q.q_events_topo_levels, True),
             ("events_powerlaw", Q.q_events_powerlaw, True),
+            ("docs_locality_order", Q.q_docs_locality_order, True),
+            ("docs_ngram_novelty", Q.q_docs_ngram_novelty, True),
             ("events_window_late", Q.q_events_window_late, True),
             ("media_decode_real", Q.q_media_decode_real, True),
             ("media_resize_real", Q.q_media_resize_real, True),
