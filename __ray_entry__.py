@@ -796,6 +796,44 @@ def _kmeans_sql(k: int = 8, rounds: int = 2, dim: int = 64,
     return "".join(parts)
 
 
+def _top_component_sql(rounds: int = 4, dim: int = 64,
+                       scale: int = 1000) -> str:
+    """Dominant-principal-direction oracle (ann.top_component spec):
+    exact BIGINT Gram matrix + ``rounds`` unrolled ppm-grid power
+    iterations with the half-up integer renormalization
+    (2*raw*1e6 + l1) // (2*l1) — hash-exact, no float anywhere."""
+    parts = [
+        "WITH x AS MATERIALIZED (SELECT vec_id, i - 1 AS d, "
+        f"CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT) "
+        f"AS xv FROM embeddings, generate_series(1, {dim}) AS g(i)), "
+        "a AS MATERIALIZED (SELECT xi.d AS i, xj.d AS j, "
+        "CAST(SUM(xi.xv * xj.xv) AS HUGEINT) AS s "
+        "FROM x xi JOIN x xj USING (vec_id) GROUP BY 1, 2), "
+        f"v0 AS (SELECT CAST(UNNEST(range({dim})) AS BIGINT) AS d, "
+        "CAST(1000000 AS HUGEINT) AS v)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", r{t} AS MATERIALIZED (SELECT a.i AS d, "
+            f"SUM(a.s * v.v) AS raw FROM a JOIN v{t-1} v ON v.d = a.j "
+            "GROUP BY a.i)"
+            f", l{t} AS MATERIALIZED (SELECT SUM(ABS(raw)) AS l1 "
+            f"FROM r{t})"
+            # DuckDB // truncates toward zero; the engine uses python
+            # floor division — spell out floor(num/den) explicitly
+            f", v{t} AS MATERIALIZED (SELECT d, CASE "
+            f"WHEN (SELECT l1 FROM l{t}) = 0 THEN 0 "
+            f"WHEN (2 * raw * 1000000 + (SELECT l1 FROM l{t})) >= 0 "
+            f"THEN (2 * raw * 1000000 + (SELECT l1 FROM l{t})) "
+            f"// (2 * (SELECT l1 FROM l{t})) "
+            f"ELSE -((-(2 * raw * 1000000 + (SELECT l1 FROM l{t})) "
+            f"+ 2 * (SELECT l1 FROM l{t}) - 1) "
+            f"// (2 * (SELECT l1 FROM l{t}))) END AS v FROM r{t})")
+    parts.append(
+        f" SELECT d AS dim, CAST(v AS BIGINT) AS loading_ppm "
+        f"FROM v{rounds}")
+    return "".join(parts)
+
+
 def _semdedup_sql(k: int = 8, rounds: int = 2, dim: int = 64,
                   scale: int = 1000, num: int = 9, den: int = 10) -> str:
     """SemDeDup oracle (dataops/ann.py semdedup spec): the kmeans CTE
@@ -1487,7 +1525,7 @@ _CHECK_PRIORITY = [
     "events_louvain_full", "events_window_late", "events_window_panes",
     "events_pagerank_std", "events_salsa", "emb_semdedup",
     "events_topo_levels", "events_powerlaw", "docs_locality_order",
-    "docs_ngram_novelty",
+    "docs_ngram_novelty", "emb_top_component",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1608,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pagerank_std": Q.q_events_pagerank_std,
         "events_salsa": Q.q_events_salsa,
         "emb_semdedup": Q.q_emb_semdedup,
+        "emb_top_component": Q.q_emb_top_component,
         "events_topo_levels": Q.q_events_topo_levels,
         "events_powerlaw": Q.q_events_powerlaw,
         "docs_locality_order": Q.q_docs_locality_order,
@@ -2784,6 +2823,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pagerank_std": _pr_std_sql(6),
         "events_salsa": _salsa_sql(3),
         "emb_semdedup": _semdedup_sql(),
+        "emb_top_component": _top_component_sql(4),
         "events_topo_levels": _topo_levels_sql(16),
         # continuous power-law MLE from the bounded degree histogram:
         # integer micro-unit ln terms (AA LN-parity convention), exact

@@ -585,3 +585,53 @@ def semdedup(emb: ray.data.Dataset, k: int = KMEANS_K,
         return pd.concat(out, ignore_index=True)
 
     return shuffle.grouped_apply(joined, ["cluster"], verdict)
+
+
+PCA_ROUNDS = 4
+
+
+def top_component(emb: ray.data.Dataset, rounds: int = PCA_ROUNDS
+                  ) -> pa.Table:
+    """(dim, loading_ppm) — the corpus's dominant principal direction
+    (uncentered) by L1-normalized power iteration on the Gram matrix
+    A = X^T X: the embedding-drift / anisotropy readout embedding
+    pipelines monitor. A is computed EXACTLY: per-block int64 partial
+    Gram matrices on the PQ fixed-point grid (D x D = 4096 rows per
+    block, the bounded-sketch shape) fold through one grouped sum;
+    the 64x64 power iteration runs driver-side ENTIRELY in exact
+    integer arithmetic — v lives on the ppm grid and each round
+    renormalizes with the half-up integer division
+    (2*raw*1e6 + l1) // (2*l1), so no float addition order exists
+    anywhere and the DuckDB compare is hash-exact (unlike the
+    eigencentrality ppm convention, which accepts last-ulp float
+    divergence). Nothing n-sized ever reaches the driver."""
+    from ligrust_ray.stages import shuffle
+
+    def gram_part(t: pa.Table) -> pa.Table:
+        _ids, mat = _scaled_matrix(t)
+        d = mat.shape[1]
+        g = mat.T.astype(np.int64) @ mat.astype(np.int64)
+        ii = np.repeat(np.arange(d, dtype=np.int64), d)
+        jj = np.tile(np.arange(d, dtype=np.int64), d)
+        return pa.table({"i": pa.array(ii), "j": pa.array(jj),
+                         "s": pa.array(g.ravel())})
+
+    rows = shuffle.grouped_agg(
+        emb.select_columns(["vec_id", "embedding"]).map_batches(
+            gram_part, batch_format="pyarrow"),
+        ["i", "j"], {"s": ("s", "sum")}).to_pandas()
+    d = int(rows["i"].max()) + 1
+    A = [[0] * d for _ in range(d)]           # python ints: exact
+    for i, j, s in zip(rows["i"].to_numpy(np.int64),
+                       rows["j"].to_numpy(np.int64),
+                       rows["s"].to_numpy(np.int64)):
+        A[int(i)][int(j)] = int(s)
+    v = [10**6] * d                            # ppm grid
+    for _ in range(rounds):
+        raw = [sum(A[i][j] * v[j] for j in range(d)) for i in range(d)]
+        l1 = sum(abs(x) for x in raw)
+        v = ([0] * d if l1 == 0 else
+             [(2 * x * 10**6 + l1) // (2 * l1) for x in raw])
+    return pa.table({
+        "dim": pa.array(np.arange(d, dtype=np.int64)),
+        "loading_ppm": pa.array(np.array(v, dtype=np.int64))})

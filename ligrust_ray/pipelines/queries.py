@@ -2078,6 +2078,16 @@ def q_emb_semdedup(sf_dir: str):
     return semdedup(_emb(sf_dir))
 
 
+def q_emb_top_component(sf_dir: str):
+    """(dim, loading_ppm) — dominant principal direction of the
+    embedding corpus (dataops/ann.py top_component): exact int64 Gram
+    partials + an all-integer ppm-grid power iteration, hash-exact vs
+    the unrolled SQL oracle."""
+    from ligrust_ray.dataops.ann import top_component
+
+    return top_component(_emb(sf_dir))
+
+
 def q_emb_kmeans(sf_dir: str):
     """(vec_id, cluster) — deterministic integer-exact Lloyd k-means over
     the embeddings table (dataops/ann.py kmeans: md5 id-bucket init,

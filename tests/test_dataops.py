@@ -2473,3 +2473,28 @@ def test_semdedup_planted_near_dups(ray_session):
     for fam in ([0, 12, 13], [5, 14]):
         if len({clus[v] for v in fam}) == 1:
             assert sum(kept[v] for v in fam) == 1
+
+
+def test_top_component_dominant_direction(ray_session):
+    """r5: the ppm power iteration recovers a planted dominant
+    direction and is bit-identical across runs."""
+    from ligrust_ray.dataops.ann import top_component
+
+    rng = np.random.default_rng(9)
+    d = 16
+    main = np.zeros(d)
+    main[3] = 1.0
+    vecs = [(main * rng.uniform(0.5, 1.0)
+             + rng.normal(size=d) * 0.02).tolist() for _ in range(200)]
+    t = pa.table({
+        "vec_id": pa.array(range(200), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float64()))})
+    out = top_component(ray.data.from_arrow(t), rounds=4).to_pandas() \
+        .sort_values("dim").reset_index(drop=True)
+    lead = out["loading_ppm"].abs().idxmax()
+    assert out.loc[lead, "dim"] == 3
+    assert out.loc[lead, "loading_ppm"] > 500_000   # dominates the L1
+    again = top_component(ray.data.from_arrow(t), rounds=4).to_pandas() \
+        .sort_values("dim").reset_index(drop=True)
+    assert (again["loading_ppm"].to_numpy()
+            == out["loading_ppm"].to_numpy()).all()
