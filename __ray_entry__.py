@@ -1525,7 +1525,7 @@ _CHECK_PRIORITY = [
     "events_louvain_full", "events_window_late", "events_window_panes",
     "events_pagerank_std", "events_salsa", "emb_semdedup",
     "events_topo_levels", "events_powerlaw", "docs_locality_order",
-    "docs_ngram_novelty", "emb_top_component",
+    "docs_ngram_novelty", "emb_top_component", "events_range_join",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1611,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windows": Q.q_events_windows,
         "events_window_late": Q.q_events_window_late,
         "events_window_panes": Q.q_events_window_panes,
+        "events_range_join": Q.q_events_range_join,
         "events_window_topk": Q.q_events_window_topk,
         "events_hopping": Q.q_events_hopping,
         "events_rolling": Q.q_events_rolling,
@@ -2824,6 +2825,14 @@ def oracle_sql() -> dict[str, str]:
         "events_salsa": _salsa_sql(3),
         "emb_semdedup": _semdedup_sql(),
         "emb_top_component": _top_component_sql(4),
+        # banded range join: events falling in each user's onboarding
+        # interval [first event, +2h)
+        "events_range_join": (
+            "WITH iv AS (SELECT user_id AS owner, MIN(epoch_us(ts)) "
+            "AS lo FROM events GROUP BY 1) "
+            "SELECT iv.owner, CAST(COUNT(*) AS BIGINT) AS n_points "
+            "FROM iv JOIN events e ON epoch_us(e.ts) >= iv.lo "
+            "AND epoch_us(e.ts) < iv.lo + 7200000000 GROUP BY 1"),
         "events_topo_levels": _topo_levels_sql(16),
         # continuous power-law MLE from the bounded degree histogram:
         # integer micro-unit ln terms (AA LN-parity convention), exact

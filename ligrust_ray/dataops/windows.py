@@ -576,3 +576,82 @@ def rolling_user_sum(events: ray.data.Dataset, n: int = ROLL_N,
     return shuffle.grouped_apply(
         events.select_columns(["event_id", "ts", "user_id", "value"]),
         ["user_id"], sweep, num_partitions=num_partitions)
+
+
+RANGE_BAND_US = 2 * 3_600_000_000      # band width for the range join
+
+
+def banded_interval_count(points: ray.data.Dataset,
+                          intervals: ray.data.Dataset,
+                          band_us: int = RANGE_BAND_US,
+                          num_partitions: int = 32) -> ray.data.Dataset:
+    """(owner, n_points) — the RANGE JOIN count: for every interval
+    (owner, lo, hi) the number of point rows (ts_us) with
+    lo <= ts < hi. Ray Data has no inequality join; the scalable plan
+    is BANDING: points key by ts // band, intervals replicate to every
+    band they span (ceil(len/band)+1 rows — bounded when interval
+    length ~ band), one band-keyed co_group; in each band partition the
+    points sort once and every interval binary-searches its [lo, hi)
+    count clipped to the band (each point lives in exactly ONE band, so
+    partial counts add without double counting); one owner-keyed
+    grouped sum finishes. No cross product is ever materialized."""
+    i64 = pa.int64()
+    pt_schema = pa.schema([("band", i64), ("ts_us", i64)])
+    iv_schema = pa.schema([("band", i64), ("owner", i64),
+                           ("lo", i64), ("hi", i64)])
+
+    def pt_rows(t: pa.Table) -> pa.Table:
+        ts = t.column("ts_us").to_numpy().astype(np.int64)
+        return pa.table({"band": pa.array(ts // band_us),
+                         "ts_us": pa.array(ts)}, schema=pt_schema)
+
+    def iv_rows(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy().astype(np.int64)
+        hi = t.column("hi").to_numpy().astype(np.int64)
+        ow = t.column("owner").to_numpy().astype(np.int64)
+        b0 = lo // band_us
+        b1 = np.maximum((hi - 1) // band_us, b0)   # hi exclusive
+        counts = (b1 - b0 + 1).astype(np.int64)
+        bands = np.concatenate([np.arange(a, a + c) for a, c in
+                                zip(b0, counts)]) if len(lo) else \
+            np.zeros(0, dtype=np.int64)
+        return pa.table({
+            "band": pa.array(bands),
+            "owner": pa.array(np.repeat(ow, counts)),
+            "lo": pa.array(np.repeat(lo, counts)),
+            "hi": pa.array(np.repeat(hi, counts))}, schema=iv_schema)
+
+    def count_in_band(pf: pd.DataFrame, vf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"owner": pd.Series([], dtype=np.int64),
+                              "n": pd.Series([], dtype=np.int64)})
+        if not len(pf) or not len(vf):
+            return empty
+        out = []
+        for band, g in vf.groupby("band", sort=False):
+            ts = np.sort(pf.loc[pf["band"] == band, "ts_us"]
+                         .to_numpy(np.int64))
+            if not len(ts):
+                continue
+            blo = band * band_us
+            bhi = blo + band_us
+            lo = np.maximum(g["lo"].to_numpy(np.int64), blo)
+            hi = np.minimum(g["hi"].to_numpy(np.int64), bhi)
+            n = (np.searchsorted(ts, hi, side="left")
+                 - np.searchsorted(ts, lo, side="left"))
+            out.append(pd.DataFrame({
+                "owner": g["owner"].to_numpy(np.int64), "n": n}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    partials = shuffle.co_group(
+        points.map_batches(pt_rows, batch_format="pyarrow"),
+        intervals.map_batches(iv_rows, batch_format="pyarrow"),
+        l_on="band", r_on="band", fn=count_in_band,
+        l_schema=pt_schema, r_schema=iv_schema,
+        num_partitions=num_partitions)
+    out = shuffle.grouped_agg(partials, ["owner"],
+                              {"n_points": ("n", "sum")},
+                              num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table({"owner": t.column("owner").cast(i64),
+                            "n_points": t.column("n_points").cast(i64)}),
+        batch_format="pyarrow")

@@ -3144,6 +3144,43 @@ def q_events_window_late(sf_dir: str):
     return windows.late_window_counts(ev)
 
 
+def q_events_range_join(sf_dir: str):
+    """(owner, n_points) — banded RANGE JOIN count (the inequality join
+    Ray Data lacks; windows.banded_interval_count): for every user's
+    onboarding interval [first event, +2h) the number of events from
+    ANY user falling inside it. Points band by ts, intervals replicate
+    to their spanned bands, one band-keyed co_group with per-band
+    binary-search counts — no cross product materializes."""
+    from ligrust_ray.dataops import windows
+
+    ev = _read_sized(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts", "user_id"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({"ts_us": pa.array(ts)})
+
+    def owner_ts(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "owner": t.column("user_id").cast(pa.int64()),
+            "ts_us": pa.array(ts)})
+
+    iv = shuffle.grouped_agg(
+        ev.map_batches(owner_ts, batch_format="pyarrow"),
+        ["owner"], {"lo": ("ts_us", "min")}).map_batches(
+        lambda t: pa.table({
+            "owner": t.column("owner").cast(pa.int64()),
+            "lo": t.column("lo").cast(pa.int64()),
+            "hi": pc.add(t.column("lo").cast(pa.int64()),
+                         pa.scalar(7_200_000_000, type=pa.int64()))}),
+        batch_format="pyarrow")
+    return windows.banded_interval_count(
+        ev.map_batches(pts, batch_format="pyarrow"), iv)
+
+
 def q_events_window_panes(sf_dir: str):
     """(window_start_us, n_on_time, n_late_acc, n_dropped,
     sum_value_cents) — the Beam pane taxonomy over the same watermarked

@@ -2498,3 +2498,26 @@ def test_top_component_dominant_direction(ray_session):
         .sort_values("dim").reset_index(drop=True)
     assert (again["loading_ppm"].to_numpy()
             == out["loading_ppm"].to_numpy()).all()
+
+
+def test_banded_interval_count_vs_brute(ray_session):
+    """r5 range join: banded plan == brute-force interval counting on
+    random points/intervals, including intervals spanning many bands,
+    zero-length and out-of-range intervals."""
+    from ligrust_ray.dataops.windows import banded_interval_count
+
+    rng = np.random.default_rng(17)
+    ts = rng.integers(0, 10**9, 3000).astype(np.int64)
+    lo = rng.integers(-10**8, 10**9, 60).astype(np.int64)
+    length = rng.integers(0, 4 * 10**8, 60).astype(np.int64)
+    hi = lo + length
+    owners = np.arange(60, dtype=np.int64)
+    pts = ray.data.from_arrow(pa.table({"ts_us": pa.array(ts)}))
+    iv = ray.data.from_arrow(pa.table({
+        "owner": pa.array(owners), "lo": pa.array(lo),
+        "hi": pa.array(hi)}))
+    got = (banded_interval_count(pts, iv, band_us=10**8)
+           .to_pandas().set_index("owner")["n_points"].to_dict())
+    for o, a, b in zip(owners, lo, hi):
+        exp = int(((ts >= a) & (ts < b)).sum())
+        assert got.get(int(o), 0) == exp, (o, a, b)
