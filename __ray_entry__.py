@@ -1526,6 +1526,7 @@ _CHECK_PRIORITY = [
     "events_pagerank_std", "events_salsa", "emb_semdedup",
     "events_topo_levels", "events_powerlaw", "docs_locality_order",
     "docs_ngram_novelty", "emb_top_component", "events_range_join",
+    "media_stats_real",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1763,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_real": Q.q_media_decode_real,
         "media_resize_real": Q.q_media_resize_real,
         "media_frames_real": Q.q_media_frames_real,
+        "media_stats_real": Q.q_media_stats_real,
     }
     out = {k: q.pop(k) for k in _CHECK_PRIORITY if k in q}
     out.update(q)
@@ -3440,6 +3442,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents "
             "CROSS JOIN (SELECT CAST(UNNEST(range(4)) AS BIGINT) AS i) f "
             "WHERE doc_id % 3 = 2"),
+        # exact pixel stats through the real decoders: replay the
+        # generator's pixel function over a lateral per-doc range
+        "media_stats_real": (
+            "WITH d AS (SELECT doc_id, 8 + doc_id % 17 AS w, "
+            "8 + doc_id % 13 AS h FROM documents WHERE doc_id % 3 <> 2), "
+            "px AS (SELECT d.doc_id, d.h * d.w * 3 AS n, "
+            "CAST(SUM((i.i * 31 + d.doc_id * 7) % 256) AS BIGINT) AS s "
+            "FROM d, UNNEST(range(d.h * d.w * 3)) AS i(i) "
+            "GROUP BY d.doc_id, d.h * d.w * 3) "
+            "SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_px, "
+            "s AS pix_sum, "
+            "CAST((2 * s * 1000 + n) // (2 * n) AS BIGINT) "
+            "AS mean_milli FROM px"),
     } | _aliases()
 
 

@@ -544,6 +544,8 @@ def run_headline(num_cpus: int) -> dict:
             ("events_powerlaw", Q.q_events_powerlaw, True),
             ("docs_locality_order", Q.q_docs_locality_order, True),
             ("docs_ngram_novelty", Q.q_docs_ngram_novelty, True),
+            ("emb_top_component", Q.q_emb_top_component, True),
+            ("events_range_join", Q.q_events_range_join, True),
             ("events_window_late", Q.q_events_window_late, True),
             ("media_decode_real", Q.q_media_decode_real, True),
             ("media_resize_real", Q.q_media_resize_real, True),

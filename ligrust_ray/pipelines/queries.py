@@ -6148,6 +6148,41 @@ def q_media_resize_real(sf_dir: str):
     return resized.map_batches(checksum, batch_format="pyarrow")
 
 
+def q_media_stats_real(sf_dir: str):
+    """(media_id, n_px, pix_sum, mean_milli) — per-image pixel statistics
+    through the REAL decoders (PPM and BMP payloads genuinely parsed to
+    pixel planes): exact integer sum over h*w*3 bytes and the half-up
+    integer milli mean, so the oracle (which replays the generator's
+    closed-form pixel function over a lateral range) hash-matches."""
+    imgs = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("doc_id").to_numpy() % 3 != 2)),
+        batch_format="pyarrow")
+    media = multimodal.docs_as_real_media(imgs)
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, ns, sums, means = [], [], [], []
+        for mid, payload in zip(t.column("media_id").to_pylist(),
+                                t.column("payload").to_pylist()):
+            codec = multimodal.sniff_codec(payload)
+            img = (multimodal.decode_pnm(payload) if codec in
+                   ("ppm", "pgm") else multimodal.decode_bmp(payload))
+            n = int(img.size)
+            s = int(img.astype(np.int64).sum())
+            ids.append(mid)
+            ns.append(n)
+            sums.append(s)
+            means.append((2 * s * 1000 + n) // (2 * n))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "n_px": pa.array(ns, type=pa.int64()),
+            "pix_sum": pa.array(sums, type=pa.int64()),
+            "mean_milli": pa.array(means, type=pa.int64())})
+
+    return media.map_batches(stats, batch_format="pyarrow",
+                             batch_size=64)
+
+
 def q_media_frames_real(sf_dir: str):
     """Real frame sampling: WAV payloads split into 4 contiguous PCM
     windows (each re-wrapped as a valid WAV); every frame is re-decoded
