@@ -834,6 +834,25 @@ def _top_component_sql(rounds: int = 4, dim: int = 64,
     return "".join(parts)
 
 
+def _top_eigen_sql(rounds: int = 4) -> str:
+    """Rayleigh-quotient oracle (ann.top_eigenvalue spec): the
+    top_component CTE chain + exact HUGEINT v^T A v / v^T v rendered as
+    the half-up integer milli value (num is PSD-non-negative, so plain
+    truncating // == floor on both engines)."""
+    tc = _top_component_sql(rounds)
+    cte = tc[:tc.rindex(" SELECT d AS dim")]
+    return (
+        cte
+        + f", nn AS (SELECT SUM(vi.v * a.s * vj.v) AS num FROM a "
+        f"JOIN v{rounds} vi ON vi.d = a.i "
+        f"JOIN v{rounds} vj ON vj.d = a.j), "
+        f"dd AS (SELECT SUM(v * v) AS den FROM v{rounds}) "
+        "SELECT CAST(dd.den AS BIGINT) AS rayleigh_den, "
+        "CAST(CASE WHEN dd.den = 0 THEN 0 ELSE "
+        "(2 * nn.num * 1000 + dd.den) // (2 * dd.den) END AS BIGINT) "
+        "AS eig_milli FROM nn, dd")
+
+
 def _semdedup_sql(k: int = 8, rounds: int = 2, dim: int = 64,
                   scale: int = 1000, num: int = 9, den: int = 10) -> str:
     """SemDeDup oracle (dataops/ann.py semdedup spec): the kmeans CTE
@@ -1526,7 +1545,7 @@ _CHECK_PRIORITY = [
     "events_pagerank_std", "events_salsa", "emb_semdedup",
     "events_topo_levels", "events_powerlaw", "docs_locality_order",
     "docs_ngram_novelty", "emb_top_component", "events_range_join",
-    "media_stats_real",
+    "media_stats_real", "emb_top_eigenvalue",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1649,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_salsa": Q.q_events_salsa,
         "emb_semdedup": Q.q_emb_semdedup,
         "emb_top_component": Q.q_emb_top_component,
+        "emb_top_eigenvalue": Q.q_emb_top_eigenvalue,
         "events_topo_levels": Q.q_events_topo_levels,
         "events_powerlaw": Q.q_events_powerlaw,
         "docs_locality_order": Q.q_docs_locality_order,
@@ -2827,6 +2847,7 @@ def oracle_sql() -> dict[str, str]:
         "events_salsa": _salsa_sql(3),
         "emb_semdedup": _semdedup_sql(),
         "emb_top_component": _top_component_sql(4),
+        "emb_top_eigenvalue": _top_eigen_sql(4),
         # banded range join: events falling in each user's onboarding
         # interval [first event, +2h)
         "events_range_join": (

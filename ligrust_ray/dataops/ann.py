@@ -635,3 +635,42 @@ def top_component(emb: ray.data.Dataset, rounds: int = PCA_ROUNDS
     return pa.table({
         "dim": pa.array(np.arange(d, dtype=np.int64)),
         "loading_ppm": pa.array(np.array(v, dtype=np.int64))})
+
+
+def top_eigenvalue(emb: ray.data.Dataset, rounds: int = PCA_ROUNDS
+                   ) -> pa.Table:
+    """(rayleigh_den, eig_milli) — exact dominant-eigenvalue estimate of
+    the Gram matrix: the Rayleigh quotient v^T A v / v^T v of the ppm
+    loading vector, rendered as the half-up integer milli value (the
+    raw numerator overflows int64, so the division happens in exact
+    python ints and only bounded outputs ship) — the spectral-energy /
+    anisotropy magnitude companion of top_component. A is PSD, so the
+    quotient is non-negative and plain floor division matches DuckDB."""
+    from ligrust_ray.stages import shuffle
+
+    comp = top_component(emb, rounds)
+    v = [int(x) for x in comp.column("loading_ppm").to_pylist()]
+
+    def gram_part(t: pa.Table) -> pa.Table:
+        _ids, mat = _scaled_matrix(t)
+        d = mat.shape[1]
+        g = mat.T.astype(np.int64) @ mat.astype(np.int64)
+        ii = np.repeat(np.arange(d, dtype=np.int64), d)
+        jj = np.tile(np.arange(d, dtype=np.int64), d)
+        return pa.table({"i": pa.array(ii), "j": pa.array(jj),
+                         "s": pa.array(g.ravel())})
+
+    rows = shuffle.grouped_agg(
+        emb.select_columns(["vec_id", "embedding"]).map_batches(
+            gram_part, batch_format="pyarrow"),
+        ["i", "j"], {"s": ("s", "sum")}).to_pandas()
+    num = 0
+    for i, j, sv in zip(rows["i"].to_numpy(np.int64),
+                        rows["j"].to_numpy(np.int64),
+                        rows["s"].to_numpy(np.int64)):
+        num += v[int(i)] * int(sv) * v[int(j)]
+    den = sum(x * x for x in v)
+    eig_milli = 0 if den == 0 else (2 * num * 1000 + den) // (2 * den)
+    return pa.table({
+        "rayleigh_den": pa.array([den], type=pa.int64()),
+        "eig_milli": pa.array([int(eig_milli)], type=pa.int64())})

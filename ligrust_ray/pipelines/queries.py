@@ -2088,6 +2088,16 @@ def q_emb_top_component(sf_dir: str):
     return top_component(_emb(sf_dir))
 
 
+def q_emb_top_eigenvalue(sf_dir: str):
+    """(rayleigh_den, eig_milli) — exact dominant-eigenvalue estimate of
+    the embedding Gram matrix (ann.top_eigenvalue): the Rayleigh
+    quotient of the ppm loading vector, hash-exact integers end to
+    end."""
+    from ligrust_ray.dataops.ann import top_eigenvalue
+
+    return top_eigenvalue(_emb(sf_dir))
+
+
 def q_emb_kmeans(sf_dir: str):
     """(vec_id, cluster) — deterministic integer-exact Lloyd k-means over
     the embeddings table (dataops/ann.py kmeans: md5 id-bucket init,
