@@ -547,6 +547,7 @@ def run_headline(num_cpus: int) -> dict:
             ("emb_top_component", Q.q_emb_top_component, True),
             ("events_range_join", Q.q_events_range_join, True),
             ("media_stats_real", Q.q_media_stats_real, True),
+            ("emb_top_eigenvalue", Q.q_emb_top_eigenvalue, True),
             ("events_window_late", Q.q_events_window_late, True),
             ("media_decode_real", Q.q_media_decode_real, True),
             ("media_resize_real", Q.q_media_resize_real, True),
