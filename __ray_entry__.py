@@ -730,15 +730,19 @@ def _salsa_sql(rounds: int = 3) -> str:
     return "".join(parts)
 
 
-def _pr_std_sql(rounds: int = 6) -> str:
+def _pr_std_sql(rounds: int = 6, edges_cte: str | None = None,
+                nodes_cte: str | None = None) -> str:
     """Standard-PageRank oracle (algos/pagerank.py page_rank_standard
     spec): ``rounds`` unrolled normalized updates x_{t+1} = (1-d)/n +
     d*(SUM in-edges x_t/out_deg + D_t/n) with D_t = dangling mass of
     x_t; alpha written as (1.0 - 0.85) to match the engine's float
-    bit-for-bit; shared ppm rendering."""
+    bit-for-bit; shared ppm rendering. ``edges_cte``/``nodes_cte``
+    override the events tables (the pages variant runs over the
+    persisted pages oracle artifacts, where dead links make dangling
+    mass real)."""
     parts = [
-        f"WITH e AS MATERIALIZED ({_EDGES_CTE}), "
-        f"nodes AS MATERIALIZED ({_NODES_CTE}), "
+        f"WITH e AS MATERIALIZED ({edges_cte or _EDGES_CTE}), "
+        f"nodes AS MATERIALIZED ({nodes_cte or _NODES_CTE}), "
         "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n "
         "FROM nodes), "
         "deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e "
@@ -1545,7 +1549,7 @@ _CHECK_PRIORITY = [
     "events_pagerank_std", "events_salsa", "emb_semdedup",
     "events_topo_levels", "events_powerlaw", "docs_locality_order",
     "docs_ngram_novelty", "emb_top_component", "events_range_join",
-    "media_stats_real", "emb_top_eigenvalue",
+    "media_stats_real", "emb_top_eigenvalue", "pages_pagerank_std",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1675,6 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_novelty": Q.q_docs_ngram_novelty,
         "events_eigencentrality": Q.q_events_eigencentrality,
         "pages_trustrank": Q.q_pages_trustrank,
+        "pages_pagerank_std": Q.q_pages_pagerank_std,
         "events_truss": Q.q_events_truss,
         "events_walks": Q.q_events_walks,
         "events_neighbor_sample": Q.q_events_neighbor_sample,
@@ -2844,6 +2849,12 @@ def oracle_sql() -> dict[str, str]:
         # Katz centrality, 4 unrolled truncated-power-series gathers
         "events_katz": _katz_sql(4),
         "events_pagerank_std": _pr_std_sql(6),
+        "pages_pagerank_std": _pr_std_sql(
+            6,
+            edges_cte=("SELECT src, dst FROM read_parquet('"
+                       f"{_PAGES_ORACLE}/edges/*.parquet')"),
+            nodes_cte=("SELECT id FROM read_parquet('"
+                       f"{_PAGES_ORACLE}/nodes.parquet')")),
         "events_salsa": _salsa_sql(3),
         "emb_semdedup": _semdedup_sql(),
         "emb_top_component": _top_component_sql(4),

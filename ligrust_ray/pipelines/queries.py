@@ -1683,6 +1683,24 @@ TRUST_SEED_MOD = 16
 TRUST_ROUNDS = 4
 
 
+def q_pages_pagerank_std(sf_dir: str):
+    """(node_id, pr_ppm) — STANDARD normalized PageRank with dangling
+    redistribution over the BUILT pages link graph: the web graph is
+    where dangling mass is real (pages_dead_links counts the dead
+    targets whose rank the reference variant silently drops). Same
+    page_rank_standard loop as events_pagerank_std; the SQL oracle
+    unrolls identical rounds over the persisted oracle edge table."""
+    from ligrust_ray.algos.pagerank import page_rank_standard
+
+    gd, g = _pages_graph(sf_dir)
+    _refresh_pages_oracle(gd, g.n)
+    page_rank_standard(g, rounds=PR_STD_ROUNDS)
+    st = g.collect_state(["x"])["x"]
+    return pa.table({"node_id": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "pr_ppm": pa.array(
+                         np.floor(st * 1e6 + 0.5).astype(np.int64))})
+
+
 def q_pages_trustrank(sf_dir: str):
     """(node_id, trust_ppm) — TrustRank over the built pages link graph
     (Gyongyi et al. VLDB'04, the canonical web-spam-demotion score):
