@@ -1550,6 +1550,7 @@ _CHECK_PRIORITY = [
     "events_topo_levels", "events_powerlaw", "docs_locality_order",
     "docs_ngram_novelty", "emb_top_component", "events_range_join",
     "media_stats_real", "emb_top_eigenvalue", "pages_pagerank_std",
+    "docs_token_entropy",
     # never driver-checked r1-r4 (judge-sweep-verified only)
     "events_jaccard_pairs", "docs_gopher_filter", "docs_dup_spans",
     "docs_dsir_sample", "pages_anchor_text", "docs_token_quantiles_by_lang",
@@ -1677,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_powerlaw": Q.q_events_powerlaw,
         "docs_locality_order": Q.q_docs_locality_order,
         "docs_ngram_novelty": Q.q_docs_ngram_novelty,
+        "docs_token_entropy": Q.q_docs_token_entropy,
         "events_eigencentrality": Q.q_events_eigencentrality,
         "pages_trustrank": Q.q_pages_trustrank,
         "pages_pagerank_std": Q.q_pages_pagerank_std,
@@ -2838,6 +2840,21 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash": _simhash_sql(),
         # compression-locality export ordering: rank by (simhash, id)
         "docs_ngram_novelty": _ngram_novelty_sql(8),
+        # token-level entropy: md5-grouped token counts (line-dedup
+        # convention) + the exact char_entropy per-term formula
+        "docs_token_entropy": (
+            "WITH toks AS (SELECT doc_id, md5_number_lower(UNNEST("
+            "regexp_extract_all(lower(text), '\\S+'))) AS h "
+            "FROM documents), "
+            "cnt AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM toks GROUP BY 1, 2), "
+            "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nn "
+            "FROM toks GROUP BY 1) "
+            "SELECT c.doc_id, CAST(SUM(CAST(FLOOR("
+            "(CAST(c.n AS DOUBLE) / t.nn) * (LOG2(CAST(t.nn AS DOUBLE)) "
+            "- LOG2(CAST(c.n AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS tok_entropy_ubits "
+            "FROM cnt c JOIN tot t USING (doc_id) GROUP BY 1"),
         "docs_locality_order": (
             f"WITH sim AS ({_simhash_sql()}) "
             "SELECT doc_id, CAST(ROW_NUMBER() OVER "

@@ -479,3 +479,51 @@ def char_pair_counts_batch(t: pa.Table) -> pa.Table:
     pairs = [chr(int(k) >> 32) + chr(int(k) & 0xFFFFFFFF) for k in uniq]
     return pa.table({"pair": pa.array(pairs, type=pa.string()),
                      "n": pa.array(cnt.astype(np.int64))})
+
+
+def token_entropy_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, tok_entropy_ubits) — per-doc TOKEN-level Shannon entropy
+    in integer micro-bits (char_entropy_batch's exact-integer term
+    convention over the pinned whitespace tokenization): low token
+    entropy flags templated / boilerplate docs whose character entropy
+    still looks normal. Tokens group by md5_number_lower (the
+    line-dedup convention — the oracle groups by the same hash, so
+    parity is structural, not collision-probabilistic). Docs with no
+    tokens emit no row."""
+    from ligrust_ray.dataops.hashing import md5_u64_lower_arrow
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "tok_entropy_ubits": pa.array([], type=pa.int64())})
+    if not t.num_rows:
+        return empty
+    ids = t.column("doc_id").to_numpy()
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(t.column("text")), RE2_WS + "+").combine_chunks()
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.chunk(0) if toks.num_chunks else \
+            pa.array([], type=toks.type)
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(ids)), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, doc_idx = flat.filter(pa.array(keep)), doc_idx[keep]
+    if not len(flat):
+        return empty
+    h = md5_u64_lower_arrow(flat).view(np.int64)
+    Ndoc = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
+    order = np.lexsort((h, doc_idx))
+    di, hs = doc_idx[order], h[order]
+    first = np.concatenate(([True], (di[1:] != di[:-1])
+                            | (hs[1:] != hs[:-1])))
+    starts = np.flatnonzero(first)
+    n = np.diff(np.append(starts, len(di))).astype(np.int64)
+    gi = di[starts]
+    N = Ndoc[gi].astype(np.float64)
+    term = np.floor((n / N) * (np.log2(N) - np.log2(n.astype(np.float64)))
+                    * 1e6 + 0.5).astype(np.int64)
+    dstarts = np.flatnonzero(np.concatenate(([True], gi[1:] != gi[:-1])))
+    ent = np.add.reduceat(term, dstarts)
+    out_idx = gi[dstarts]
+    return pa.table({
+        "doc_id": pa.array(ids[out_idx].astype(np.int64)),
+        "tok_entropy_ubits": pa.array(ent.astype(np.int64))})

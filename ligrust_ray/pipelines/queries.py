@@ -4942,6 +4942,15 @@ def q_docs_dedup_keep_best(sf_dir: str):
     return shuffle.grouped_apply(j, ["cluster"], best)
 
 
+def q_docs_token_entropy(sf_dir: str):
+    """(doc_id, tok_entropy_ubits) — per-doc token-level Shannon entropy
+    in integer micro-bits (textstats.token_entropy_batch): the
+    templated/boilerplate quality axis character entropy misses; tokens
+    group by md5 hash on both engines so parity is structural."""
+    return _docs(sf_dir).map_batches(textstats.token_entropy_batch,
+                                     batch_format="pyarrow")
+
+
 def q_docs_ngram_novelty(sf_dir: str):
     """(doc_id, n_grams, n_novel) — per-doc distinct 8-gram count and
     globally-first-seen gram count (dedup.ngram_novelty): the
