@@ -549,6 +549,7 @@ def run_headline(num_cpus: int) -> dict:
             ("media_stats_real", Q.q_media_stats_real, True),
             ("emb_top_eigenvalue", Q.q_emb_top_eigenvalue, True),
             ("pages_pagerank_std", Q.q_pages_pagerank_std, True),
+            ("docs_token_entropy", Q.q_docs_token_entropy, True),
             ("events_window_late", Q.q_events_window_late, True),
             ("media_decode_real", Q.q_media_decode_real, True),
             ("media_resize_real", Q.q_media_resize_real, True),
